@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[N]``; the same config block is what we'd ship via
+``spark-submit --py-files`` to a real cluster — only master/memory differ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "llm_aided_ocr_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_max_records_per_batch: int = 512,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing + skew-join splitting — the
+        # north rule's skew story leans on this plus explicit salting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow exchange for every pandas UDF stage; small batches so a
+        # batch of mega-documents cannot blow executor memory.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(arrow_max_records_per_batch),
+        )
+        # Self-describing parquet; 128 MiB split target for the scan.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,18 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from llm_aided_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="ocr_spark_tests", master="local[4]", shuffle_partitions=8)
+    yield spark
+    spark.stop()

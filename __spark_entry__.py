@@ -1,38 +1,242 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full extraction/correction pipeline over
+the sf0.001 ``documents`` table. ``queries()``/``oracle_sql()`` — one entry
+per implemented operator from SURVEY.md §2, DuckDB-checked where the
+semantics are SQL-expressible, rows-only otherwise (the chunker and the
+difflib filter are document-local Python by design).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's ``documents`` table to the pipeline's input shape
+    (url keyed, text bearing)."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.coalesce("text", F.lit("")).alias("text"),
+        "lang",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline (extract → chunk → correct → assemble →
+    header strip) with the deterministic heuristic provider at sf0.001."""
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+
+    pages = _docs_as_pages(spark, "/root/testdata/sf0.001")
+    result = run_pipeline(pages, PipelineConfig(provider="heuristic"), strategy="auto")
+    return result.select(
+        "url",
+        "n_chunks",
+        F.length("corrected_text").alias("corrected_len"),
+        F.length("raw_text").alias("raw_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — v1 page-length filter (native, pushdown-eligible)."""
+    from llm_aided_ocr_spark.operators.filters import page_filter_predicate
+
+    d = _docs(spark, sf_dir)
+    return d.filter(
+        page_filter_predicate(F.coalesce("text", F.lit("")), 10, 5)
+    ).select("doc_id", "n_chars")
+
+
+def _q_lang_gate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 + corpus counters: per-language doc count and char volume."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _q_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — native (JVM/codegen) token approximation per document."""
+    from llm_aided_ocr_spark.functions import approx_tokens_col
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        approx_tokens_col(F.coalesce("text", F.lit(""))).alias("approx_tokens"),
+    )
+
+
+def _q_reassembly_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — line-explode + order-preserving ordered concat must reproduce
+    the source text (oracle: identity)."""
+    from llm_aided_ocr_spark.operators.assemble import assemble_pages
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    exploded = d.select(
+        "url", F.posexplode(F.split(F.coalesce("text", F.lit("")), "\n"))
+    ).select("url", F.col("pos").alias("page_no"), F.col("col").alias("page_text"))
+    out = assemble_pages(exploded, separator="\n")
+    return out.select(F.col("url").alias("doc_id_str"), F.col("doc_text").alias("rejoined"))
+
+
+def _q_header_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — the 4-pass literal header strip over header-prefixed text."""
+    from llm_aided_ocr_spark.functions import strip_correction_header_col
+
+    d = _docs(spark, sf_dir)
+    prefixed = F.concat(F.lit("# Corrected text\n"), F.coalesce("text", F.lit("")))
+    return d.select(
+        "doc_id", strip_correction_header_col(prefixed).alias("stripped")
+    )
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — assessment of text vs itself: difflib ratio 1.0 → SCORE 100,
+    exercising the provider + regexp_extract parse path end to end."""
+    from llm_aided_ocr_spark.operators.quality import assess_quality
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.coalesce("text", F.lit("")).alias("raw_text"),
+        F.coalesce("text", F.lit("")).alias("corrected_text"),
+    )
+    return assess_quality(d).select(F.col("url").alias("doc_id_str"), "score")
+
+
+def _q_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 sampling — the 7500-char truncation (reference :585-589)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.length(F.substring(F.coalesce("text", F.lit("")), 1, 7500)).alias(
+            "sample_len"
+        ),
+    )
+
+
+def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline, heuristic provider — chunker is document-local Python
+    (not SQL-expressible): rows-only driver check; byte-level correctness is
+    covered by tests/ against the reference oracle."""
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+
+    pages = _docs_as_pages(spark, sf_dir)
+    result = run_pipeline(pages, PipelineConfig(provider="heuristic"), strategy="auto")
+    return result.select("url", "n_chunks", F.length("corrected_text").alias("out_len"))
+
+
+def _q_hallucination_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — difflib similarity filter of text vs itself (all sentences
+    kept); n_kept/n_sentences are SQL-checkable, the filter itself is not."""
+    from llm_aided_ocr_spark.operators.filters import hallucination_filter
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.coalesce("text", F.lit("")).alias("raw_text"),
+        F.coalesce("text", F.lit("")).alias("corrected_text"),
+    )
+    out = hallucination_filter(d, threshold=0.4)
+    return out.select(F.col("url").alias("doc_id_str"), "n_sentences", "n_kept")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "page_filter": _q_page_filter,
+        "lang_gate_counts": _q_lang_gate_counts,
+        "token_estimates": _q_token_estimates,
+        "reassembly_roundtrip": _q_reassembly_roundtrip,
+        "header_strip": _q_header_strip,
+        "quality_scores": _q_quality_scores,
+        "truncation": _q_truncation,
+        "pipeline_e2e": _q_pipeline_e2e,
+        "hallucination_filter": _q_hallucination_filter,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_WORD_COUNT_SQL = (
+    "CASE WHEN regexp_replace(coalesce(text,''), '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+    "ELSE len(string_split_regex(regexp_replace(coalesce(text,''), '^\\s+|\\s+$', '', 'g'), '\\s+')) END"
+)
+
+_TOKEN_COST_SQL = """
+list_transform(
+  regexp_extract_all(
+    regexp_replace(regexp_replace(coalesce(text,''), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'),
+    '\\b\\w+\\b|\\S'),
+  t -> CASE
+    WHEN regexp_matches(t, '^[0-9]+$') THEN greatest(1, length(t) // 2)
+    WHEN regexp_matches(t, '^[A-Z]{2,}$') THEN length(t)
+    WHEN regexp_matches(t, '[^\\w\\s]') THEN 1
+    WHEN length(t) > 10 THEN length(t) // 4 + 1
+    ELSE 1 END)
+"""
+
+_HEADER_STRIP_SQL = (
+    "replace(replace(replace(replace("
+    "'# Corrected text' || chr(10) || coalesce(text,''), "
+    "'# Corrected text' || chr(10), ''), "
+    "'# Corrected text:', ''), "
+    "chr(10) || 'Corrected text', ''), "
+    "'Corrected text:', '')"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "page_filter": (
+            "SELECT doc_id, n_chars FROM documents "
+            f"WHERE length(coalesce(text,'')) >= 10 AND ({_WORD_COUNT_SQL}) >= 5"
+        ),
+        "lang_gate_counts": (
+            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "token_estimates": (
+            "SELECT doc_id, CAST(trunc(coalesce(list_sum("
+            + _TOKEN_COST_SQL
+            + "), 0) * 1.1) AS INTEGER) AS approx_tokens FROM documents"
+        ),
+        "reassembly_roundtrip": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id_str, "
+            "coalesce(text,'') AS rejoined FROM documents"
+        ),
+        "header_strip": (
+            f"SELECT doc_id, {_HEADER_STRIP_SQL} AS stripped FROM documents"
+        ),
+        "quality_scores": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id_str, 100 AS score FROM documents"
+        ),
+        "truncation": (
+            "SELECT doc_id, length(substr(coalesce(text,''), 1, 7500)) AS sample_len "
+            "FROM documents"
+        ),
+        # pipeline_e2e, hallucination_filter: document-local Python kernels
+        # (chunker quirks / difflib) — intentionally no SQL oracle; the
+        # driver records the rows-only check and tests/ carry byte parity.
+    }

@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: one JSON line
+    {"metric": "pipeline_docs_per_sec", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": 0.1, ...}
+
+Workloads:
+  * ``pipeline`` — the flagship extraction/correction pipeline over a
+    deterministic synthetic OCR corpus (executor-side generation,
+    parquet-materialized once under /tmp, then timed from the scan);
+    reports docs/sec and extracted MB/sec (the BASELINE.json metric).
+  * driver-contract queries over ``$SPARK_GRAFT_SF_DIR`` (default
+    /root/testdata/sf0.1).
+
+Scaling evidence (north rule, sandbox form): ``--scaling`` runs the
+pipeline workload in two fresh subprocesses at local[8] and local[32] on
+the SAME materialized input and reports throughput at both plus
+efficiency = (T32/T8)/4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "40000"))
+BENCH_SEED = 42
+CORPUS_DIR = f"/tmp/ocr_spark_bench_corpus_r{BENCH_ROWS}_s{BENCH_SEED}"
+
+
+def _get_spark(cores: int):
+    from llm_aided_ocr_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"ocr_spark_bench_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+        arrow_max_records_per_batch=512,
+    )
+
+
+def _ensure_corpus(spark) -> None:
+    if os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
+        return
+    from llm_aided_ocr_spark.sources.synthetic import pages_dataframe_distributed
+
+    df = pages_dataframe_distributed(
+        spark, BENCH_ROWS, seed=BENCH_SEED, num_partitions=64, mega_every=10_000
+    )
+    df.write.mode("overwrite").parquet(CORPUS_DIR)
+
+
+def _noop_sink(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_pipeline(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+
+    _ensure_corpus(spark)
+    pages = spark.read.parquet(CORPUS_DIR)
+    stats = pages.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("chars")
+    ).first()
+    n_docs, n_chars = int(stats["n"]), int(stats["chars"])
+
+    cfg = PipelineConfig(provider="heuristic", mega_doc_chars=400_000)
+    t0 = time.time()
+    result = run_pipeline(pages, cfg, strategy="auto")
+    _noop_sink(result)
+    secs = time.time() - t0
+    return {
+        "seconds": round(secs, 3),
+        "n_docs": n_docs,
+        "input_mb": round(n_chars / 1e6, 2),
+        "docs_per_sec": round(n_docs / secs, 1),
+        "mb_per_sec": round(n_chars / 1e6 / secs, 2),
+    }
+
+
+def bench_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry_mod
+
+    out = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        _noop_sink(fn(spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_once(cores: int, sf_dir: str, with_queries: bool) -> dict:
+    spark = _get_spark(cores)
+    try:
+        pipe = bench_pipeline(spark)
+        queries = bench_queries(spark, sf_dir) if with_queries else {}
+        return {"cores": cores, "pipeline": pipe, "queries": queries}
+    finally:
+        spark.stop()
+
+
+def run_scaling(sf_dir: str) -> dict:
+    results = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cores),
+             "--sf-dir", sf_dir],
+            capture_output=True, text=True, check=False,
+        )
+        line = proc.stdout.strip().split("\n")[-1] if proc.stdout.strip() else "{}"
+        try:
+            results[cores] = json.loads(line)
+        except json.JSONDecodeError:
+            raise RuntimeError(
+                f"scaling child (cores={cores}) failed:\n{proc.stdout}\n{proc.stderr}"
+            )
+    t8 = results[8]["pipeline"]["docs_per_sec"]
+    t32 = results[32]["pipeline"]["docs_per_sec"]
+    return {
+        "local8_docs_per_sec": t8,
+        "local32_docs_per_sec": t32,
+        "local8_mb_per_sec": results[8]["pipeline"]["mb_per_sec"],
+        "local32_mb_per_sec": results[32]["pipeline"]["mb_per_sec"],
+        "speedup": round(t32 / t8, 3),
+        "efficiency": round(t32 / t8 / 4.0, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--child", type=int, default=0, help="internal: run one parallelism level")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    if args.child:
+        res = run_once(args.child, args.sf_dir, with_queries=False)
+        print(json.dumps(res))
+        return
+
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = 0.1
+    if "sf0.01" in args.sf_dir:
+        sf = 0.01
+    elif "sf0.001" in args.sf_dir:
+        sf = 0.001
+
+    res = run_once(cores, args.sf_dir, with_queries=True)
+    payload = {
+        "metric": "pipeline_seconds",
+        "value": res["pipeline"]["seconds"],
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": sf,
+        "pipeline": res["pipeline"],
+        "bench_rows": BENCH_ROWS,
+    }
+    if args.scaling:
+        payload["scaling"] = run_scaling(args.sf_dir)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

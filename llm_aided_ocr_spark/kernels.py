@@ -276,9 +276,11 @@ _DROP_BLOCK_RE = re.compile(
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _MAIN_RE = re.compile(r"<(main|article)\b[^>]*>(.*?)</\1\s*>", re.IGNORECASE | re.DOTALL)
 _BLOCK_BREAK_RE = re.compile(
-    r"</?(p|div|section|h[1-6]|li|ul|ol|table|tr|br|blockquote|pre|figure)\b[^>]*/?>",
+    r"</?(p|div|section|h[1-6]|li|ul|ol|table|tr|blockquote|pre|figure)\b[^>]*/?>",
     re.IGNORECASE,
 )
+_BR_RE = re.compile(r"<br\s*/?>", re.IGNORECASE)
+_INLINE_WS_RE = re.compile(r"[^\S\n]+")  # whitespace except newline
 _TAG_RE = re.compile(r"<[^>]+>")
 _HEAD_RE = re.compile(r"<head\b[^>]*>.*?</head\s*>", re.IGNORECASE | re.DOTALL)
 
@@ -301,16 +303,29 @@ def extract_main_text(html_bytes: Optional[bytes]) -> str:
     main_parts = _MAIN_RE.findall(raw)
     if main_parts:
         raw = "\n\n".join(body for _tag, body in main_parts)
+    raw = _BR_RE.sub("\n", raw)           # <br> = intra-paragraph line break
     raw = _BLOCK_BREAK_RE.sub("\n\n", raw)
     raw = _TAG_RE.sub(" ", raw)
     raw = _htmllib.unescape(raw)
-    # Normalize: collapse intra-line whitespace, drop blank-only lines,
-    # paragraphs separated by exactly one blank line.
+    return canonicalize_text(raw)
+
+
+def canonicalize_text(text: str) -> str:
+    """The extraction stage's whitespace contract: per line, collapse
+    non-newline whitespace runs to one space and strip edges; drop blank
+    lines at paragraph level; paragraphs separated by one blank line.
+
+    ``extract_main_text(html_of(t)) == canonicalize_text(t)`` for any text
+    ``t`` — and ``canonicalize_text(t) == t`` when ``t`` is already in
+    canonical form (single-spaced lines, no edge whitespace), which the
+    synthetic corpus and all post-correction outputs are.
+    """
     paragraphs = []
-    for block in re.split(r"\n\s*\n", raw):
-        line = _WS_RE.sub(" ", block).strip()
-        if line:
-            paragraphs.append(line)
+    for block in _PARA_SPLIT_RE.split(text):
+        lines = [_INLINE_WS_RE.sub(" ", ln).strip() for ln in block.split("\n")]
+        lines = [ln for ln in lines if ln]
+        if lines:
+            paragraphs.append("\n".join(lines))
     return "\n\n".join(paragraphs)
 
 

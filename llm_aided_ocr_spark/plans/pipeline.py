@@ -1,0 +1,154 @@
+"""End-to-end pipeline assembly (SURVEY.md §3.4).
+
+    read pages → [lang gate] → [page filter] → salted repartition
+      → extract → chunk → correct → assemble (+header strip)
+      → [hallucination filter] → [quality assess]
+
+Two physical strategies, byte-identical outputs:
+
+* **fused** — chunk+correct+reassemble inside ONE ``mapInPandas`` pass per
+  document: zero shuffles, embarrassingly parallel over documents. The
+  right plan when the provider is cheap (heuristic) and documents are
+  bounded — the common 100 TB case.
+* **staged** — explicit chunk table → correction → ``groupBy(url)``
+  reassembly (one shuffle): chunk-level load balancing for expensive
+  providers and mega-documents, plus per-stage checkpoints.
+
+``run_pipeline`` routes by document size: docs above
+``cfg.mega_doc_chars`` take the staged path so one url cannot pin a task
+(the north rule's mega-page skew handling); everything else is fused.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llm_aided_ocr_spark.config import PipelineConfig
+from llm_aided_ocr_spark.kernels import (
+    assemble_chunks,
+    chunk_full_text,
+    strip_correction_header,
+)
+from llm_aided_ocr_spark.operators.assemble import assemble_documents
+from llm_aided_ocr_spark.operators.chunker import chunk_documents
+from llm_aided_ocr_spark.operators.correct import correct_chunks, get_provider
+from llm_aided_ocr_spark.operators.extract import extract_text
+from llm_aided_ocr_spark.operators.filters import apply_page_filter, language_gate
+from llm_aided_ocr_spark.plans.checkpoint import CheckpointStore
+
+RESULT_SCHEMA = "url string, raw_text string, corrected_text string, n_chunks int"
+
+
+def salted_repartition(df: DataFrame, cfg: PipelineConfig, *extra_cols) -> DataFrame:
+    """Salted-hash repartition on url (north rule). ``xxhash64(url, salt)``
+    decorrelates placement from any upstream layout; extra columns (e.g.
+    chunk_ix) spread a single mega-document across tasks."""
+    n = cfg.num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    cols = [F.col("url"), F.lit(cfg.salt), *[F.col(c) for c in extra_cols]]
+    return df.repartition(int(n), F.xxhash64(*cols))
+
+
+def _fused_correct(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Document rows → result rows in one narrow pass (no shuffle)."""
+
+    def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = get_provider(cfg.provider)
+        md = cfg.reformat_as_markdown
+        sup = cfg.suppress_headers_and_page_numbers
+        for batch in batches:
+            urls, raws, outs, ns = [], [], [], []
+            for url, text in zip(batch["url"], batch["extracted_text"]):
+                text = text if text is not None else ""
+                chunks = chunk_full_text(
+                    text, chunk_size=cfg.chunk_size_chars, overlap_words=cfg.overlap_words
+                )
+                corrected = assemble_chunks([fn(c, md, sup) for c in chunks])
+                urls.append(url)
+                raws.append(text)
+                outs.append(strip_correction_header(corrected))
+                ns.append(len(chunks))
+            yield pd.DataFrame(
+                {"url": urls, "raw_text": raws, "corrected_text": outs, "n_chunks": ns}
+            )
+
+    return df.select("url", "extracted_text").mapInPandas(_process, schema=RESULT_SCHEMA)
+
+
+def _staged_correct(
+    df: DataFrame, cfg: PipelineConfig, store: Optional[CheckpointStore] = None
+) -> DataFrame:
+    """Explicit chunk-table path with optional per-stage checkpoints."""
+    chunks = chunk_documents(
+        df, chunk_size=cfg.chunk_size_chars, overlap_words=cfg.overlap_words
+    )
+    # Spread chunks of one document across tasks (mega-doc skew handling).
+    chunks = salted_repartition(chunks, cfg, "chunk_ix")
+    if store is not None and cfg.checkpointing and "chunks" in cfg.stages_to_checkpoint:
+        chunks = store.write(chunks, "chunks", counted_col="chunk")
+    corrected = correct_chunks(
+        chunks,
+        provider=cfg.provider,
+        reformat_as_markdown=cfg.reformat_as_markdown,
+        suppress_headers_and_page_numbers=cfg.suppress_headers_and_page_numbers,
+    )
+    if (
+        store is not None
+        and cfg.checkpointing
+        and "corrected_chunks" in cfg.stages_to_checkpoint
+    ):
+        corrected = store.write(corrected, "corrected_chunks", counted_col="corrected")
+    docs = assemble_documents(corrected, strip_header=True)
+    raw = df.select("url", F.col("extracted_text").alias("raw_text"))
+    # Equi-join on url; both sides already url-partitioned → AQE plans it.
+    return docs.join(raw, on="url", how="inner").select(
+        "url", "raw_text", "corrected_text", "n_chunks"
+    )
+
+
+def run_pipeline(
+    pages_df: DataFrame,
+    cfg: PipelineConfig = PipelineConfig(),
+    store: Optional[CheckpointStore] = None,
+    use_html: bool = False,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Full pipeline: pages table in, corrected documents out.
+
+    ``strategy``: ``"fused"`` | ``"staged"`` | ``"auto"`` (size-routed).
+    With a ``store`` and ``cfg.checkpointing``, already-completed documents
+    (present in the ``corrected_docs`` stage) are skipped via anti-join and
+    the increment is appended — the resume path.
+    """
+    df = pages_df
+    if cfg.check_if_valid_english:
+        df = language_gate(df)
+    df = extract_text(df, use_html=use_html)
+    if cfg.apply_page_filter:
+        df = apply_page_filter(
+            df, min_chars=cfg.page_min_chars, min_words=cfg.page_min_words
+        )
+
+    if store is not None and cfg.checkpointing:
+        df = store.remaining(df, "corrected_docs", key="url")
+
+    df = salted_repartition(df, cfg)
+
+    if strategy == "fused":
+        result = _fused_correct(df, cfg)
+    elif strategy == "staged":
+        result = _staged_correct(df, cfg, store)
+    else:  # auto: size-routed skew handling
+        sized = df.withColumn("_len", F.length(F.coalesce("extracted_text", F.lit(""))))
+        small = sized.filter(F.col("_len") <= cfg.mega_doc_chars).drop("_len")
+        big = sized.filter(F.col("_len") > cfg.mega_doc_chars).drop("_len")
+        result = _fused_correct(small, cfg).unionByName(_staged_correct(big, cfg, store))
+
+    if store is not None and cfg.checkpointing:
+        result = store.write(
+            result, "corrected_docs", mode="append", counted_col="corrected_text"
+        )
+    return result

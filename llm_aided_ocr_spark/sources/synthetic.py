@@ -121,9 +121,15 @@ def _edge_text(kind: str, rng: random.Random) -> str:
 
 
 def _wrap_html(text: str, title: str) -> bytes:
-    paras = "".join(
-        f"<p>{p}</p>" for p in text.split("\n\n") if p.strip()
-    ) or "<p></p>"
+    import html as _h
+    import re as _re
+
+    blocks = []
+    for p in _re.split(r"\n\s*\n", text):
+        lines = [ln for ln in p.split("\n") if ln.strip()]
+        if lines:
+            blocks.append("<p>" + "<br/>".join(_h.escape(ln) for ln in lines) + "</p>")
+    paras = "".join(blocks) or "<p></p>"
     doc = (
         "<html><head><title>"
         + title
@@ -175,6 +181,64 @@ def generate_pages_rows(
         lang = "en" if rng.random() < 0.9 else rng.choice(_LANGS)
         add(i, text, lang); i += 1
     return rows
+
+
+def _bench_text_for_id(i: int, seed: int, mega_every: int = 10_000) -> str:
+    """Deterministic per-id document text for the bench corpus: OCR-artifact
+    pages, with one ~100× mega-document every ``mega_every`` ids (the north
+    rule's skew row). Independent of partitioning: the RNG is keyed by
+    (seed, i) only."""
+    rng = random.Random((seed << 32) ^ i)
+    if mega_every and i % mega_every == mega_every - 1:
+        n_pages = 300
+    else:
+        n_pages = rng.randint(1, 6)
+    return "\n".join(_ocr_artifact_page(rng, p + 1) for p in range(n_pages))
+
+
+def pages_dataframe_distributed(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    num_partitions: int = 64,
+    mega_every: int = 10_000,
+    with_html: bool = False,
+) -> DataFrame:
+    """Bench-scale corpus generated ON THE EXECUTORS via ``mapInPandas``
+    over ``spark.range`` — the driver never materializes the corpus, so
+    generation scales with the cluster like a real source would."""
+    import pandas as pd  # local import: executors need it, driver may not
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch["id"].tolist()
+            texts = [_bench_text_for_id(int(i), seed, mega_every) for i in ids]
+            out = pd.DataFrame(
+                {
+                    "url": [f"https://example-{i % 97}.test/doc/{i}" for i in ids],
+                    "warc_ts": [_EPOCH + _dt.timedelta(seconds=37 * int(i)) for i in ids],
+                    "html": [
+                        _wrap_html(t, f"doc {i}") if with_html else None
+                        for i, t in zip(ids, texts)
+                    ],
+                    "text": texts,
+                    "lang": [
+                        "en"
+                        if random.Random((seed << 16) ^ int(i)).random() < 0.9
+                        else _LANGS[int(i) % len(_LANGS)]
+                        for i in ids
+                    ],
+                }
+            )
+            yield out
+
+    return (
+        spark.range(0, n_rows, numPartitions=num_partitions)
+        .mapInPandas(
+            _gen,
+            schema="url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+    )
 
 
 def pages_dataframe(

@@ -1,0 +1,67 @@
+"""Checkpoint, lineage, and resume tests (SURVEY.md §5.2.6)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from llm_aided_ocr_spark.config import PipelineConfig
+from llm_aided_ocr_spark.plans.checkpoint import CheckpointStore
+from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+from llm_aided_ocr_spark.sources.synthetic import pages_dataframe
+
+
+def test_checkpoint_write_read_lineage(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        store = CheckpointStore(tmp, run_id="t1")
+        df = pages_dataframe(spark, n_rows=10, include_golden=False)
+        out = store.write(df.select("url", "text"), "stage_a", counted_col="text")
+        assert out.count() == 10
+        assert store.exists("stage_a")
+        recs = store.lineage_records()
+        assert len(recs) == 1
+        assert recs[0]["stage"] == "stage_a"
+        assert recs[0]["total_rows"] == 10
+        assert sum(p["rows"] for p in recs[0]["partitions"]) == 10
+        assert all("payload_chars" in p for p in recs[0]["partitions"])
+
+
+def test_resume_skips_completed_documents(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        store = CheckpointStore(tmp, run_id="t2")
+        cfg = PipelineConfig(provider="heuristic", checkpointing=True)
+        full = pages_dataframe(spark, n_rows=20, include_golden=False).cache()
+        first_half = full.limit(10)
+
+        r1 = run_pipeline(first_half, cfg, store=store, strategy="fused")
+        n1 = r1.count()
+        assert n1 == 10
+
+        # Re-run over the FULL input: only the 10 new docs process.
+        r2 = run_pipeline(full, cfg, store=store, strategy="fused")
+        assert r2.count() == 20  # checkpoint now holds everything
+        recs = [r for r in store.lineage_records() if r["stage"] == "corrected_docs"]
+        assert len(recs) == 2
+        # Second increment appended only the remaining 10 rows on top of 10.
+        assert recs[0]["total_rows"] == 10
+        assert recs[1]["total_rows"] == 20
+
+        # Third run: nothing left to do; checkpoint unchanged.
+        r3 = run_pipeline(full, cfg, store=store, strategy="fused")
+        assert r3.count() == 20
+        urls = [r["url"] for r in r3.collect()]
+        assert len(urls) == len(set(urls)), "no duplicate processing on resume"
+
+
+def test_resume_byte_identity_vs_single_run(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        store = CheckpointStore(tmp, run_id="t3")
+        cfg = PipelineConfig(provider="heuristic", checkpointing=True)
+        full = pages_dataframe(spark, n_rows=16, include_golden=True).cache()
+
+        run_pipeline(full.limit(7), cfg, store=store, strategy="fused").count()
+        resumed = run_pipeline(full, cfg, store=store, strategy="fused")
+        got = {r["url"]: r["corrected_text"] for r in resumed.collect()}
+
+        single = run_pipeline(full, PipelineConfig(provider="heuristic"), strategy="fused")
+        want = {r["url"]: r["corrected_text"] for r in single.collect()}
+        assert got == want

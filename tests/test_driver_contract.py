@@ -1,0 +1,85 @@
+"""Pre-validate the driver contract: run every ``queries()`` entry at
+sf0.001 and compare against its ``oracle_sql()`` via DuckDB, mimicking the
+driver's row-count + order-insensitive value comparison."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    import __spark_entry__ as mod
+
+    return mod
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def _rowset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    )
+
+
+def test_queries_match_oracles(spark, entry_mod, duck):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    for name, sql in oracles.items():
+        sdf = qs[name](spark, SF_DIR)
+        spark_cols = sdf.columns
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        res = duck.execute(sql)
+        duck_cols = [c[0] for c in res.description]
+        duck_rows = res.fetchall()
+        assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
+        assert len(spark_rows) == len(duck_rows), f"{name}: row counts differ"
+        assert _rowset(spark_rows, spark_cols) == _rowset(duck_rows, duck_cols), (
+            f"{name}: values differ"
+        )
+
+
+def test_rows_only_queries_run(spark, entry_mod):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    for name in set(qs) - set(oracles):
+        df = qs[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"url", "n_chunks", "corrected_len", "raw_len"}

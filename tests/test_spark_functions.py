@@ -1,0 +1,78 @@
+"""Native Column expression parity vs the Python kernels (SURVEY.md §5.2.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_aided_ocr_spark import kernels
+from llm_aided_ocr_spark.functions import (
+    approx_tokens_col,
+    approx_tokens_pandas_udf,
+    strip_correction_header_col,
+    word_count_col,
+)
+
+TOKEN_STRINGS = [
+    "",
+    "hello world",
+    "NASA and IBM",
+    "12345 67 8",
+    "a-very-hyphenated-token",
+    "antidisestablishmentarianism word",
+    "Hello, world! How are you?",
+    "ALLCAPS",
+    "MiXeD CaSe 123abc",
+    "  leading and trailing   ",
+    "punct...!!!???",
+    "word\nnewline\ttab",
+    "The pension plan has assets. Returns were strong!",
+]
+
+
+def test_native_token_expr_matches_kernel(spark):
+    df = spark.createDataFrame([(s,) for s in TOKEN_STRINGS], "s string")
+    rows = df.select(
+        "s",
+        approx_tokens_col(F.col("s")).alias("native"),
+        approx_tokens_pandas_udf(F.col("s")).alias("udf"),
+    ).collect()
+    for r in rows:
+        expected = kernels.approx_token_count(r["s"])
+        assert r["native"] == expected, r["s"]
+        assert r["udf"] == expected, r["s"]
+
+
+def test_native_token_expr_on_golden(spark):
+    from llm_aided_ocr_spark.sources.synthetic import _load_golden_text
+
+    golden = _load_golden_text()
+    if golden is None:
+        import pytest
+
+        pytest.skip("no golden artifact")
+    df = spark.createDataFrame([(golden,)], "s string")
+    native = df.select(approx_tokens_col(F.col("s")).alias("n")).first()["n"]
+    assert native == kernels.approx_token_count(golden)
+
+
+def test_native_header_strip_matches_kernel(spark):
+    cases = [
+        "# Corrected text\nbody",
+        "# Corrected text:body",
+        "x\nCorrected texty",
+        "Corrected text: body",
+        "# Corrected text\n# Corrected text:\nCorrected textCorrected text: t",
+        "no header",
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    rows = df.select("s", strip_correction_header_col(F.col("s")).alias("out")).collect()
+    for r in rows:
+        assert r["out"] == kernels.strip_correction_header(r["s"]), repr(r["s"])
+
+
+def test_word_count_col(spark):
+    cases = [("", 0), ("   ", 0), ("one", 1), ("one two  three", 3), ("a\nb\tc d", 4)]
+    df = spark.createDataFrame(cases, "s string, expected int")
+    for r in df.select(word_count_col(F.col("s")).alias("n"), "expected").collect():
+        assert r["n"] == r["expected"]

@@ -1,0 +1,146 @@
+"""Spark pipeline tests: byte-identity of both physical strategies against
+the Python kernel oracle (and, transitively, the reference implementation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from llm_aided_ocr_spark import kernels
+from llm_aided_ocr_spark.config import PipelineConfig
+from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+from llm_aided_ocr_spark.sources.synthetic import pages_dataframe, generate_pages_rows
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_dataframe(spark, n_rows=40, seed=42).cache()
+
+
+def _oracle_results(rows, provider):
+    fn = (
+        kernels.identity_correct
+        if provider == "identity"
+        else lambda c: kernels.correct_chunk_text(c, True, True)
+    )
+    expected = {}
+    for url, _ts, _html, text, _lang in rows:
+        chunks = kernels.chunk_full_text(text or "")
+        corrected = kernels.strip_correction_header(
+            kernels.assemble_chunks([fn(c) for c in chunks])
+        )
+        expected[url] = (text or "", corrected, len(chunks))
+    return expected
+
+
+@pytest.mark.parametrize("strategy", ["fused", "staged"])
+@pytest.mark.parametrize("provider", ["identity", "heuristic"])
+def test_pipeline_byte_identity(spark, pages, strategy, provider):
+    cfg = PipelineConfig(provider=provider)
+    result = run_pipeline(pages, cfg, strategy=strategy)
+    got = {r["url"]: (r["raw_text"], r["corrected_text"], r["n_chunks"])
+           for r in result.collect()}
+    expected = _oracle_results(generate_pages_rows(n_rows=40, seed=42), provider)
+    assert set(got) == set(expected)
+    for url, (raw, corrected, n) in expected.items():
+        assert got[url][0] == raw, f"raw mismatch for {url}"
+        assert got[url][1] == corrected, f"corrected mismatch for {url}"
+        assert got[url][2] == n, f"n_chunks mismatch for {url}"
+
+
+def test_fused_equals_staged(spark, pages):
+    cfg = PipelineConfig(provider="heuristic")
+    fused = run_pipeline(pages, cfg, strategy="fused").collect()
+    staged = run_pipeline(pages, cfg, strategy="staged").collect()
+    f = {r["url"]: r["corrected_text"] for r in fused}
+    s = {r["url"]: r["corrected_text"] for r in staged}
+    assert f == s
+
+
+def test_auto_routes_mega_docs(spark):
+    df = pages_dataframe(spark, n_rows=12, seed=42, mega_doc=True)
+    cfg = PipelineConfig(provider="heuristic", mega_doc_chars=100_000)
+    auto = run_pipeline(df, cfg, strategy="auto").collect()
+    fused = run_pipeline(df, cfg, strategy="fused").collect()
+    a = {r["url"]: r["corrected_text"] for r in auto}
+    f = {r["url"]: r["corrected_text"] for r in fused}
+    assert a == f
+    assert len(a) == 12
+
+
+def test_html_extraction_path(spark, pages):
+    """Extracting from the html column must reproduce the canonicalized
+    text column (byte-exact where the source is already canonical)."""
+    from llm_aided_ocr_spark.operators.extract import extract_text
+    from llm_aided_ocr_spark.kernels import canonicalize_text
+
+    out = extract_text(pages, use_html=True).collect()
+    src = {r["url"]: r["text"] for r in pages.collect()}
+    n_exact = 0
+    for row in out:
+        want = canonicalize_text(src[row["url"]])
+        assert row["extracted_text"] == want, row["url"]
+        if row["extracted_text"] == src[row["url"]]:
+            n_exact += 1
+    # the synthetic OCR-artifact rows are canonical → byte-exact round trip
+    assert n_exact >= len(out) - 6
+
+
+def test_language_gate_and_page_filter(spark, pages):
+    cfg = PipelineConfig(
+        provider="identity",
+        check_if_valid_english=True,
+        apply_page_filter=True,
+    )
+    result = run_pipeline(pages, cfg, strategy="fused").collect()
+    rows = generate_pages_rows(n_rows=40, seed=42)
+    surviving = {
+        url
+        for url, _ts, _html, text, lang in rows
+        if lang == "en"
+        and len(text or "") >= 10
+        and len((text or "").split()) >= 5
+    }
+    assert {r["url"] for r in result} == surviving
+
+
+def test_pdf_stub_plumbing(spark):
+    """PDF page explosion with an injected deterministic fake renderer."""
+    from llm_aided_ocr_spark.operators.extract import extract_pdf_pages
+
+    df = spark.createDataFrame(
+        [("u1", b"%PDF-fake-1"), ("u2", b"%PDF-fake-2")], "url string, pdf binary"
+    )
+
+    def fake_renderer(blob, first, last):
+        n = 3 if blob.endswith(b"1") else 2
+        return [f"page {first + i} of {blob[-1:].decode()}" for i in range(n)]
+
+    out = extract_pdf_pages(df, renderer=fake_renderer).collect()
+    assert len(out) == 5
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r["url"], []).append((r["page_no"], r["page_text"]))
+    assert sorted(by_url["u1"]) == [
+        (1, "page 1 of 1"), (2, "page 2 of 1"), (3, "page 3 of 1")
+    ]
+
+    def failing_renderer(blob, first, last):
+        from llm_aided_ocr_spark.operators.extract import _default_renderer
+        return _default_renderer(blob, first, last)
+
+    with pytest.raises(Exception):
+        extract_pdf_pages(df, renderer=failing_renderer).collect()
+
+
+def test_page_range_slice(spark):
+    from llm_aided_ocr_spark.operators.extract import extract_pdf_pages
+
+    df = spark.createDataFrame([("u1", b"x")], "url string, pdf binary")
+
+    def renderer(blob, first, last):
+        last = last if last is not None else 10
+        return [f"p{i}" for i in range(first, last + 1)]
+
+    out = extract_pdf_pages(df, max_pages=3, skip_first_n_pages=2, renderer=renderer)
+    rows = sorted((r["page_no"], r["page_text"]) for r in out.collect())
+    assert rows == [(3, "p3"), (4, "p4"), (5, "p5")]

@@ -161,6 +161,86 @@ def _q_hallucination_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("url").alias("doc_id_str"), "n_sentences", "n_kept")
 
 
+def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup — hash-groupBy duplicate clusters (keeper = min id)."""
+    from llm_aided_ocr_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir)).select("keeper_id", "n_dups")
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex + T3 approximation."""
+    from llm_aided_ocr_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID distribution over the corpus."""
+    from llm_aided_ocr_spark.operators.textstats import detect_language
+
+    return (
+        detect_language(_docs(spark, sf_dir))
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native quality features per document."""
+    from llm_aided_ocr_spark.operators.textstats import quality_features
+
+    return quality_features(_docs(spark, sf_dir))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (exact baseline;
+    cosine rounded to 6dp for cross-engine comparison)."""
+    from llm_aided_ocr_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(emb, queries_df, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (rows-only: hash permutations
+    are not SQL-portable)."""
+    from llm_aided_ocr_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only)."""
+    from llm_aided_ocr_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (rows-only: shingle inverted
+    index with xxhash64 keys)."""
+    from llm_aided_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (content hash + winnowed min-gram anchor);
+    n_grams is the SQL-checkable projection."""
+    from llm_aided_ocr_spark.operators.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_filter": _q_page_filter,
@@ -172,6 +252,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncation": _q_truncation,
         "pipeline_e2e": _q_pipeline_e2e,
         "hallucination_filter": _q_hallucination_filter,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "token_counts": _q_token_counts,
+        "lang_id_counts": _q_lang_id_counts,
+        "quality_features": _q_quality_features,
+        "ann_topk": _q_ann_topk,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "fingerprints": _q_fingerprints,
     }
 
 
@@ -207,7 +296,75 @@ _HEADER_STRIP_SQL = (
 )
 
 
+def _lang_markers():
+    from llm_aided_ocr_spark.operators.textstats import _LANG_MARKERS
+
+    return _LANG_MARKERS
+
+
+def _in_list(markers) -> str:
+    return ", ".join(f"'{m}'" for m in markers)
+
+
+def _build_lang_id_sql() -> str:
+    m = _lang_markers()
+    hit_cols = ", ".join(
+        f"len(list_filter(words, t -> t IN ({_in_list(words)}))) AS h_{lang}"
+        for lang, words in m.items()
+    )
+    langs = list(m)  # dict order == Spark tie-break priority order
+    case = f"CASE WHEN greatest(h_{', h_'.join(langs)}) = 0 THEN 'und' "
+    for i, lang in enumerate(langs):
+        others = [f"h_{lang} >= h_{o}" for o in langs[i + 1:]]
+        cond = " AND ".join(others) if others else "TRUE"
+        case += f"WHEN {cond} THEN '{lang}' " if others else f"ELSE '{lang}' END"
+    return (
+        "WITH w AS (SELECT doc_id, string_split_regex(regexp_replace(lower("
+        "coalesce(text,'')), '[^a-zà-ÿäöüßñ\\s]', ' ', 'g'), '\\s+') AS words "
+        "FROM documents), "
+        f"h AS (SELECT doc_id, {hit_cols} FROM w), "
+        f"d AS (SELECT doc_id, {case} AS detected_lang FROM h) "
+        "SELECT detected_lang, COUNT(*) AS n_docs FROM d GROUP BY detected_lang"
+    )
+
+
+def _build_quality_features_sql() -> str:
+    en = _in_list(_lang_markers()["en"])
+    t = "coalesce(text,'')"
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    length({t}) AS n_chars_calc,
+    ({_WORD_COUNT_SQL}) AS n_words,
+    length({t}) - length(regexp_replace({t}, '[^\\w\\s]', '', 'g')) AS n_punct,
+    length({t}) - length(regexp_replace({t}, '[A-Z]', '', 'g')) AS n_upper,
+    len(list_filter(
+      string_split_regex(regexp_replace(lower({t}), '[^a-z\\s]', ' ', 'g'), '\\s+'),
+      w -> w IN ({en}))) AS stop_hits,
+    len(string_split({t}, chr(10))) AS n_lines,
+    len(list_filter(string_split({t}, chr(10)), l -> trim(l) = '')) AS n_blank
+  FROM documents)
+SELECT doc_id, n_chars_calc, n_words,
+  CASE WHEN n_words > 0 THEN CAST(n_chars_calc AS DOUBLE)/n_words ELSE 0.0 END AS mean_word_len,
+  CASE WHEN n_chars_calc > 0 THEN CAST(n_punct AS DOUBLE)/n_chars_calc ELSE 0.0 END AS punct_ratio,
+  CASE WHEN n_chars_calc > 0 THEN CAST(n_upper AS DOUBLE)/n_chars_calc ELSE 0.0 END AS upper_ratio,
+  CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE)/n_words ELSE 0.0 END AS stopword_ratio,
+  n_lines,
+  CASE WHEN n_lines > 0 THEN CAST(n_blank AS DOUBLE)/n_lines ELSE 0.0 END AS blank_line_ratio
+FROM b
+"""
+
+
+_LANG_ID_SQL = None  # built lazily in oracle_sql()
+_QUALITY_FEATURES_SQL = None
+
+
 def oracle_sql() -> dict[str, str]:
+    global _LANG_ID_SQL, _QUALITY_FEATURES_SQL
+    if _LANG_ID_SQL is None:
+        _LANG_ID_SQL = _build_lang_id_sql()
+    if _QUALITY_FEATURES_SQL is None:
+        _QUALITY_FEATURES_SQL = _build_quality_features_sql()
     return {
         "page_filter": (
             "SELECT doc_id, n_chars FROM documents "
@@ -236,7 +393,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, length(substr(coalesce(text,''), 1, 7500)) AS sample_len "
             "FROM documents"
         ),
+        "exact_dup_groups": (
+            "SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_dups FROM documents "
+            "GROUP BY coalesce(text,'') HAVING COUNT(*) > 1"
+        ),
+        "token_counts": (
+            "SELECT doc_id, "
+            f"({_WORD_COUNT_SQL}) AS ws_tokens, "
+            "len(regexp_extract_all(coalesce(text,''), "
+            "'[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens, "
+            "CAST(trunc(coalesce(list_sum(" + _TOKEN_COST_SQL + "), 0) * 1.1) "
+            "AS INTEGER) AS approx_tokens FROM documents"
+        ),
+        "lang_id_counts": _LANG_ID_SQL,
+        "quality_features": _QUALITY_FEATURES_SQL,
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+            "FROM embeddings WHERE vec_id < 3), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine "
+            "FROM embeddings e CROSS JOIN q), "
+            "ranked AS (SELECT query_id, vec_id, "
+            "coalesce(cosine, 0.0) AS cosine, "
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY coalesce(cosine, 0.0) DESC, vec_id) AS rank FROM scored) "
+            "SELECT query_id, vec_id, round(cosine, 6) AS cosine_r, rank "
+            "FROM ranked WHERE rank <= 10"
+        ),
         # pipeline_e2e, hallucination_filter: document-local Python kernels
         # (chunker quirks / difflib) — intentionally no SQL oracle; the
         # driver records the rows-only check and tests/ carry byte parity.
+        # minhash_pairs, simhash_pairs, ngram_jaccard, fingerprints: keyed
+        # on xxhash64 / hash permutations not portable to DuckDB → rows-only.
     }

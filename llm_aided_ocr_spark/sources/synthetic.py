@@ -190,9 +190,9 @@ def _bench_text_for_id(i: int, seed: int, mega_every: int = 10_000) -> str:
     (seed, i) only."""
     rng = random.Random((seed << 32) ^ i)
     if mega_every and i % mega_every == mega_every - 1:
-        n_pages = 300
+        n_pages = 3000  # ~4.5 MB — a genuine mega-document (routes staged)
     else:
-        n_pages = rng.randint(1, 6)
+        n_pages = rng.randint(4, 12)  # ~12 KB avg, web-page-scale
     return "\n".join(_ocr_artifact_page(rng, p + 1) for p in range(n_pages))
 
 

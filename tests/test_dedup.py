@@ -1,0 +1,125 @@
+"""Dedup operator tests over small deterministic corpora with known
+duplicate structure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    near = base.replace("tonight", "today")          # 1-word change
+    other = "completely different content about pension plans and assets returns"
+    rows = [
+        (0, base),
+        (1, base),            # exact dup of 0
+        (2, near),            # near dup of 0
+        (3, other),
+        (4, other),           # exact dup of 3
+        (5, "short text"),
+        (6, ""),              # empty
+        (7, None),            # null
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string").cache()
+
+
+def test_exact_dedup(spark, corpus):
+    from llm_aided_ocr_spark.operators.dedup import exact_dedup, exact_dup_groups
+
+    kept = exact_dedup(corpus)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 1 dups 0, 4 dups 3; empty (6) and null (7) collide via coalesce('')
+    assert ids == [0, 2, 3, 5, 6]
+    groups = {r["keeper_id"]: r["n_dups"] for r in exact_dup_groups(corpus).collect()}
+    assert groups == {0: 2, 3: 2, 6: 2}
+
+
+def test_ngram_jaccard_pairs(spark, corpus):
+    from llm_aided_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, n=3, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(3, 4)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert (1, 2) in pairs  # 1==0 so same near-dup relation
+    assert not any({a, b} == {0, 3} for a, b in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, corpus):
+    from llm_aided_ocr_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_dedup_pairs(corpus, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0          # exact dup always found
+    assert pairs[(3, 4)] == 1.0
+    assert (0, 2) in pairs               # near dup found by LSH
+    assert not any({a, b} == {0, 3} for (a, b) in pairs)
+
+
+def test_minhash_signature_determinism(spark, corpus):
+    from llm_aided_ocr_spark.operators.dedup import minhash_signatures
+
+    s1 = {r["id"]: r["sig"] for r in minhash_signatures(corpus).collect()}
+    s2 = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures(corpus.repartition(7)).collect()
+    }
+    assert s1 == s2, "signatures must not depend on partitioning"
+    assert len(s1[0]) == 64
+    assert s1[0] == s1[1]
+
+
+def test_simhash(spark, corpus):
+    from llm_aided_ocr_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    sigs = {r["id"]: r["simhash"] for r in simhash_signatures(corpus).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[6] == 0 and sigs[7] == 0
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # near-dup is closer in hamming space than an unrelated doc
+    assert hamming(sigs[0], sigs[2]) < hamming(sigs[0], sigs[3])
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(corpus, max_hamming=6).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert pairs[(3, 4)] == 0
+    assert all(h <= 6 for h in pairs.values())
+    # banding guarantees recall for hamming <= 3 (pigeonhole over 4 bands):
+    # every such pair must be reported
+    for a in sigs:
+        for b in sigs:
+            if a < b and hamming(sigs[a], sigs[b]) <= 3:
+                assert (a, b) in pairs, (a, b)
+
+
+def test_jaccard_on_driver_documents(spark):
+    """Smoke the exact-jaccard path on the driver's documents table."""
+    import os
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata absent")
+    docs = spark.read.parquet(path).select("doc_id", "text")
+    pairs = (
+        __import__("llm_aided_ocr_spark.operators.dedup", fromlist=["x"])
+        .ngram_jaccard_pairs(docs, n=5, threshold=0.9)
+    )
+    assert pairs.count() >= 0

@@ -1,0 +1,112 @@
+"""ANN similarity-search tests over the driver embeddings table and
+synthetic vectors."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+EMB_PATH = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    if os.path.exists(EMB_PATH):
+        return spark.read.parquet(EMB_PATH).cache()
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)], i % 3) for i in range(200)]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark, vectors):
+    rows = vectors.limit(3).collect()
+    return spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows],
+        "query_id bigint, query_vec array<double>",
+    )
+
+
+def _numpy_topk(vectors_rows, q_rows, k):
+    out = {}
+    for q in q_rows:
+        qv = np.array(q["query_vec"])
+        scores = []
+        for r in vectors_rows:
+            v = np.array(r["embedding"], dtype=np.float64)
+            denom = np.linalg.norm(v) * np.linalg.norm(qv)
+            c = float(v @ qv / denom) if denom > 0 else 0.0
+            scores.append((c, r["vec_id"]))
+        scores.sort(key=lambda t: (-t[0], t[1]))
+        out[q["query_id"]] = scores[:k]
+    return out
+
+
+def test_brute_force_topk_exact(spark, vectors, queries_df):
+    from llm_aided_ocr_spark.operators.similarity import brute_force_topk
+
+    got = brute_force_topk(vectors, queries_df, k=5).collect()
+    want = _numpy_topk(vectors.collect(), queries_df.collect(), 5)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid, rows in by_q.items():
+        rows.sort()
+        for (rank, vid, cos), (wcos, wvid) in zip(rows, want[qid]):
+            assert vid == wvid
+            assert math.isclose(cos, wcos, rel_tol=1e-6, abs_tol=1e-6)
+    # self-match is always rank 1 with cosine ~1
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert rows[0][1] == qid
+        assert math.isclose(rows[0][2], 1.0, abs_tol=1e-6)
+
+
+def test_lsh_topk_recall(spark, vectors, queries_df):
+    from llm_aided_ocr_spark.operators.similarity import lsh_topk
+
+    dim = len(vectors.first()["embedding"])
+    got = lsh_topk(vectors, queries_df, dim=dim, k=5, num_planes=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    # the query vector itself lands in its own bucket → rank-1 self match
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert rows[0][1] == qid
+
+
+def test_ivf_topk(spark, vectors, queries_df):
+    from llm_aided_ocr_spark.operators.similarity import (
+        ivf_topk,
+        train_centroids_sample,
+    )
+
+    cents = train_centroids_sample(
+        vectors, n_centroids=4, sample_fraction=1.0, iters=3
+    )
+    got = ivf_topk(vectors, queries_df, cents, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert rows[0][1] == qid  # query's own cell contains it
+
+
+def test_cosine_col_zero_norm(spark):
+    from llm_aided_ocr_spark.operators.similarity import cosine_col
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 1.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    vals = [r["c"] for r in df.select(cosine_col(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert vals[0] == 0.0
+    assert math.isclose(vals[1], 1.0, abs_tol=1e-12)

@@ -1,0 +1,146 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog and that is the end of it."),
+        (1, "Der Hund ist nicht mit der Katze und das ist ein Problem."),
+        (2, "El perro es una mascota y los gatos son para la casa del abuelo."),
+        (3, "zzz qqq xxx"),
+        (4, ""),
+        (5, None),
+        (6, "Le chat est dans la maison et les enfants sont pour le jardin."),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string").cache()
+
+
+def test_lang_id(spark, docs):
+    from llm_aided_ocr_spark.operators.textstats import detect_language
+
+    got = {r["doc_id"]: r["detected_lang"] for r in detect_language(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "es"
+    assert got[6] == "fr"
+    assert got[3] == "und"
+    assert got[4] == "und"
+    assert got[5] == "und"
+
+
+def test_quality_features_and_score(spark, docs):
+    from llm_aided_ocr_spark.operators.textstats import (
+        quality_features,
+        quality_score_col,
+    )
+
+    feats = {r["doc_id"]: r.asDict() for r in quality_features(docs).collect()}
+    assert feats[0]["n_words"] == 16
+    assert feats[4]["n_words"] == 0 and feats[4]["mean_word_len"] == 0.0
+    assert 0 < feats[0]["stopword_ratio"] < 1
+    scores = {
+        r["doc_id"]: r["q"]
+        for r in docs.select(
+            "doc_id", quality_score_col(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert scores[0] > scores[3], "English prose must outscore gibberish"
+    assert all(0 <= s <= 100 for s in scores.values())
+
+
+def test_token_counts(spark, docs):
+    from llm_aided_ocr_spark.operators.textstats import token_counts
+    from llm_aided_ocr_spark.kernels import approx_token_count
+
+    got = {r["doc_id"]: r.asDict() for r in token_counts(docs).collect()}
+    assert got[0]["ws_tokens"] == 16
+    assert got[0]["approx_tokens"] == approx_token_count(
+        "The quick brown fox jumps over the lazy dog and that is the end of it."
+    )
+    assert got[4]["ws_tokens"] == 0 and got[5]["ws_tokens"] == 0
+    assert got[0]["bpe_ish_tokens"] == 17  # 16 words + final period
+
+
+def test_fingerprints(spark, docs):
+    from llm_aided_ocr_spark.operators.dedup import exact_dedup  # noqa: F401
+    from llm_aided_ocr_spark.operators.textstats import fingerprints
+
+    fp = {r["doc_id"]: r.asDict() for r in fingerprints(docs).collect()}
+    assert fp[4]["content_hash"] == fp[5]["content_hash"]  # ''==coalesced null
+    assert fp[0]["n_grams"] == 16 - 8 + 1
+    assert fp[3]["n_grams"] == 0 and fp[3]["min_gram_hash"] == 0
+    # determinism across partitioning
+    fp2 = {r["doc_id"]: r.asDict() for r in fingerprints(docs.repartition(5)).collect()}
+    assert fp == fp2
+
+
+def test_media_metadata_and_decode(spark):
+    from llm_aided_ocr_spark.operators.multimodal import (
+        decode_image_features,
+        deterministic_fake_decoder,
+        media_metadata,
+        resize_plan,
+    )
+
+    rows = [("u0", b"\x89PNG fake image bytes"), ("u1", b"JFIF other"), ("u2", None)]
+    df = spark.createDataFrame(rows, "url string, media binary")
+    meta = {r["url"]: r.asDict() for r in media_metadata(df).collect()}
+    assert meta["u0"]["n_bytes"] == 21
+    assert meta["u2"]["n_bytes"] == 0
+    assert len(meta["u0"]["content_sha256"]) == 64
+
+    feats = decode_image_features(df, decoder=deterministic_fake_decoder)
+    got = {r["url"]: r.asDict() for r in feats.collect()}
+    assert all(1 <= g["width"] <= 1920 and 1 <= g["height"] <= 1080 for g in got.values())
+    # deterministic across partitioning
+    got2 = {
+        r["url"]: r.asDict()
+        for r in decode_image_features(
+            df.repartition(3), decoder=deterministic_fake_decoder
+        ).collect()
+    }
+    assert got == got2
+
+    plan = resize_plan(feats).collect()
+    for r in plan:
+        assert max(r["out_w"], r["out_h"]) <= 224
+        assert math.isclose(
+            r["scale"], min(224 / r["width"], 224 / r["height"]), rel_tol=1e-9
+        )
+
+
+def test_decode_without_decoder_raises(spark):
+    from llm_aided_ocr_spark.operators.multimodal import decode_image_features
+
+    df = spark.createDataFrame([("u0", b"x")], "url string, media binary")
+    with pytest.raises(Exception):
+        decode_image_features(df).collect()
+
+
+def test_frame_sampling_and_embedding(spark):
+    from llm_aided_ocr_spark.operators.multimodal import (
+        embed_media_stub,
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        [("v0", b"video-bytes-0"), ("v1", b"video-bytes-1")], "url string, media binary"
+    )
+    frames = sample_video_frames(df, n_frames=4).collect()
+    assert len(frames) == 8
+    per_url = {}
+    for r in frames:
+        per_url.setdefault(r["url"], []).append((r["frame_ix"], bytes(r["frame"])))
+    assert sorted(ix for ix, _ in per_url["v0"]) == [0, 1, 2, 3]
+    assert len({f for _, f in per_url["v0"]}) == 4  # distinct frames
+
+    emb = {r["url"]: r["embedding"] for r in embed_media_stub(df, dim=8).collect()}
+    assert len(emb["v0"]) == 8
+    assert emb["v0"] != emb["v1"]
+    emb2 = {r["url"]: r["embedding"] for r in embed_media_stub(df, dim=8).collect()}
+    assert emb == emb2

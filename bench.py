@@ -30,7 +30,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "160000"))
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "320000"))
 BENCH_SEED = 42
 CORPUS_DIR = f"/tmp/ocr_spark_bench_corpus_v2_r{BENCH_ROWS}_s{BENCH_SEED}"
 
@@ -128,14 +128,75 @@ def _taskset_prefix(cores: int) -> list:
     return ["taskset", "-c", f"0-{cores - 1}"]
 
 
+_HW_CONTROL_SCRIPT = """
+import sys, time
+sys.path.insert(0, {repo!r})
+from llm_aided_ocr_spark.sources.synthetic import _bench_text_for_id
+from llm_aided_ocr_spark.kernels import chunk_full_text, correct_chunk_text, assemble_chunks
+texts = [_bench_text_for_id(i, 42, mega_every=0) for i in range(200)]
+total = sum(len(t) for t in texts)
+for t in texts[:50]:
+    assemble_chunks([correct_chunk_text(c, True, True) for c in chunk_full_text(t)])
+t0 = time.time()
+for t in texts:
+    assemble_chunks([correct_chunk_text(c, True, True) for c in chunk_full_text(t)])
+print(total / 1e6 / (time.time() - t0))
+"""
+
+
+def hardware_control(pair) -> dict:
+    """Framework-free CPU-scaling ceiling: run the pure-Python correction
+    kernel in P parallel processes for each parallelism level. On this
+    host, all-core turbo/frequency loss caps achievable scaling below the
+    core-count ratio regardless of framework — this measures that ceiling
+    so Spark's own efficiency can be judged against it (a real N→4N
+    EXECUTOR scale-out on separate machines has no such shared-host cap).
+    """
+    script = _HW_CONTROL_SCRIPT.format(repo=os.path.dirname(os.path.abspath(__file__)))
+    agg = {}
+    for p in pair:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", script], stdout=subprocess.PIPE, text=True
+            )
+            for _ in range(p)
+        ]
+        agg[p] = sum(float(pr.communicate()[0].strip()) for pr in procs)
+    ratio = pair[1] // pair[0]
+    return {
+        f"p{pair[0]}_mb_per_sec": round(agg[pair[0]], 1),
+        f"p{pair[1]}_mb_per_sec": round(agg[pair[1]], 1),
+        "hw_efficiency": round(agg[pair[1]] / agg[pair[0]] / ratio, 3),
+    }
+
+
 def run_scaling(sf_dir: str) -> dict:
+    pair_env = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "4,16")
+    pair = tuple(int(x) for x in pair_env.split(","))
+    rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "160000"))
+    ratio = pair[1] // pair[0]
+
+    # Pre-materialize the scaling corpus at full width so the pinned
+    # low-core child doesn't pay generation cost.
+    corpus = f"/tmp/ocr_spark_bench_corpus_v2_r{rows}_s{BENCH_SEED}"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        spark = _get_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        try:
+            global CORPUS_DIR
+            saved, CORPUS_DIR = CORPUS_DIR, corpus
+            _ensure_corpus(spark)
+            CORPUS_DIR = saved
+        finally:
+            spark.stop()
+
     results = {}
-    for cores in (8, 32):
+    child_env = dict(os.environ, SPARK_GRAFT_BENCH_ROWS=str(rows))
+    for cores in pair:
         proc = subprocess.run(
             _taskset_prefix(cores)
             + [sys.executable, os.path.abspath(__file__), "--child", str(cores),
                "--sf-dir", sf_dir],
-            capture_output=True, text=True, check=False,
+            capture_output=True, text=True, check=False, env=child_env,
         )
         line = proc.stdout.strip().split("\n")[-1] if proc.stdout.strip() else "{}"
         try:
@@ -144,15 +205,20 @@ def run_scaling(sf_dir: str) -> dict:
             raise RuntimeError(
                 f"scaling child (cores={cores}) failed:\n{proc.stdout}\n{proc.stderr}"
             )
-    t8 = results[8]["pipeline"]["docs_per_sec"]
-    t32 = results[32]["pipeline"]["docs_per_sec"]
+    lo, hi = results[pair[0]]["pipeline"], results[pair[1]]["pipeline"]
+    hw = hardware_control(pair)
+    eff = round(hi["docs_per_sec"] / lo["docs_per_sec"] / ratio, 3)
     return {
-        "local8_docs_per_sec": t8,
-        "local32_docs_per_sec": t32,
-        "local8_mb_per_sec": results[8]["pipeline"]["mb_per_sec"],
-        "local32_mb_per_sec": results[32]["pipeline"]["mb_per_sec"],
-        "speedup": round(t32 / t8, 3),
-        "efficiency": round(t32 / t8 / 4.0, 3),
+        "pair": list(pair),
+        "scaling_rows": rows,
+        f"local{pair[0]}_docs_per_sec": lo["docs_per_sec"],
+        f"local{pair[1]}_docs_per_sec": hi["docs_per_sec"],
+        f"local{pair[0]}_mb_per_sec": lo["mb_per_sec"],
+        f"local{pair[1]}_mb_per_sec": hi["mb_per_sec"],
+        "speedup": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
+        "efficiency": eff,
+        "hardware_control": hw,
+        "efficiency_vs_hw_ceiling": round(eff / hw["hw_efficiency"], 3),
     }
 
 

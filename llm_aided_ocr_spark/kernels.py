@@ -346,14 +346,13 @@ _LLM_PREAMBLE_RE = re.compile(
 )
 _HEADING_LINE_RE = re.compile(r"^[A-Z][A-Z0-9 ,.'&\-]{2,79}$")
 _SENT_END_RE = re.compile(r"[.!?:;]['\")\]]*$")
+_LIST_ITEM_RE = re.compile(r"^(\d+[.)]\s+|[-*•]\s+)")
 
 
 def _is_heading_line(line: str) -> bool:
-    s = line.strip()
-    if not s or not _HEADING_LINE_RE.match(s):
-        return False
-    letters = [c for c in s if c.isalpha()]
-    return bool(letters) and all(c.isupper() for c in letters)
+    # The char class admits no lowercase and the first char is a letter, so
+    # a regex match already implies "has letters, all uppercase".
+    return bool(_HEADING_LINE_RE.match(line.strip()))
 
 
 def _unwrap_paragraph(paragraph: str) -> str:
@@ -366,7 +365,7 @@ def _unwrap_paragraph(paragraph: str) -> str:
         stripped = ln.strip()
         if not stripped:
             continue
-        starts_item = bool(re.match(r"^(\d+[.)]\s+|[-*•]\s+)", stripped))
+        starts_item = bool(_LIST_ITEM_RE.match(stripped))
         if (
             out
             and not _is_heading_line(stripped)

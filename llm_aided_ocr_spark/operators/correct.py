@@ -77,3 +77,46 @@ def correct_chunks(
             yield out
 
     return chunks_df.mapInPandas(_correct, schema=CORRECTED_SCHEMA)
+
+
+def correct_chunks_sequential(
+    chunks_df: DataFrame,
+    provider: str = "heuristic",
+    reformat_as_markdown: bool = True,
+    suppress_headers_and_page_numbers: bool = True,
+    context_tail_chars: int = 1000,
+) -> DataFrame:
+    """Sequential-context mode — the reference's local-LLM path
+    (llm_aided_ocr.py:517-523): chunks of one document processed in
+    chunk_ix order, each seeing the previous PROCESSED chunk's last 1000
+    chars (:508) as context.
+
+    ``applyInPandas`` over ``groupBy(url)`` — one shuffle, document-local
+    ordered loop inside the group. Deterministic providers ignore the
+    context (their output is context-free), so this path exists for parity
+    with context-consuming LLM providers; the parallel path
+    (:func:`correct_chunks`) passes ``prev_context=""`` exactly as the
+    reference's API path does (:526).
+    """
+    fn = None  # resolved inside the worker
+
+    def _seq(pdf: pd.DataFrame) -> pd.DataFrame:
+        nonlocal fn
+        if fn is None:
+            fn = get_provider(provider)
+        pdf = pdf.sort_values("chunk_ix")
+        outs = []
+        context = ""
+        for chunk in pdf["chunk"]:
+            processed = fn(
+                chunk if chunk is not None else "",
+                reformat_as_markdown,
+                suppress_headers_and_page_numbers,
+            )
+            outs.append(processed)
+            context = processed[-context_tail_chars:] if processed else ""
+        out = pdf[["url", "chunk_ix", "n_chunks"]].copy()
+        out["corrected"] = outs
+        return out
+
+    return chunks_df.groupBy("url").applyInPandas(_seq, schema=CORRECTED_SCHEMA)

@@ -40,7 +40,8 @@ def language_gate(df: DataFrame, lang: str = "en", lang_col: str = "lang") -> Da
 
 
 SIMILARITY_SCHEMA = (
-    "url string, filtered_text string, n_sentences int, n_kept int, min_score double"
+    "url string, filtered_text string, n_sentences int, n_kept int, "
+    "min_score double, threshold_used double"
 )
 
 
@@ -49,13 +50,20 @@ def hallucination_filter(
     threshold: float = 0.40,
     original_col: str = "raw_text",
     processed_col: str = "corrected_text",
+    adaptive: bool = False,
 ) -> DataFrame:
     """F3 — per-document sentence-level difflib similarity filter
     (v1 semantics per CHANGELOG.md:171-173; deterministic difflib variant).
 
     Document-local O(n*m) nested loop stays INSIDE one Arrow batch row —
     never a Spark cross-join — so cost is bounded by single-document size.
+
+    ``adaptive=True`` enables the v1 adaptive search per document
+    (CHANGELOG.md:171-173): raise the threshold from ``threshold`` until
+    the filtered text is shorter than the original, then roll back one
+    step — still document-local, no driver loop needed.
     """
+    from llm_aided_ocr_spark.kernels import adaptive_similarity_threshold
 
     cols = docs_df.select(
         "url",
@@ -65,16 +73,21 @@ def hallucination_filter(
 
     def _filter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            urls, texts, n_s, n_k, mins = [], [], [], [], []
+            urls, texts, n_s, n_k, mins, ths = [], [], [], [], [], []
             for url, orig, proc in zip(batch["url"], batch["_orig"], batch["_proc"]):
-                filtered, scores = filter_hallucinated_sentences(
-                    orig or "", proc or "", threshold
+                orig, proc = orig or "", proc or ""
+                t = (
+                    adaptive_similarity_threshold(orig, proc, threshold)
+                    if adaptive
+                    else threshold
                 )
+                filtered, scores = filter_hallucinated_sentences(orig, proc, t)
                 urls.append(url)
                 texts.append(filtered)
                 n_s.append(len(scores))
-                n_k.append(sum(1 for s in scores if s >= threshold))
+                n_k.append(sum(1 for s in scores if s >= t))
                 mins.append(min(scores) if scores else 1.0)
+                ths.append(t)
             yield pd.DataFrame(
                 {
                     "url": urls,
@@ -82,6 +95,7 @@ def hallucination_filter(
                     "n_sentences": n_s,
                     "n_kept": n_k,
                     "min_score": mins,
+                    "threshold_used": ths,
                 }
             )
 

@@ -1,0 +1,168 @@
+"""LLM completion-provider plumbing (reference C3-C6, S3/S4).
+
+Mirrors ``generate_completion`` dispatch (llm_aided_ocr.py:156-165) and the
+per-provider token-budget mechanics — clamping with buffer/cushion
+(:271-272,:314,:354) and the prompt-too-long fallback that re-chunks via the
+token-budget chunker and joins results with ``" "`` (:273-290). Network /
+native-model calls are injectable; nothing here imports an SDK eagerly and
+no API is called unless a transport is supplied.
+
+Executor-local model bootstrap (the reference's FileLock-guarded download +
+newest-mtime load, llm_aided_ocr.py:72-153) maps to a process-local
+singleton: one initialization per Python worker, no cross-node lock needed.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+from llm_aided_ocr_spark.kernels import chunk_text_by_tokens
+
+# reference llm_aided_ocr.py:38-45
+CLAUDE_MAX_TOKENS = 4096
+OPENAI_MAX_TOKENS = 12000
+LOCAL_CONTEXT_TOKENS = 2048
+TOKEN_BUFFER = 500
+TOKEN_CUSHION = 300
+
+Transport = Callable[[str, int], Optional[str]]
+"""(prompt, max_tokens) -> completion text or None."""
+
+TokenEstimator = Callable[[str], int]
+
+
+def _approx(text: str) -> int:
+    from llm_aided_ocr_spark.kernels import approx_token_count
+
+    return approx_token_count(text)
+
+
+# ---------------------------------------------------------------------------
+# T1/T2 — tokenizer dispatch with graceful fallback
+# ---------------------------------------------------------------------------
+
+_TOKENIZER_CACHE: Dict[str, object] = {}
+_TOKENIZER_LOCK = threading.Lock()
+
+
+def get_tokenizer(model_name: str):
+    """Prefix-routed tokenizer (reference llm_aided_ocr.py:167-175):
+    gpt-* → tiktoken, claude-*/llama-* → HF. Raises ``ValueError`` on an
+    unknown prefix; callers needing safety use :func:`estimate_tokens`."""
+    key = model_name.lower()
+    with _TOKENIZER_LOCK:
+        if key in _TOKENIZER_CACHE:
+            return _TOKENIZER_CACHE[key]
+    if key.startswith("gpt-"):
+        import tiktoken  # lazy; absent in this sandbox → ImportError
+
+        tok = tiktoken.encoding_for_model(model_name)
+    elif key.startswith("claude-") or key.startswith("llama-"):
+        from transformers import AutoTokenizer  # lazy
+
+        repo = (
+            "EleutherAI/gpt-neox-20b" if key.startswith("claude-") else "huggyllama/llama-7b"
+        )
+        tok = AutoTokenizer.from_pretrained(repo, clean_up_tokenization_spaces=False)
+    else:
+        raise ValueError(f"Unsupported model: {model_name}")
+    with _TOKENIZER_LOCK:
+        _TOKENIZER_CACHE[key] = tok
+    return tok
+
+
+def estimate_tokens(text: str, model_name: str) -> int:
+    """T2 — tokenizer length, falling back to the T3 approximation on ANY
+    failure (reference llm_aided_ocr.py:177-183), including missing
+    tokenizer packages in this sandbox."""
+    try:
+        return len(get_tokenizer(model_name).encode(text))
+    except Exception:
+        return _approx(text)
+
+
+# ---------------------------------------------------------------------------
+# Completion providers
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CompletionProvider:
+    """Token-budget wrapper around a transport.
+
+    ``complete`` reproduces the reference budget algebra: clamp
+    ``max_tokens`` to ``context_tokens - prompt_tokens - TOKEN_BUFFER``;
+    when the prompt itself blows the context, re-chunk it with the
+    token-budget chunker at ``context_tokens - TOKEN_CUSHION`` and join the
+    per-chunk completions with a single space (reference :273-290).
+    """
+
+    name: str
+    context_tokens: int
+    transport: Transport
+    estimate: TokenEstimator = _approx
+
+    def complete(self, prompt: str, max_tokens: int = 5000) -> Optional[str]:
+        prompt_tokens = self.estimate(prompt)
+        adjusted = min(max_tokens, self.context_tokens - prompt_tokens - TOKEN_BUFFER)
+        if adjusted <= 0:
+            chunks = chunk_text_by_tokens(
+                prompt, self.context_tokens - TOKEN_CUSHION, self.estimate
+            )
+            results = []
+            for chunk in chunks:
+                out = self.transport(chunk, self.context_tokens // 2)
+                if out is not None:
+                    results.append(out)
+            return " ".join(results) if results else None
+        return self.transport(prompt, max(1, adjusted))
+
+
+def _unconfigured_transport(name: str) -> Transport:
+    def _t(_prompt: str, _max_tokens: int) -> Optional[str]:
+        raise NotImplementedError(
+            f"provider {name!r} has no transport configured; inject one "
+            "(API clients are never constructed implicitly — unlike the "
+            "reference's eager client at llm_aided_ocr.py:48)"
+        )
+
+    return _t
+
+
+def make_claude_provider(transport: Optional[Transport] = None) -> CompletionProvider:
+    return CompletionProvider(
+        "claude", CLAUDE_MAX_TOKENS, transport or _unconfigured_transport("claude")
+    )
+
+
+def make_openai_provider(transport: Optional[Transport] = None) -> CompletionProvider:
+    return CompletionProvider(
+        "openai", OPENAI_MAX_TOKENS, transport or _unconfigured_transport("openai")
+    )
+
+
+def make_local_llm_provider(transport: Optional[Transport] = None) -> CompletionProvider:
+    return CompletionProvider(
+        "local_llm",
+        LOCAL_CONTEXT_TOKENS,
+        transport or _unconfigured_transport("local_llm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Executor-local resource bootstrap (S3/S4 analogue)
+# ---------------------------------------------------------------------------
+
+_RESOURCE_CACHE: Dict[str, object] = {}
+_RESOURCE_LOCK = threading.Lock()
+
+
+def executor_local(name: str, factory: Callable[[], object]) -> object:
+    """Process-local lazy singleton — the Spark analogue of the reference's
+    FileLock-guarded model download + load (llm_aided_ocr.py:81-153). One
+    ``factory()`` call per Python worker process, thread-safe within it."""
+    with _RESOURCE_LOCK:
+        if name not in _RESOURCE_CACHE:
+            _RESOURCE_CACHE[name] = factory()
+        return _RESOURCE_CACHE[name]

@@ -17,6 +17,17 @@ def get_spark(
     shuffle_partitions: int | None = None,
     arrow_max_records_per_batch: int = 512,
 ) -> SparkSession:
+    # Make the package importable inside executor Python workers no matter
+    # where the driver was launched from — the local-mode analogue of
+    # ``spark-submit --py-files`` (workers inherit the JVM's environment,
+    # which inherits ours; must be set before the JVM starts).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     if shuffle_partitions is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -233,6 +233,41 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+def _q_exact_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-policy: min-id row survives per content group."""
+    from llm_aided_ocr_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select("doc_id", "n_chars")
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate-strip extraction: wrap each document's text in a
+    boilerplated HTML page natively, extract via the DOM-strip stage, and
+    return the extracted length — equal to the canonical text length, which
+    DuckDB can compute independently (the extraction itself is the thing
+    under test; the oracle pins its whitespace contract)."""
+    from llm_aided_ocr_spark.operators.extract import extract_text
+
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><title>t</title></head><body><nav>chrome</nav><main><p>"),
+        F.replace(F.coalesce("text", F.lit("")), F.lit("\n"), F.lit("<br/>")),
+        F.lit("</p></main><footer>foot</footer></body></html>"),
+    ).cast("binary")
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        html.alias("html"),
+        F.coalesce("text", F.lit("")).alias("text"),
+        "lang",
+    )
+    out = extract_text(pages, use_html=True)
+    return out.select(
+        F.col("url").alias("doc_id_str"),
+        F.length("extracted_text").alias("extracted_len"),
+    )
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (content hash + winnowed min-gram anchor);
     n_grams is the SQL-checkable projection."""
@@ -253,6 +288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": _q_pipeline_e2e,
         "hallucination_filter": _q_hallucination_filter,
         "exact_dup_groups": _q_exact_dup_groups,
+        "exact_dedup_keep": _q_exact_dedup_keep,
+        "html_extract": _q_html_extract,
         "token_counts": _q_token_counts,
         "lang_id_counts": _q_lang_id_counts,
         "quality_features": _q_quality_features,
@@ -396,6 +433,15 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": (
             "SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_dups FROM documents "
             "GROUP BY coalesce(text,'') HAVING COUNT(*) > 1"
+        ),
+        "exact_dedup_keep": (
+            "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, "
+            "row_number() OVER (PARTITION BY coalesce(text,'') ORDER BY doc_id) AS rn "
+            "FROM documents) WHERE rn = 1"
+        ),
+        "html_extract": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id_str, "
+            "length(coalesce(text,'')) AS extracted_len FROM documents"
         ),
         "token_counts": (
             "SELECT doc_id, "

@@ -96,14 +96,28 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold, via a shingle
     inverted index: join on shingle → per-pair intersection counts → sizes.
     The join key is the shingle hash, so co-occurring docs only meet where
-    they actually share content. For very hot shingles this skews — cap via
-    LSH (below) at real scale; this operator is the exact oracle-friendly
-    baseline."""
-    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).cache()
+    they actually share content. ``max_shingle_df`` (document-frequency
+    cap) drops shingles present in more than that many documents before the
+    pair join — the standard guard against hot-shingle quadratic blowup at
+    corpus scale (a stopword-ish shingle shared by 10^9 docs would
+    otherwise produce 10^18 candidate pairs). ``None`` = exact semantics.
+    Sizes are computed on the SAME (capped) shingle space so the Jaccard
+    stays internally consistent."""
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, on="shingle", how="left_semi")
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -178,11 +192,21 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sig_df: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 200,
 ) -> DataFrame:
     """Banded LSH: hash each band of the signature to a bucket; docs
     sharing any (band, bucket) are candidates. The pair join runs WITHIN
-    buckets only — this is what makes near-dup tractable at 10^12 docs."""
+    buckets only — this is what makes near-dup tractable at 10^12 docs.
+
+    ``max_bucket_size`` drops buckets larger than the cap before the
+    self-join (a bucket of B docs yields B² pairs; one degenerate bucket —
+    e.g. all empty documents sharing the sentinel signature — would
+    otherwise dominate the job). Members of an over-full bucket almost
+    always co-occur in other, smaller buckets, so recall loss is
+    marginal; set ``None`` for exhaustive candidates."""
     band_cols = [
         F.xxhash64(
             F.lit(bi),
@@ -196,6 +220,14 @@ def lsh_candidate_pairs(
     buckets = sig_df.select(
         "id", F.explode(F.array(*[F.struct(F.lit(bi).alias("band"), band_cols[bi]) for bi in range(bands)])).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        small = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(small, on=["band", "bucket"], how="left_semi")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -215,13 +247,17 @@ def minhash_dedup_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = 200,
 ) -> DataFrame:
     """LSH candidates verified by estimated Jaccard (signature agreement).
     ``(id_a, id_b, est_jaccard)``."""
     sigs = minhash_signatures(
         df, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col
     ).cache()
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    cands = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    )
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     agree = F.size(
@@ -282,10 +318,13 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = 200,
 ) -> DataFrame:
     """Candidate generation by 4×16-bit band equality (any identical band →
     candidate; guarantees recall for hamming<=3 by pigeonhole), verified by
-    exact hamming distance via bit_count(xor)."""
+    exact hamming distance via bit_count(xor). ``max_bucket_size`` drops
+    degenerate band buckets before the self-join (same rationale as
+    :func:`lsh_candidate_pairs`)."""
     sigs = simhash_signatures(df, text_col=text_col, id_col=id_col).cache()
     bands = sigs.select(
         "id",
@@ -302,6 +341,14 @@ def simhash_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    if max_bucket_size is not None:
+        small = (
+            bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket_size)
+            .select("band", "key")
+        )
+        bands = bands.join(small, on=["band", "key"], how="left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
     return (

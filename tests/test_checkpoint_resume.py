@@ -52,6 +52,27 @@ def test_resume_skips_completed_documents(spark):
         assert len(urls) == len(set(urls)), "no duplicate processing on resume"
 
 
+def test_staged_checkpoints_and_resume(spark):
+    """Staged strategy writes chunk-level checkpoints; resume still works."""
+    with tempfile.TemporaryDirectory() as tmp:
+        store = CheckpointStore(tmp, run_id="ts")
+        cfg = PipelineConfig(provider="heuristic", checkpointing=True)
+        full = pages_dataframe(spark, n_rows=12, include_golden=True).cache()
+
+        r1 = run_pipeline(full.limit(6), cfg, store=store, strategy="staged")
+        assert r1.count() == 6
+        stages = {r["stage"] for r in store.lineage_records()}
+        assert {"chunks", "corrected_chunks", "corrected_docs"} <= stages
+
+        r2 = run_pipeline(full, cfg, store=store, strategy="staged")
+        got = {r["url"]: r["corrected_text"] for r in r2.collect()}
+        single = run_pipeline(
+            full, PipelineConfig(provider="heuristic"), strategy="staged"
+        )
+        want = {r["url"]: r["corrected_text"] for r in single.collect()}
+        assert got == want
+
+
 def test_resume_byte_identity_vs_single_run(spark):
     with tempfile.TemporaryDirectory() as tmp:
         store = CheckpointStore(tmp, run_id="t3")

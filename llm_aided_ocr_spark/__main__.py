@@ -1,0 +1,120 @@
+"""CLI — ``python -m llm_aided_ocr_spark``.
+
+The reference's intended CLI surface (/root/reference/llm-aided-ocr-cli.py:6-16
+— which is broken in the reference: it passes parameters main() doesn't
+accept) re-expressed over a corpus: read a parquet/Iceberg ``pages`` table,
+run the pipeline, write ``corrected_docs`` (+ optional quality scores).
+
+    python -m llm_aided_ocr_spark --input pages.parquet --output out_dir \
+        [--provider heuristic] [--no-markdown] [--keep-headers] \
+        [--check-english] [--filter-hallucinations] [--threshold 0.4] \
+        [--max-pages N] [--skip-first-n-pages N] [--resume --warehouse DIR] \
+        [--assess-quality] [--master local[*]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="llm_aided_ocr_spark")
+    p.add_argument("--input", required=True, help="pages table (parquet path)")
+    p.add_argument("--output", required=True, help="output directory (parquet)")
+    p.add_argument("--provider", default="heuristic",
+                   help="correction provider (heuristic | identity | registered name)")
+    # reference CLI flag surface (llm-aided-ocr-cli.py:6-16)
+    p.add_argument("--max-pages", type=int, default=0)
+    p.add_argument("--skip-first-n-pages", type=int, default=0)
+    p.add_argument("--no-markdown", action="store_true",
+                   help="disable markdown reformatting")
+    p.add_argument("--keep-headers", action="store_true",
+                   help="keep headers/footers/page numbers (as blockquotes)")
+    p.add_argument("--check-english", action="store_true",
+                   help="process only lang='en' rows (F2)")
+    p.add_argument("--filter-hallucinations", action="store_true",
+                   help="apply the difflib similarity filter (F3)")
+    p.add_argument("--threshold", type=float, default=0.40,
+                   help="starting hallucination-similarity threshold")
+    p.add_argument("--adaptive-threshold", action="store_true",
+                   help="v1 adaptive threshold search per document")
+    p.add_argument("--page-filter", action="store_true",
+                   help="drop near-empty documents (F1)")
+    p.add_argument("--assess-quality", action="store_true",
+                   help="also write per-document quality scores")
+    p.add_argument("--from-html", action="store_true",
+                   help="extract text from the html column (DOM strip)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip documents already in the warehouse checkpoint")
+    p.add_argument("--warehouse", default="/tmp/ocr_spark_warehouse")
+    p.add_argument("--run-id", default="cli")
+    p.add_argument("--strategy", default="auto",
+                   choices=["auto", "fused", "staged"])
+    p.add_argument("--master", default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.plans.checkpoint import CheckpointStore
+    from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+    from llm_aided_ocr_spark.session import get_spark
+
+    cfg = PipelineConfig(
+        max_pages=args.max_pages,
+        skip_first_n_pages=args.skip_first_n_pages,
+        reformat_as_markdown=not args.no_markdown,
+        suppress_headers_and_page_numbers=not args.keep_headers,
+        check_if_valid_english=args.check_english,
+        hallucination_similarity_threshold=args.threshold,
+        provider=args.provider,
+        apply_page_filter=args.page_filter,
+        warehouse_dir=args.warehouse,
+        run_id=args.run_id,
+        checkpointing=args.resume,
+    )
+    spark = get_spark(app_name="llm_aided_ocr_spark_cli", master=args.master)
+    store = CheckpointStore(args.warehouse, run_id=args.run_id) if args.resume else None
+
+    pages = spark.read.parquet(args.input)
+    result = run_pipeline(
+        pages, cfg, store=store, use_html=args.from_html, strategy=args.strategy
+    )
+
+    if args.filter_hallucinations:
+        from llm_aided_ocr_spark.operators.filters import hallucination_filter
+
+        filtered = hallucination_filter(
+            result, threshold=args.threshold, adaptive=args.adaptive_threshold
+        )
+        result = (
+            result.join(filtered.select("url", "filtered_text", "threshold_used"), "url")
+            .drop("corrected_text")
+            .withColumnRenamed("filtered_text", "corrected_text")
+        )
+
+    result.write.mode("overwrite").parquet(args.output + "/corrected_docs")
+
+    if args.assess_quality:
+        from llm_aided_ocr_spark.operators.quality import assess_quality, quality_rollup
+
+        docs = spark.read.parquet(args.output + "/corrected_docs")
+        scores = assess_quality(docs)
+        scores.write.mode("overwrite").parquet(args.output + "/quality_scores")
+        roll = quality_rollup(scores).first()
+        print(
+            f"quality: n={roll['n_docs']} avg={roll['avg_score']:.1f} "
+            f"min={roll['min_score']} max={roll['max_score']}"
+        )
+
+    n = spark.read.parquet(args.output + "/corrected_docs").count()
+    print(f"wrote {n} corrected documents to {args.output}/corrected_docs")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -348,6 +348,94 @@ _HEADING_LINE_RE = re.compile(r"^[A-Z][A-Z0-9 ,.'&\-]{2,79}$")
 _SENT_END_RE = re.compile(r"[.!?:;]['\")\]]*$")
 _LIST_ITEM_RE = re.compile(r"^(\d+[.)]\s+|[-*•]\s+)")
 
+_ASCII_LOWER = frozenset("abcdefghijklmnopqrstuvwxyz")
+_ASCII_LETTER = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def _is_word_char(c: str) -> bool:
+    return c.isalnum() or c == "_"
+
+
+def _repair_linebreak_hyphen(text: str) -> str:
+    """Byte-equivalent fast path for ``_HYPHEN_LINEBREAK_RE.sub(r"\\1\\2")``
+    (pattern ``([A-Za-z]+)-[ \\t]*\\n[ \\t]*([a-z]+)``): anchors on ``\\n``
+    instead of letting the regex attempt a char-class match at every
+    position. Semantics preserved exactly, including the continue-after-
+    the-right-word behavior on chained splits (``cor-\\ncat-\\ndog``).
+    Property-tested against the regex in tests/test_kernels.py."""
+    if "\n" not in text or "-" not in text:
+        return text
+    out = []
+    i = 0  # start of the not-yet-emitted region
+    pos = 0  # scan cursor (skips right-words of prior matches)
+    L = len(text)
+    while True:
+        nl = text.find("\n", pos)
+        if nl < 0:
+            out.append(text[i:])
+            return "".join(out)
+        # walk back over [ \t]* then require '-' preceded by a letter run
+        b = nl
+        while b > pos and text[b - 1] in (" ", "\t"):
+            b -= 1
+        if b > pos and b >= 1 and text[b - 1] == "-" and b - 2 >= 0 and text[b - 2] in _ASCII_LETTER:
+            hy = b - 1
+            # left letter run must start at/after pos (not consumed earlier)
+            k = hy
+            while k > pos and text[k - 1] in _ASCII_LETTER:
+                k -= 1
+            if k < hy:
+                # forward: [ \t]* then [a-z]+ (non-empty)
+                m = nl + 1
+                while m < L and text[m] in (" ", "\t"):
+                    m += 1
+                n = m
+                while n < L and text[n] in _ASCII_LOWER:
+                    n += 1
+                if n > m:
+                    out.append(text[i:hy])  # keep left word, drop '-..\n..'
+                    out.append(text[m:n])   # right word
+                    i = n
+                    pos = n
+                    continue
+        pos = nl + 1
+
+
+def _repair_space_hyphen(text: str) -> str:
+    """Byte-equivalent fast path for ``_HYPHEN_SPACE_RE.sub(r"\\1\\2")``
+    (pattern ``\\b([a-z]+)- ([a-z]+)\\b``): anchors on the literal ``"- "``.
+    Property-tested against the regex in tests/test_kernels.py."""
+    if "- " not in text:
+        return text
+    out = []
+    i = 0
+    pos = 0
+    L = len(text)
+    while True:
+        j = text.find("- ", pos)
+        if j < 0:
+            out.append(text[i:])
+            return "".join(out)
+        # left: maximal [a-z]+ run ending at j, not reaching into consumed
+        # text, preceded by a non-word char (the \b)
+        k = j
+        while k > pos and text[k - 1] in _ASCII_LOWER:
+            k -= 1
+        left_ok = k < j and (k == 0 or not _is_word_char(text[k - 1]))
+        # right: maximal [a-z]+ run from j+2, followed by non-word (the \b)
+        m = j + 2
+        n = m
+        while n < L and text[n] in _ASCII_LOWER:
+            n += 1
+        right_ok = n > m and (n == L or not _is_word_char(text[n]))
+        if left_ok and right_ok:
+            out.append(text[i:j])
+            out.append(text[m:n])
+            i = n
+            pos = n
+        else:
+            pos = j + 1
+
 
 def _is_heading_line(line: str) -> bool:
     # The char class admits no lowercase and the first char is a letter, so
@@ -423,8 +511,10 @@ def correct_chunk_text(
     providers plug in behind the same interface (see operators/correct.py).
     """
     text = _LLM_PREAMBLE_RE.sub("", chunk)
-    text = _HYPHEN_LINEBREAK_RE.sub(r"\1\2", text)
-    text = _HYPHEN_SPACE_RE.sub(r"\1\2", text)
+    # fast scanners, byte-equivalent to:
+    #   _HYPHEN_LINEBREAK_RE.sub(r"\1\2", ...) then _HYPHEN_SPACE_RE.sub(...)
+    text = _repair_linebreak_hyphen(text)
+    text = _repair_space_hyphen(text)
 
     out_paragraphs: List[str] = []
     for para in _PARA_SPLIT_RE.split(text):

@@ -245,6 +245,51 @@ def test_corrector_deterministic():
     assert kernels.correct_chunk_text(text) == kernels.correct_chunk_text(text)
 
 
+HYPHEN_ALPHABET = list("abcdeXY -\n\t_0.")
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.sampled_from(HYPHEN_ALPHABET), max_size=120))
+def test_fast_hyphen_scanners_equal_regex(s):
+    from llm_aided_ocr_spark.kernels import (
+        _HYPHEN_LINEBREAK_RE,
+        _HYPHEN_SPACE_RE,
+        _repair_linebreak_hyphen,
+        _repair_space_hyphen,
+    )
+
+    assert _repair_linebreak_hyphen(s) == _HYPHEN_LINEBREAK_RE.sub(r"\1\2", s)
+    assert _repair_space_hyphen(s) == _HYPHEN_SPACE_RE.sub(r"\1\2", s)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=200))
+def test_fast_hyphen_scanners_equal_regex_unicode(s):
+    from llm_aided_ocr_spark.kernels import (
+        _HYPHEN_LINEBREAK_RE,
+        _HYPHEN_SPACE_RE,
+        _repair_linebreak_hyphen,
+        _repair_space_hyphen,
+    )
+
+    assert _repair_linebreak_hyphen(s) == _HYPHEN_LINEBREAK_RE.sub(r"\1\2", s)
+    assert _repair_space_hyphen(s) == _HYPHEN_SPACE_RE.sub(r"\1\2", s)
+
+
+def test_fast_hyphen_scanners_chained_splits():
+    from llm_aided_ocr_spark.kernels import (
+        _HYPHEN_LINEBREAK_RE,
+        _HYPHEN_SPACE_RE,
+        _repair_linebreak_hyphen,
+        _repair_space_hyphen,
+    )
+
+    for s in ["cor-\nrect-\ned", "a- b- c", "x-\n y- z", "A- b", "ab- Cd",
+              "-\na", "a-\n", "a- ", " - b", "w-  \n\t ord"]:
+        assert _repair_linebreak_hyphen(s) == _HYPHEN_LINEBREAK_RE.sub(r"\1\2", s), s
+        assert _repair_space_hyphen(s) == _HYPHEN_SPACE_RE.sub(r"\1\2", s), s
+
+
 # ---------------------------------------------------------------------------
 # F3 similarity filter + A4 quality
 # ---------------------------------------------------------------------------

@@ -193,6 +193,14 @@ def _q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(_docs(spark, sf_dir))
 
 
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic 0-100 quality score (native expression)."""
+    from llm_aided_ocr_spark.operators.textstats import quality_score_col
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", quality_score_col(F.col("text")).alias("qscore"))
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embeddings table (exact baseline;
     cosine rounded to 6dp for cross-engine comparison)."""
@@ -293,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_id_counts": _q_lang_id_counts,
         "quality_features": _q_quality_features,
+        "quality_score": _q_quality_score,
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -392,6 +401,35 @@ FROM b
 """
 
 
+def _build_quality_score_sql() -> str:
+    en = _in_list(_lang_markers()["en"])
+    t = "coalesce(text,'')"
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    length({t}) AS nc,
+    ({_WORD_COUNT_SQL}) AS nw,
+    length({t}) - length(regexp_replace({t}, '[^\\w\\s]', '', 'g')) AS np,
+    len(list_filter(
+      string_split_regex(regexp_replace(lower({t}), '[^a-z\\s]', ' ', 'g'), '\\s+'),
+      w -> w IN ({en}))) AS sh
+  FROM documents),
+r AS (
+  SELECT doc_id, nc, nw,
+    CASE WHEN nw > 0 THEN CAST(sh AS DOUBLE)/nw ELSE 0.0 END AS stop_ratio,
+    CASE WHEN nc > 0 THEN CAST(np AS DOUBLE)/nc ELSE 0.0 END AS punct_ratio,
+    CASE WHEN nw > 0 THEN CAST(nc AS DOUBLE)/nw ELSE 0.0 END AS mean_wl
+  FROM b)
+SELECT doc_id, CAST(round(
+    least(CAST(nw AS DOUBLE)/100.0, 1.0) * 30
+  + least(stop_ratio * 4, 1.0) * 30
+  + (CASE WHEN mean_wl >= 3 AND mean_wl <= 12 THEN 20.0 ELSE 5.0 END)
+  + greatest(0.0, (0.25 - punct_ratio) * 80)
+) AS INTEGER) AS qscore
+FROM r
+"""
+
+
 _LANG_ID_SQL = None  # built lazily in oracle_sql()
 _QUALITY_FEATURES_SQL = None
 
@@ -453,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id_counts": _LANG_ID_SQL,
         "quality_features": _QUALITY_FEATURES_SQL,
+        "quality_score": _build_quality_score_sql(),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
             "FROM embeddings WHERE vec_id < 3), "

@@ -275,13 +275,16 @@ _DROP_BLOCK_RE = re.compile(
 )
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _MAIN_RE = re.compile(r"<(main|article)\b[^>]*>(.*?)</\1\s*>", re.IGNORECASE | re.DOTALL)
+_ATTRS = r"""(?:[^>"']|"[^"]*"|'[^']*')*"""  # attribute soup, quote-aware
 _BLOCK_BREAK_RE = re.compile(
-    r"</?(p|div|section|h[1-6]|li|ul|ol|table|tr|blockquote|pre|figure)\b[^>]*/?>",
+    r"</?(p|div|section|h[1-6]|li|ul|ol|table|tr|blockquote|pre|figure)\b"
+    + _ATTRS + r">",
     re.IGNORECASE,
 )
 _BR_RE = re.compile(r"<br\s*/?>", re.IGNORECASE)
 _INLINE_WS_RE = re.compile(r"[^\S\n]+")  # whitespace except newline
-_TAG_RE = re.compile(r"<[^>]+>")
+# tolerates '>' inside quoted attribute values: <div title="a>b">
+_TAG_RE = re.compile(r"""<[a-zA-Z/!][^>"']*(?:(?:"[^"]*"|'[^']*')[^>"']*)*>?""")
 _HEAD_RE = re.compile(r"<head\b[^>]*>.*?</head\s*>", re.IGNORECASE | re.DOTALL)
 
 

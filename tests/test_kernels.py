@@ -345,6 +345,22 @@ def test_extract_no_main_falls_back_to_body():
     assert kernels.extract_main_text(html) == "alpha\n\nbeta"
 
 
+def test_extract_edge_cases():
+    cases = [
+        (b'<div title="a>b"><p>keep</p></div>', "keep"),
+        (b"<div class='q>u'>v</div>", "v"),
+        (b"<P>upper</P><BR><p>tags</p>", "upper\n\ntags"),
+        (b"<p>a<br>b</p>", "a\nb"),
+        (b"<p>a<br />b</p>", "a\nb"),
+        (b"text with 5 > 3 math", "text with 5 > 3 math"),
+        (b'<script>if (x > 1) { alert("<p>fake</p>") }</script><p>real</p>', "real"),
+    ]
+    for html, want in cases:
+        assert kernels.extract_main_text(html) == want, html
+    # invalid utf-8 must not crash
+    assert isinstance(kernels.extract_main_text(b"\xff\xfe<p>x</p>"), str)
+
+
 def test_extract_entities_and_empty():
     assert kernels.extract_main_text(b"<p>a &amp; b</p>") == "a & b"
     assert kernels.extract_main_text(None) == ""

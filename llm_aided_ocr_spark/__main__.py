@@ -63,6 +63,14 @@ def main(argv=None) -> int:
     from llm_aided_ocr_spark.plans.pipeline import run_pipeline
     from llm_aided_ocr_spark.session import get_spark
 
+    if args.max_pages or args.skip_first_n_pages:
+        print(
+            "warning: --max-pages/--skip-first-n-pages apply to the PDF "
+            "page-render path (operators.extract.extract_pdf_pages); the "
+            "text/html corpus pipeline processes whole documents",
+            file=sys.stderr,
+        )
+
     cfg = PipelineConfig(
         max_pages=args.max_pages,
         skip_first_n_pages=args.skip_first_n_pages,
@@ -70,31 +78,30 @@ def main(argv=None) -> int:
         suppress_headers_and_page_numbers=not args.keep_headers,
         check_if_valid_english=args.check_english,
         hallucination_similarity_threshold=args.threshold,
+        adaptive_hallucination_threshold=args.adaptive_threshold,
+        apply_hallucination_filter=args.filter_hallucinations,
         provider=args.provider,
         apply_page_filter=args.page_filter,
         warehouse_dir=args.warehouse,
         run_id=args.run_id,
         checkpointing=args.resume,
     )
-    spark = get_spark(app_name="llm_aided_ocr_spark_cli", master=args.master)
+    spark = get_spark(
+        app_name="llm_aided_ocr_spark_cli",
+        master=args.master,
+        arrow_max_records_per_batch=cfg.arrow_max_records_per_batch,
+    )
     store = CheckpointStore(args.warehouse, run_id=args.run_id) if args.resume else None
 
     pages = spark.read.parquet(args.input)
     result = run_pipeline(
-        pages, cfg, store=store, use_html=args.from_html, strategy=args.strategy
+        pages,
+        cfg,
+        store=store,
+        use_html=args.from_html,
+        strategy=args.strategy,
+        validate_unique_urls=True,
     )
-
-    if args.filter_hallucinations:
-        from llm_aided_ocr_spark.operators.filters import hallucination_filter
-
-        filtered = hallucination_filter(
-            result, threshold=args.threshold, adaptive=args.adaptive_threshold
-        )
-        result = (
-            result.join(filtered.select("url", "filtered_text", "threshold_used"), "url")
-            .drop("corrected_text")
-            .withColumnRenamed("filtered_text", "corrected_text")
-        )
 
     result.write.mode("overwrite").parquet(args.output + "/corrected_docs")
 
@@ -105,10 +112,13 @@ def main(argv=None) -> int:
         scores = assess_quality(docs)
         scores.write.mode("overwrite").parquet(args.output + "/quality_scores")
         roll = quality_rollup(scores).first()
-        print(
-            f"quality: n={roll['n_docs']} avg={roll['avg_score']:.1f} "
-            f"min={roll['min_score']} max={roll['max_score']}"
-        )
+        if roll["n_docs"] and roll["avg_score"] is not None:
+            print(
+                f"quality: n={roll['n_docs']} avg={roll['avg_score']:.1f} "
+                f"min={roll['min_score']} max={roll['max_score']}"
+            )
+        else:
+            print("quality: no documents to assess")
 
     n = spark.read.parquet(args.output + "/corrected_docs").count()
     print(f"wrote {n} corrected documents to {args.output}/corrected_docs")

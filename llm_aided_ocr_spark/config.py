@@ -22,7 +22,8 @@ class PipelineConfig:
     suppress_headers_and_page_numbers: bool = True
     check_if_valid_english: bool = False          # F2 language gate
     hallucination_similarity_threshold: float = 0.40  # F3
-    test_filtering_hallucinations: bool = False
+    adaptive_hallucination_threshold: bool = False    # v1 adaptive search
+    test_filtering_hallucinations: bool = False       # report, don't apply
     # --- chunker constants (llm_aided_ocr.py:538) ---
     chunk_size_chars: int = 8000
     overlap_words: int = 10

@@ -622,9 +622,6 @@ def adaptive_similarity_threshold(
 # deterministic scorer standing in for the LLM judge
 # ---------------------------------------------------------------------------
 
-_SCORE_LINE_RE = re.compile(r"^SCORE:\s*(\d+)\s*$", re.MULTILINE)
-
-
 def assess_quality_response(original_text: str, processed_text: str) -> str:
     """Deterministic stand-in for the LLM judge: truncates both inputs to
     7500 chars (reference :585-589), scores via difflib similarity, and
@@ -651,8 +648,10 @@ def parse_quality_response(response: Optional[str]) -> Tuple[Optional[int], Opti
     for line in response.strip().split("\n"):
         if line.startswith("SCORE:") and score is None:
             try:
-                score = int(line.split(":", 1)[1].strip())
-            except ValueError:
+                # reference parity: split(':')[1] — a line like
+                # "SCORE: 95: near-perfect" parses to 95 (:624)
+                score = int(line.split(":")[1].strip())
+            except (ValueError, IndexError):
                 return None, None
         elif line.startswith("EXPLANATION:"):
             explanation_lines.append(line[len("EXPLANATION:"):].strip())

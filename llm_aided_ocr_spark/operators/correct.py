@@ -79,12 +79,17 @@ def correct_chunks(
     return chunks_df.mapInPandas(_correct, schema=CORRECTED_SCHEMA)
 
 
+ContextChunkCorrector = Callable[[str, str, bool, bool], str]
+"""(chunk, prev_context, reformat_as_markdown, suppress_headers) -> text."""
+
+
 def correct_chunks_sequential(
     chunks_df: DataFrame,
     provider: str = "heuristic",
     reformat_as_markdown: bool = True,
     suppress_headers_and_page_numbers: bool = True,
     context_tail_chars: int = 1000,
+    context_provider: "ContextChunkCorrector | None" = None,
 ) -> DataFrame:
     """Sequential-context mode — the reference's local-LLM path
     (llm_aided_ocr.py:517-523): chunks of one document processed in
@@ -92,24 +97,28 @@ def correct_chunks_sequential(
     chars (:508) as context.
 
     ``applyInPandas`` over ``groupBy(url)`` — one shuffle, document-local
-    ordered loop inside the group. Deterministic providers ignore the
-    context (their output is context-free), so this path exists for parity
-    with context-consuming LLM providers; the parallel path
-    (:func:`correct_chunks`) passes ``prev_context=""`` exactly as the
-    reference's API path does (:526).
+    ordered loop inside the group. The context is threaded to
+    ``context_provider`` (a 4-arg callable receiving ``prev_context``);
+    when omitted, the registered context-free ``provider`` is wrapped and
+    the context is ignored — matching the deterministic providers, whose
+    output is context-free. The parallel path (:func:`correct_chunks`)
+    passes ``prev_context=""`` exactly as the reference's API path
+    does (:526).
     """
-    fn = None  # resolved inside the worker
+    fn: "ContextChunkCorrector | None" = context_provider
 
     def _seq(pdf: pd.DataFrame) -> pd.DataFrame:
         nonlocal fn
         if fn is None:
-            fn = get_provider(provider)
+            base = get_provider(provider)
+            fn = lambda chunk, _ctx, md, sup: base(chunk, md, sup)  # noqa: E731
         pdf = pdf.sort_values("chunk_ix")
         outs = []
         context = ""
         for chunk in pdf["chunk"]:
             processed = fn(
                 chunk if chunk is not None else "",
+                context,
                 reformat_as_markdown,
                 suppress_headers_and_page_numbers,
             )

@@ -182,8 +182,12 @@ def minhash_signatures(
                     sigs.append(sentinel)
                     continue
                 x = np.asarray(shingles, dtype=np.int64).astype(np.uint64)
-                # (num_perm, n_shingles) broadcast; python-int modulo keeps
-                # exactness over the 61-bit prime
+                # (num_perm, n_shingles) broadcast. uint64 products wrap
+                # mod 2^64 before the % p, so the effective hash family is
+                # ((a*x+b) mod 2^64) mod p — deterministic and
+                # well-dispersed, but NOT the exact universal family over
+                # the Mersenne prime; accept the approximation for speed
+                # (exact 128-bit math would need object dtype, ~20× slower)
                 vals = (np.outer(a, x) + b[:, None]) % np.uint64(_MERSENNE)
                 sigs.append([int(v) for v in vals.min(axis=1)])
             yield pd.DataFrame({"id": ids, "sig": sigs})
@@ -251,6 +255,12 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified by estimated Jaccard (signature agreement).
     ``(id_a, id_b, est_jaccard)``."""
+    if bands * rows_per_band > num_perm:
+        raise ValueError(
+            f"bands({bands}) * rows_per_band({rows_per_band}) exceeds "
+            f"num_perm({num_perm}); band slices would read past the signature "
+            "and hash empty arrays into one degenerate bucket"
+        )
     sigs = minhash_signatures(
         df, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col
     ).cache()

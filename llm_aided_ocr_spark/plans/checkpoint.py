@@ -46,14 +46,20 @@ class CheckpointStore:
         stage: str,
         mode: str = "append",
         counted_col: Optional[str] = None,
+        return_committed: bool = True,
     ) -> DataFrame:
         """Commit a stage increment and record lineage counters.
 
         Counters are computed per physical partition (``spark_partition_id``)
-        in the SAME job that writes, via a pre-write cache — rows in/out per
-        partition, bytes of ``counted_col`` — and appended to the lineage
-        log. Returns the re-read (checkpointed) DataFrame so downstream
-        stages cut lineage at the commit.
+        over the committed table — rows per partition, bytes of
+        ``counted_col`` — and appended to the lineage log.
+
+        ``return_committed=True`` returns the re-read FULL stage table
+        (history + this increment) — right for terminal stages where the
+        caller wants the cumulative result. Pass ``False`` for
+        mid-pipeline stages on the resume path: downstream must continue
+        from THIS increment only, or history would be reprocessed and
+        appended again (duplicating rows in later checkpoints).
         """
         df.write.mode(mode).parquet(self.stage_path(stage))
         spark = df.sparkSession
@@ -81,7 +87,7 @@ class CheckpointStore:
         log_path = os.path.join(self._lineage_dir(), "lineage.jsonl")
         with open(log_path, "a", encoding="utf-8") as f:
             f.write(json.dumps(record) + "\n")
-        return committed
+        return committed if return_committed else df
 
     # -- read / resume ----------------------------------------------------
 

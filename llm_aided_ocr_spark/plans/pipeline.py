@@ -88,7 +88,10 @@ def _staged_correct(
     # Spread chunks of one document across tasks (mega-doc skew handling).
     chunks = salted_repartition(chunks, cfg, "chunk_ix")
     if store is not None and cfg.checkpointing and "chunks" in cfg.stages_to_checkpoint:
-        chunks = store.write(chunks, "chunks", counted_col="chunk")
+        # return_committed=False: continue from THIS increment only — the
+        # committed table holds prior runs' chunks, which must not be
+        # re-corrected and re-appended on resume.
+        chunks = store.write(chunks, "chunks", counted_col="chunk", return_committed=False)
     corrected = correct_chunks(
         chunks,
         provider=cfg.provider,
@@ -100,7 +103,9 @@ def _staged_correct(
         and cfg.checkpointing
         and "corrected_chunks" in cfg.stages_to_checkpoint
     ):
-        corrected = store.write(corrected, "corrected_chunks", counted_col="corrected")
+        corrected = store.write(
+            corrected, "corrected_chunks", counted_col="corrected", return_committed=False
+        )
     docs = assemble_documents(corrected, strip_header=True)
     raw = df.select("url", F.col("extracted_text").alias("raw_text"))
     # Equi-join on url; both sides already url-partitioned → AQE plans it.
@@ -109,12 +114,64 @@ def _staged_correct(
     )
 
 
+FILTERED_SCHEMA = (
+    "url string, raw_text string, corrected_text string, n_chunks int, "
+    "n_sentences int, n_kept int, min_score double, threshold_used double"
+)
+
+
+def _apply_similarity_filter(result: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """F3 over the pipeline result in ONE narrow passthrough pass (no
+    self-join — joining the result with a filter of itself would execute
+    the whole upstream pipeline twice). ``test_filtering_hallucinations``
+    (reference CLI --test-filtering) reports verdicts without applying
+    them to the text."""
+    from llm_aided_ocr_spark.kernels import (
+        adaptive_similarity_threshold,
+        filter_hallucinated_sentences,
+    )
+
+    threshold = cfg.hallucination_similarity_threshold
+    adaptive = cfg.adaptive_hallucination_threshold
+    test_only = cfg.test_filtering_hallucinations
+
+    def _filter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            texts, n_s, n_k, mins, ths = [], [], [], [], []
+            for orig, proc in zip(batch["raw_text"], batch["corrected_text"]):
+                orig, proc = orig or "", proc or ""
+                t = (
+                    adaptive_similarity_threshold(orig, proc, threshold)
+                    if adaptive
+                    else threshold
+                )
+                filtered, scores = filter_hallucinated_sentences(orig, proc, t)
+                texts.append(proc if test_only else filtered)
+                n_s.append(len(scores))
+                n_k.append(sum(1 for s in scores if s >= t))
+                mins.append(min(scores) if scores else 1.0)
+                ths.append(t)
+            out = batch[["url", "raw_text", "n_chunks"]].copy()
+            out["corrected_text"] = texts
+            out["n_sentences"] = n_s
+            out["n_kept"] = n_k
+            out["min_score"] = mins
+            out["threshold_used"] = ths
+            yield out[
+                ["url", "raw_text", "corrected_text", "n_chunks",
+                 "n_sentences", "n_kept", "min_score", "threshold_used"]
+            ]
+
+    return result.mapInPandas(_filter, schema=FILTERED_SCHEMA)
+
+
 def run_pipeline(
     pages_df: DataFrame,
     cfg: PipelineConfig = PipelineConfig(),
     store: Optional[CheckpointStore] = None,
     use_html: bool = False,
     strategy: str = "auto",
+    validate_unique_urls: bool = False,
 ) -> DataFrame:
     """Full pipeline: pages table in, corrected documents out.
 
@@ -122,30 +179,59 @@ def run_pipeline(
     With a ``store`` and ``cfg.checkpointing``, already-completed documents
     (present in the ``corrected_docs`` stage) are skipped via anti-join and
     the increment is appended — the resume path.
+
+    PRECONDITION: ``url`` is the document identity and must be unique —
+    the staged path's ``groupBy(url)`` reassembly would merge chunk
+    sequences of distinct rows sharing a url into one garbled document.
+    ``validate_unique_urls=True`` enforces this with a count-vs-distinct
+    check (one extra aggregation job) and raises on violation.
     """
+    if validate_unique_urls:
+        counts = pages_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("url")).alias("d"),
+        ).first()
+        if counts["n"] != counts["d"]:
+            raise ValueError(
+                f"input has {counts['n']} rows but {counts['d']} distinct urls; "
+                "url must uniquely identify a document"
+            )
+
     df = pages_df
     if cfg.check_if_valid_english:
         df = language_gate(df)
-    df = extract_text(df, use_html=use_html)
-    if cfg.apply_page_filter:
-        df = apply_page_filter(
-            df, min_chars=cfg.page_min_chars, min_words=cfg.page_min_words
-        )
 
     if store is not None and cfg.checkpointing:
         df = store.remaining(df, "corrected_docs", key="url")
 
-    df = salted_repartition(df, cfg)
+    source_col = "html" if use_html else "text"
+
+    def _prepare(branch: DataFrame) -> DataFrame:
+        out = extract_text(branch, use_html=use_html)
+        if cfg.apply_page_filter:
+            out = apply_page_filter(
+                out, min_chars=cfg.page_min_chars, min_words=cfg.page_min_words
+            )
+        return salted_repartition(out, cfg)
 
     if strategy == "fused":
-        result = _fused_correct(df, cfg)
+        result = _fused_correct(_prepare(df), cfg)
     elif strategy == "staged":
-        result = _staged_correct(df, cfg, store)
-    else:  # auto: size-routed skew handling
-        sized = df.withColumn("_len", F.length(F.coalesce("extracted_text", F.lit(""))))
-        small = sized.filter(F.col("_len") <= cfg.mega_doc_chars).drop("_len")
-        big = sized.filter(F.col("_len") > cfg.mega_doc_chars).drop("_len")
-        result = _fused_correct(small, cfg).unionByName(_staged_correct(big, cfg, store))
+        result = _staged_correct(_prepare(df), cfg, store)
+    else:
+        # auto: size-routed skew handling. Route on the SOURCE column's
+        # length so the cheap pruned scan (not the expensive extraction)
+        # is what runs once per branch — the extraction itself executes
+        # exactly once per row, inside its own branch.
+        size = F.length(F.coalesce(F.col(source_col), F.lit("").cast("binary") if use_html else F.lit("")))
+        small = df.filter(size <= cfg.mega_doc_chars)
+        big = df.filter(size > cfg.mega_doc_chars)
+        result = _fused_correct(_prepare(small), cfg).unionByName(
+            _staged_correct(_prepare(big), cfg, store)
+        )
+
+    if cfg.apply_hallucination_filter:
+        result = _apply_similarity_filter(result, cfg)
 
     if store is not None and cfg.checkpointing:
         result = store.write(

@@ -99,8 +99,10 @@ def bench_queries(spark, sf_dir: str) -> dict:
 
     out = {}
     for name, fn in entry_mod.queries().items():
+        df = fn(spark, sf_dir)
+        _noop_sink(df)  # warm-up (cache fills, shuffle files)
         t0 = time.time()
-        _noop_sink(fn(spark, sf_dir))
+        _noop_sink(df)
         out[name] = round(time.time() - t0, 3)
     return out
 

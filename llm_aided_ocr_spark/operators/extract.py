@@ -49,7 +49,54 @@ def extract_text(pages_df: DataFrame, use_html: bool = True) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PDF path (reference S1/P1/P2) — real plumbing, stubbed native render
+# P1 — image preprocessing (reference llm_aided_ocr.py:404-409), pure numpy
+# ---------------------------------------------------------------------------
+
+def otsu_threshold(gray) -> int:
+    """Otsu's method over a uint8 grayscale array — the threshold that
+    maximizes between-class variance (what cv2.THRESH_OTSU computes)."""
+    import numpy as np
+
+    hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
+    total = gray.size
+    weights = np.cumsum(hist)
+    means = np.cumsum(hist * np.arange(256))
+    mean_total = means[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        between = (mean_total * weights - means) ** 2 / (
+            weights * (total - weights)
+        )
+    between[~np.isfinite(between)] = -1
+    return int(np.argmax(between))
+
+
+def preprocess_page_image(rgb):
+    """Reference P1 (llm_aided_ocr.py:404-409) without cv2:
+
+    1. RGB → grayscale (ITU-R BT.601 weights, matching cv2.COLOR_RGB2GRAY);
+    2. binary threshold at the Otsu level (>thresh → 255 else 0);
+    3. dilate with a 1×1 kernel, 1 iteration — a structural no-op the
+       reference performs; reproduced as the identity it is (:407-408).
+
+    Accepts/returns uint8 numpy arrays so it runs vectorized inside the
+    page-render UDF once a real renderer is injected.
+    """
+    import numpy as np
+
+    arr = np.asarray(rgb)
+    if arr.ndim == 3:
+        gray = (
+            0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+        ).round().astype(np.uint8)
+    else:
+        gray = arr.astype(np.uint8)
+    thresh = otsu_threshold(gray)
+    binary = np.where(gray > thresh, np.uint8(255), np.uint8(0))
+    return binary  # 1×1 dilation == identity
+
+
+# ---------------------------------------------------------------------------
+# PDF path (reference S1/P2) — real plumbing, stubbed native render
 # ---------------------------------------------------------------------------
 
 PageRenderer = Callable[[bytes, int, Optional[int]], List[str]]

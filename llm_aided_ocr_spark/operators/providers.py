@@ -151,6 +151,98 @@ def make_local_llm_provider(transport: Optional[Transport] = None) -> Completion
 
 
 # ---------------------------------------------------------------------------
+# C1 — the two-step LLM chunk flow (reference llm_aided_ocr.py:428-510)
+# ---------------------------------------------------------------------------
+#
+# Prompt builders express the reference prompts' RULE LISTS in this repo's
+# own wording (capability parity, not byte parity — prompt text is
+# provider-tunable configuration). Rule provenance: OCR-correction rules at
+# llm_aided_ocr.py:432-463; markdown rules at :476-501.
+
+def build_ocr_correction_prompt(chunk: str, prev_context: str) -> str:
+    return (
+        "Repair OCR damage in the text below. Rules: rejoin words split "
+        "across line breaks; fix classic OCR confusions (such as 'rn' read "
+        "as 'm'); change only clear errors and never the content; add no "
+        "punctuation; keep every heading; drop line breaks inside "
+        "sentences but keep paragraph breaks; keep the text flowing from "
+        "the prior context, tolerating mid-sentence boundaries. Reply with "
+        "the repaired text only — no preamble, no commentary.\n\n"
+        f"Prior context:\n{prev_context[-500:]}\n\n"
+        f"Text to repair:\n{chunk}\n\nRepaired text:\n"
+    )
+
+
+def build_markdown_prompt(chunk: str, suppress_headers_and_page_numbers: bool) -> str:
+    header_rule = (
+        "Remove headers, footers, and page numbers; keep all other content."
+        if suppress_headers_and_page_numbers
+        else "Keep headers, footers, and page numbers, formatted as blockquotes."
+    )
+    return (
+        "Convert the text below to markdown. Rules: map headings to #/## "
+        "levels, each on its own line with blank lines around it; keep "
+        "paragraph structure; merge words split by stray hyphens (e.g. "
+        "'cor- rect' is 'correct'); format lists; apply *emphasis* and "
+        "**strong** only where the source implies it; never add or alter "
+        "punctuation or content; delete any assistant preamble lines like "
+        "'Here is the corrected text:'; delete exact or near-exact "
+        "duplicated paragraphs (first occurrence wins) while keeping "
+        "merely-similar content; "
+        + header_rule
+        + " Reply with the markdown only.\n\n"
+        f"Text to convert:\n{chunk}\n\nMarkdown:\n"
+    )
+
+
+def process_chunk_with_provider(
+    chunk: str,
+    prev_context: str,
+    provider: CompletionProvider,
+    reformat_as_markdown: bool = True,
+    suppress_headers_and_page_numbers: bool = True,
+    context_tail_chars: int = 1000,
+):
+    """The reference's per-chunk control flow (llm_aided_ocr.py:428-510):
+
+    step 1 — OCR-correction completion with ``max_tokens=len(chunk)+500``;
+    a ``None`` completion falls back to the ORIGINAL chunk (:468-470).
+    step 2 (optional) — markdown completion over step 1's output with
+    ``max_tokens=len(step1)+500``; ``None`` keeps step 1 (:503-506).
+    Returns ``(processed, new_context)`` where new_context is the last
+    1000 chars (:508).
+    """
+    corrected = provider.complete(
+        build_ocr_correction_prompt(chunk, prev_context), max_tokens=len(chunk) + 500
+    )
+    if corrected is None:
+        corrected = chunk
+    processed = corrected
+    if reformat_as_markdown:
+        md = provider.complete(
+            build_markdown_prompt(corrected, suppress_headers_and_page_numbers),
+            max_tokens=len(corrected) + 500,
+        )
+        if md is not None:
+            processed = md
+    new_context = processed[-context_tail_chars:] if processed else ""
+    return processed, new_context
+
+
+def make_llm_chunk_corrector(provider: CompletionProvider):
+    """Adapt a CompletionProvider into the sequential path's
+    ``ContextChunkCorrector`` signature (operators.correct)."""
+
+    def _correct(chunk: str, prev_context: str, md: bool, sup: bool) -> str:
+        processed, _ctx = process_chunk_with_provider(
+            chunk, prev_context, provider, md, sup
+        )
+        return processed
+
+    return _correct
+
+
+# ---------------------------------------------------------------------------
 # Executor-local resource bootstrap (S3/S4 analogue)
 # ---------------------------------------------------------------------------
 

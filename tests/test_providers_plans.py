@@ -93,6 +93,107 @@ def test_executor_local_singleton():
     assert a is b and count[0] == 1
 
 
+def test_process_chunk_two_step_flow():
+    from llm_aided_ocr_spark.operators.providers import (
+        CompletionProvider,
+        process_chunk_with_provider,
+    )
+
+    seen = []
+
+    def transport(prompt, max_tokens):
+        seen.append((prompt, max_tokens))
+        if "Repaired text" in prompt:
+            return "STEP1"
+        return "STEP2"
+
+    p = CompletionProvider("t", 100_000, transport, approx_token_count)
+    out, ctx = process_chunk_with_provider("chunk body", "prior stuff", p)
+    assert out == "STEP2"
+    assert ctx == "STEP2"
+    assert len(seen) == 2
+    assert "chunk body" in seen[0][0] and "prior stuff" in seen[0][0]
+    assert seen[0][1] < 100_000  # clamped, not the raw request
+    assert "STEP1" in seen[1][0]  # markdown step sees step-1 output
+
+
+def test_process_chunk_none_fallbacks():
+    from llm_aided_ocr_spark.operators.providers import (
+        CompletionProvider,
+        process_chunk_with_provider,
+    )
+
+    # both steps fail → original chunk survives (reference :468-470)
+    p_none = CompletionProvider("t", 100_000, lambda *_: None, approx_token_count)
+    out, _ = process_chunk_with_provider("original", "", p_none)
+    assert out == "original"
+
+    # only markdown fails → step-1 output survives (reference :503-506)
+    def t2(prompt, _mt):
+        return "FIXED" if "Repaired text" in prompt else None
+
+    p_half = CompletionProvider("t", 100_000, t2, approx_token_count)
+    out2, _ = process_chunk_with_provider("original", "", p_half)
+    assert out2 == "FIXED"
+
+    # markdown disabled → one completion only
+    calls = []
+    p_count = CompletionProvider(
+        "t", 100_000, lambda pr, mt: calls.append(1) or "X", approx_token_count
+    )
+    out3, _ = process_chunk_with_provider(
+        "original", "", p_count, reformat_as_markdown=False
+    )
+    assert out3 == "X" and len(calls) == 1
+
+
+def test_llm_corrector_plugs_into_sequential(spark):
+    from llm_aided_ocr_spark.operators.chunker import chunk_documents
+    from llm_aided_ocr_spark.operators.correct import correct_chunks_sequential
+    from llm_aided_ocr_spark.operators.providers import (
+        CompletionProvider,
+        make_llm_chunk_corrector,
+    )
+
+    def transport(prompt, _mt):
+        body = prompt.split("Text to repair:\n", 1)[-1] if "Text to repair" in prompt else None
+        if body is not None:
+            return "[LLM]" + body.rsplit("\n\nRepaired text:\n", 1)[0]
+        return None  # markdown step "fails" → step-1 kept
+
+    p = CompletionProvider("fake", 10**9, transport, approx_token_count)
+    df = spark.createDataFrame(
+        [("u", "Short doc one.")], "url string, extracted_text string"
+    )
+    rows = correct_chunks_sequential(
+        chunk_documents(df), context_provider=make_llm_chunk_corrector(p)
+    ).collect()
+    assert rows[0]["corrected"] == "[LLM]Short doc one."
+
+
+def test_preprocess_page_image_numpy():
+    import numpy as np
+
+    from llm_aided_ocr_spark.operators.extract import (
+        otsu_threshold,
+        preprocess_page_image,
+    )
+
+    # bimodal image: dark text on light background
+    rng = np.random.RandomState(0)
+    img = np.full((40, 40, 3), 220, dtype=np.uint8)
+    img[10:20, 5:30] = 30  # "text" block
+    out = preprocess_page_image(img)
+    assert out.shape == (40, 40) and out.dtype == np.uint8
+    assert set(np.unique(out)) <= {0, 255}
+    assert out[15, 10] == 0 and out[0, 0] == 255  # text black, bg white
+    # threshold sits between the modes
+    t = otsu_threshold((0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]).round().astype(np.uint8))
+    assert 30 <= t < 220
+    # grayscale input path
+    assert preprocess_page_image(np.uint8([[0, 255]])).tolist() == [[0, 255]]
+
+
 # ---------------------------------------------------------------------------
 # Sequential-context correction
 # ---------------------------------------------------------------------------

@@ -1,0 +1,54 @@
+"""Corpus sinks/readers with scale-aware layout.
+
+The reference writes two files per document (llm_aided_ocr.py:656-657,
+:666-676); at corpus scale the equivalents are partitioned tables. Output is
+hive-partitioned by crawl day (``warc_day=YYYY-MM-DD``) so downstream reads
+over a date range scan only the matching partitions — on Iceberg this maps
+to hidden partitioning ``days(warc_ts)``; on plain parquet it's an explicit
+derived column. Partition pruning is asserted in tests (PartitionFilters in
+the scan node).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_corrected_docs(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by_day: bool = True,
+    ts_col: str = "warc_ts",
+) -> None:
+    """Write the corrected-docs table, hive-partitioned by crawl day when a
+    timestamp column is available."""
+    writer = df.write.mode(mode)
+    if partition_by_day and ts_col in df.columns:
+        out = df.withColumn(
+            "warc_day", F.date_format(F.col(ts_col), "yyyy-MM-dd")
+        )
+        out.write.mode(mode).partitionBy("warc_day").parquet(path)
+        return
+    writer.parquet(path)
+
+
+def read_corrected_docs(
+    spark: SparkSession,
+    path: str,
+    day: str | None = None,
+    day_from: str | None = None,
+    day_to: str | None = None,
+) -> DataFrame:
+    """Read the corrected-docs table; day filters become partition-pruning
+    predicates (PartitionFilters on the scan — only matching directories
+    are listed and read)."""
+    df = spark.read.parquet(path)
+    if day is not None:
+        df = df.filter(F.col("warc_day") == day)
+    if day_from is not None:
+        df = df.filter(F.col("warc_day") >= day_from)
+    if day_to is not None:
+        df = df.filter(F.col("warc_day") <= day_to)
+    return df

@@ -276,6 +276,19 @@ def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed corpus counters (the lineage/metrics surface applied
+    to an event stream): per event_type per hour — row counts + value
+    sums."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum_r"),
+    )
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (content hash + winnowed min-gram anchor);
     n_grams is the SQL-checkable projection."""
@@ -307,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "fingerprints": _q_fingerprints,
+        "events_counters": _q_events_counters,
     }
 
 
@@ -492,6 +506,11 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_counts": _LANG_ID_SQL,
         "quality_features": _QUALITY_FEATURES_SQL,
         "quality_score": _build_quality_score_sql(),
+        "events_counters": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour_ts, "
+            "COUNT(*) AS n_events, round(SUM(value), 6) AS value_sum_r "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
             "FROM embeddings WHERE vec_id < 3), "

@@ -59,11 +59,12 @@ def otsu_threshold(gray) -> int:
 
     hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
     total = gray.size
-    weights = np.cumsum(hist)
-    means = np.cumsum(hist * np.arange(256))
-    mean_total = means[-1]
+    weights = np.cumsum(hist)            # W_b(t): background pixel count
+    sums = np.cumsum(hist * np.arange(256))  # S_b(t): background intensity sum
+    total_sum = sums[-1]
+    # between-class variance ∝ (S_total·W_b − S_b·total)² / (W_b·(total−W_b))
     with np.errstate(divide="ignore", invalid="ignore"):
-        between = (mean_total * weights - means) ** 2 / (
+        between = (total_sum * weights - sums * total) ** 2 / (
             weights * (total - weights)
         )
     between[~np.isfinite(between)] = -1

@@ -160,6 +160,9 @@ def make_local_llm_provider(transport: Optional[Transport] = None) -> Completion
 # llm_aided_ocr.py:432-463; markdown rules at :476-501.
 
 def build_ocr_correction_prompt(chunk: str, prev_context: str) -> str:
+    # NOTE the 500/1000 asymmetry is reference-faithful: the flow CARRIES a
+    # 1000-char context tail (llm_aided_ocr.py:508) but the prompt embeds
+    # only its last 500 chars (:457).
     return (
         "Repair OCR damage in the text below. Rules: rejoin words split "
         "across line breaks; fix classic OCR confusions (such as 'rn' read "

@@ -140,6 +140,46 @@ def lsh_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 7,
+    max_bucket_size: int | None = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets
+    generate candidates (same-bucket only — never an all-pairs join), then
+    exact native cosine verifies against ``threshold``. The dedup analogue
+    of minhash-LSH for the embedding modality; ``max_bucket_size`` guards
+    degenerate buckets exactly as in operators.dedup."""
+    sk = hyperplane_sketch(vectors, dim, num_planes, seed, vec_col)
+    buckets = sk.select(id_col, vec_col, "bucket")
+    if max_bucket_size is not None:
+        small = (
+            buckets.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket_size)
+            .select("bucket")
+        )
+        buckets = buckets.join(small, on="bucket", how="left_semi")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF coarse quantizer
 # ---------------------------------------------------------------------------

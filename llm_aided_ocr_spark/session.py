@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic timestamp semantics regardless of host timezone
+        # (date_trunc/date_format and oracle comparisons pin to UTC).
+        .config("spark.sql.session.timeZone", "UTC")
         # Arrow exchange for every pandas UDF stage; small batches so a
         # batch of mega-documents cannot blow executor memory.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -24,14 +24,12 @@ def write_corrected_docs(
 ) -> None:
     """Write the corrected-docs table, hive-partitioned by crawl day when a
     timestamp column is available."""
-    writer = df.write.mode(mode)
     if partition_by_day and ts_col in df.columns:
-        out = df.withColumn(
+        df.withColumn(
             "warc_day", F.date_format(F.col(ts_col), "yyyy-MM-dd")
-        )
-        out.write.mode(mode).partitionBy("warc_day").parquet(path)
-        return
-    writer.parquet(path)
+        ).write.mode(mode).partitionBy("warc_day").parquet(path)
+    else:
+        df.write.mode(mode).parquet(path)
 
 
 def read_corrected_docs(
@@ -45,6 +43,12 @@ def read_corrected_docs(
     predicates (PartitionFilters on the scan — only matching directories
     are listed and read)."""
     df = spark.read.parquet(path)
+    if (day or day_from or day_to) and "warc_day" not in df.columns:
+        raise ValueError(
+            f"table at {path} is not day-partitioned (no warc_day column); "
+            "write it with write_corrected_docs(partition_by_day=True) and a "
+            "timestamp column to enable day filters"
+        )
     if day is not None:
         df = df.filter(F.col("warc_day") == day)
     if day_from is not None:

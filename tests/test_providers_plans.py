@@ -194,6 +194,41 @@ def test_preprocess_page_image_numpy():
     assert preprocess_page_image(np.uint8([[0, 255]])).tolist() == [[0, 255]]
 
 
+def test_otsu_matches_reference_on_noisy_bimodal():
+    """Compare against a direct exhaustive-search Otsu on realistic noisy
+    images (guards the variance formula, not just delta-mode edge cases)."""
+    import numpy as np
+
+    from llm_aided_ocr_spark.operators.extract import otsu_threshold
+
+    def otsu_direct(gray):
+        hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
+        total = gray.size
+        best_t, best_v = 0, -1.0
+        for t in range(256):
+            w_b = hist[: t + 1].sum()
+            w_f = total - w_b
+            if w_b == 0 or w_f == 0:
+                continue
+            mu_b = (hist[: t + 1] * np.arange(t + 1)).sum() / w_b
+            mu_f = (hist[t + 1:] * np.arange(t + 1, 256)).sum() / w_f
+            v = w_b * w_f * (mu_b - mu_f) ** 2
+            if v > best_v:
+                best_v, best_t = v, t
+        return best_t
+
+    rng = np.random.RandomState(1)
+    for _ in range(20):
+        text = rng.normal(40, 12, size=800)
+        bg = rng.normal(200, 15, size=3200)
+        gray = np.clip(np.concatenate([text, bg]), 0, 255).astype(np.uint8)
+        gray = gray.reshape(40, 100)
+        got = otsu_threshold(gray)
+        want = otsu_direct(gray)
+        assert got == want, (got, want)
+        assert 40 < got < 200  # threshold separates the modes
+
+
 # ---------------------------------------------------------------------------
 # Sequential-context correction
 # ---------------------------------------------------------------------------

@@ -100,6 +100,29 @@ def test_ivf_topk(spark, vectors, queries_df):
         assert rows[0][1] == qid  # query's own cell contains it
 
 
+def test_embedding_near_dup_pairs(spark):
+    from llm_aided_ocr_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=12)
+    near = base + rng.normal(scale=0.01, size=12)   # cosine ~1
+    other = rng.normal(size=12)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base]),    # exact dup
+        (2, [float(x) for x in near]),    # near dup
+        (3, [float(x) for x in other]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(df, dim=12, threshold=0.95).collect()
+    }
+    assert math.isclose(pairs[(0, 1)], 1.0, abs_tol=1e-9)
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.99
+    assert not any(3 in p for p in pairs)
+
+
 def test_cosine_col_zero_norm(spark):
     from llm_aided_ocr_spark.operators.similarity import cosine_col
 

@@ -234,11 +234,18 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (rows-only: shingle inverted
-    index with xxhash64 keys)."""
+    """Exact n-gram Jaccard near-dup pairs. The hot-shingle DF cap is
+    passed explicitly (and is also the operator default) so the shingle
+    self-join stays linear at corpus scale. Oracle: DuckDB computes the
+    identical Jaccard over distinct word-3-gram STRINGS (the xxhash64 keys
+    are an internal shuffle-payload optimization; Jaccard over distinct
+    hashes == Jaccard over distinct shingles barring 64-bit collisions)."""
     from llm_aided_ocr_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+    out = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.8, max_shingle_df=1000
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
 
 
 def _q_exact_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,6 +451,42 @@ FROM r
 """
 
 
+# Mirrors operators.dedup._normalize_col exactly (lower → non-alnum→space →
+# trim → collapse whitespace), so DuckDB shingles == Spark shingles.
+_NORM_TEXT_SQL = (
+    "regexp_replace(trim(regexp_replace(lower(coalesce(text,'')), "
+    "'[^a-z0-9\\s]', ' ', 'g')), '\\s+', ' ', 'g')"
+)
+
+
+def _build_ngram_jaccard_sql(n: int = 3, threshold: float = 0.8, max_df: int = 1000) -> str:
+    """Exact word-n-gram Jaccard in DuckDB over shingle STRINGS — the
+    portable equivalent of operators.dedup.ngram_jaccard_pairs (which keys
+    the inverted index on xxhash64 for shuffle economy; the Jaccard value
+    is identical barring 64-bit hash collisions). The document-frequency
+    cap is applied on the same shingle space as the Spark side."""
+    gram = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+    return f"""
+WITH norm AS (
+  SELECT doc_id AS id, {_NORM_TEXT_SQL} AS nt FROM documents),
+sh AS (
+  SELECT id, unnest(list_distinct(
+    [{gram} for i in range(1, greatest(len(words)-{n - 1}, 0)+1)])) AS shingle
+  FROM (SELECT id, string_split(nt, ' ') AS words FROM norm)),
+e AS (
+  SELECT id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {max_df})),
+sz AS (SELECT id, COUNT(*) AS sz FROM e GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard_r
+FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {threshold}
+"""
+
+
 _LANG_ID_SQL = None  # built lazily in oracle_sql()
 _QUALITY_FEATURES_SQL = None
 
@@ -460,7 +503,10 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE length(coalesce(text,'')) >= 10 AND ({_WORD_COUNT_SQL}) >= 5"
         ),
         "lang_gate_counts": (
-            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
+            # CAST: DuckDB SUM(BIGINT) yields HUGEINT, Spark sum yields
+            # BIGINT — identical values hash differently without the cast.
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang"
         ),
         "token_estimates": (
@@ -524,9 +570,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, round(cosine, 6) AS cosine_r, rank "
             "FROM ranked WHERE rank <= 10"
         ),
+        "ngram_jaccard": _build_ngram_jaccard_sql(n=3, threshold=0.8, max_df=1000),
         # pipeline_e2e, hallucination_filter: document-local Python kernels
         # (chunker quirks / difflib) — intentionally no SQL oracle; the
         # driver records the rows-only check and tests/ carry byte parity.
-        # minhash_pairs, simhash_pairs, ngram_jaccard, fingerprints: keyed
-        # on xxhash64 / hash permutations not portable to DuckDB → rows-only.
     }

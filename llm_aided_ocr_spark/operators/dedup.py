@@ -96,7 +96,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold, via a shingle
     inverted index: join on shingle → per-pair intersection counts → sizes.
@@ -105,9 +105,10 @@ def ngram_jaccard_pairs(
     cap) drops shingles present in more than that many documents before the
     pair join — the standard guard against hot-shingle quadratic blowup at
     corpus scale (a stopword-ish shingle shared by 10^9 docs would
-    otherwise produce 10^18 candidate pairs). ``None`` = exact semantics.
-    Sizes are computed on the SAME (capped) shingle space so the Jaccard
-    stays internally consistent."""
+    otherwise produce 10^18 candidate pairs). The cap is ON by default
+    (1000) so the quadratic path is unreachable unless explicitly opted
+    into with ``None`` (exact mode). Sizes are computed on the SAME
+    (capped) shingle space so the Jaccard stays internally consistent."""
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
     if max_shingle_df is not None:
         rare = (

@@ -53,6 +53,32 @@ def test_ngram_jaccard_pairs(spark, corpus):
     assert not any({a, b} == {0, 3} for a, b in pairs)
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A shingle shared by every doc must not make the pair join quadratic:
+    with the DF cap on (the default), the hot shingle is dropped before the
+    self-join so unrelated docs never meet."""
+    import inspect
+
+    from llm_aided_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    # the cap must be on by default — the uncapped quadratic path should be
+    # reachable only by explicit opt-in (max_shingle_df=None)
+    default = inspect.signature(ngram_jaccard_pairs).parameters["max_shingle_df"].default
+    assert default is not None and default <= 10_000
+
+    hot = "alpha beta gamma"  # one 3-gram shared by ALL docs
+    rows = [(i, f"{hot} unique{i} filler{i} token{i} word{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_shingle_df=5)
+    # hot shingle dropped -> docs share nothing -> no pairs at all
+    assert capped.count() == 0
+
+    # uncapped exact mode still sees all 30*29/2 pairs through the hot shingle
+    exact = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_shingle_df=None)
+    assert exact.count() == 30 * 29 // 2
+
+
 def test_minhash_lsh_finds_near_dups(spark, corpus):
     from llm_aided_ocr_spark.operators.dedup import minhash_dedup_pairs
 

@@ -297,11 +297,13 @@ def _q_events_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting (content hash + winnowed min-gram anchor);
-    n_grams is the SQL-checkable projection."""
-    from llm_aided_ocr_spark.operators.textstats import fingerprints
+    """Winnowing fingerprints (MOSS scheme) summarized per document with
+    portable columns — md5-derived 52-bit word hashes, rotation-XOR gram
+    combine, per-window minima — so the DuckDB oracle reproduces every
+    value exactly."""
+    from llm_aided_ocr_spark.operators.textstats import fingerprint_summary
 
-    return fingerprints(_docs(spark, sf_dir))
+    return fingerprint_summary(_docs(spark, sf_dir), window=8, winnow=4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -487,6 +489,54 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {threshold}
 """
 
 
+def _build_fingerprints_sql(window: int = 8, winnow: int = 4) -> str:
+    """Portable winnowing fingerprints in DuckDB, mirroring
+    operators.textstats.fingerprint_summary exactly: 52-bit md5-derived
+    word hashes, statically-unrolled rotation-XOR gram combine, window
+    minima, distinct set, order-insensitive digests. All arithmetic stays
+    in non-negative BIGINT (DuckDB overflow-checks; 52-bit values shifted
+    by < 12 never reach 2^63)."""
+    mask = (1 << 52) - 1
+
+    def rot(x: str, j: int) -> str:
+        if j == 0:
+            return x
+        return f"((({x}) << {j}) | (({x}) >> {52 - j})) & {mask}"
+
+    gram = rot("whs[i]", 0)
+    for j in range(1, window):
+        gram = f"xor({gram}, {rot(f'whs[i+{j}]', j)})"
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(coalesce(text,''))), '\\s+', ' ', 'g') AS nt
+  FROM documents),
+wh AS (
+  SELECT doc_id, nt,
+         list_transform(string_split(nt, ' '),
+           w -> CAST('0x' || substring(md5(w),1,13) AS BIGINT)) AS whs
+  FROM norm),
+gr AS (
+  SELECT doc_id, nt, greatest(len(whs) - {window - 1}, 0) AS n_grams,
+         [{gram} for i in range(1, greatest(len(whs) - {window - 1}, 0) + 1)] AS grams
+  FROM wh),
+win AS (
+  SELECT doc_id, nt, n_grams,
+         CASE WHEN len(grams) > 0 THEN
+           list_distinct([list_min(grams[i:i+{winnow - 1}])
+                          for i in range(1, greatest(len(grams) - {winnow - 1}, 1) + 1)])
+         ELSE []::BIGINT[] END AS fps
+  FROM gr)
+SELECT doc_id,
+       CAST('0x' || substring(md5(nt),1,15) AS BIGINT) AS content_hash,
+       CAST(n_grams AS INTEGER) AS n_grams,
+       CAST(len(fps) AS INTEGER) AS n_fp,
+       CAST(coalesce(list_min(fps), 0) AS BIGINT) AS fp_min,
+       CAST(coalesce(list_aggregate(fps, 'bit_xor'), 0) AS BIGINT) AS fp_xor
+FROM win
+"""
+
+
 _LANG_ID_SQL = None  # built lazily in oracle_sql()
 _QUALITY_FEATURES_SQL = None
 
@@ -571,6 +621,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked WHERE rank <= 10"
         ),
         "ngram_jaccard": _build_ngram_jaccard_sql(n=3, threshold=0.8, max_df=1000),
+        "fingerprints": _build_fingerprints_sql(window=8, winnow=4),
         # pipeline_e2e, hallucination_filter: document-local Python kernels
         # (chunker quirks / difflib) — intentionally no SQL oracle; the
         # driver records the rows-only check and tests/ carry byte parity.

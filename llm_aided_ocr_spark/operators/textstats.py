@@ -131,34 +131,167 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 # ---------------------------------------------------------------------------
-# Document fingerprinting — content hash + winnowed rolling hashes
+# Document fingerprinting — winnowed gram hashes (MOSS-style)
 # ---------------------------------------------------------------------------
+#
+# Portable 52-bit hash domain: word_hash = first 13 hex digits of md5(word)
+# parsed as an integer. 52 bits keeps every intermediate (<< window) inside
+# a non-negative signed 64-bit value, so the identical arithmetic runs in
+# Spark (JVM longs), numpy int64, and DuckDB BIGINT (which overflow-checks
+# rather than wrapping) — that is what makes the driver's DuckDB oracle
+# able to reproduce the fingerprints bit-for-bit.
+
+_FP_BITS = 52
+_FP_MASK = (1 << _FP_BITS) - 1
+
+
+def _let(expr: Column, fn) -> Column:
+    """Bind ``expr`` to a lambda variable so ``fn`` can reference it many
+    times with ONE evaluation (transform over a 1-element array; lambda
+    variables are evaluated once per element, and unlike a projected alias
+    the binding cannot be inlined-per-reference by CollapseProject)."""
+    return F.get(F.transform(F.array(expr), fn), 0)
+
+
+def _word_hash(word: Column) -> Column:
+    return F.conv(F.substring(F.md5(word), 1, 13), 16, 10).cast("bigint")
+
+
+def _rot(x: Column, j: int) -> Column:
+    """Rotate left by j within the 52-bit domain (j < 52)."""
+    if j == 0:
+        return x
+    return (
+        F.shiftleft(x, j).bitwiseOR(F.shiftright(x, _FP_BITS - j))
+    ).bitwiseAND(F.lit(_FP_MASK))
+
 
 def fingerprints(
     df: DataFrame,
     window: int = 8,
+    winnow: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """``(id, content_hash, n_grams, min_gram_hash)`` — full-content
-    xxhash64 plus a winnowing-style summary over word 8-gram rolling
-    hashes (min hash of the gram set = the document's stable anchor),
-    native via transform/sequence."""
+    """``(id, content_hash, n_grams, fps: array<bigint>)`` — per-document
+    winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS scheme):
+
+    1. word-``window``-gram rolling hashes: gram_i = XOR of the j-rotated
+       word hashes (rotation makes the combiner position-sensitive while
+       staying O(1) per step and XOR-composable),
+    2. true winnowing: the minimum gram hash in every ``winnow``-wide
+       sliding window; the distinct minima are the document's fingerprint
+       set (expected density 2/(winnow+1), guaranteed to share a
+       fingerprint with any document that has a matching run of
+       window+winnow-1 words).
+
+    Fully native (one JVM projection, no Python exchange, no shuffle);
+    rotations are statically unrolled so the plan is a flat expression
+    over longs. Documents shorter than ``window`` words yield an empty
+    fingerprint set."""
     t = F.regexp_replace(
         F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
     )
-    words = F.split(t, " ")
-    n_gr = F.greatest(F.size(words) - F.lit(window - 1), F.lit(0))
-    gram_hashes = F.when(
-        n_gr > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_gr - 1),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+
+    def _fps(whs: Column) -> Column:
+        n_gr = F.greatest(F.size(whs) - F.lit(window - 1), F.lit(0))
+        grams = F.when(
+            n_gr > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_gr - 1),
+                lambda i: _xor_all(
+                    [_rot(F.get(whs, i + j), j) for j in range(window)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+        def _winnowed(grams_b: Column) -> Column:
+            n_win = F.greatest(F.size(grams_b) - F.lit(winnow - 1), F.lit(1))
+            wins = F.when(
+                F.size(grams_b) > 0,
+                F.transform(
+                    F.sequence(F.lit(1), n_win),
+                    lambda i: F.array_min(F.slice(grams_b, i, winnow)),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+            return F.array_distinct(wins)
+
+        return F.struct(
+            n_gr.alias("n_grams"), _let(grams, _winnowed).alias("fps")
+        )
+
+    word_hashes = F.transform(F.split(t, " "), _word_hash)
+    res = _let(word_hashes, _fps)
     return df.select(
         F.col(id_col),
-        F.xxhash64(t).alias("content_hash"),
-        n_gr.alias("n_grams"),
-        F.coalesce(F.array_min(gram_hashes), F.lit(0)).alias("min_gram_hash"),
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("content_hash"),
+        res["n_grams"].alias("n_grams"),
+        res["fps"].alias("fps"),
+    )
+
+
+def _xor_all(cols: list) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out.bitwiseXOR(c)
+    return out
+
+
+def fingerprint_summary(
+    df: DataFrame,
+    window: int = 8,
+    winnow: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Order-insensitive per-document digest of the fingerprint set —
+    ``(id, content_hash, n_grams, n_fp, fp_min, fp_xor)`` — every column
+    reproducible in portable SQL (the driver's DuckDB oracle)."""
+    fp = fingerprints(df, window=window, winnow=winnow, text_col=text_col, id_col=id_col)
+    return fp.select(
+        F.col(id_col),
+        "content_hash",
+        "n_grams",
+        F.size("fps").alias("n_fp"),
+        F.coalesce(F.array_min("fps"), F.lit(0)).alias("fp_min"),
+        F.coalesce(
+            F.aggregate("fps", F.lit(0).cast("bigint"), lambda a, x: a.bitwiseXOR(x)),
+            F.lit(0),
+        ).alias("fp_xor"),
+    )
+
+
+def fingerprint_matches(
+    df: DataFrame,
+    window: int = 8,
+    winnow: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_df: int | None = 1000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    the MOSS-style overlap detector, as an inverted-index join on the
+    fingerprint (same shape as the shingle join in dedup: bucket first,
+    never all-pairs; ``max_fp_df`` drops corpus-hot fingerprints before
+    the self-join)."""
+    fp = fingerprints(df, window=window, winnow=winnow, text_col=text_col, id_col=id_col)
+    e = fp.select(F.col(id_col).alias("id"), F.explode("fps").alias("fp"))
+    if max_fp_df is not None:
+        rare = (
+            e.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_fp_df)
+            .select("fp")
+        )
+        e = e.join(rare, on="fp", how="left_semi")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
     )

@@ -66,17 +66,73 @@ def test_token_counts(spark, docs):
     assert got[0]["bpe_ish_tokens"] == 17  # 16 words + final period
 
 
+def _winnow_reference(text, window=8, winnow=4):
+    """Pure-Python reference of the winnowing scheme (md5 52-bit word
+    hashes, rotate-XOR gram combine, per-window minima, distinct set)."""
+    import hashlib
+    import re
+
+    mask = (1 << 52) - 1
+    nt = re.sub(r"\s+", " ", (text or "").lower().strip())
+    whs = [
+        int(hashlib.md5(w.encode()).hexdigest()[:13], 16) for w in nt.split(" ")
+    ]
+    n_grams = max(len(whs) - window + 1, 0)
+
+    def rot(x, j):
+        return ((x << j) | (x >> (52 - j))) & mask if j else x
+
+    grams = [
+        __import__("functools").reduce(
+            lambda a, b: a ^ b, (rot(whs[i + j], j) for j in range(window))
+        )
+        for i in range(n_grams)
+    ]
+    fps = []
+    if grams:
+        for i in range(max(len(grams) - winnow + 1, 1)):
+            m = min(grams[i : i + winnow])
+            if m not in fps:
+                fps.append(m)
+    return n_grams, fps
+
+
 def test_fingerprints(spark, docs):
-    from llm_aided_ocr_spark.operators.dedup import exact_dedup  # noqa: F401
     from llm_aided_ocr_spark.operators.textstats import fingerprints
 
-    fp = {r["doc_id"]: r.asDict() for r in fingerprints(docs).collect()}
-    assert fp[4]["content_hash"] == fp[5]["content_hash"]  # ''==coalesced null
-    assert fp[0]["n_grams"] == 16 - 8 + 1
-    assert fp[3]["n_grams"] == 0 and fp[3]["min_gram_hash"] == 0
+    rows = {r["doc_id"]: r.asDict() for r in fingerprints(docs).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert rows[4]["content_hash"] == rows[5]["content_hash"]  # ''==coalesced null
+    assert rows[0]["n_grams"] == 16 - 8 + 1
+    assert rows[3]["n_grams"] == 0 and rows[3]["fps"] == []
+    # exact agreement with the pure-Python winnowing reference
+    for did, r in rows.items():
+        n_grams, fps = _winnow_reference(texts[did])
+        assert r["n_grams"] == n_grams, did
+        assert sorted(r["fps"]) == sorted(fps), did
     # determinism across partitioning
-    fp2 = {r["doc_id"]: r.asDict() for r in fingerprints(docs.repartition(5)).collect()}
-    assert fp == fp2
+    rows2 = {r["doc_id"]: r.asDict() for r in fingerprints(docs.repartition(5)).collect()}
+    assert rows == rows2
+
+
+def test_fingerprint_matches_detects_shared_run(spark):
+    """Two documents sharing a long run of words must share a winnowing
+    fingerprint (guarantee: any common run of window+winnow-1 words)."""
+    from llm_aided_ocr_spark.operators.textstats import fingerprint_matches
+
+    shared = " ".join(f"common{i}" for i in range(20))
+    rows = [
+        (0, shared + " tail zero only here"),
+        (1, "head one prefix " + shared),
+        (2, "totally different words " + " ".join(f"x{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in fingerprint_matches(df, min_shared=1).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
 
 
 def test_media_metadata_and_decode(spark):

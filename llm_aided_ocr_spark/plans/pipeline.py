@@ -219,13 +219,24 @@ def run_pipeline(
     elif strategy == "staged":
         result = _staged_correct(_prepare(df), cfg, store)
     else:
-        # auto: size-routed skew handling. Route on the SOURCE column's
-        # length so the cheap pruned scan (not the expensive extraction)
-        # is what runs once per branch — the extraction itself executes
-        # exactly once per row, inside its own branch.
+        # auto: size-routed skew handling from ONE source scan. The two
+        # branches are two consumers of the same relation; filtering the
+        # raw source twice would read every text byte from parquet twice
+        # (the length predicate cannot push down to the scan). Instead:
+        # prune to exactly the columns the pipeline consumes and persist
+        # that routed relation — the parquet source is scanned once to
+        # populate the cache and both branches filter the cached copy
+        # (MEMORY_AND_DISK: partitions spill to executor-local disk at
+        # 100 TB, which beats a second remote scan; the ContextCleaner
+        # releases the blocks when the plan is garbage-collected).
+        from pyspark import StorageLevel
+
+        routed = df.select("url", "warc_ts", "lang", source_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         size = F.length(F.coalesce(F.col(source_col), F.lit("").cast("binary") if use_html else F.lit("")))
-        small = df.filter(size <= cfg.mega_doc_chars)
-        big = df.filter(size > cfg.mega_doc_chars)
+        small = routed.filter(size <= cfg.mega_doc_chars)
+        big = routed.filter(size > cfg.mega_doc_chars)
         result = _fused_correct(_prepare(small), cfg).unionByName(
             _staged_correct(_prepare(big), cfg, store)
         )

@@ -313,3 +313,25 @@ def test_column_pruning_reaches_scan(spark):
     plan = _plan(e.queries()["lang_gate_counts"](spark, "/root/testdata/sf0.001"))
     # only lang + n_chars must be read, not text
     assert "text" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_auto_strategy_scans_source_once(spark):
+    """The auto (size-routed) strategy must not pay a second parquet scan
+    of the source text for the mega-doc branch: the routed relation is
+    persisted, so both branches read the in-memory copy and exactly one
+    FileScan of the source appears in the plan."""
+    import __spark_entry__ as e
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+
+    pages = e._docs_as_pages(spark, "/root/testdata/sf0.001")
+    cfg = PipelineConfig(provider="identity", apply_hallucination_filter=False)
+    plan = _plan(run_pipeline(pages, cfg, strategy="auto"))
+    # all consumers read the cached routed relation: fused branch (1) plus
+    # the staged branch's chunk path and raw-text join side (2) ...
+    assert plan.count("InMemoryTableScan") == 3, plan
+    # ... and every FileScan in the printed plan is the cached relation's
+    # lineage (explain repeats it under each InMemoryTableScan); a direct
+    # uncached scan per branch would show FileScans without relations.
+    assert plan.count("FileScan parquet") == plan.count("InMemoryRelation"), plan
+    spark.catalog.clearCache()

@@ -14,8 +14,10 @@ commit — on plain parquet. The reference's analogue is its two output files
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass
 from typing import List, Optional
@@ -35,8 +37,16 @@ class CheckpointStore:
     def _lineage_dir(self) -> str:
         return os.path.join(self.warehouse_dir, "_lineage")
 
+    def _committed_increments(self, stage: str) -> List[str]:
+        """Increment directories with a ``_SUCCESS`` marker — the committed
+        set; a crashed half-written increment is invisible to readers."""
+        return sorted(
+            os.path.dirname(p)
+            for p in glob.glob(os.path.join(self.stage_path(stage), "inc_*", "_SUCCESS"))
+        )
+
     def exists(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self.stage_path(stage), "_SUCCESS"))
+        return bool(self._committed_increments(stage))
 
     # -- commit -----------------------------------------------------------
 
@@ -50,20 +60,27 @@ class CheckpointStore:
     ) -> DataFrame:
         """Commit a stage increment and record lineage counters.
 
-        Counters are computed per physical partition (``spark_partition_id``)
-        over the committed table — rows per partition, bytes of
-        ``counted_col`` — and appended to the lineage log.
+        Every commit lands in its own ``inc_<run>_<ts>`` subdirectory, so
+        lineage counters are computed over THIS increment only (rows and
+        ``counted_col`` bytes per file partition) — O(increment), never
+        O(history); the cumulative ``total_rows`` comes from summing the
+        lineage log, not from rescanning the table.
 
         ``return_committed=True`` returns the re-read FULL stage table
         (history + this increment) — right for terminal stages where the
-        caller wants the cumulative result. Pass ``False`` for
-        mid-pipeline stages on the resume path: downstream must continue
-        from THIS increment only, or history would be reprocessed and
-        appended again (duplicating rows in later checkpoints).
+        caller wants the cumulative result. With ``False`` the re-read
+        INCREMENT is returned, so downstream stages read the just-written
+        parquet instead of recomputing the increment's upstream plan, and
+        history is never reprocessed on resume.
         """
-        df.write.mode(mode).parquet(self.stage_path(stage))
         spark = df.sparkSession
-        committed = spark.read.parquet(self.stage_path(stage))
+        if mode == "overwrite" and os.path.exists(self.stage_path(stage)):
+            shutil.rmtree(self.stage_path(stage))
+        inc_path = os.path.join(
+            self.stage_path(stage), f"inc_{self.run_id}_{time.time_ns()}"
+        )
+        df.write.mode("errorifexists").parquet(inc_path)
+        increment = spark.read.parquet(inc_path)
 
         agg_cols = [F.count(F.lit(1)).alias("rows")]
         if counted_col is not None:
@@ -71,28 +88,43 @@ class CheckpointStore:
                 F.sum(F.length(F.col(counted_col))).cast("long").alias("payload_chars")
             )
         counters = (
-            committed.groupBy(F.spark_partition_id().alias("partition_id"))
+            increment.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(*agg_cols)
             .collect()
         )
+        inc_rows = int(sum(r["rows"] for r in counters))
+        prev_rows = 0
+        for r in self.lineage_records():
+            if r["stage"] != stage:
+                continue
+            if r.get("mode") == "overwrite":  # history was cleared then
+                prev_rows = 0
+            prev_rows += r.get("increment_rows", r.get("total_rows", 0))
+        if mode == "overwrite":  # this commit replaced all history
+            prev_rows = 0
         record = {
             "run_id": self.run_id,
             "stage": stage,
             "ts": time.time(),
             "mode": mode,
-            "total_rows": int(sum(r["rows"] for r in counters)),
+            "commit": os.path.basename(inc_path),
+            "increment_rows": inc_rows,
+            "total_rows": prev_rows + inc_rows,
             "partitions": [r.asDict() for r in counters],
         }
         os.makedirs(self._lineage_dir(), exist_ok=True)
         log_path = os.path.join(self._lineage_dir(), "lineage.jsonl")
         with open(log_path, "a", encoding="utf-8") as f:
             f.write(json.dumps(record) + "\n")
-        return committed if return_committed else df
+        return self.read(spark, stage) if return_committed else increment
 
     # -- read / resume ----------------------------------------------------
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.read.parquet(self.stage_path(stage))
+        incs = self._committed_increments(stage)
+        if not incs:
+            raise FileNotFoundError(f"stage '{stage}' has no committed increments")
+        return spark.read.parquet(*incs)
 
     def remaining(
         self, input_df: DataFrame, stage: str, key: str = "url"

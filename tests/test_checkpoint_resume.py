@@ -44,6 +44,10 @@ def test_resume_skips_completed_documents(spark):
         # Second increment appended only the remaining 10 rows on top of 10.
         assert recs[0]["total_rows"] == 10
         assert recs[1]["total_rows"] == 20
+        # Lineage counters are per-increment (O(increment), not O(history)):
+        assert recs[0]["increment_rows"] == 10
+        assert recs[1]["increment_rows"] == 10
+        assert sum(p["rows"] for p in recs[1]["partitions"]) == 10
 
         # Third run: nothing left to do; checkpoint unchanged.
         r3 = run_pipeline(full, cfg, store=store, strategy="fused")
@@ -71,6 +75,35 @@ def test_staged_checkpoints_and_resume(spark):
         )
         want = {r["url"]: r["corrected_text"] for r in single.collect()}
         assert got == want
+
+
+def test_mid_pipeline_checkpoint_reads_back_parquet(spark):
+    """With return_committed=False the returned plan must READ the
+    just-written increment, not recompute its upstream — otherwise every
+    checkpointed mid-pipeline stage executes twice."""
+    import io
+    from contextlib import redirect_stdout
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = CheckpointStore(tmp, run_id="t4")
+        df = pages_dataframe(spark, n_rows=8, include_golden=False)
+        out = store.write(
+            df.select("url", "text"), "mid", counted_col="text",
+            return_committed=False,
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain()
+        plan = buf.getvalue()
+        assert "Scan parquet" in plan or "FileScan parquet" in plan, plan
+        assert "Range" not in plan, "upstream plan leaked into the checkpoint read"
+        assert out.count() == 8
+
+        # overwrite resets cumulative lineage totals
+        store.write(df.select("url", "text").limit(3), "mid", mode="overwrite")
+        recs = [r for r in store.lineage_records() if r["stage"] == "mid"]
+        assert recs[-1]["total_rows"] == 3
+        assert store.read(spark, "mid").count() == 3
 
 
 def test_resume_byte_identity_vs_single_run(spark):

@@ -14,6 +14,7 @@ singleton: one initialization per Python worker, no cross-node lock needed.
 
 from __future__ import annotations
 
+import os
 import threading
 from dataclasses import dataclass
 from typing import Callable, Dict, Optional
@@ -142,11 +143,89 @@ def make_openai_provider(transport: Optional[Transport] = None) -> CompletionPro
     )
 
 
-def make_local_llm_provider(transport: Optional[Transport] = None) -> CompletionProvider:
-    return CompletionProvider(
+# -- C6: local provider — grammar-constrained decoding + escape postprocess
+
+GrammarTransport = Callable[[str, int, Optional[object]], Optional[str]]
+"""(prompt, max_tokens, grammar-or-None) -> completion text or None."""
+
+
+def select_grammar_file(grammar_file_string: str, grammar_dir: str = "./grammar_files") -> str:
+    """Reference grammar selection (llm_aided_ocr.py:373-380): among
+    ``*.gbnf`` files in ``grammar_dir``, those whose basename contains the
+    lowercased selector; the NEWEST by mtime wins. ``FileNotFoundError``
+    when nothing matches, like the reference."""
+    import glob as _glob
+    import os
+
+    key = grammar_file_string.lower()
+    candidates = _glob.glob(os.path.join(grammar_dir, "*.gbnf"))
+    matching = [
+        x
+        for x in candidates
+        if key in os.path.splitext(os.path.basename(x).lower())[0]
+    ]
+    if not matching:
+        raise FileNotFoundError(
+            f"no grammar file matching {grammar_file_string!r} in {grammar_dir}"
+        )
+    return max(matching, key=os.path.getmtime)
+
+
+def _read_grammar(path: str) -> str:
+    with open(path, encoding="utf-8") as f:
+        return f.read()
+
+
+@dataclass
+class LocalCompletionProvider(CompletionProvider):
+    """C6 — the local-model provider's extra contract on top of the shared
+    budget algebra (reference llm_aided_ocr.py:340-399):
+
+    * grammar-constrained decoding: when ``grammar_file_string`` is set,
+      the matching newest-mtime GBNF file is selected and handed (via
+      ``grammar_loader`` — injectable; the SDK's ``LlamaGrammar.from_file``
+      in the reference, the raw grammar text by default) to the transport
+      as a third argument. The prompt-too-long re-chunk fallback runs
+      WITHOUT the grammar, exactly like the reference (:361-365).
+    * json escape postprocess: with ``grammar_file_string == 'json'`` the
+      completion is ``unicode_escape``-encoded (:395-396), quirk included.
+    """
+
+    grammar_file_string: str = ""
+    grammar_dir: str = "./grammar_files"
+    grammar_loader: Callable[[str], object] = _read_grammar
+
+    def complete(self, prompt: str, max_tokens: int = 5000) -> Optional[str]:
+        prompt_tokens = self.estimate(prompt)
+        adjusted = min(max_tokens, self.context_tokens - prompt_tokens - TOKEN_BUFFER)
+        if adjusted <= 0 or not self.grammar_file_string:
+            out = super().complete(prompt, max_tokens)
+        else:
+            grammar = self.grammar_loader(
+                select_grammar_file(self.grammar_file_string, self.grammar_dir)
+            )
+            out = self.transport(prompt, max(1, adjusted), grammar)
+        if out is not None and self.grammar_file_string == "json":
+            out = out.encode("unicode_escape").decode()
+        return out
+
+
+def make_local_llm_provider(
+    transport: Optional[Transport] = None,
+    grammar_file_string: str = "",
+    grammar_dir: str = "./grammar_files",
+    grammar_loader: Callable[[str], object] = _read_grammar,
+) -> CompletionProvider:
+    """Without a grammar selector this behaves exactly like the other
+    providers (2-arg transport). With one, the transport must accept the
+    third ``grammar`` argument."""
+    return LocalCompletionProvider(
         "local_llm",
         LOCAL_CONTEXT_TOKENS,
         transport or _unconfigured_transport("local_llm"),
+        grammar_file_string=grammar_file_string,
+        grammar_dir=grammar_dir,
+        grammar_loader=grammar_loader,
     )
 
 
@@ -261,3 +340,86 @@ def executor_local(name: str, factory: Callable[[], object]) -> object:
         if name not in _RESOURCE_CACHE:
             _RESOURCE_CACHE[name] = factory()
         return _RESOURCE_CACHE[name]
+
+
+def fetch_model(
+    model_url: str,
+    models_dir: str,
+    fetcher: Optional[Callable[[str, str], None]] = None,
+    min_size_mb: float = 100.0,
+    lock_timeout_s: float = 1200.0,
+) -> dict:
+    """S3 — idempotent, lock-guarded model fetch with the reference's
+    size sanity check (llm_aided_ocr.py:81-103): skip when the file
+    already exists; otherwise fetch under an exclusive inter-process file
+    lock (so co-located executors bootstrap once per node, the Spark
+    analogue of the reference's FileLock); delete and fail when the
+    artifact is smaller than ``min_size_mb`` (a truncated download or an
+    HTML error page, not a model).
+
+    ``fetcher(url, dest)`` is injectable — this sandbox has no network, and
+    production deployments want their own retry/auth stack; the default
+    raises ``NotImplementedError``. Returns the reference-shaped status
+    dict ``{"url", "status", "message"}``.
+    """
+    import errno
+    import time as _time
+
+    if fetcher is None:
+        def fetcher(_url: str, _dest: str) -> None:  # noqa: ANN001
+            raise NotImplementedError(
+                "no fetcher injected; this environment performs no network IO"
+            )
+
+    os.makedirs(models_dir, exist_ok=True)
+    filename = os.path.join(models_dir, os.path.basename(model_url))
+    status = {"url": model_url, "status": "success", "message": "File already exists."}
+    lock_path = os.path.join(models_dir, "download.lock")
+
+    deadline = _time.monotonic() + lock_timeout_s
+    lock_fd = None
+    try:
+        while lock_fd is None:
+            try:
+                lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except OSError as e:
+                if e.errno != errno.EEXIST:
+                    raise
+                if _time.monotonic() >= deadline:
+                    status["status"] = "failure"
+                    status["message"] = "Could not acquire lock for downloading."
+                    return status
+                _time.sleep(0.05)
+        if os.path.exists(filename):
+            return status
+        fetcher(model_url, filename)
+        size_mb = os.path.getsize(filename) / (1024 * 1024)
+        if size_mb < min_size_mb:
+            os.remove(filename)
+            status["status"] = "failure"
+            status["message"] = (
+                f"Downloaded file is too small ({size_mb:.2f} MB), probably "
+                "not a valid model file."
+            )
+        else:
+            status["message"] = f"Successfully downloaded ({size_mb:.2f} MB)."
+        return status
+    finally:
+        if lock_fd is not None:
+            os.close(lock_fd)
+            os.unlink(lock_path)
+
+
+def load_newest_model(
+    models_dir: str, model_name: str, loader: Callable[[str], object]
+) -> object:
+    """S4 — newest-mtime model file matching ``model_name*`` handed to an
+    injectable ``loader`` (the reference's GPU→CPU Llama construction,
+    llm_aided_ocr.py:110-153; no SDK import here). ``FileNotFoundError``
+    when nothing matches, like the reference."""
+    import glob as _glob
+
+    matching = _glob.glob(os.path.join(models_dir, f"{model_name}*"))
+    if not matching:
+        raise FileNotFoundError(f"no model file matching {model_name!r} in {models_dir}")
+    return loader(max(matching, key=os.path.getmtime))

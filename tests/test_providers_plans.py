@@ -69,6 +69,127 @@ def test_unconfigured_providers_raise():
             make().complete("hi")
 
 
+def test_local_provider_grammar_constrained_decoding(tmp_path):
+    """C6: newest-mtime GBNF selection handed to the transport; the json
+    selector triggers the reference's unicode_escape postprocess
+    (llm_aided_ocr.py:372-396)."""
+    import os
+    import time
+
+    from llm_aided_ocr_spark.operators.providers import (
+        make_local_llm_provider,
+        select_grammar_file,
+    )
+
+    gdir = tmp_path / "grammar_files"
+    gdir.mkdir()
+    old = gdir / "json_old.gbnf"
+    new = gdir / "json_new.gbnf"
+    other = gdir / "csv.gbnf"
+    old.write_text("root ::= old")
+    other.write_text("root ::= csv")
+    new.write_text("root ::= new")
+    past = time.time() - 100
+    os.utime(old, (past, past))
+
+    assert select_grammar_file("json", str(gdir)) == str(new)
+    with pytest.raises(FileNotFoundError):
+        select_grammar_file("yaml", str(gdir))
+
+    seen = {}
+
+    def transport(prompt, max_tokens, grammar=None):
+        seen["grammar"] = grammar
+        return 'text with unicode é and newline\n'
+
+    p = make_local_llm_provider(
+        transport, grammar_file_string="json", grammar_dir=str(gdir)
+    )
+    out = p.complete("fix this", max_tokens=50)
+    assert seen["grammar"] == "root ::= new"
+    # unicode_escape quirk: é -> \xe9, newline -> \n (escaped), verbatim ref
+    assert out == 'text with unicode \\xe9 and newline\\n'
+
+    # without a grammar selector the provider is plain 2-arg, no postprocess
+    p2 = make_local_llm_provider(lambda pr, mt: "plain é")
+    assert p2.complete("x", max_tokens=10) == "plain é"
+
+
+def test_local_provider_too_long_rechunks_without_grammar(tmp_path):
+    """The prompt-too-long fallback must bypass the grammar, exactly like
+    the reference's chunked branch (llm_aided_ocr.py:355-370)."""
+    from llm_aided_ocr_spark.operators.providers import (
+        LOCAL_CONTEXT_TOKENS,
+        make_local_llm_provider,
+    )
+
+    gdir = tmp_path / "g"
+    gdir.mkdir()
+    (gdir / "json.gbnf").write_text("root ::= j")
+    calls = []
+
+    def transport(prompt, max_tokens, grammar=None):
+        calls.append(grammar)
+        return "ok"
+
+    p = make_local_llm_provider(
+        transport, grammar_file_string="json", grammar_dir=str(gdir)
+    )
+    huge = "word " * (LOCAL_CONTEXT_TOKENS * 4)
+    out = p.complete(huge, max_tokens=100)
+    assert out is not None and "ok" in out
+    assert calls and all(g is None for g in calls)
+
+
+def test_fetch_model_contract(tmp_path):
+    """S3: idempotent fetch, exclusive lock, <min-size artifacts deleted
+    and reported as failure (llm_aided_ocr.py:81-103)."""
+    from llm_aided_ocr_spark.operators.providers import fetch_model
+
+    mdir = str(tmp_path / "models")
+    url = "https://example.invalid/model.gguf"
+
+    def small_fetcher(u, dest):
+        with open(dest, "wb") as f:
+            f.write(b"x" * 1024)
+
+    st = fetch_model(url, mdir, fetcher=small_fetcher, min_size_mb=1.0)
+    assert st["status"] == "failure" and "too small" in st["message"]
+    import os
+
+    assert not os.path.exists(os.path.join(mdir, "model.gguf"))
+
+    def good_fetcher(u, dest):
+        with open(dest, "wb") as f:
+            f.write(b"x" * (2 * 1024 * 1024))
+
+    st = fetch_model(url, mdir, fetcher=good_fetcher, min_size_mb=1.0)
+    assert st["status"] == "success"
+
+    def exploding_fetcher(u, dest):
+        raise AssertionError("must not re-download an existing model")
+
+    st = fetch_model(url, mdir, fetcher=exploding_fetcher, min_size_mb=1.0)
+    assert st["status"] == "success" and st["message"] == "File already exists."
+    assert not os.path.exists(os.path.join(mdir, "download.lock"))
+
+
+def test_load_newest_model(tmp_path):
+    import os
+    import time
+
+    from llm_aided_ocr_spark.operators.providers import load_newest_model
+
+    (tmp_path / "m_v1.gguf").write_text("v1")
+    (tmp_path / "m_v2.gguf").write_text("v2")
+    past = time.time() - 100
+    os.utime(tmp_path / "m_v2.gguf", (past, past))
+    got = load_newest_model(str(tmp_path), "m_", lambda p: open(p).read())
+    assert got == "v1"
+    with pytest.raises(FileNotFoundError):
+        load_newest_model(str(tmp_path), "zz", lambda p: p)
+
+
 def test_estimate_tokens_falls_back_to_approx():
     from llm_aided_ocr_spark.operators.providers import estimate_tokens
 

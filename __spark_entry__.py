@@ -306,6 +306,41 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_summary(_docs(spark, sf_dir), window=8, winnow=4)
 
 
+def _q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 page-range semantics (reference llm_aided_ocr.py:413-419:
+    1-based, first = skip+1, last = skip+max, max_pages=0 = all) over a
+    synthetic binary 'pdf' column (the doc text UTF-8 encoded) with a
+    deterministic injected renderer that yields one page per line — the
+    sandbox has no poppler, so the range plumbing is what's under test.
+    Oracle: DuckDB reconstructs the identical page slice."""
+    from llm_aided_ocr_spark.operators.extract import extract_pdf_pages
+
+    def _line_renderer(blob, first_page, last_page):
+        lines = (bytes(blob) if blob is not None else b"").decode("utf-8").split("\n")
+        end = len(lines) if last_page is None else min(last_page, len(lines))
+        return lines[first_page - 1 : end]
+
+    pdf_df = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("pdf"),
+    )
+    return extract_pdf_pages(
+        pdf_df, max_pages=3, skip_first_n_pages=1, renderer=_line_renderer
+    )
+
+
+_PDF_PAGES_SQL = """
+WITH pages AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         unnest(string_split(coalesce(text,''), chr(10))) AS page_text,
+         unnest([i for i in range(1, len(string_split(coalesce(text,''), chr(10))) + 1)]) AS pn
+  FROM documents)
+SELECT url, CAST(pn AS INTEGER) AS page_no, page_text
+FROM pages
+WHERE pn BETWEEN 2 AND 4
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_filter": _q_page_filter,
@@ -330,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "fingerprints": _q_fingerprints,
         "events_counters": _q_events_counters,
+        "pdf_pages": _q_pdf_pages,
     }
 
 
@@ -622,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard": _build_ngram_jaccard_sql(n=3, threshold=0.8, max_df=1000),
         "fingerprints": _build_fingerprints_sql(window=8, winnow=4),
+        "pdf_pages": _PDF_PAGES_SQL,
         # pipeline_e2e, hallucination_filter: document-local Python kernels
         # (chunker quirks / difflib) — intentionally no SQL oracle; the
         # driver records the rows-only check and tests/ carry byte parity.

@@ -32,6 +32,33 @@ def write_corrected_docs(
         df.write.mode(mode).parquet(path)
 
 
+def write_raw_pages(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by_day: bool = True,
+    ts_col: str = "warc_ts",
+    raw_col: str = "raw_text",
+) -> None:
+    """Write the raw-OCR table — the reference's ``__raw_ocr_output.txt``
+    per document (llm_aided_ocr.py:656,665-667: the ``"\\n"``-joined page
+    texts, written BEFORE correction) as the first of the two-sink output
+    contract; :func:`write_corrected_docs` is the second. Same day
+    partitioning as the corrected table so the two line up for joins and
+    both prune on date ranges."""
+    cols = ["url", F.col(raw_col).alias("raw_text")]
+    if partition_by_day and ts_col in df.columns:
+        (
+            df.select(*cols, F.col(ts_col))
+            .withColumn("warc_day", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+            .write.mode(mode)
+            .partitionBy("warc_day")
+            .parquet(path)
+        )
+    else:
+        df.select(*cols).write.mode(mode).parquet(path)
+
+
 def read_corrected_docs(
     spark: SparkSession,
     path: str,

@@ -30,6 +30,44 @@ def test_partitioned_sink_and_pruned_read(spark):
         assert ranged.count() == 30
 
 
+def test_two_sink_contract_raw_plus_corrected(spark):
+    """The reference writes TWO files per document: the raw OCR output
+    (the '\\n'-joined page texts, llm_aided_ocr.py:656,665-667) and the
+    corrected text. Mirror: raw_pages table + corrected_docs table, with
+    the raw table byte-equal to join_pages_raw over the source pages."""
+    import os
+
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.kernels import join_pages_raw
+    from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+    from llm_aided_ocr_spark.sources.io import write_raw_pages
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pages = pages_dataframe(spark, n_rows=8, include_golden=True).cache()
+        cfg = PipelineConfig(provider="identity", apply_hallucination_filter=False)
+        result = run_pipeline(pages, cfg, strategy="fused")
+        # carry the timestamp through for day partitioning of both sinks
+        result = result.join(pages.select("url", "warc_ts"), "url")
+
+        raw_path, corr_path = os.path.join(tmp, "raw"), os.path.join(tmp, "corr")
+        write_raw_pages(result, raw_path)
+        write_corrected_docs(result.drop("raw_text"), corr_path)
+
+        raw_back = {
+            r["url"]: r["raw_text"] for r in spark.read.parquet(raw_path).collect()
+        }
+        src = {r["url"]: r["text"] for r in pages.collect()}
+        assert set(raw_back) == set(src)
+        for url, text in src.items():
+            # fused pipeline treats the text column as the page source;
+            # raw_text is byte-equal to the single-page "\n" join
+            assert raw_back[url] == join_pages_raw([text]) == text
+        corr_back = spark.read.parquet(corr_path)
+        assert corr_back.count() == 8
+        assert "corrected_text" in corr_back.columns
+        assert "warc_day" in corr_back.columns and "warc_day" in spark.read.parquet(raw_path).columns
+
+
 def test_unpartitioned_sink(spark):
     with tempfile.TemporaryDirectory() as tmp:
         pages = pages_dataframe(spark, n_rows=5, include_golden=False).drop("warc_ts")

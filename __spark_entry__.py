@@ -219,15 +219,25 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (rows-only: hash permutations
-    are not SQL-portable)."""
+    """MinHash+LSH near-dup pairs over the portable hash family
+    (md5-52-bit shingles, universal family over p=2^31-1 with
+    coefficients shared between engines): DuckDB reproduces signatures,
+    band buckets (grouped on band VALUES — the Spark side's xxhash64
+    bucket key is a pure shuffle-payload optimization of the same
+    grouping), the bucket-size cap, and the signature-agreement
+    estimate exactly."""
     from llm_aided_ocr_spark.operators.dedup import minhash_dedup_pairs
 
-    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+    out = minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard_r")
+    )
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only)."""
+    """SimHash near-dup pairs over the portable 52-bit word-hash domain;
+    DuckDB recomputes the bit-majority signatures, the 4x13-bit band
+    buckets with the same size cap, and the exact hamming verify."""
     from llm_aided_ocr_spark.operators.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
@@ -573,6 +583,106 @@ FROM win
 """
 
 
+_MD5_52_SQL = "CAST('0x' || substring(md5({v}),1,13) AS BIGINT)"
+
+
+def _build_minhash_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 1,
+    max_bucket_size: int = 200,
+) -> str:
+    """DuckDB mirror of operators.dedup.minhash_dedup_pairs: identical
+    shingles (md5-52), identical universal-family coefficients (inlined
+    from minhash_perms — the same RNG the operator uses), identical
+    sentinel for empty docs, band buckets grouped on band VALUES with the
+    same size cap, and the same agreement/num_perm estimate."""
+    from llm_aided_ocr_spark.operators.dedup import MINHASH_P, minhash_perms
+
+    a, b = minhash_perms(num_perm, seed)
+    perms = ", ".join(f"[{int(ai)}, {int(bi)}]" for ai, bi in zip(a, b))
+    sentinel = ", ".join(str(MINHASH_P) for _ in range(num_perm))
+    gram = f"array_to_string(ws[i:i+{n - 1}], ' ')"
+    band_list = ", ".join(str(i) for i in range(bands))
+    return f"""
+WITH norm AS (
+  SELECT doc_id AS id, {_NORM_TEXT_SQL} AS nt FROM documents),
+words AS (SELECT id, string_split(nt, ' ') AS ws FROM norm),
+sh AS (
+  SELECT id, list_distinct(
+    [{_MD5_52_SQL.format(v=gram)}
+     for i in range(1, greatest(len(ws) - {n - 1}, 0) + 1)]) AS shs
+  FROM words),
+sig AS (
+  SELECT id, CASE WHEN len(shs) = 0 THEN [{sentinel}]
+    ELSE [list_min(list_transform(shs,
+            s -> (pr[1] * (s % {MINHASH_P}) + pr[2]) % {MINHASH_P}))
+          for pr in [{perms}]] END AS sig
+  FROM sh),
+bk AS (
+  SELECT id, sig, unnest([{band_list}]) AS band FROM sig),
+bk2 AS (
+  SELECT id, sig, band,
+         array_to_string(sig[band*{rows_per_band}+1 : band*{rows_per_band}+{rows_per_band}], ',') AS key
+  FROM bk),
+small AS (
+  SELECT band, key FROM bk2 GROUP BY band, key HAVING COUNT(*) <= {max_bucket_size}),
+bks AS (SELECT bk2.* FROM bk2 JOIN small USING (band, key)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bks a JOIN bks b USING (band, key) WHERE a.id < b.id),
+est AS (
+  SELECT id_a, id_b,
+         len([1 for i in range(1, {num_perm} + 1) if sa.sig[i] = sb.sig[i]])
+           / {float(num_perm)} AS est
+  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)
+SELECT id_a, id_b, round(est, 6) AS est_jaccard_r FROM est WHERE est >= {threshold}
+"""
+
+
+def _build_simhash_sql(max_hamming: int = 3, max_bucket_size: int = 200) -> str:
+    """DuckDB mirror of operators.dedup.simhash_near_dup_pairs: 52-bit
+    bit-majority signatures over md5-52 word hashes (every occurrence
+    votes; a bit is set iff strictly more than half the words have it),
+    4x13-bit band buckets with the same size cap, exact hamming."""
+    bits = 52
+    band_bits = bits // 4
+    band_mask = (1 << band_bits) - 1
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum([(wh >> {bb}) & 1 for wh in whs]) > len(whs) "
+        f"THEN {1 << bb} ELSE 0 END)"
+        for bb in range(bits)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id AS id, {_NORM_TEXT_SQL} AS nt FROM documents),
+wh AS (
+  SELECT id, list_transform(list_filter(string_split(nt, ' '), w -> w <> ''),
+                            w -> {_MD5_52_SQL.format(v='w')}) AS whs
+  FROM norm),
+sh AS (
+  SELECT id, CASE WHEN len(whs) = 0 THEN 0 ELSE CAST({bit_terms} AS BIGINT) END AS simhash
+  FROM wh),
+bk AS (
+  SELECT id, simhash, unnest([0, 1, 2, 3]) AS band FROM sh),
+bk2 AS (
+  SELECT id, simhash, band, (simhash >> (band * {band_bits})) & {band_mask} AS key
+  FROM bk),
+small AS (
+  SELECT band, key FROM bk2 GROUP BY band, key HAVING COUNT(*) <= {max_bucket_size}),
+bks AS (SELECT bk2.* FROM bk2 JOIN small USING (band, key)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM bks a JOIN bks b USING (band, key) WHERE a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
 _LANG_ID_SQL = None  # built lazily in oracle_sql()
 _QUALITY_FEATURES_SQL = None
 
@@ -659,6 +769,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _build_ngram_jaccard_sql(n=3, threshold=0.8, max_df=1000),
         "fingerprints": _build_fingerprints_sql(window=8, winnow=4),
         "pdf_pages": _PDF_PAGES_SQL,
+        "minhash_pairs": _build_minhash_sql(
+            num_perm=64, bands=16, rows_per_band=4, n=3, threshold=0.5
+        ),
+        "simhash_pairs": _build_simhash_sql(max_hamming=3),
         # pipeline_e2e, hallucination_filter: document-local Python kernels
         # (chunker quirks / difflib) — intentionally no SQL oracle; the
         # driver records the rows-only check and tests/ carry byte parity.

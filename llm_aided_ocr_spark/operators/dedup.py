@@ -71,8 +71,24 @@ def _normalize_col(text_col: str) -> F.Column:
     return F.regexp_replace(F.trim(t), r"\s+", " ")
 
 
+def _shingle_hash(gram: F.Column, hash_family: str) -> F.Column:
+    """``xxhash64`` (fastest, JVM-internal) or ``md5_52`` — the first 13
+    hex digits of md5 as a non-negative 52-bit BIGINT, reproducible in any
+    engine with md5 + hex parsing (how the driver's DuckDB oracle checks
+    minhash end-to-end)."""
+    if hash_family == "xxhash64":
+        return F.xxhash64(gram)
+    if hash_family == "md5_52":
+        return F.conv(F.substring(F.md5(gram), 1, 13), 16, 10).cast("bigint")
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
 def word_shingles(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """``(id, shingle_hash)`` — distinct word n-gram hashes per document,
     built natively: split → transform over indices → explode. Hashing the
@@ -82,7 +98,12 @@ def word_shingles(
     idx = F.sequence(F.lit(0), n_sh - 1)
     shingles = F.when(
         n_sh > 0,
-        F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n)))),
+        F.transform(
+            idx,
+            lambda i: _shingle_hash(
+                F.concat_ws(" ", F.slice(words, i + 1, n)), hash_family
+            ),
+        ),
     ).otherwise(F.array().cast("array<bigint>"))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
@@ -146,7 +167,22 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def minhash_perms(num_perm: int = 64, seed: int = 1):
+    """The (a, b) coefficients of the universal hash family
+    ``h_i(x) = (a_i * (x mod p) + b_i) mod p`` over ``p = 2^31 - 1``.
+
+    Shared by the Spark operator and the driver's DuckDB oracle builder so
+    both engines evaluate the IDENTICAL family. p is chosen so every
+    product ``a * (x mod p) < 2^62`` — exact in numpy int64 AND in
+    DuckDB's overflow-checked BIGINT (the previous 61-bit family needed a
+    mod-2^64 wrap numpy-side, which no SQL engine reproduces)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MINHASH_P, size=num_perm).astype(np.int64)
+    b = rng.randint(0, MINHASH_P, size=num_perm).astype(np.int64)
+    return a, b
 
 
 def minhash_signatures(
@@ -156,25 +192,27 @@ def minhash_signatures(
     seed: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_family: str = "md5_52",
 ) -> DataFrame:
     """``(id, sig: array<bigint>)`` — minhash over word-n-gram shingles.
 
-    Arrow-vectorized: one pandas pass computes all ``num_perm`` permutations
-    per batch with numpy broadcasting ((a*x + b) mod p). Empty documents get
-    the max-hash sentinel signature.
-    """
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    Arrow-vectorized: one pandas pass computes all ``num_perm``
+    permutations per batch with numpy broadcasting over the exact
+    universal family of :func:`minhash_perms`. Empty documents get the
+    ``[p] * num_perm`` sentinel signature (p itself is never produced by
+    ``mod p``). The default portable shingle hash keeps every value
+    SQL-reproducible; pass ``hash_family='xxhash64'`` to shave the md5
+    cost when oracle portability is not needed."""
+    a, b = minhash_perms(num_perm, seed)
 
-    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col, hash_family=hash_family)
     grouped = sh.groupBy("id").agg(F.collect_list("shingle").alias("shingles"))
     # keep empty docs in the output
     all_ids = df.select(F.col(id_col).alias("id")).distinct()
     grouped = all_ids.join(grouped, "id", "left")
 
     def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sentinel = [int(_MERSENNE)] * num_perm
+        sentinel = [int(MINHASH_P)] * num_perm
         for batch in batches:
             ids, sigs = [], []
             for id_, shingles in zip(batch["id"], batch["shingles"]):
@@ -182,14 +220,10 @@ def minhash_signatures(
                 if shingles is None or len(shingles) == 0:
                     sigs.append(sentinel)
                     continue
-                x = np.asarray(shingles, dtype=np.int64).astype(np.uint64)
-                # (num_perm, n_shingles) broadcast. uint64 products wrap
-                # mod 2^64 before the % p, so the effective hash family is
-                # ((a*x+b) mod 2^64) mod p — deterministic and
-                # well-dispersed, but NOT the exact universal family over
-                # the Mersenne prime; accept the approximation for speed
-                # (exact 128-bit math would need object dtype, ~20× slower)
-                vals = (np.outer(a, x) + b[:, None]) % np.uint64(_MERSENNE)
+                x = np.asarray(shingles, dtype=np.int64) % MINHASH_P
+                # (num_perm, n_shingles) broadcast; every term < 2^62, so
+                # int64 arithmetic is exact — no wrap, no approximation
+                vals = (a[:, None] * x[None, :] + b[:, None]) % MINHASH_P
                 sigs.append([int(v) for v in vals.min(axis=1)])
             yield pd.DataFrame({"id": ids, "sig": sigs})
 
@@ -253,6 +287,7 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = 200,
+    hash_family: str = "md5_52",
 ) -> DataFrame:
     """LSH candidates verified by estimated Jaccard (signature agreement).
     ``(id_a, id_b, est_jaccard)``."""
@@ -263,7 +298,8 @@ def minhash_dedup_pairs(
             "and hash empty arrays into one degenerate bucket"
         )
     sigs = minhash_signatures(
-        df, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col
+        df, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col,
+        hash_family=hash_family,
     ).cache()
     cands = lsh_candidate_pairs(
         sigs, bands=bands, rows_per_band=rows_per_band,
@@ -289,16 +325,27 @@ def minhash_dedup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+SIMHASH_BITS = 52  # width of the portable (md5-derived) word-hash domain
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "md5_52",
 ) -> DataFrame:
-    """``(id, simhash: bigint)`` — 64-bit simhash over word hashes,
-    vectorized with numpy bit unpacking per Arrow batch."""
+    """``(id, simhash: bigint)`` — 52-bit simhash over word hashes (each
+    occurrence votes), vectorized with numpy bit unpacking per Arrow
+    batch. The 52-bit portable word hash keeps every signature
+    reproducible in the driver's DuckDB oracle; ``hash_family='xxhash64'``
+    gives a 64-bit non-portable variant."""
+    bits = SIMHASH_BITS if hash_family == "md5_52" else 64
     words = F.split(_normalize_col(text_col), " ")
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(
-            F.filter(words, lambda w: w != ""), lambda w: F.xxhash64(w)
+            F.filter(words, lambda w: w != ""),
+            lambda w: _shingle_hash(w, hash_family),
         ).alias("word_hashes"),
     )
 
@@ -311,10 +358,10 @@ def simhash_signatures(
                     sims.append(0)
                     continue
                 arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                    np.int64
-                )
-                votes = (2 * bits - 1).sum(axis=0)
+                bit_mat = (
+                    (arr[:, None] >> np.arange(bits, dtype=np.uint64)) & 1
+                ).astype(np.int64)
+                votes = (2 * bit_mat - 1).sum(axis=0)
                 sim = 0
                 for bit_ix in np.nonzero(votes > 0)[0]:
                     sim |= 1 << int(bit_ix)
@@ -330,13 +377,18 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = 200,
+    hash_family: str = "md5_52",
 ) -> DataFrame:
-    """Candidate generation by 4×16-bit band equality (any identical band →
-    candidate; guarantees recall for hamming<=3 by pigeonhole), verified by
-    exact hamming distance via bit_count(xor). ``max_bucket_size`` drops
-    degenerate band buckets before the self-join (same rationale as
-    :func:`lsh_candidate_pairs`)."""
-    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col).cache()
+    """Candidate generation by 4-band equality over the signature (any
+    identical band → candidate; guarantees recall for hamming<=3 by
+    pigeonhole), verified by exact hamming distance via bit_count(xor).
+    ``max_bucket_size`` drops degenerate band buckets before the
+    self-join (same rationale as :func:`lsh_candidate_pairs`)."""
+    sigs = simhash_signatures(
+        df, text_col=text_col, id_col=id_col, hash_family=hash_family
+    ).cache()
+    band_bits = (SIMHASH_BITS if hash_family == "md5_52" else 64) // 4
+    band_mask = (1 << band_bits) - 1
     bands = sigs.select(
         "id",
         "simhash",
@@ -345,7 +397,9 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftright("simhash", bi * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftright("simhash", bi * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("key"),
                     )
                     for bi in range(4)
                 ]

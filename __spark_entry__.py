@@ -274,9 +274,15 @@ def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_aided_ocr_spark.operators.extract import extract_text
 
     d = _docs(spark, sf_dir)
+    # Entity-escape the payload natively (& first) so documents containing
+    # markup characters survive the round-trip — the extraction unescapes.
+    esc = F.coalesce("text", F.lit(""))
+    esc = F.replace(esc, F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
     html = F.concat(
         F.lit("<html><head><title>t</title></head><body><nav>chrome</nav><main><p>"),
-        F.replace(F.coalesce("text", F.lit("")), F.lit("\n"), F.lit("<br/>")),
+        F.replace(esc, F.lit("\n"), F.lit("<br/>")),
         F.lit("</p></main><footer>foot</footer></body></html>"),
     ).cast("binary")
     pages = d.select(
@@ -734,8 +740,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) WHERE rn = 1"
         ),
         "html_extract": (
+            # the oracle computes the length of the CANONICALIZED text
+            # (kernels.canonicalize_text's whitespace contract: collapse
+            # non-newline whitespace runs, strip spaces around newlines,
+            # blank-line runs become one paragraph break, trim edges) so
+            # the equality is robust to corpora with markup characters or
+            # non-canonical whitespace, not just to texts that happen to
+            # round-trip unchanged
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id_str, "
-            "length(coalesce(text,'')) AS extracted_len FROM documents"
+            "length(trim(regexp_replace(regexp_replace(regexp_replace("
+            "coalesce(text,''), '[^\\S\\n]+', ' ', 'g'), "
+            "'[^\\S\\n]*\\n[^\\S\\n]*', chr(10), 'g'), "
+            "'\\n{2,}', chr(10) || chr(10), 'g'), ' ' || chr(10))) "
+            "AS extracted_len FROM documents"
         ),
         "token_counts": (
             "SELECT doc_id, "

@@ -78,6 +78,40 @@ def test_rows_only_queries_run(spark, entry_mod):
         assert df.count() >= 0, name
 
 
+def test_html_extract_contract_robust_to_markup_and_whitespace(duck):
+    """The html_extract equality must hold for corpora containing markup
+    characters and non-canonical whitespace, not just texts that happen to
+    round-trip unchanged: escaped wrapper + canonicalized-length oracle."""
+    from llm_aided_ocr_spark.kernels import canonicalize_text, extract_main_text
+
+    sql = (
+        "SELECT length(trim(regexp_replace(regexp_replace(regexp_replace("
+        "?, '[^\\S\\n]+', ' ', 'g'), '[^\\S\\n]*\\n[^\\S\\n]*', chr(10), 'g'), "
+        "'\\n{2,}', chr(10) || chr(10), 'g'), ' ' || chr(10)))"
+    )
+    nasty = [
+        "a & b < c > d",
+        "double  spaces and\ttabs",
+        "triple\n\n\nnewlines & <tags>",
+        " leading and trailing ",
+        "blank\n   \nline",
+        "",
+        "R&D <x> &amp; already-escaped",
+    ]
+    for t in nasty:
+        esc = (
+            t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            .replace("\n", "<br/>")
+        )
+        html = (
+            "<html><head><title>t</title></head><body><nav>chrome</nav>"
+            f"<main><p>{esc}</p></main><footer>foot</footer></body></html>"
+        ).encode()
+        want = len(canonicalize_text(t))
+        assert len(extract_main_text(html)) == want, t
+        assert duck.execute(sql, [t]).fetchone()[0] == want, t
+
+
 def test_entry_smoke(spark, entry_mod):
     df = entry_mod.entry(spark)
     rows = df.collect()

@@ -1,0 +1,140 @@
+"""Structured Streaming surface tests: streaming==batch byte identity,
+stateful dedup across restarts, watermarked windowed counters."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_aided_ocr_spark.config import PipelineConfig
+from llm_aided_ocr_spark.sources.synthetic import pages_dataframe
+from llm_aided_ocr_spark.streaming import (
+    correct_pages_stream,
+    read_events_stream,
+    read_pages_stream,
+    streaming_dedup_by_key,
+    windowed_event_counts,
+    write_stream_parquet,
+)
+
+
+def _await(query, timeout=120):
+    assert query.awaitTermination(timeout), "streaming query did not finish"
+
+
+def test_streaming_correction_matches_batch(spark):
+    """availableNow over a two-file backlog produces byte-identical
+    corrected text to the batch fused pipeline over the same rows."""
+    from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        pages = pages_dataframe(spark, n_rows=14, include_golden=True).cache()
+        pages.limit(7).write.parquet(src)
+        pages.subtract(pages.limit(7)).write.mode("append").parquet(src)
+
+        cfg = PipelineConfig(provider="heuristic")
+        stream = correct_pages_stream(
+            read_pages_stream(spark, src, max_files_per_trigger=1), cfg
+        )
+        _await(write_stream_parquet(stream, out, ckpt))
+
+        got = {r["url"]: r["corrected_text"] for r in spark.read.parquet(out).collect()}
+        want = {
+            r["url"]: r["corrected_text"]
+            for r in run_pipeline(pages, cfg, strategy="fused").collect()
+        }
+        assert got == want
+
+
+def test_streaming_dedup_state_survives_restart(spark):
+    """First-arrival-wins dedup: keys seen in run 1 are dropped by run 2
+    (keyed state lives in the checkpoint, the restart contract)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+
+        rows_a = [(f"u{i}", f"text {i}") for i in range(5)]
+        spark.createDataFrame(rows_a, "url string, payload string").write.parquet(src)
+        deduped = streaming_dedup_by_key(
+            spark.readStream.schema("url string, payload string").parquet(src),
+            key_col="url",
+        )
+        _await(write_stream_parquet(deduped, out, ckpt))
+        assert spark.read.parquet(out).count() == 5
+
+        # second drop: urls u3..u7 — u3/u4 are history, only u5..u7 emit
+        rows_b = [(f"u{i}", f"text {i} again") for i in range(3, 8)]
+        spark.createDataFrame(rows_b, "url string, payload string").write.mode(
+            "append"
+        ).parquet(src)
+        deduped2 = streaming_dedup_by_key(
+            spark.readStream.schema("url string, payload string").parquet(src),
+            key_col="url",
+        )
+        _await(write_stream_parquet(deduped2, out, ckpt))
+
+        final = spark.read.parquet(out)
+        urls = [r["url"] for r in final.collect()]
+        assert sorted(urls) == [f"u{i}" for i in range(8)]
+        assert len(urls) == len(set(urls)), "duplicate emitted across restarts"
+        # first-arrival wins: u3's payload is from run 1, not 'again'
+        payloads = {r["url"]: r["payload"] for r in final.collect()}
+        assert payloads["u3"] == "text 3"
+
+
+def test_windowed_event_counts_watermark(spark):
+    """Watermarked windowed counters: every window the watermark passed is
+    emitted exactly once and matches the batch aggregation; only the tail
+    inside the watermark delay may be withheld."""
+    events_path = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(events_path):
+        pytest.skip("driver testdata absent")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        events = spark.read.parquet(events_path)
+        events.write.parquet(src)
+
+        counts = windowed_event_counts(
+            read_events_stream(spark, src),
+            window_duration="1 hour",
+            watermark_delay="10 minutes",
+        )
+        _await(write_stream_parquet(counts, out, ckpt))
+
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum_r"])
+            for r in spark.read.parquet(out).collect()
+        }
+        batch = (
+            events.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 6).alias("v"),
+            )
+            .select(F.col("w.start").alias("ws"), "event_type", "n", "v")
+        )
+        want = {(r["ws"], r["event_type"]): (r["n"], r["v"]) for r in batch.collect()}
+        max_ts = events.agg(F.max("ts")).first()[0]
+
+        assert got, "no windows emitted"
+        for key, val in got.items():
+            assert want[key] == val, key
+        # everything strictly older than the final watermark must be present
+        import datetime
+
+        cutoff = max_ts - datetime.timedelta(minutes=10, hours=1)
+        for (ws, et), val in want.items():
+            if ws < cutoff:
+                assert (ws, et) in got, (ws, et)

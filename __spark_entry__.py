@@ -312,6 +312,16 @@ def _q_events_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap pairs: documents sharing winnowing fingerprints,
+    via inverted-index join with the corpus-hot-fingerprint DF cap."""
+    from llm_aided_ocr_spark.operators.textstats import fingerprint_matches
+
+    return fingerprint_matches(
+        _docs(spark, sf_dir), window=8, winnow=4, min_shared=1, max_fp_df=1000
+    )
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS scheme) summarized per document with
     portable columns — md5-derived 52-bit word hashes, rotation-XOR gram
@@ -320,6 +330,22 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_aided_ocr_spark.operators.textstats import fingerprint_summary
 
     return fingerprint_summary(_docs(spark, sf_dir), window=8, winnow=4)
+
+
+def _q_ann_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane LSH with the
+    exact-integer quantized Rademacher sketch: buckets are bit-for-bit
+    reproducible in DuckDB (truncation-quantized embeddings x inlined ±1
+    planes), candidates stay same-bucket-only, cosine verifies natively."""
+    from llm_aided_ocr_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    out = embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.35, num_planes=6, seed=7, max_bucket_size=200
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
 
 
 def _q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,6 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "events_counters": _q_events_counters,
         "pdf_pages": _q_pdf_pages,
+        "ann_near_dup": _q_ann_near_dup,
+        "fingerprint_matches": _q_fingerprint_matches,
     }
 
 
@@ -542,12 +570,13 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {threshold}
 
 
 def _build_fingerprints_sql(window: int = 8, winnow: int = 4) -> str:
-    """Portable winnowing fingerprints in DuckDB, mirroring
-    operators.textstats.fingerprint_summary exactly: 52-bit md5-derived
-    word hashes, statically-unrolled rotation-XOR gram combine, window
-    minima, distinct set, order-insensitive digests. All arithmetic stays
-    in non-negative BIGINT (DuckDB overflow-checks; 52-bit values shifted
-    by < 12 never reach 2^63)."""
+    """Shared CTE prefix: portable winnowing fingerprints in DuckDB,
+    mirroring operators.textstats.fingerprints exactly — 52-bit
+    md5-derived word hashes, statically-unrolled rotation-XOR gram
+    combine, window minima, distinct set. All arithmetic stays in
+    non-negative BIGINT (DuckDB overflow-checks; 52-bit values shifted by
+    < 12 never reach 2^63). Consumed by the summary and matches
+    builders below."""
     mask = (1 << 52) - 1
 
     def rot(x: str, j: int) -> str:
@@ -558,7 +587,7 @@ def _build_fingerprints_sql(window: int = 8, winnow: int = 4) -> str:
     gram = rot("whs[i]", 0)
     for j in range(1, window):
         gram = f"xor({gram}, {rot(f'whs[i+{j}]', j)})"
-    return f"""
+    prefix = f"""
 WITH norm AS (
   SELECT doc_id,
          regexp_replace(trim(lower(coalesce(text,''))), '\\s+', ' ', 'g') AS nt
@@ -578,7 +607,12 @@ win AS (
            list_distinct([list_min(grams[i:i+{winnow - 1}])
                           for i in range(1, greatest(len(grams) - {winnow - 1}, 1) + 1)])
          ELSE []::BIGINT[] END AS fps
-  FROM gr)
+  FROM gr)"""
+    return prefix
+
+
+def _build_fingerprint_summary_sql(window: int = 8, winnow: int = 4) -> str:
+    return f"""{_build_fingerprints_sql(window, winnow)}
 SELECT doc_id,
        CAST('0x' || substring(md5(nt),1,15) AS BIGINT) AS content_hash,
        CAST(n_grams AS INTEGER) AS n_grams,
@@ -586,6 +620,26 @@ SELECT doc_id,
        CAST(coalesce(list_min(fps), 0) AS BIGINT) AS fp_min,
        CAST(coalesce(list_aggregate(fps, 'bit_xor'), 0) AS BIGINT) AS fp_xor
 FROM win
+"""
+
+
+def _build_fingerprint_matches_sql(
+    window: int = 8, winnow: int = 4, min_shared: int = 2, max_fp_df: int = 1000
+) -> str:
+    """DuckDB mirror of operators.textstats.fingerprint_matches: explode
+    the winnowing fingerprint sets, drop corpus-hot fingerprints (same DF
+    cap), count shared fingerprints per pair via the inverted-index
+    join."""
+    return f"""{_build_fingerprints_sql(window, winnow)},
+e AS (SELECT doc_id AS id, unnest(fps) AS fp FROM win),
+rare AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= {max_fp_df}),
+er AS (SELECT e.* FROM e JOIN rare USING (fp)),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared_fps
+  FROM er a JOIN er b USING (fp) WHERE a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b, CAST(shared_fps AS BIGINT) AS shared_fps
+FROM inter WHERE shared_fps >= {min_shared}
 """
 
 
@@ -646,6 +700,44 @@ est AS (
            / {float(num_perm)} AS est
   FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)
 SELECT id_a, id_b, round(est, 6) AS est_jaccard_r FROM est WHERE est >= {threshold}
+"""
+
+
+def _build_ann_near_dup_sql(
+    dim: int = 64,
+    num_planes: int = 12,
+    threshold: float = 0.9,
+    seed: int = 7,
+    max_bucket_size: int = 200,
+) -> str:
+    """DuckDB mirror of operators.similarity.embedding_near_dup_pairs with
+    the quantized Rademacher sketch: identical ±1 planes (inlined from the
+    shared rademacher_planes helper), identical trunc-to-1e6 quantization
+    (exact integer dot products — no float order sensitivity in the
+    buckets), same bucket-size cap, same cosine verify."""
+    from llm_aided_ocr_spark.operators.similarity import QUANT_SCALE, rademacher_planes
+
+    planes = rademacher_planes(dim, num_planes, seed)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(qv, [{', '.join(str(int(v)) for v in plane)}]"
+        f"::BIGINT[]) > 0 THEN {1 << r} ELSE 0 END)"
+        for r, plane in enumerate(planes)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, embedding,
+         [CAST(trunc(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT) for x in embedding] AS qv
+  FROM embeddings),
+sk AS (
+  SELECT vec_id, embedding, CAST({bucket_terms} AS BIGINT) AS bucket FROM q),
+small AS (
+  SELECT bucket FROM sk GROUP BY bucket HAVING COUNT(*) <= {max_bucket_size}),
+sks AS (SELECT sk.* FROM sk JOIN small USING (bucket)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         coalesce(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0.0) AS cosine
+  FROM sks a JOIN sks b USING (bucket) WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cosine, 6) AS cosine_r FROM cand WHERE cosine >= {threshold}
 """
 
 
@@ -784,12 +876,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked WHERE rank <= 10"
         ),
         "ngram_jaccard": _build_ngram_jaccard_sql(n=3, threshold=0.8, max_df=1000),
-        "fingerprints": _build_fingerprints_sql(window=8, winnow=4),
+        "fingerprints": _build_fingerprint_summary_sql(window=8, winnow=4),
+        "fingerprint_matches": _build_fingerprint_matches_sql(
+            window=8, winnow=4, min_shared=1, max_fp_df=1000
+        ),
         "pdf_pages": _PDF_PAGES_SQL,
         "minhash_pairs": _build_minhash_sql(
             num_perm=64, bands=16, rows_per_band=4, n=3, threshold=0.5
         ),
         "simhash_pairs": _build_simhash_sql(max_hamming=3),
+        "ann_near_dup": _build_ann_near_dup_sql(
+            dim=64, num_planes=6, threshold=0.35, seed=7
+        ),
         # pipeline_e2e, hallucination_filter: document-local Python kernels
         # (chunker quirks / difflib) — intentionally no SQL oracle; the
         # driver records the rows-only check and tests/ carry byte parity.

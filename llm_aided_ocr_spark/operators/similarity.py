@@ -140,6 +140,52 @@ def lsh_topk(
     )
 
 
+def rademacher_planes(dim: int, num_planes: int = 12, seed: int = 7) -> "np.ndarray":
+    """Seeded ±1 hyperplanes — shared by the Spark operator and the
+    driver's DuckDB oracle builder (inlined as literals) so both engines
+    bucket identically."""
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, 2, size=(num_planes, dim)) * 2 - 1).astype(np.int64)
+
+
+QUANT_SCALE = 1_000_000  # embedding quantization for exact integer sketches
+
+
+def _let(expr: F.Column, fn) -> F.Column:
+    # single-evaluation binding (see textstats._let)
+    return F.get(F.transform(F.array(expr), fn), 0)
+
+
+def quantized_sketch_col(
+    vec_col: F.Column, planes: "np.ndarray"
+) -> F.Column:
+    """Sign-bit sketch over ±1 planes computed in EXACT integer arithmetic:
+    embeddings are truncation-quantized to ``x * 1e6`` longs, so the dot
+    products (≤ dim·2^21·1 ≪ 2^63) have no floating-point order
+    sensitivity — any engine reproduces the identical bucket, which is
+    what lets the driver's DuckDB oracle check LSH candidate generation
+    bit-for-bit. Fully native (no Python exchange), statically unrolled
+    over planes."""
+    q = F.transform(vec_col, lambda x: (x.cast("double") * QUANT_SCALE).cast("long"))
+
+    def _bucket(qv: F.Column) -> F.Column:
+        acc = F.lit(0).cast("bigint")
+        for r, plane in enumerate(planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    qv,
+                    F.array(*[F.lit(int(v)) for v in plane]).cast("array<bigint>"),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("bigint"),
+                lambda s, v: s + v,
+            )
+            acc = acc + F.when(dot > 0, F.lit(1 << r)).otherwise(F.lit(0))
+        return acc
+
+    return _let(q, _bucket)
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     dim: int,
@@ -149,13 +195,24 @@ def embedding_near_dup_pairs(
     max_bucket_size: int | None = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sketch: str = "rademacher_q6",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets
     generate candidates (same-bucket only — never an all-pairs join), then
     exact native cosine verifies against ``threshold``. The dedup analogue
     of minhash-LSH for the embedding modality; ``max_bucket_size`` guards
-    degenerate buckets exactly as in operators.dedup."""
-    sk = hyperplane_sketch(vectors, dim, num_planes, seed, vec_col)
+    degenerate buckets exactly as in operators.dedup.
+
+    ``sketch='rademacher_q6'`` (default) buckets with the exact-integer
+    quantized sketch — fully native AND portable to the DuckDB oracle;
+    ``'normal'`` uses the float Gaussian sketch (numpy pass)."""
+    if sketch == "rademacher_q6":
+        planes = rademacher_planes(dim, num_planes, seed)
+        sk = vectors.withColumn(
+            "bucket", quantized_sketch_col(F.col(vec_col), planes)
+        )
+    else:
+        sk = hyperplane_sketch(vectors, dim, num_planes, seed, vec_col)
     buckets = sk.select(id_col, vec_col, "bucket")
     if max_bucket_size is not None:
         small = (

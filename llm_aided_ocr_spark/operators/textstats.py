@@ -278,7 +278,10 @@ def fingerprint_matches(
     never all-pairs; ``max_fp_df`` drops corpus-hot fingerprints before
     the self-join)."""
     fp = fingerprints(df, window=window, winnow=winnow, text_col=text_col, id_col=id_col)
-    e = fp.select(F.col(id_col).alias("id"), F.explode("fps").alias("fp"))
+    # cache: the exploded index is consumed by the DF-cap aggregation AND
+    # both sides of the pair join — without it the winnowing expression
+    # recomputes per consumer
+    e = fp.select(F.col(id_col).alias("id"), F.explode("fps").alias("fp")).cache()
     if max_fp_df is not None:
         rare = (
             e.groupBy("fp")

@@ -123,6 +123,40 @@ def test_embedding_near_dup_pairs(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_quantized_sketch_forms_agree(spark):
+    """The Arrow (int64 matmul) and column-expression forms of the
+    quantized Rademacher sketch must produce identical buckets — that
+    equality is what the DuckDB oracle's portability rests on."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.similarity import (
+        quantized_sketch,
+        quantized_sketch_col,
+        rademacher_planes,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("driver testdata absent")
+    emb = spark.read.parquet(path).select("vec_id", "embedding")
+    planes = rademacher_planes(64, 6, seed=7)
+    fast = {
+        r["vec_id"]: r["bucket"]
+        for r in quantized_sketch(emb, planes).collect()
+    }
+    native = {
+        r["vec_id"]: r["bucket"]
+        for r in emb.withColumn(
+            "bucket", quantized_sketch_col(F.col("embedding"), planes)
+        ).collect()
+    }
+    assert fast == native and len(fast) == 500
+
+
 def test_cosine_col_zero_norm(spark):
     from llm_aided_ocr_spark.operators.similarity import cosine_col
 

@@ -656,26 +656,39 @@ def _build_minhash_sql(
     max_bucket_size: int = 200,
 ) -> str:
     """DuckDB mirror of operators.dedup.minhash_dedup_pairs: identical
-    shingles (md5-52), identical universal-family coefficients (inlined
-    from minhash_perms — the same RNG the operator uses), identical
-    sentinel for empty docs, band buckets grouped on band VALUES with the
-    same size cap, and the same agreement/num_perm estimate."""
+    shingles (rotation-XOR combine of md5-52 word hashes — the same
+    52-bit rotate scheme as the winnowing fingerprints), identical
+    universal-family coefficients (inlined from minhash_perms — the same
+    RNG the operator uses), identical sentinel for empty docs, band
+    buckets grouped on band VALUES with the same size cap, and the same
+    agreement/num_perm estimate."""
     from llm_aided_ocr_spark.operators.dedup import MINHASH_P, minhash_perms
 
     a, b = minhash_perms(num_perm, seed)
     perms = ", ".join(f"[{int(ai)}, {int(bi)}]" for ai, bi in zip(a, b))
     sentinel = ", ".join(str(MINHASH_P) for _ in range(num_perm))
-    gram = f"array_to_string(ws[i:i+{n - 1}], ' ')"
+    mask = (1 << 52) - 1
+
+    def rot(x: str, j: int) -> str:
+        if j == 0:
+            return x
+        return f"((({x}) << {j}) | (({x}) >> {52 - j})) & {mask}"
+
+    gram = rot("whs[i]", 0)
+    for j in range(1, n):
+        gram = f"xor({gram}, {rot(f'whs[i+{j}]', j)})"
     band_list = ", ".join(str(i) for i in range(bands))
     return f"""
 WITH norm AS (
   SELECT doc_id AS id, {_NORM_TEXT_SQL} AS nt FROM documents),
-words AS (SELECT id, string_split(nt, ' ') AS ws FROM norm),
+wh AS (
+  SELECT id, list_transform(string_split(nt, ' '),
+           w -> {_MD5_52_SQL.format(v='w')}) AS whs
+  FROM norm),
 sh AS (
   SELECT id, list_distinct(
-    [{_MD5_52_SQL.format(v=gram)}
-     for i in range(1, greatest(len(ws) - {n - 1}, 0) + 1)]) AS shs
-  FROM words),
+    [{gram} for i in range(1, greatest(len(whs) - {n - 1}, 0) + 1)]) AS shs
+  FROM wh),
 sig AS (
   SELECT id, CASE WHEN len(shs) = 0 THEN [{sentinel}]
     ELSE [list_min(list_transform(shs,

@@ -71,16 +71,29 @@ def _normalize_col(text_col: str) -> F.Column:
     return F.regexp_replace(F.trim(t), r"\s+", " ")
 
 
-def _shingle_hash(gram: F.Column, hash_family: str) -> F.Column:
+def _word_hash_col(word: F.Column, hash_family: str) -> F.Column:
     """``xxhash64`` (fastest, JVM-internal) or ``md5_52`` — the first 13
     hex digits of md5 as a non-negative 52-bit BIGINT, reproducible in any
     engine with md5 + hex parsing (how the driver's DuckDB oracle checks
     minhash end-to-end)."""
     if hash_family == "xxhash64":
-        return F.xxhash64(gram)
+        return F.xxhash64(word)
     if hash_family == "md5_52":
-        return F.conv(F.substring(F.md5(gram), 1, 13), 16, 10).cast("bigint")
+        return F.conv(F.substring(F.md5(word), 1, 13), 16, 10).cast("bigint")
     raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
+def _rot_col(x: F.Column, j: int, bits: int) -> F.Column:
+    """Rotate left by j within a ``bits``-wide domain (j < bits); for
+    bits=64, shifted-out high bits wrap via Java long overflow and the
+    logical right shift — a true 64-bit rotate."""
+    if j == 0:
+        return x
+    if bits == 64:
+        return F.shiftleft(x, j).bitwiseOR(F.shiftrightunsigned(x, 64 - j))
+    return (
+        F.shiftleft(x, j).bitwiseOR(F.shiftright(x, bits - j))
+    ).bitwiseAND(F.lit((1 << bits) - 1))
 
 
 def word_shingles(
@@ -91,20 +104,30 @@ def word_shingles(
     hash_family: str = "xxhash64",
 ) -> DataFrame:
     """``(id, shingle_hash)`` — distinct word n-gram hashes per document,
-    built natively: split → transform over indices → explode. Hashing the
-    shingles keeps the shuffle payload at 8 bytes/shingle."""
+    fully native. The shingle hash is the rotation-XOR combine of the n
+    per-word hashes (position-sensitive): word hashes are computed ONCE
+    per word and each shingle costs O(n) integer ops — the naive
+    slice-and-concat form re-materializes every shingle's bytes and is
+    ~10x slower. 8-byte shuffle payload per shingle either way."""
+    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism, let_
+
+    bits = 52 if hash_family == "md5_52" else 64
+    df = ensure_min_parallelism(df)
     words = F.split(_normalize_col(text_col), " ")
-    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), n_sh - 1)
-    shingles = F.when(
-        n_sh > 0,
-        F.transform(
-            idx,
-            lambda i: _shingle_hash(
-                F.concat_ws(" ", F.slice(words, i + 1, n)), hash_family
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    wh = F.transform(words, lambda w: _word_hash_col(w, hash_family))
+
+    def _grams(whs: F.Column) -> F.Column:
+        n_sh = F.greatest(F.size(whs) - F.lit(n - 1), F.lit(0))
+        def _one(i: F.Column) -> F.Column:
+            out = F.get(whs, i)
+            for j in range(1, n):
+                out = out.bitwiseXOR(_rot_col(F.get(whs, i + j), j, bits))
+            return out
+        return F.when(
+            n_sh > 0, F.transform(F.sequence(F.lit(0), n_sh - 1), _one)
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    shingles = let_(wh, _grams)
     return (
         df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
         .distinct()
@@ -339,13 +362,16 @@ def simhash_signatures(
     batch. The 52-bit portable word hash keeps every signature
     reproducible in the driver's DuckDB oracle; ``hash_family='xxhash64'``
     gives a 64-bit non-portable variant."""
+    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     bits = SIMHASH_BITS if hash_family == "md5_52" else 64
     words = F.split(_normalize_col(text_col), " ")
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(
             F.filter(words, lambda w: w != ""),
-            lambda w: _shingle_hash(w, hash_family),
+            lambda w: _word_hash_col(w, hash_family),
         ).alias("word_hashes"),
     )
 

@@ -172,6 +172,7 @@ def fingerprints(
     winnow: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """``(id, content_hash, n_grams, fps: array<bigint>)`` — per-document
     winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS scheme):
@@ -185,10 +186,17 @@ def fingerprints(
        fingerprint with any document that has a matching run of
        window+winnow-1 words).
 
-    Fully native (one JVM projection, no Python exchange, no shuffle);
-    rotations are statically unrolled so the plan is a flat expression
-    over longs. Documents shorter than ``window`` words yield an empty
-    fingerprint set."""
+    Word hashes and the content hash are computed natively (so the values
+    stay portable); the rolling-gram + winnowing pass runs either as one
+    Arrow/numpy pass over the word-hash arrays (``impl='arrow'``, default
+    — the hot-path form, ~50x the native expression's throughput) or as a
+    single JVM projection with statically-unrolled rotations
+    (``impl='native'``, no Python exchange). Both produce identical
+    fingerprint SETS (a parity test pins this); the array order is
+    unspecified. Documents shorter than ``window`` words yield an empty
+    set. No shuffle either way."""
+    if impl == "arrow":
+        return _fingerprints_arrow(df, window, winnow, text_col, id_col)
     t = F.regexp_replace(
         F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
     )
@@ -237,6 +245,71 @@ def _xor_all(cols: list) -> Column:
     for c in cols[1:]:
         out = out.bitwiseXOR(c)
     return out
+
+
+def _fingerprints_arrow(
+    df: DataFrame, window: int, winnow: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Arrow form: word hashes + content hash native (portable md5-52),
+    rolling rotation-XOR grams and sliding-window minima vectorized in
+    numpy int64 — identical values to the native expression."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
+    t = F.regexp_replace(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+    prepared = df.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("content_hash"),
+        F.transform(F.split(t, " "), _word_hash).alias("whs"),
+    )
+
+    def _winnow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            n_grams_out, fps_out = [], []
+            for whs in batch["whs"]:
+                w = np.asarray(whs, dtype=np.int64)
+                n_gr = max(len(w) - window + 1, 0)
+                if n_gr == 0:
+                    n_grams_out.append(0)
+                    fps_out.append([])
+                    continue
+                grams = np.zeros(n_gr, dtype=np.int64)
+                for j in range(window):
+                    x = w[j : j + n_gr]
+                    grams ^= (
+                        ((x << j) | (x >> (_FP_BITS - j))) & _FP_MASK if j else x
+                    )
+                if n_gr >= winnow:
+                    wins = np.lib.stride_tricks.sliding_window_view(
+                        grams, winnow
+                    ).min(axis=1)
+                else:
+                    wins = grams.min(keepdims=True)
+                n_grams_out.append(n_gr)
+                fps_out.append([int(v) for v in np.unique(wins)])
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    "content_hash": batch["content_hash"],
+                    "n_grams": n_grams_out,
+                    "fps": fps_out,
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return prepared.mapInPandas(
+        _winnow,
+        schema=f"{id_col} {id_type}, content_hash bigint, n_grams int, "
+        "fps array<bigint>",
+    )
 
 
 def fingerprint_summary(

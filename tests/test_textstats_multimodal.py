@@ -113,6 +113,16 @@ def test_fingerprints(spark, docs):
     # determinism across partitioning
     rows2 = {r["doc_id"]: r.asDict() for r in fingerprints(docs.repartition(5)).collect()}
     assert rows == rows2
+    # impl parity: the native expression and the Arrow pass produce the
+    # same fingerprint SETS (array order is unspecified)
+    native = {
+        r["doc_id"]: r.asDict()
+        for r in fingerprints(docs, impl="native").collect()
+    }
+    for did in rows:
+        assert native[did]["content_hash"] == rows[did]["content_hash"]
+        assert native[did]["n_grams"] == rows[did]["n_grams"]
+        assert sorted(native[did]["fps"]) == sorted(rows[did]["fps"]), did
 
 
 def test_fingerprint_matches_detects_shared_run(spark):

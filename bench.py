@@ -175,7 +175,11 @@ def hardware_control(pair) -> dict:
 def run_scaling(sf_dir: str) -> dict:
     pair_env = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "4,16")
     pair = tuple(int(x) for x in pair_env.split(","))
-    rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "160000"))
+    # 240k rows ≈ 840 MB ≈ 140 core-s of kernel work — large enough that
+    # the ~2 s fixed per-run residue (planning, shuffle setup, commit) is
+    # <5% of the pinned local[16] run; at 160k rows the residue alone
+    # costs ~4 points of measured efficiency.
+    rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "240000"))
     ratio = pair[1] // pair[0]
 
     # Pre-materialize the scaling corpus at full width so the pinned

@@ -332,6 +332,29 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_summary(_docs(spark, sf_dir), window=8, winnow=4)
 
 
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata plumbing: opaque binary media column (the doc
+    text UTF-8 encoded as a stand-in blob) → typed metadata, fully native
+    (length + sha2). Oracle: DuckDB sha256/octet_length over the same
+    bytes."""
+    from llm_aided_ocr_spark.operators.multimodal import media_metadata
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("media"),
+    )
+    return media_metadata(media, media_type="image")
+
+
+_MEDIA_METADATA_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       'image' AS media_type,
+       CAST(octet_length(encode(coalesce(text,''))) AS BIGINT) AS n_bytes,
+       sha256(coalesce(text,'')) AS content_sha256
+FROM documents
+"""
+
+
 def _q_ann_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane LSH with the
     exact-integer quantized Rademacher sketch: buckets are bit-for-bit
@@ -410,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_pages": _q_pdf_pages,
         "ann_near_dup": _q_ann_near_dup,
         "fingerprint_matches": _q_fingerprint_matches,
+        "media_metadata": _q_media_metadata,
     }
 
 
@@ -901,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_near_dup": _build_ann_near_dup_sql(
             dim=64, num_planes=6, threshold=0.35, seed=7
         ),
+        "media_metadata": _MEDIA_METADATA_SQL,
         # pipeline_e2e, hallucination_filter: document-local Python kernels
         # (chunker quirks / difflib) — intentionally no SQL oracle; the
         # driver records the rows-only check and tests/ carry byte parity.

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md — physical-plan evidence for key operators.
+
+Run from the repo root: ``python tools/gen_plans.py``. Plans are captured
+at sf0.001 (plan shapes are scale-invariant); the properties highlighted
+in each caption are asserted in tests/test_providers_plans.py so they
+cannot silently regress.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "simple") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    out = buf.getvalue()
+    return out.replace("== Physical Plan ==", "").strip()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+    from llm_aided_ocr_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    q = entry.queries()
+
+    sections = []
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    gate = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    sections.append((
+        "F2 language gate — predicate pushdown & column pruning",
+        "the lang predicate reaches the parquet scan (PushedFilters: "
+        "IsNotNull(lang), EqualTo(lang,en)); ReadSchema reads 3 of 5 "
+        "columns. At 100 TB this is the difference between scanning a "
+        "column chunk and skipping it.",
+        plan_of(gate),
+    ))
+
+    sections.append((
+        "F1 page filter — native expression filter, pruned scan",
+        "length/word-count predicates are expression DataFilters (not "
+        "parquet-pushable by nature) evaluated inside whole-stage codegen "
+        "directly over the pruned scan; no Python stage.",
+        plan_of(q["page_filter"](spark, SF)),
+    ))
+
+    sections.append((
+        "T3 token approximation — fully native, whole-stage codegen",
+        "regexp_extract_all + aggregate lambda evaluated JVM-side; no "
+        "ArrowEvalPython/BatchEvalPython operator appears anywhere in the "
+        "plan.",
+        plan_of(q["token_estimates"](spark, SF)),
+    ))
+
+    sections.append((
+        "A1 ordered reassembly — one shuffle, order-stable aggregation",
+        "collect_list(struct(ix,payload)) then array_sort then array_join; "
+        "exactly one Exchange hashpartitioning(url) with partial "
+        "aggregation (map-side combine) before it.",
+        plan_of(q["reassembly_roundtrip"](spark, SF)),
+    ))
+
+    sections.append((
+        "ANN brute-force top-k — broadcast query side",
+        "the tiny query set is broadcast (BroadcastExchange / "
+        "BroadcastNestedLoopJoin); the corpus side never shuffles for "
+        "scoring; cosine is a native zip_with/aggregate expression.",
+        plan_of(q["ann_topk"](spark, SF)),
+    ))
+
+    pages = entry._docs_as_pages(spark, SF)
+    cfg = PipelineConfig(provider="identity", apply_hallucination_filter=False)
+    auto = run_pipeline(pages, cfg, strategy="auto")
+    sections.append((
+        "Full pipeline (auto) — ONE source scan, fused main path + staged skew branch",
+        "the routed relation is pruned to consumed columns and persisted; "
+        "the fused branch and both staged consumers are InMemoryTableScans "
+        "over ONE InMemoryRelation whose lineage holds the only FileScan "
+        "(explain prints that lineage under each cached scan). Small docs: "
+        "cache -> salted Exchange -> ONE MapInPandas doing "
+        "chunk+correct+reassemble (zero further shuffles); mega docs: "
+        "chunk table -> chunk-salted Exchange -> correction -> "
+        "ObjectHashAggregate reassembly, unioned. Previously each branch "
+        "re-filtered the raw parquet: 2x text-column scan IO.",
+        plan_of(auto),
+    ))
+    spark.catalog.clearCache()
+
+    sections.append((
+        "Winnowing fingerprints — native portable hashing + one Arrow pass",
+        "word hashes (md5-52, portable) and the content hash are computed "
+        "in the JVM projection; the rolling rotation-XOR grams and "
+        "sliding-window minima run in ONE MapInPandas (numpy int64). No "
+        "shuffle; the small-input repartition appears only when the source "
+        "has fewer splits than cores (a no-op at corpus scale).",
+        plan_of(q["fingerprints"](spark, SF)),
+    ))
+
+    sections.append((
+        "Quantized-Rademacher LSH near-dup — bucket-first, capped, Arrow verify",
+        "exact-integer sketch (one MapInPandas), bucket-size cap via "
+        "left-semi join on the aggregated bucket counts, same-bucket-only "
+        "pair join (never all-pairs), Arrow-vectorized cosine verify. The "
+        "bucketed relation is cached so the cap aggregation and both join "
+        "sides share one materialization.",
+        plan_of(q["ann_near_dup"](spark, SF)),
+    ))
+    spark.catalog.clearCache()
+
+    out = [
+        "# PLANS — physical-plan evidence for key operators",
+        "",
+        "Generated by `python tools/gen_plans.py` at sf0.001 (plan shapes",
+        "are scale-invariant). The properties shown here are asserted in",
+        "tests/test_providers_plans.py so they cannot silently regress.",
+        "",
+    ]
+    for title, caption, plan in sections:
+        out += [f"## {title}", "", caption, "", "```", plan, "```", ""]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLANS.md with {len(sections)} sections")
+
+
+if __name__ == "__main__":
+    main()

@@ -332,6 +332,64 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_summary(_docs(spark, sf_dir), window=8, winnow=4)
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-local approximate top-k with FIXED seeded centroids
+    (shared literal constants, so DuckDB reproduces cell assignment and
+    the cell-restricted ranking exactly). Production trains centroids on
+    a sample; the fixed set is what makes this oracle-checkable."""
+    from llm_aided_ocr_spark.operators.similarity import ivf_demo_centroids, ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, queries_df, ivf_demo_centroids(), k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )
+
+
+def _build_ann_ivf_sql(k: int = 10) -> str:
+    """DuckDB mirror of the fixed-centroid IVF top-k: same centroid
+    literals, argmin-by-first-occurrence cell assignment, cell-restricted
+    candidate set, cosine ranking with the same (cosine DESC, vec_id)
+    tie-break."""
+    from llm_aided_ocr_spark.operators.similarity import ivf_demo_centroids
+
+    cents = ivf_demo_centroids()
+    # statically unrolled per-centroid distances (list_distance is
+    # monotone in the squared sum Spark computes, so argmin matches); a
+    # nested comprehension over an inline 2D literal re-materializes the
+    # literal per element and is pathologically slow in DuckDB
+    dist_terms = ", ".join(
+        "list_distance(v, [" + ", ".join(repr(v) for v in row) + "])"
+        for row in cents
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, v,
+         CAST(list_position(dists, list_min(dists)) - 1 AS INTEGER) AS cell
+  FROM (SELECT vec_id, v, [{dist_terms}] AS dists FROM e)),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM assign WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         coalesce(list_cosine_similarity(a.v, q.qv), 0.0) AS cosine
+  FROM assign a JOIN q USING (cell)),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine_r, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata plumbing: opaque binary media column (the doc
     text UTF-8 encoded as a stand-in blob) → typed metadata, fully native
@@ -434,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_near_dup": _q_ann_near_dup,
         "fingerprint_matches": _q_fingerprint_matches,
         "media_metadata": _q_media_metadata,
+        "ann_ivf_topk": _q_ann_ivf_topk,
     }
 
 
@@ -926,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
             dim=64, num_planes=6, threshold=0.35, seed=7
         ),
         "media_metadata": _MEDIA_METADATA_SQL,
+        "ann_ivf_topk": _build_ann_ivf_sql(k=10),
         # pipeline_e2e, hallucination_filter: document-local Python kernels
         # (chunker quirks / difflib) — intentionally no SQL oracle; the
         # driver records the rows-only check and tests/ carry byte parity.

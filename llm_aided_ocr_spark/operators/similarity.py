@@ -355,6 +355,18 @@ def train_centroids_sample(
     return [list(map(float, c)) for c in cents]
 
 
+def ivf_demo_centroids(n_centroids: int = 8, dim: int = 64, seed: int = 13):
+    """Fixed seeded centroids (values rounded to 6 decimals so the same
+    literals parse to identical doubles in any engine) — lets the driver's
+    DuckDB oracle reproduce IVF cell assignment exactly without sharing a
+    trained model. Production uses :func:`train_centroids_sample`."""
+    rng = np.random.RandomState(seed)
+    return [
+        [round(float(x), 6) for x in row]
+        for row in rng.normal(scale=0.1, size=(n_centroids, dim))
+    ]
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="drop near-empty documents (F1)")
     p.add_argument("--assess-quality", action="store_true",
                    help="also write per-document quality scores")
+    p.add_argument("--no-raw", action="store_true",
+                   help="skip the raw_pages table (reference writes both "
+                        "raw and corrected outputs; default mirrors that)")
     p.add_argument("--from-html", action="store_true",
                    help="extract text from the html column (DOM strip)")
     p.add_argument("--resume", action="store_true",
@@ -104,6 +107,16 @@ def main(argv=None) -> int:
     )
 
     result.write.mode("overwrite").parquet(args.output + "/corrected_docs")
+
+    if not args.no_raw:
+        # two-sink contract: the reference always writes the raw OCR text
+        # file alongside the corrected one (llm_aided_ocr.py:656,665-667)
+        from llm_aided_ocr_spark.sources.io import write_raw_pages
+
+        write_raw_pages(
+            spark.read.parquet(args.output + "/corrected_docs"),
+            args.output + "/raw_pages",
+        )
 
     if args.assess_quality:
         from llm_aided_ocr_spark.operators.quality import assess_quality, quality_rollup

@@ -19,8 +19,20 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    """``spread=True`` applies the gated small-input repartition for
+    compute-heavy per-document queries: the test tables are one parquet
+    row-group = one task, which would serialize the expensive projection
+    on one core; at corpus scale the input has many splits and the gate
+    makes this a no-op (see operators.util.ensure_min_parallelism).
+    Filters still push to the scan (predicates push through
+    Repartition)."""
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if spread:
+        from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
+
+        df = ensure_min_parallelism(df)
+    return df
 
 
 def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,7 +90,7 @@ def _q_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 — native (JVM/codegen) token approximation per document."""
     from llm_aided_ocr_spark.functions import approx_tokens_col
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     return d.select(
         "doc_id",
         approx_tokens_col(F.coalesce("text", F.lit(""))).alias("approx_tokens"),
@@ -116,7 +128,7 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercising the provider + regexp_extract parse path end to end."""
     from llm_aided_ocr_spark.operators.quality import assess_quality
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir, spread=True).select(
         F.col("doc_id").cast("string").alias("url"),
         F.coalesce("text", F.lit("")).alias("raw_text"),
         F.coalesce("text", F.lit("")).alias("corrected_text"),
@@ -152,7 +164,7 @@ def _q_hallucination_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept); n_kept/n_sentences are SQL-checkable, the filter itself is not."""
     from llm_aided_ocr_spark.operators.filters import hallucination_filter
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir, spread=True).select(
         F.col("doc_id").cast("string").alias("url"),
         F.coalesce("text", F.lit("")).alias("raw_text"),
         F.coalesce("text", F.lit("")).alias("corrected_text"),
@@ -172,7 +184,7 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex + T3 approximation."""
     from llm_aided_ocr_spark.operators.textstats import token_counts
 
-    return token_counts(_docs(spark, sf_dir))
+    return token_counts(_docs(spark, sf_dir, spread=True))
 
 
 def _q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,7 +192,7 @@ def _q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_aided_ocr_spark.operators.textstats import detect_language
 
     return (
-        detect_language(_docs(spark, sf_dir))
+        detect_language(_docs(spark, sf_dir, spread=True))
         .groupBy("detected_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -190,14 +202,14 @@ def _q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native quality features per document."""
     from llm_aided_ocr_spark.operators.textstats import quality_features
 
-    return quality_features(_docs(spark, sf_dir))
+    return quality_features(_docs(spark, sf_dir, spread=True))
 
 
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite heuristic 0-100 quality score (native expression)."""
     from llm_aided_ocr_spark.operators.textstats import quality_score_col
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     return d.select("doc_id", quality_score_col(F.col("text")).alias("qscore"))
 
 
@@ -273,7 +285,7 @@ def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     under test; the oracle pins its whitespace contract)."""
     from llm_aided_ocr_spark.operators.extract import extract_text
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     # Entity-escape the payload natively (& first) so documents containing
     # markup characters survive the round-trip — the extraction unescapes.
     esc = F.coalesce("text", F.lit(""))

@@ -32,20 +32,36 @@ def _marker_hits(words: Column, markers: tuple) -> Column:
 
 def lang_id_col(text_col: Column) -> Column:
     """Best-scoring language by stopword hits; ``und`` (undetermined) when
-    nothing matches. Deterministic tie-break by language-key order."""
-    words = F.split(
+    nothing matches. Deterministic tie-break by language-key order.
+    The tokenization is let-bound so the split/normalize subtree runs once
+    per row, not once per language (HOF subexpressions are re-evaluated
+    per reference otherwise)."""
+    from llm_aided_ocr_spark.operators.util import let_
+
+    words_expr = F.split(
         F.regexp_replace(F.lower(text_col), r"[^a-zà-ÿäöüßñ\s]", " "), r"\s+"
     )
-    scores = [
-        F.struct(
-            _marker_hits(words, markers).alias("hits"),
-            F.lit(-i).alias("prio"),
-            F.lit(lang).alias("lang"),
+
+    def _result(words: Column) -> Column:
+        scores = [
+            F.struct(
+                _marker_hits(words, markers).alias("hits"),
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, markers) in enumerate(_LANG_MARKERS.items())
+        ]
+        best_expr = F.array_max(F.array(*scores))
+        # best is referenced twice below — bind it too, or the 4-language
+        # scoring subtree would evaluate twice per row
+        return let_(
+            best_expr,
+            lambda best: F.when(best["hits"] > 0, best["lang"]).otherwise(
+                F.lit("und")
+            ),
         )
-        for i, (lang, markers) in enumerate(_LANG_MARKERS.items())
-    ]
-    best = F.array_max(F.array(*scores))
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return let_(words_expr, _result)
 
 
 def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:

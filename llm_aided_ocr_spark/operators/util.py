@@ -25,6 +25,8 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     a few megabytes is free and restores the parallelism the operator
     would have on a real input. The condition keeps the big-input path
     shuffle-free."""
+    if df.isStreaming:  # partitioning is per-micro-batch; no-op
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(1, int(target * min_factor)):

@@ -125,6 +125,20 @@ def test_fingerprints(spark, docs):
         assert sorted(native[did]["fps"]) == sorted(rows[did]["fps"]), did
 
 
+def test_fingerprint_matches_hot_fp_cap(spark):
+    """A fingerprint shared by every doc must not make the pair join
+    quadratic: the DF cap drops it before the self-join."""
+    from llm_aided_ocr_spark.operators.textstats import fingerprint_matches
+
+    hot = " ".join(f"w{i}" for i in range(12))  # shared 12-word run
+    rows = [(i, hot + " " + " ".join(f"u{i}x{j}" for j in range(12))) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    capped = fingerprint_matches(df, min_shared=1, max_fp_df=5)
+    exact = fingerprint_matches(df, min_shared=1, max_fp_df=None)
+    assert exact.count() == 25 * 24 // 2  # everyone pairs via the hot run
+    assert capped.count() == 0
+
+
 def test_fingerprint_matches_detects_shared_run(spark):
     """Two documents sharing a long run of words must share a winnowing
     fingerprint (guarantee: any common run of window+winnow-1 words)."""

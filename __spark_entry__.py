@@ -324,6 +324,82 @@ def _q_events_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks as a builtin, composed from
+    union+window natively): each event enriched with the user's most
+    recent 'click' at or before it. Oracle: the identical window
+    formulation in DuckDB (equivalent to its ASOF JOIN with inclusive
+    semantics)."""
+    from llm_aided_ocr_spark.operators.temporal import as_of_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.round("value", 6).alias("click_value_r")
+    )
+    out = as_of_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["event_id", "click_value_r"], payload_prefix="click_",
+    )
+    return out.select(
+        "event_id",
+        F.col("click_event_id").alias("prior_click_id"),
+        F.col("click_click_value_r").alias("prior_click_value_r"),
+    )
+
+
+_EVENTS_ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id, round(value, 6) AS v FROM events
+  WHERE event_type = 'click'),
+u AS (
+  SELECT user_id AS k, ts, 0 AS side, event_id, NULL::BIGINT AS c_id,
+         NULL::DOUBLE AS c_v
+  FROM events
+  UNION ALL
+  SELECT user_id, ts, 1, NULL, event_id, v FROM clicks),
+carried AS (
+  SELECT event_id, side,
+         last_value(c_id IGNORE NULLS) OVER w AS prior_click_id,
+         last_value(c_v IGNORE NULLS) OVER w AS prior_click_value_r
+  FROM u
+  WINDOW w AS (PARTITION BY k ORDER BY ts ASC, side DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, prior_click_id, prior_click_value_r
+FROM carried WHERE side = 0
+"""
+
+
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative-sum window) with
+    per-session rollups."""
+    from llm_aided_ocr_spark.operators.temporal import session_stats
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return session_stats(ev, key="user_id", ts_col="ts", gap_seconds=1800)
+
+
+_EVENTS_SESSIONS_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INTEGER)
+           AS session_ix
+  FROM tagged)
+SELECT user_id, session_ix, COUNT(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(SUM(value), 6) AS value_sum_r
+FROM sess GROUP BY user_id, session_ix
+"""
+
+
 def _q_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style overlap pairs: documents sharing winnowing fingerprints,
     via inverted-index join with the corpus-hot-fingerprint DF cap."""
@@ -505,6 +581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_matches": _q_fingerprint_matches,
         "media_metadata": _q_media_metadata,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "events_asof_clicks": _q_events_asof_clicks,
+        "events_sessions": _q_events_sessions,
     }
 
 
@@ -998,6 +1076,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_metadata": _MEDIA_METADATA_SQL,
         "ann_ivf_topk": _build_ann_ivf_sql(k=10),
+        "events_asof_clicks": _EVENTS_ASOF_SQL,
+        "events_sessions": _EVENTS_SESSIONS_SQL,
         # pipeline_e2e, hallucination_filter: document-local Python kernels
         # (chunker quirks / difflib) — intentionally no SQL oracle; the
         # driver records the rows-only check and tests/ carry byte parity.

@@ -120,8 +120,27 @@ class CheckpointStore:
 
     # -- read / resume ----------------------------------------------------
 
-    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        stage: str,
+        as_of_commit: Optional[str] = None,
+    ) -> DataFrame:
+        """Read the committed stage table. ``as_of_commit`` (a ``commit``
+        value from the lineage log, i.e. an ``inc_<run>_<ns>`` name) gives
+        snapshot/time-travel semantics: only increments committed up to
+        and including that commit's nanosecond timestamp are read — the
+        parquet-backed analogue of Iceberg's ``VERSION AS OF``. The
+        comparison uses the trailing timestamp, not the raw name (run ids
+        would break lexicographic order across runs)."""
+
+        def _ns(name: str) -> int:
+            return int(name.rsplit("_", 1)[1])
+
         incs = self._committed_increments(stage)
+        if as_of_commit is not None:
+            cutoff = _ns(as_of_commit)
+            incs = [p for p in incs if _ns(os.path.basename(p)) <= cutoff]
         if not incs:
             raise FileNotFoundError(f"stage '{stage}' has no committed increments")
         return spark.read.parquet(*incs)

@@ -106,6 +106,21 @@ def test_mid_pipeline_checkpoint_reads_back_parquet(spark):
         assert store.read(spark, "mid").count() == 3
 
 
+def test_time_travel_read(spark):
+    """as_of_commit reads the table as it was after that commit — the
+    Iceberg VERSION AS OF analogue on the parquet-backed store."""
+    with tempfile.TemporaryDirectory() as tmp:
+        store = CheckpointStore(tmp, run_id="t5")
+        df = pages_dataframe(spark, n_rows=9, include_golden=False)
+        store.write(df.limit(4).select("url"), "tt")
+        store.write(df.subtract(df.limit(4)).select("url"), "tt")
+        recs = [r for r in store.lineage_records() if r["stage"] == "tt"]
+        assert len(recs) == 2
+        assert store.read(spark, "tt").count() == 9
+        assert store.read(spark, "tt", as_of_commit=recs[0]["commit"]).count() == 4
+        assert store.read(spark, "tt", as_of_commit=recs[1]["commit"]).count() == 9
+
+
 def test_resume_byte_identity_vs_single_run(spark):
     with tempfile.TemporaryDirectory() as tmp:
         store = CheckpointStore(tmp, run_id="t3")

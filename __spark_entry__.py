@@ -521,31 +521,37 @@ def _q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 page-range semantics (reference llm_aided_ocr.py:413-419:
     1-based, first = skip+1, last = skip+max, max_pages=0 = all) over a
     synthetic binary 'pdf' column (the doc text UTF-8 encoded) with a
-    deterministic injected renderer that yields one page per line — the
-    sandbox has no poppler, so the range plumbing is what's under test.
-    Oracle: DuckDB reconstructs the identical page slice."""
+    deterministic injected renderer that yields one 200-char page per
+    slice (fixed-width pagination guarantees multi-page docs, so the
+    range slice is non-vacuous at every sf) — the sandbox has no poppler,
+    so the range plumbing is what's under test. Oracle: DuckDB
+    reconstructs the identical page slice."""
     from llm_aided_ocr_spark.operators.extract import extract_pdf_pages
 
-    def _line_renderer(blob, first_page, last_page):
-        lines = (bytes(blob) if blob is not None else b"").decode("utf-8").split("\n")
-        end = len(lines) if last_page is None else min(last_page, len(lines))
-        return lines[first_page - 1 : end]
+    def _page_renderer(blob, first_page, last_page, width=200):
+        text = (bytes(blob) if blob is not None else b"").decode("utf-8")
+        pages = [text[i : i + width] for i in range(0, max(len(text), 1), width)]
+        end = len(pages) if last_page is None else min(last_page, len(pages))
+        return pages[first_page - 1 : end]
 
     pdf_df = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("url"),
         F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("pdf"),
     )
     return extract_pdf_pages(
-        pdf_df, max_pages=3, skip_first_n_pages=1, renderer=_line_renderer
+        pdf_df, max_pages=3, skip_first_n_pages=1, renderer=_page_renderer
     )
 
 
 _PDF_PAGES_SQL = """
-WITH pages AS (
-  SELECT CAST(doc_id AS VARCHAR) AS url,
-         unnest(string_split(coalesce(text,''), chr(10))) AS page_text,
-         unnest([i for i in range(1, len(string_split(coalesce(text,''), chr(10))) + 1)]) AS pn
-  FROM documents)
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, coalesce(text,'') AS txt FROM documents),
+pages AS (
+  SELECT url,
+         unnest([substring(txt, (i-1)*200 + 1, 200)
+                 for i in range(1, CAST(ceil(greatest(length(txt), 1) / 200.0) AS BIGINT) + 1)]) AS page_text,
+         unnest([i for i in range(1, CAST(ceil(greatest(length(txt), 1) / 200.0) AS BIGINT) + 1)]) AS pn
+  FROM t)
 SELECT url, CAST(pn AS INTEGER) AS page_no, page_text
 FROM pages
 WHERE pn BETWEEN 2 AND 4

@@ -324,6 +324,68 @@ def _q_events_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality flags (Rae et al. 2021 public heuristics), all
+    native; oracle recomputes every rule in DuckDB."""
+    from llm_aided_ocr_spark.operators.textstats import gopher_quality_flags
+
+    return gopher_quality_flags(_docs(spark, sf_dir, spread=True))
+
+
+_GOPHER_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'), x -> x <> '') AS ws,
+         list_filter(string_split(coalesce(text,''), chr(10)), x -> trim(x) <> '') AS ls
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         len(ws) AS n,
+         CASE WHEN len(ws) > 0
+              THEN list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws)
+              ELSE 0.0 END AS mwl,
+         len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS n_sym,
+         len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(list_transform(ws, x -> lower(x)), s))) AS n_stops,
+         len(ls) AS n_lines,
+         len(list_filter(ls, x -> starts_with(trim(x), '-') OR
+                                   starts_with(trim(x), '*') OR
+                                   starts_with(trim(x), '•'))) AS n_bullet,
+         len(list_filter(ls, x -> ends_with(trim(x), '...'))) AS n_ellipsis
+  FROM w),
+flags AS (
+  SELECT doc_id,
+         (n >= 50 AND n <= 100000) AS ok_word_count,
+         (mwl >= 3.0 AND mwl <= 10.0) AS ok_mean_word_len,
+         CASE WHEN n > 0 THEN n_sym * 1.0 / n <= 0.1 ELSE FALSE END AS ok_symbol_ratio,
+         CASE WHEN n > 0 THEN n_alpha * 1.0 / n >= 0.8 ELSE FALSE END AS ok_alpha_words,
+         (n_stops >= 2) AS ok_stop_words,
+         (CASE WHEN n_lines > 0 THEN n_bullet * 1.0 / n_lines ELSE 0.0 END) <= 0.9 AS ok_bullet_lines,
+         (CASE WHEN n_lines > 0 THEN n_ellipsis * 1.0 / n_lines ELSE 0.0 END) <= 0.3 AS ok_ellipsis_lines
+  FROM f)
+SELECT *, (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND
+           ok_alpha_words AND ok_stop_words AND ok_bullet_lines AND
+           ok_ellipsis_lines) AS gopher_pass
+FROM flags
+"""
+
+
+def _q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the events props column (native
+    get_json_object vs DuckDB's JSON operators)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+_EVENTS_PROPS_SQL = """
+SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_val FROM events
+"""
+
+
 def _q_events_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (an operator Spark lacks as a builtin, composed from
     union+window natively): each event enriched with the user's most
@@ -589,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "events_asof_clicks": _q_events_asof_clicks,
         "events_sessions": _q_events_sessions,
+        "gopher_flags": _q_gopher_flags,
+        "events_props_json": _q_events_props_json,
     }
 
 
@@ -1084,6 +1148,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _build_ann_ivf_sql(k=10),
         "events_asof_clicks": _EVENTS_ASOF_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
+        "gopher_flags": _GOPHER_SQL,
+        "events_props_json": _EVENTS_PROPS_SQL,
         # pipeline_e2e, hallucination_filter: document-local Python kernels
         # (chunker quirks / difflib) — intentionally no SQL oracle; the
         # driver records the rows-only check and tests/ carry byte parity.

@@ -123,6 +123,102 @@ def quality_score_col(text_col: Column) -> Column:
     return F.round(length_term + stop_term + wl_term + punct_term).cast("int")
 
 
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    public heuristics), each as a boolean column plus the combined
+    ``gopher_pass``, all native:
+
+    * 50 <= word count <= 100,000
+    * 3 <= mean word length <= 10
+    * symbol-to-word ratio (# or ellipsis) <= 0.1
+    * <= 90% of lines start with a bullet, <= 30% end with an ellipsis
+    * >= 80% of words contain at least one alphabetic character
+    * >= 2 distinct common-English stop words present
+    """
+    from llm_aided_ocr_spark.operators.util import let_
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words_expr = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    lines_expr = F.filter(F.split(t, "\n"), lambda ln: F.trim(ln) != "")
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+    def _flags(words: Column) -> Column:
+        n_words = F.size(words)
+        mean_wl = F.when(
+            n_words > 0,
+            F.aggregate(
+                words, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+            ).cast("double")
+            / n_words,
+        ).otherwise(F.lit(0.0))
+        n_symbols = F.size(
+            F.filter(words, lambda w: w.contains("#") | w.contains("..."))
+        )
+        n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        stop_arr = F.array(*[F.lit(s) for s in stops])
+        n_stops = F.size(
+            F.filter(
+                stop_arr,
+                lambda s: F.array_contains(F.transform(words, F.lower), s),
+            )
+        )
+        return F.struct(
+            ((n_words >= 50) & (n_words <= 100_000)).alias("ok_word_count"),
+            ((mean_wl >= 3.0) & (mean_wl <= 10.0)).alias("ok_mean_word_len"),
+            F.when(n_words > 0, n_symbols.cast("double") / n_words <= 0.1)
+            .otherwise(F.lit(False))
+            .alias("ok_symbol_ratio"),
+            F.when(n_words > 0, n_alpha.cast("double") / n_words >= 0.8)
+            .otherwise(F.lit(False))
+            .alias("ok_alpha_words"),
+            (n_stops >= 2).alias("ok_stop_words"),
+        )
+
+    def _line_flags(lines: Column) -> Column:
+        n_lines = F.size(lines)
+        bullet = F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).startswith("-")
+                | F.trim(ln).startswith("*")
+                | F.trim(ln).startswith("•"),
+            )
+        )
+        ellipsis = F.size(F.filter(lines, lambda ln: F.trim(ln).endswith("...")))
+        safe = lambda n: F.when(
+            n_lines > 0, n.cast("double") / n_lines
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            (safe(bullet) <= 0.9).alias("ok_bullet_lines"),
+            (safe(ellipsis) <= 0.3).alias("ok_ellipsis_lines"),
+        )
+
+    flag_cols = [
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_alpha_words", "ok_stop_words",
+    ]
+    line_cols = ["ok_bullet_lines", "ok_ellipsis_lines"]
+    # two-step projection: bind each flag struct to ONE attribute first —
+    # selecting N fields straight off the let_ expression would inline
+    # (and re-evaluate) the whole words/lines pass N times
+    bound = df.select(
+        F.col(id_col),
+        let_(words_expr, _flags).alias("_w"),
+        let_(lines_expr, _line_flags).alias("_l"),
+    )
+    out = bound.select(
+        F.col(id_col),
+        *[F.col("_w")[c].alias(c) for c in flag_cols],
+        *[F.col("_l")[c].alias(c) for c in line_cols],
+    )
+    all_ok = F.lit(True)
+    for c in flag_cols + line_cols:
+        all_ok = all_ok & F.col(c)
+    return out.withColumn("gopher_pass", all_ok)
+
+
 # ---------------------------------------------------------------------------
 # Token counting — whitespace + BPE-ish regex
 # ---------------------------------------------------------------------------

@@ -159,6 +159,31 @@ def test_fingerprint_matches_detects_shared_run(spark):
     assert not any(2 in p for p in pairs)
 
 
+def test_gopher_quality_flags(spark):
+    from llm_aided_ocr_spark.operators.textstats import gopher_quality_flags
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and keeps running "
+        "through the field with great energy because that is what foxes "
+        "have to be doing on a bright morning of early spring weather. "
+    ) * 3  # > 50 words of clean prose
+    rows = [
+        (0, good),
+        (1, "too short"),                                  # word count
+        (2, "\n".join("- bullet item here" for _ in range(20))),  # bullets
+        (3, " ".join("####" for _ in range(60))),          # symbols/alpha
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert got[0]["gopher_pass"] is True
+    assert got[1]["ok_word_count"] is False and not got[1]["gopher_pass"]
+    assert got[2]["ok_bullet_lines"] is False
+    assert got[3]["ok_symbol_ratio"] is False
+    assert got[3]["ok_alpha_words"] is False
+    assert got[4]["gopher_pass"] is False
+
+
 def test_media_metadata_and_decode(spark):
     from llm_aided_ocr_spark.operators.multimodal import (
         decode_image_features,

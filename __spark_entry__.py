@@ -324,6 +324,77 @@ def _q_events_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the relational aggregate surface
+    (partial/map-side combine + one shuffle on the grouping key; dates
+    prune via the shipdate predicate)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 6) AS sum_qty,
+       round(SUM(l_extendedprice), 6) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: 3-way join (customer broadcast —
+    the dimension side; orders↔lineitem shuffle equi-join under AQE) +
+    aggregate + deterministic top-10."""
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .hint("broadcast")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 6).alias("revenue_r"))
+        .orderBy(F.desc("revenue_r"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+    return out
+
+
+_TPCH_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue_r
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_r DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality flags (Rae et al. 2021 public heuristics), all
     native; oracle recomputes every rule in DuckDB."""
@@ -653,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "gopher_flags": _q_gopher_flags,
         "events_props_json": _q_events_props_json,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
     }
 
 
@@ -1150,6 +1223,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "gopher_flags": _GOPHER_SQL,
         "events_props_json": _EVENTS_PROPS_SQL,
+        "tpch_q1": _TPCH_Q1_SQL,
+        "tpch_q3": _TPCH_Q3_SQL,
         # pipeline_e2e, hallucination_filter: document-local Python kernels
         # (chunker quirks / difflib) — intentionally no SQL oracle; the
         # driver records the rows-only check and tests/ carry byte parity.

@@ -439,6 +439,15 @@ def test_column_pruning_reaches_scan(spark):
     assert "text" not in plan.split("ReadSchema:")[1].split("\n")[0]
 
 
+def test_tpch_q3_broadcasts_dimension(spark):
+    """The filtered customer dimension must broadcast; the fact-fact join
+    stays a shuffle join under AQE."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tpch_q3"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
 def test_auto_strategy_scans_source_once(spark):
     """The auto (size-routed) strategy must not pay a second parquet scan
     of the source text for the mega-doc branch: the routed relation is

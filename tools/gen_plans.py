@@ -122,6 +122,24 @@ def main() -> None:
     ))
     spark.catalog.clearCache()
 
+    sections.append((
+        "As-of join — union + window, one shuffle, no Python",
+        "both sides tagged and unioned, one Exchange on the key, a single "
+        "Window carrying the last non-null right payload forward; right "
+        "rows order before left rows at equal timestamps (inclusive "
+        "semantics). No MapInPandas/EvalPython node.",
+        plan_of(q["events_asof_clicks"](spark, SF)),
+    ))
+
+    sections.append((
+        "TPC-H Q3-style join — broadcast dimension, shuffle fact join",
+        "the filtered customer dimension broadcasts (BroadcastHashJoin); "
+        "orders-lineitem stays a shuffle equi-join under AQE; top-10 via "
+        "TakeOrderedAndProject on the rounded revenue with a "
+        "deterministic tie-break.",
+        plan_of(q["tpch_q3"](spark, SF)),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence for key operators",
         "",

@@ -443,7 +443,23 @@ def _repair_space_hyphen(text: str) -> str:
 def _is_heading_line(line: str) -> bool:
     # The char class admits no lowercase and the first char is a letter, so
     # a regex match already implies "has letters, all uppercase".
-    return bool(_HEADING_LINE_RE.match(line.strip()))
+    line = line.strip()
+    # cheap prefilter: the regex requires first char A-Z and length 3..80
+    if not (3 <= len(line) <= 80 and "A" <= line[0] <= "Z"):
+        return False
+    return bool(_HEADING_LINE_RE.match(line))
+
+
+def _ends_sentence(s: str) -> bool:
+    """Exact equivalent of ``_SENT_END_RE.search(s)`` for the end-anchored
+    pattern ``[.!?:;]['\")\\]]*$`` — scan back over closing chars, then
+    check for terminal punctuation. The regex form re-scans the WHOLE
+    accumulated line on every merge (O(n) each, quadratic over a
+    paragraph); this is O(trailing closers)."""
+    i = len(s) - 1
+    while i >= 0 and s[i] in "'\")]":
+        i -= 1
+    return i >= 0 and s[i] in ".!?:;"
 
 
 def _unwrap_paragraph(paragraph: str) -> str:
@@ -462,7 +478,7 @@ def _unwrap_paragraph(paragraph: str) -> str:
             and not _is_heading_line(stripped)
             and not starts_item
             and not _is_heading_line(out[-1])
-            and not _SENT_END_RE.search(out[-1])
+            and not _ends_sentence(out[-1])
         ):
             out[-1] = out[-1] + " " + stripped
         else:

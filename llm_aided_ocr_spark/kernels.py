@@ -468,21 +468,30 @@ def _unwrap_paragraph(paragraph: str) -> str:
     llm_aided_ocr.py:441-448)."""
     lines = [ln.rstrip() for ln in paragraph.split("\n")]
     out: List[str] = []
+    last_is_heading = False  # heading-ness of out[-1], maintained incrementally
     for ln in lines:
         stripped = ln.strip()
         if not stripped:
             continue
-        starts_item = bool(_LIST_ITEM_RE.match(stripped))
+        cur_is_heading = _is_heading_line(stripped)
         if (
             out
-            and not _is_heading_line(stripped)
-            and not starts_item
-            and not _is_heading_line(out[-1])
+            and not cur_is_heading
+            and not _LIST_ITEM_RE.match(stripped)
+            and not last_is_heading
             and not _ends_sentence(out[-1])
         ):
+            # a merged non-heading line stays non-heading (its lowercase /
+            # invalid char / >80 length / bad first char persists) EXCEPT
+            # when the previous text was shorter than the regex's 3-char
+            # minimum — only then recheck
+            prev_short = len(out[-1]) < 3
             out[-1] = out[-1] + " " + stripped
+            if prev_short:
+                last_is_heading = _is_heading_line(out[-1])
         else:
             out.append(stripped)
+            last_is_heading = cur_is_heading
     return "\n".join(out)
 
 

@@ -175,11 +175,11 @@ def hardware_control(pair) -> dict:
 def run_scaling(sf_dir: str) -> dict:
     pair_env = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "4,16")
     pair = tuple(int(x) for x in pair_env.split(","))
-    # 240k rows ≈ 840 MB ≈ 140 core-s of kernel work — large enough that
-    # the ~2 s fixed per-run residue (planning, shuffle setup, commit) is
-    # <5% of the pinned local[16] run; at 160k rows the residue alone
-    # costs ~4 points of measured efficiency.
-    rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "240000"))
+    # 480k rows ≈ 1.7 GB ≈ 105 core-s of kernel work at the round-2 kernel
+    # rate (~16 MB/s/core) — large enough that the ~2 s fixed per-run
+    # residue (planning, shuffle setup, commit) stays <5% of the pinned
+    # local[16] run; undersized corpora bill the residue to efficiency.
+    rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "480000"))
     ratio = pair[1] // pair[0]
 
     # Pre-materialize the scaling corpus at full width so the pinned

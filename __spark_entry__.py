@@ -174,10 +174,17 @@ def _q_hallucination_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup — hash-groupBy duplicate clusters (keeper = min id)."""
+    """Exact dedup — hash-groupBy duplicate clusters (keeper = min id).
+    The driver corpus has no natural exact duplicates, so the check would
+    be vacuous (0 rows); the query unions deterministic copies of every
+    10th document (id + 10^9) so real clusters exist at every sf."""
     from llm_aided_ocr_spark.operators.dedup import exact_dup_groups
 
-    return exact_dup_groups(_docs(spark, sf_dir)).select("keeper_id", "n_dups")
+    d = _docs(spark, sf_dir)
+    dups = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    return exact_dup_groups(d.unionByName(dups)).select("keeper_id", "n_dups")
 
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1152,7 +1159,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "exact_dup_groups": (
-            "SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_dups FROM documents "
+            "WITH d AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 10 = 0) "
+            "SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_dups FROM d "
             "GROUP BY coalesce(text,'') HAVING COUNT(*) > 1"
         ),
         "exact_dedup_keep": (

@@ -59,6 +59,28 @@ def write_raw_pages(
         df.select(*cols).write.mode(mode).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str = "url",
+    n_buckets: int = 64,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on the join key —
+    the co-located-join primitive: two tables bucketed on the same key
+    with the same bucket count join WITHOUT a shuffle (no Exchange in the
+    plan), which at 100 TB turns every url-keyed join (raw↔corrected,
+    resume anti-joins, quality joins) from a full-corpus shuffle into a
+    local zip per bucket. Requires a catalog table (``saveAsTable``) —
+    Spark's bucketing metadata lives in the catalog, not in plain parquet
+    paths; on Iceberg this is ``bucket(n, url)`` hidden partitioning."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def read_corrected_docs(
     spark: SparkSession,
     path: str,

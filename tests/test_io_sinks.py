@@ -68,6 +68,43 @@ def test_two_sink_contract_raw_plus_corrected(spark):
         assert "warc_day" in corr_back.columns and "warc_day" in spark.read.parquet(raw_path).columns
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables bucketed on url with the same bucket count must join
+    with ZERO Exchange operators — the co-located join contract."""
+    import io
+    from contextlib import redirect_stdout
+
+    from llm_aided_ocr_spark.sources.io import write_bucketed_table
+
+    pages = pages_dataframe(spark, n_rows=20, include_golden=False)
+    # at test scale Spark would broadcast the tiny side (its own
+    # BroadcastExchange); disable it so the plan shows what a 100 TB
+    # fact-fact join would do — the bucketed sort-merge with no shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(
+            pages.select("url", "text"), "bt_raw", n_buckets=4, sort_col="url"
+        )
+        write_bucketed_table(
+            pages.select("url", "lang"), "bt_meta", n_buckets=4, sort_col="url"
+        )
+        a = spark.table("bt_raw")
+        b = spark.table("bt_meta")
+        joined = a.join(b, "url")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 20
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_raw")
+        spark.sql("DROP TABLE IF EXISTS bt_meta")
+
+
 def test_unpartitioned_sink(spark):
     with tempfile.TemporaryDirectory() as tmp:
         pages = pages_dataframe(spark, n_rows=5, include_golden=False).drop("warc_ts")

@@ -456,6 +456,8 @@ def _ends_sentence(s: str) -> bool:
     check for terminal punctuation. The regex form re-scans the WHOLE
     accumulated line on every merge (O(n) each, quadratic over a
     paragraph); this is O(trailing closers)."""
+    if s.endswith("\n"):  # re's $ also matches just before a final newline
+        s = s[:-1]
     i = len(s) - 1
     while i >= 0 and s[i] in "'\")]":
         i -= 1

@@ -106,6 +106,32 @@ def test_mid_pipeline_checkpoint_reads_back_parquet(spark):
         assert store.read(spark, "mid").count() == 3
 
 
+def test_uncommitted_increment_invisible(spark):
+    """Atomic-commit contract: an increment directory without _SUCCESS (a
+    crashed writer) must be invisible to readers, resume, and exists()."""
+    import os
+    import shutil
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = CheckpointStore(tmp, run_id="t6")
+        df = pages_dataframe(spark, n_rows=5, include_golden=False)
+        store.write(df.select("url"), "at")
+        assert store.read(spark, "at").count() == 5
+
+        # simulate a crashed writer: copy a committed increment, drop its
+        # _SUCCESS marker
+        committed = store._committed_increments("at")[0]
+        crashed = os.path.join(store.stage_path("at"), "inc_t6_9999999999999999999")
+        shutil.copytree(committed, crashed)
+        os.remove(os.path.join(crashed, "_SUCCESS"))
+
+        assert store.read(spark, "at").count() == 5  # ghost rows invisible
+        assert len(store._committed_increments("at")) == 1
+        # resume sees only committed urls
+        remaining = store.remaining(df.select("url"), "at")
+        assert remaining.count() == 0
+
+
 def test_time_travel_read(spark):
     """as_of_commit reads the table as it was after that commit — the
     Iceberg VERSION AS OF analogue on the parquet-backed store."""

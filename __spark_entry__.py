@@ -402,6 +402,74 @@ LIMIT 10
 """
 
 
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue: 6-way join spanning every
+    dimension table (region→nation→{customer,supplier}→orders→lineitem);
+    the small dimensions broadcast, the fact joins shuffle under AQE."""
+    def t(name):
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        t("region").filter(F.col("r_name") == "ASIA").hint("broadcast")
+        .join(t("nation"), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(t("supplier"), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(t("lineitem"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t("customer"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 6).alias("revenue_r"))
+    )
+    return out
+
+
+_TPCH_Q5_SQL = """
+SELECT n_name, round(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue_r
+FROM region, nation, supplier, lineitem, orders, customer
+WHERE r_name = 'ASIA'
+  AND r_regionkey = n_regionkey
+  AND n_nationkey = s_nationkey
+  AND s_suppkey = l_suppkey
+  AND l_orderkey = o_orderkey
+  AND o_custkey = c_custkey
+  AND c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share: lineitem⋈part with a
+    conditional aggregate."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6).alias(
+                "promo_revenue_pct_r"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_TPCH_Q14_SQL = """
+SELECT round(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct_r,
+       COUNT(*) AS n_rows
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+"""
+
+
 def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality flags (Rae et al. 2021 public heuristics), all
     native; oracle recomputes every rule in DuckDB."""
@@ -733,6 +801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_json": _q_events_props_json,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q14": _q_tpch_q14,
     }
 
 
@@ -1234,6 +1304,8 @@ def oracle_sql() -> dict[str, str]:
         "events_props_json": _EVENTS_PROPS_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
         "tpch_q3": _TPCH_Q3_SQL,
+        "tpch_q5": _TPCH_Q5_SQL,
+        "tpch_q14": _TPCH_Q14_SQL,
         # pipeline_e2e, hallucination_filter: document-local Python kernels
         # (chunker quirks / difflib) — intentionally no SQL oracle; the
         # driver records the rows-only check and tests/ carry byte parity.

@@ -40,6 +40,14 @@ def as_of_join(
     same ts (inclusive semantics); among right rows sharing (key, ts) the
     last by payload order wins — supply a unique tiebreak column in
     ``payload_cols`` if that matters.
+
+    Scale note: the carry is a running window per key, so one degenerate
+    key holding a large fraction of all rows serializes into one task
+    (running state cannot be salted without a second merge pass). For
+    natural keys (user, document, host) cardinality dwarfs the executor
+    count and the sort-within-key is the textbook distributed as-of; for
+    known-degenerate keys, pre-split by time range and stitch the
+    boundary rows.
     """
     left_struct = F.struct(*[F.col(c) for c in left.columns])
     payload_struct = F.struct(*[F.col(c) for c in payload_cols])

@@ -323,9 +323,14 @@ def _q_events_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     to an event stream): per event_type per hour — row counts + value
     sums."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
-    ).agg(
+    # hour truncation from calendar components: tz-free for TIMESTAMP_NTZ
+    # inputs (date_trunc would round-trip through the session timezone,
+    # which shifts the hour under a non-UTC driver session)
+    hour_ts = F.make_timestamp_ntz(
+        F.year("ts"), F.month("ts"), F.dayofmonth("ts"),
+        F.hour("ts"), F.lit(0), F.lit(0),
+    )
+    return ev.groupBy("event_type", hour_ts.alias("hour_ts")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 6).alias("value_sum_r"),
     )

@@ -99,12 +99,11 @@ def sessionize(
     full ordering of ``ts`` (equal timestamps fall into one session)."""
     w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
     prev_ts = F.lag(ts_col).over(w)
-    # cast handles TIMESTAMP_NTZ inputs (session tz is pinned UTC, so the
-    # epoch matches DuckDB's epoch over naive timestamps)
-    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    # interval subtraction works for TIMESTAMP and TIMESTAMP_NTZ alike and
+    # is timezone-free (an epoch cast would shift with the session tz)
+    gap = F.col(ts_col) - prev_ts
     is_new = F.when(
-        prev_ts.isNull()
-        | (us(F.col(ts_col)) - us(prev_ts) > gap_seconds * 1_000_000),
+        prev_ts.isNull() | (gap > F.expr(f"INTERVAL {int(gap_seconds)} SECOND")),
         F.lit(1),
     ).otherwise(F.lit(0))
     return df.withColumn(

@@ -691,6 +691,58 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k with the quantized sketch: queries score only
+    their own bucket's corpus vectors (recall traded via plane count);
+    DuckDB reproduces bucket assignment exactly and the cell-restricted
+    ranking."""
+    from llm_aided_ocr_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(
+        emb, queries_df, dim=64, k=10, num_planes=4, seed=7,
+        sketch="rademacher_q6",
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )
+
+
+def _build_ann_lsh_sql(k: int = 10, num_planes: int = 4, seed: int = 7) -> str:
+    from llm_aided_ocr_spark.operators.similarity import QUANT_SCALE, rademacher_planes
+
+    planes = rademacher_planes(64, num_planes, seed)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(qv, [{', '.join(str(int(v)) for v in plane)}]"
+        f"::BIGINT[]) > 0 THEN {1 << r} ELSE 0 END)"
+        for r, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         [CAST(trunc(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT) for x in embedding] AS qv
+  FROM embeddings),
+sk AS (SELECT vec_id, v, CAST({bucket_terms} AS BIGINT) AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qvec, bucket FROM sk WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         coalesce(list_cosine_similarity(a.v, q.qvec), 0.0) AS cosine
+  FROM sk a JOIN q USING (bucket)),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine_r, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata plumbing: opaque binary media column (the doc
     text UTF-8 encoded as a stand-in blob) → typed metadata, fully native
@@ -808,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
         "tpch_q14": _q_tpch_q14,
+        "ann_lsh_topk": _q_ann_lsh_topk,
     }
 
 
@@ -1311,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": _TPCH_Q3_SQL,
         "tpch_q5": _TPCH_Q5_SQL,
         "tpch_q14": _TPCH_Q14_SQL,
+        "ann_lsh_topk": _build_ann_lsh_sql(k=10, num_planes=4, seed=7),
         # pipeline_e2e, hallucination_filter: document-local Python kernels
         # (chunker quirks / difflib) — intentionally no SQL oracle; the
         # driver records the rows-only check and tests/ carry byte parity.

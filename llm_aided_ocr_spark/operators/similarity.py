@@ -118,15 +118,26 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    sketch: str = "normal",
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose hyperplane bucket
     equals the query's. Recall < 1 by construction; bucket width traded via
-    ``num_planes``."""
-    v = hyperplane_sketch(vectors, dim, num_planes, seed, vec_col)
-    q = hyperplane_sketch(
-        queries.select(query_id_col, F.col(query_vec_col).alias(vec_col)),
-        dim, num_planes, seed, vec_col,
-    ).select(query_id_col, F.col(vec_col).alias(query_vec_col), "bucket")
+    ``num_planes``. ``sketch='rademacher_q6'`` uses the exact-integer
+    quantized sketch (DuckDB-reproducible buckets, see
+    :func:`quantized_sketch`); ``'normal'`` the float Gaussian sketch."""
+    if sketch == "rademacher_q6":
+        planes = rademacher_planes(dim, num_planes, seed)
+        v = quantized_sketch(vectors, planes, vec_col)
+        q = quantized_sketch(
+            queries.select(query_id_col, F.col(query_vec_col).alias(vec_col)),
+            planes, vec_col,
+        ).select(query_id_col, F.col(vec_col).alias(query_vec_col), "bucket")
+    else:
+        v = hyperplane_sketch(vectors, dim, num_planes, seed, vec_col)
+        q = hyperplane_sketch(
+            queries.select(query_id_col, F.col(query_vec_col).alias(vec_col)),
+            dim, num_planes, seed, vec_col,
+        ).select(query_id_col, F.col(vec_col).alias(query_vec_col), "bucket")
     joined = v.join(F.broadcast(q), on="bucket").select(
         query_id_col,
         F.col(id_col),

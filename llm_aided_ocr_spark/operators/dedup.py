@@ -33,8 +33,14 @@ from pyspark.sql import functions as F
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the min-id row per exact text fingerprint. One shuffle on the
-    64-bit hash (not the full text — tiny shuffle payload)."""
+    """Keep the min-id row per exact text fingerprint. One shuffle KEYED
+    on the 64-bit hash — but the shuffle PAYLOAD is the full row (text
+    included): materializing a deduped corpus inherently moves every
+    surviving row once, so this is the floor for a straight rewrite. For
+    bulk 100 TB dedup, prefer :func:`exact_keeper_ids` (shuffles only
+    ``(id, hash)`` — 16 bytes/row) and materialize keepers with a
+    bucketed-table left-semi join on the id (zero-Exchange when the corpus
+    is bucketed on the id; see ``sources/io.py:write_bucketed_table``)."""
     h = F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
     w = Window.partitionBy("_fp").orderBy(F.col(id_col))
     return (
@@ -42,6 +48,25 @@ def exact_dedup(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_fp", "_rn")
+    )
+
+
+def exact_keeper_ids(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(keeper_id)`` — the min-id representative of every exact-text
+    group (groups of size 1 included: a unique doc keeps itself). The
+    aggregation projects to ``(id, fingerprint)`` BEFORE the shuffle, so
+    the exchange carries 16 bytes/row regardless of document size — the
+    100 TB-scale keep-list path. Materialize with
+    ``corpus.join(keepers, corpus[id] == keepers.keeper_id, 'left_semi')``
+    against a table bucketed on the id (no exchange on the corpus side)."""
+    h = F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        df.select(F.col(id_col).alias("_id"), h.alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min("_id").alias("keeper_id"))
+        .select("keeper_id")
     )
 
 
@@ -109,10 +134,28 @@ def word_shingles(
     per word and each shingle costs O(n) integer ops — the naive
     slice-and-concat form re-materializes every shingle's bytes and is
     ~10x slower. 8-byte shuffle payload per shingle either way."""
-    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism, let_
+    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
+    shingles = shingle_array_col(text_col, n=n, hash_family=hash_family)
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def shingle_array_col(
+    text_col: str, n: int = 3, hash_family: str = "xxhash64"
+) -> F.Column:
+    """Document-local word-n-gram hash array as a NATIVE column expression
+    (duplicates kept; ``F.array_distinct`` on top gives the shingle set).
+    This is the zero-shuffle building block: the shingle set never leaves
+    its document's row, so operators that only need per-document sets
+    (minhash signatures) can skip the explode→distinct→collect_list round
+    trip entirely."""
+    from llm_aided_ocr_spark.operators.util import let_
 
     bits = 52 if hash_family == "md5_52" else 64
-    df = ensure_min_parallelism(df)
     words = F.split(_normalize_col(text_col), " ")
     wh = F.transform(words, lambda w: _word_hash_col(w, hash_family))
 
@@ -127,11 +170,7 @@ def word_shingles(
             n_sh > 0, F.transform(F.sequence(F.lit(0), n_sh - 1), _one)
         ).otherwise(F.array().cast("array<bigint>"))
 
-    shingles = let_(wh, _grams)
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    return let_(wh, _grams)
 
 
 def ngram_jaccard_pairs(
@@ -219,20 +258,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """``(id, sig: array<bigint>)`` — minhash over word-n-gram shingles.
 
-    Arrow-vectorized: one pandas pass computes all ``num_perm``
-    permutations per batch with numpy broadcasting over the exact
-    universal family of :func:`minhash_perms`. Empty documents get the
-    ``[p] * num_perm`` sentinel signature (p itself is never produced by
-    ``mod p``). The default portable shingle hash keeps every value
+    Arrow-vectorized AND shuffle-free: the shingle set is document-local,
+    so it is built as a native array column (:func:`shingle_array_col` +
+    ``array_distinct``) and fed straight into ``mapInPandas`` — no
+    explode, no ``distinct()`` shuffle, no ``collect_list`` shuffle. At
+    10^12 docs the previous explode→distinct→groupBy form moved every
+    shingle hash through two full exchanges; this form moves nothing.
+    One pandas pass computes all ``num_perm`` permutations per batch with
+    numpy broadcasting over the exact universal family of
+    :func:`minhash_perms`. Empty documents get the ``[p] * num_perm``
+    sentinel signature (p itself is never produced by ``mod p``; min over
+    duplicate shingles is idempotent, so signatures are identical to the
+    set form). The default portable shingle hash keeps every value
     SQL-reproducible; pass ``hash_family='xxhash64'`` to shave the md5
     cost when oracle portability is not needed."""
+    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
+
     a, b = minhash_perms(num_perm, seed)
 
-    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col, hash_family=hash_family)
-    grouped = sh.groupBy("id").agg(F.collect_list("shingle").alias("shingles"))
-    # keep empty docs in the output
-    all_ids = df.select(F.col(id_col).alias("id")).distinct()
-    grouped = all_ids.join(grouped, "id", "left")
+    grouped = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            shingle_array_col(text_col, n=n, hash_family=hash_family)
+        ).alias("shingles"),
+    )
 
     def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sentinel = [int(MINHASH_P)] * num_perm

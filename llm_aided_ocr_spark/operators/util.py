@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -14,6 +16,25 @@ def let_(expr: Column, fn) -> Column:
     return F.get(F.transform(F.array(expr), fn), 0)
 
 
+_BYTE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf parser ("134217728", "128MB", "1g", ...)."""
+    s = str(v).strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:].strip()
+    return int(num) * _BYTE_SUFFIX.get(suffix, 1)
+
+
 def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     """Round-robin repartition ONLY when the input has fewer partitions
     than ``min_factor * defaultParallelism``.
@@ -24,11 +45,45 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     one task) the same operator would run serially on one core; spreading
     a few megabytes is free and restores the parallelism the operator
     would have on a real input. The condition keeps the big-input path
-    shuffle-free."""
+    shuffle-free.
+
+    The gate is estimated WITHOUT ``df.rdd`` (which forces a
+    plan-to-RDD conversion per call): for file-backed plans, scan
+    partitions are estimated from ``df.inputFiles()`` + local file sizes
+    against ``spark.sql.files.maxPartitionBytes`` (Spark packs splits to
+    that size); non-file and non-local sources skip the repartition —
+    at scale they are many-partition anyway, and guessing wrong merely
+    costs parallelism on a toy input, never a shuffle on a big one.
+    """
     if df.isStreaming:  # partitioning is per-micro-batch; no-op
         return df
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(1, int(target * min_factor)):
-        return df.repartition(target)
-    return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    threshold = max(1, int(target * min_factor))
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:  # in-memory relation: createDataFrame already slices
+        return df
+    max_split = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est = 0
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[5:]
+            while path.startswith("//"):
+                path = path[1:]
+        elif uri.startswith("/"):
+            path = uri
+        else:  # remote FS — stat is an RPC per file; assume big input
+            return df
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return df
+        est += max(1, -(-size // max_split))
+        if est >= threshold:
+            return df
+    return df.repartition(target)

@@ -149,3 +149,59 @@ def test_jaccard_on_driver_documents(spark):
         .ngram_jaccard_pairs(docs, n=5, threshold=0.9)
     )
     assert pairs.count() >= 0
+
+
+def _executed_plan(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_minhash_signatures_shuffle_free(spark):
+    """The shingle set is document-local, so signature computation must
+    not shuffle at all: no Exchange of any kind before (or after) the
+    mapInPandas stage. Guards the round-3 fix that replaced the
+    explode->distinct->collect_list double shuffle with a native
+    array_distinct feeding mapInPandas directly."""
+    import os
+
+    from llm_aided_ocr_spark.operators.dedup import minhash_signatures
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata absent")
+    docs = spark.read.parquet(path).select("doc_id", "text").repartition(32)
+    plan = _executed_plan(minhash_signatures(docs))
+    # the .repartition(32) above is the only allowed exchange (and it makes
+    # ensure_min_parallelism a no-op): strip its RoundRobin line, then the
+    # signature computation itself must be exchange-free
+    body = "\n".join(
+        ln for ln in plan.splitlines() if "REPARTITION_BY_NUM" not in ln
+    )
+    assert "Exchange" not in body, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_exact_keeper_ids(spark, corpus):
+    from llm_aided_ocr_spark.operators.dedup import exact_keeper_ids
+
+    keepers = exact_keeper_ids(corpus)
+    ids = sorted(r["keeper_id"] for r in keepers.collect())
+    # one keeper per exact-text group, singletons included; 6 (empty) and
+    # 7 (null) collide via coalesce('')
+    assert ids == [0, 2, 3, 5, 6]
+
+    # the aggregation's exchange must carry ONLY (fingerprint, id) — the
+    # 16-byte/row keep-list contract; 'text' must not survive the shuffle
+    plan = _executed_plan(keepers)
+    exchange_seen = False
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            exchange_seen = True
+        if "HashAggregate" in ln:
+            assert "text" not in ln, plan
+    assert exchange_seen, plan

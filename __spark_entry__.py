@@ -173,6 +173,21 @@ def _q_hallucination_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("url").alias("doc_id_str"), "n_sentences", "n_kept")
 
 
+def _q_pipeline_raw_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's per-row invariant, driver-checked: the pipeline's
+    ``raw_text`` (extracted text per url) must be BYTE-IDENTICAL to the
+    source text. Runs the full auto-routed pipeline and projects the
+    SQL-expressible columns; the driver's value hash compares the complete
+    text bytes against DuckDB's passthrough — a full-corpus extraction
+    parity check, not just a length check."""
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+
+    pages = _docs_as_pages(spark, sf_dir)
+    result = run_pipeline(pages, PipelineConfig(provider="heuristic"), strategy="auto")
+    return result.select("url", "raw_text", F.length("raw_text").alias("raw_len"))
+
+
 def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup — hash-groupBy duplicate clusters (keeper = min id).
     The driver corpus has no natural exact duplicates, so the check would
@@ -833,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "truncation": _q_truncation,
         "pipeline_e2e": _q_pipeline_e2e,
+        "pipeline_raw_parity": _q_pipeline_raw_parity,
         "hallucination_filter": _q_hallucination_filter,
         "exact_dup_groups": _q_exact_dup_groups,
         "exact_dedup_keep": _q_exact_dedup_keep,
@@ -871,6 +887,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WORD_COUNT_SQL = (
     "CASE WHEN regexp_replace(coalesce(text,''), '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
     "ELSE len(string_split_regex(regexp_replace(coalesce(text,''), '^\\s+|\\s+$', '', 'g'), '\\s+')) END"
+)
+
+# RE2-safe reformulation of the kernel's sentence count
+# (len of non-blank segments of re.split(r'(?<=[.!?])\s+', text)).
+# RE2 has no lookbehind; the equivalent count:
+#   n = 1 + #matches('[.!?]\s+')            (each separator = one maximal
+#                                            \s+ run anchored by one punct;
+#                                            matches can't overlap or span
+#                                            two runs since \s+ is greedy
+#                                            and the anchor punct is never
+#                                            whitespace)
+#       - 1 if text ends with '[.!?]\s+$'   (then the final segment is the
+#                                            empty string and is dropped)
+#   and 0 when the whole text is blank      (the only other way a segment
+#                                            can be blank: interior
+#                                            segments start at a non-\s
+#                                            char by greediness and must
+#                                            end with the next anchor
+#                                            punct, so they are non-blank)
+# Python's \s is a superset of RE2's ([\v], unicode spaces); the driver
+# corpus is plain-space-only (verified by character inventory), so the two
+# agree on every input the oracle sees.
+_SENT_COUNT_SQL = (
+    "CASE WHEN regexp_replace(coalesce(text,''), '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+    "ELSE 1 + len(regexp_extract_all(coalesce(text,''), '[.!?]\\s+')) "
+    "- CASE WHEN regexp_matches(coalesce(text,''), '[.!?]\\s+$') THEN 1 ELSE 0 END END"
 )
 
 _TOKEN_COST_SQL = """
@@ -1365,7 +1407,29 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": _TPCH_Q5_SQL,
         "tpch_q14": _TPCH_Q14_SQL,
         "ann_lsh_topk": _build_ann_lsh_sql(k=10, num_planes=4, seed=7),
-        # pipeline_e2e, hallucination_filter: document-local Python kernels
-        # (chunker quirks / difflib) — intentionally no SQL oracle; the
-        # driver records the rows-only check and tests/ carry byte parity.
+        "pipeline_raw_parity": (
+            # Full-text byte parity: the driver's value hash covers the
+            # complete raw_text column, so this IS the north rule's
+            # "byte-identical extracted text per url" check at sf0.01.
+            "SELECT CAST(doc_id AS VARCHAR) AS url, "
+            "COALESCE(text,'') AS raw_text, "
+            "CAST(LENGTH(COALESCE(text,'')) AS INTEGER) AS raw_len "
+            "FROM documents"
+        ),
+        "hallucination_filter": (
+            # text-vs-itself ⇒ every sentence's best difflib ratio is 1.0,
+            # so n_kept == n_sentences and BOTH reduce to the RE2-safe
+            # sentence count (see _SENT_COUNT_SQL equivalence proof).
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id_str, "
+            f"CAST(({_SENT_COUNT_SQL}) AS INTEGER) AS n_sentences, "
+            f"CAST(({_SENT_COUNT_SQL}) AS INTEGER) AS n_kept "
+            "FROM documents"
+        ),
+        # pipeline_e2e: the chunker + heuristic corrector are document-local
+        # Python (separator-blind counter, compounding overlap) —
+        # intentionally no SQL oracle; the driver records the rows-only
+        # check. Its SQL-expressible surface (raw_text extraction parity)
+        # is fully oracle-checked by pipeline_raw_parity above, and byte
+        # parity of the Python kernels is carried by tests/ against the
+        # exec'd reference (tests/reference_oracle.py).
     }

@@ -117,3 +117,31 @@ def test_entry_smoke(spark, entry_mod):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"url", "n_chunks", "corrected_len", "raw_len"}
+
+
+def test_sent_count_sql_matches_python_kernel(duck):
+    """The RE2-safe _SENT_COUNT_SQL must equal the Python kernel's
+    sentence count (len of non-blank re.split((?<=[.!?])\\s+) segments)
+    on the corpus alphabet — the equivalence the hallucination_filter
+    oracle rests on."""
+    import random
+    import re
+
+    import __spark_entry__ as e
+
+    sent = re.compile(r"(?<=[.!?])\s+")
+
+    def py_count(t: str) -> int:
+        return len([s for s in sent.split(t) if s.strip()])
+
+    rng = random.Random(0)
+    atoms = list("ab .!?,\t\n") + ["  ", ". ", "! ", "? "]
+    cases = ["", " ", ".", "a. b. ", "a.. b", "a. . b", "a. b ", "x"]
+    cases += [
+        "".join(rng.choice(atoms) for _ in range(rng.randint(0, 30)))
+        for _ in range(2000)
+    ]
+    sql = e._SENT_COUNT_SQL.replace("coalesce(text,'')", "t")
+    for t in cases:
+        got = duck.execute(f"SELECT {sql} FROM (SELECT ? AS t)", [t]).fetchone()[0]
+        assert got == py_count(t), repr(t)

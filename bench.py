@@ -85,6 +85,9 @@ def bench_pipeline(spark, iters: int = 3) -> dict:
         t0 = time.time()
         _noop_sink(result)
         best = min(best, time.time() - t0)
+    from llm_aided_ocr_spark.plans.pipeline import release_pipeline_cache
+
+    release_pipeline_cache(result)
     return {
         "seconds": round(best, 3),
         "n_docs": n_docs,

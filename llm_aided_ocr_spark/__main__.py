@@ -108,6 +108,11 @@ def main(argv=None) -> int:
 
     result.write.mode("overwrite").parquet(args.output + "/corrected_docs")
 
+    # the terminal action is done — release the auto strategy's routed cache
+    from llm_aided_ocr_spark.plans.pipeline import release_pipeline_cache
+
+    release_pipeline_cache(result)
+
     if not args.no_raw:
         # two-sink contract: the reference always writes the raw OCR text
         # file alongside the corrected one (llm_aided_ocr.py:656,665-667)

@@ -198,6 +198,7 @@ def run_pipeline(
             )
 
     df = pages_df
+    pinned: list[DataFrame] = []
     if cfg.check_if_valid_english:
         df = language_gate(df)
 
@@ -234,6 +235,7 @@ def run_pipeline(
         routed = df.select("url", "warc_ts", "lang", source_col).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        pinned.append(routed)
         size = F.length(F.coalesce(F.col(source_col), F.lit("").cast("binary") if use_html else F.lit("")))
         small = routed.filter(size <= cfg.mega_doc_chars)
         big = routed.filter(size > cfg.mega_doc_chars)
@@ -248,4 +250,24 @@ def run_pipeline(
         result = store.write(
             result, "corrected_docs", mode="append", counted_col="corrected_text"
         )
+    # explicit persist lifecycle: the auto strategy's routed cache is pinned
+    # on the RESULT so callers release it deterministically once their
+    # terminal action completes (release_pipeline_cache), instead of leaning
+    # on ContextCleaner GC — which in a long-lived session pins executor
+    # memory/disk ≈ pruned-corpus size until the plan object is collected.
+    result._ocr_spark_pinned = pinned  # type: ignore[attr-defined]
     return result
+
+
+def release_pipeline_cache(result: DataFrame, blocking: bool = False) -> int:
+    """Unpersist every relation :func:`run_pipeline` pinned for ``result``
+    (the auto strategy's routed corpus cache). Call AFTER the terminal
+    action (write/collect) on ``result`` — the cache exists precisely so the
+    two routing branches share one source scan during that action. Returns
+    the number of relations released. Safe to call on any DataFrame (no-op
+    when nothing is pinned) and idempotent."""
+    pinned = getattr(result, "_ocr_spark_pinned", None) or []
+    for df in pinned:
+        df.unpersist(blocking=blocking)
+    result._ocr_spark_pinned = []  # type: ignore[attr-defined]
+    return len(pinned)

@@ -468,3 +468,31 @@ def test_auto_strategy_scans_source_once(spark):
     # uncached scan per branch would show FileScans without relations.
     assert plan.count("FileScan parquet") == plan.count("InMemoryRelation"), plan
     spark.catalog.clearCache()
+
+def test_auto_strategy_cache_released_after_action(spark):
+    """run_pipeline(auto) pins the routed corpus cache on the result;
+    release_pipeline_cache must unpersist it after the terminal action so
+    a long-lived session does not accumulate corpus-sized storage."""
+    import __spark_entry__ as e
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.plans.pipeline import (
+        release_pipeline_cache,
+        run_pipeline,
+    )
+
+    def n_cached() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    spark.catalog.clearCache()
+    base = n_cached()
+    pages = e._docs_as_pages(spark, "/root/testdata/sf0.001")
+    cfg = PipelineConfig(provider="identity")
+    result = run_pipeline(pages, cfg, strategy="auto")
+    assert result.count() > 0
+    assert n_cached() > base, "auto strategy should have materialized its cache"
+    released = release_pipeline_cache(result, blocking=True)
+    assert released == 1
+    assert n_cached() == base, "routed cache must be gone after release"
+    # idempotent no-op on second call and on unpinned DataFrames
+    assert release_pipeline_cache(result) == 0
+    assert release_pipeline_cache(pages) == 0

@@ -649,10 +649,11 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cell-local approximate top-k with FIXED seeded centroids
-    (shared literal constants, so DuckDB reproduces cell assignment and
-    the cell-restricted ranking exactly). Production trains centroids on
-    a sample; the fixed set is what makes this oracle-checkable."""
+    """IVF multi-probe approximate top-k with FIXED seeded centroids
+    (shared literal constants, so DuckDB reproduces cell assignment, the
+    2-nearest-cell probe order, and the cell-restricted ranking exactly).
+    Production trains centroids on a sample; the fixed set is what makes
+    this oracle-checkable."""
     from llm_aided_ocr_spark.operators.similarity import ivf_demo_centroids, ivf_topk
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
@@ -661,24 +662,27 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = ivf_topk(emb, queries_df, ivf_demo_centroids(), k=10)
+    out = ivf_topk(emb, queries_df, ivf_demo_centroids(), k=10, nprobe=2)
     return out.select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine_r"), "rank"
     )
 
 
-def _build_ann_ivf_sql(k: int = 10) -> str:
-    """DuckDB mirror of the fixed-centroid IVF top-k: same centroid
-    literals, argmin-by-first-occurrence cell assignment, cell-restricted
-    candidate set, cosine ranking with the same (cosine DESC, vec_id)
-    tie-break."""
+def _build_ann_ivf_sql(k: int = 10, nprobe: int = 2) -> str:
+    """DuckDB mirror of the fixed-centroid multi-probe IVF top-k: same
+    centroid literals, argmin-by-first-occurrence cell assignment for the
+    corpus, (dist, cell)-ordered top-``nprobe`` probe cells per query
+    (exactly Spark's ``array_sort`` of (dist, idx) structs),
+    cell-restricted candidate set, cosine ranking with the same
+    (cosine DESC, vec_id) tie-break."""
     from llm_aided_ocr_spark.operators.similarity import ivf_demo_centroids
 
     cents = ivf_demo_centroids()
     # statically unrolled per-centroid distances (list_distance is
-    # monotone in the squared sum Spark computes, so argmin matches); a
-    # nested comprehension over an inline 2D literal re-materializes the
-    # literal per element and is pathologically slow in DuckDB
+    # monotone in the squared sum Spark computes, so argmin AND the
+    # distance ORDER match); a nested comprehension over an inline 2D
+    # literal re-materializes the literal per element and is
+    # pathologically slow in DuckDB
     dist_terms = ", ".join(
         "list_distance(v, [" + ", ".join(repr(v) for v in row) + "])"
         for row in cents
@@ -686,12 +690,18 @@ def _build_ann_ivf_sql(k: int = 10) -> str:
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, v, [{dist_terms}] AS dists FROM e),
 assign AS (
   SELECT vec_id, v,
          CAST(list_position(dists, list_min(dists)) - 1 AS INTEGER) AS cell
-  FROM (SELECT vec_id, v, [{dist_terms}] AS dists FROM e)),
-q AS (
-  SELECT vec_id AS query_id, v AS qv, cell FROM assign WHERE vec_id < 3),
+  FROM d),
+qcells AS (
+  SELECT vec_id AS query_id, v AS qv, CAST(g.g AS INTEGER) AS cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dists[g.g + 1], g.g) AS probe_rank
+  FROM d, generate_series(0, {len(cents) - 1}) AS g(g)
+  WHERE vec_id < 3),
+q AS (SELECT query_id, qv, cell FROM qcells WHERE probe_rank <= {nprobe}),
 scored AS (
   SELECT q.query_id, a.vec_id,
          coalesce(list_cosine_similarity(a.v, q.qv), 0.0) AS cosine
@@ -1397,7 +1407,7 @@ def oracle_sql() -> dict[str, str]:
             dim=64, num_planes=6, threshold=0.35, seed=7
         ),
         "media_metadata": _MEDIA_METADATA_SQL,
-        "ann_ivf_topk": _build_ann_ivf_sql(k=10),
+        "ann_ivf_topk": _build_ann_ivf_sql(k=10, nprobe=2),
         "events_asof_clicks": _EVENTS_ASOF_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "gopher_flags": _GOPHER_SQL,

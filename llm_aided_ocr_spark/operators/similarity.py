@@ -378,6 +378,41 @@ def ivf_demo_centroids(n_centroids: int = 8, dim: int = 64, seed: int = 13):
     ]
 
 
+def ivf_probe_cells(
+    df: DataFrame,
+    centroids: List[List[float]],
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``cell`` = each of the ``nprobe`` nearest centroids by L2
+    (one output row per probed cell), computed natively: distances →
+    (dist, idx) structs → ``array_sort`` (ascending by dist, ties by cell
+    index — the same order as argmin-by-first-occurrence) → slice →
+    explode. This is the standard IVF recall knob: a query near a cell
+    boundary finds neighbors that quantized into the adjacent cell."""
+    cents = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in centroids
+        ]
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    pairs = F.transform(
+        dists, lambda d, i: F.struct(d.alias("dist"), i.cast("int").alias("idx"))
+    )
+    probed = F.slice(F.array_sort(pairs), 1, min(nprobe, len(centroids)))
+    return df.withColumn(
+        "cell", F.explode(F.transform(probed, lambda s: s["idx"]))
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -387,12 +422,15 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k searching only the query's IVF cell."""
+    """Approximate top-k searching the query's ``nprobe`` nearest IVF
+    cells (corpus vectors live in exactly one cell, so a (query, vector)
+    pair meets at most once — no dedup needed)."""
     v = ivf_assign(vectors, centroids, vec_col)
-    q = ivf_assign(
+    q = ivf_probe_cells(
         queries.select(query_id_col, F.col(query_vec_col).alias(vec_col)),
-        centroids, vec_col,
+        centroids, nprobe=nprobe, vec_col=vec_col,
     ).select(query_id_col, F.col(vec_col).alias(query_vec_col), "cell")
     joined = v.join(F.broadcast(q), on="cell").select(
         query_id_col,

@@ -167,3 +167,39 @@ def test_cosine_col_zero_norm(spark):
     vals = [r["c"] for r in df.select(cosine_col(F.col("a"), F.col("b")).alias("c")).collect()]
     assert vals[0] == 0.0
     assert math.isclose(vals[1], 1.0, abs_tol=1e-12)
+
+
+def test_ivf_multi_probe_recall(spark, vectors, queries_df):
+    """nprobe is the IVF recall knob: probing the 2 nearest cells must
+    (a) return a superset-or-equal candidate quality — recall@k vs brute
+    force never drops — and (b) measurably improve recall on this corpus
+    (queries near cell boundaries pick up neighbors from adjacent cells).
+    Also pins nprobe=len(centroids) == brute force exactly."""
+    from llm_aided_ocr_spark.operators.similarity import (
+        ivf_topk,
+        train_centroids_sample,
+    )
+
+    k = 10
+    cents = train_centroids_sample(
+        vectors, n_centroids=8, sample_fraction=1.0, iters=3
+    )
+    v_rows = vectors.collect()
+    q_rows = queries_df.collect()
+    truth = {
+        qid: {vid for _, vid in pairs}
+        for qid, pairs in _numpy_topk(v_rows, q_rows, k).items()
+    }
+
+    def recall(nprobe: int) -> float:
+        got = ivf_topk(vectors, queries_df, cents, k=k, nprobe=nprobe).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(by_q.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r1, r2, rall = recall(1), recall(2), recall(len(cents))
+    assert r2 >= r1
+    assert r2 > r1 or r1 == 1.0, (r1, r2)
+    assert rall == 1.0, "probing every cell must equal brute force"

@@ -13,4 +13,5 @@ from llm_aided_ocr_spark.streaming.ingest import (  # noqa: F401
     streaming_dedup_by_key,
     windowed_event_counts,
     write_stream_parquet,
+    write_stream_two_sinks,
 )

@@ -125,6 +125,43 @@ def write_stream_parquet(
     return writer.start()
 
 
+def write_stream_two_sinks(
+    corrected_stream: DataFrame,
+    raw_path: str,
+    corrected_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """The CLI's two-sink output contract (reference llm_aided_ocr.py:656,
+    665-667: raw OCR text AND corrected text are always written together)
+    in streaming form: one ``foreachBatch`` writer emits BOTH tables per
+    micro-batch using the batch writers from ``sources.io``, so streaming
+    output is byte- and layout-identical to a batch run over the same
+    rows (asserted in tests/test_streaming.py).
+
+    Exactly-once note: the single-sink parquet writer gets exactly-once
+    from the sink's commit log; ``foreachBatch`` with two appends is
+    at-least-once on a crash BETWEEN the two writes of one batch. The
+    offsets log still prevents reprocessing of committed batches, and on
+    a transactional table format (Iceberg/Delta) both appends join one
+    commit per sink keyed by ``batch_id``, restoring exactly-once — this
+    parquet form is the sandbox stand-in for that."""
+    from llm_aided_ocr_spark.sources.io import write_corrected_docs, write_raw_pages
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        write_raw_pages(batch_df, raw_path, mode="append")
+        write_corrected_docs(batch_df, corrected_path, mode="append")
+
+    writer = (
+        corrected_stream.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ---------------------------------------------------------------------------
 # Stateful streaming dedup
 # ---------------------------------------------------------------------------

@@ -138,3 +138,53 @@ def test_windowed_event_counts_watermark(spark):
         for (ws, et), val in want.items():
             if ws < cutoff:
                 assert (ws, et) in got, (ws, et)
+
+
+def test_streaming_two_sinks_match_batch(spark):
+    """The streaming two-sink writer (foreachBatch -> write_raw_pages +
+    write_corrected_docs per micro-batch) must byte-match a batch run's
+    two-sink output over the same rows — the CLI output contract held in
+    streaming form."""
+    from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+    from llm_aided_ocr_spark.sources.io import write_corrected_docs, write_raw_pages
+    from llm_aided_ocr_spark.streaming import write_stream_two_sinks
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        ckpt = os.path.join(tmp, "ckpt")
+        pages = pages_dataframe(spark, n_rows=12, include_golden=True).cache()
+        pages.limit(6).write.parquet(src)
+        pages.subtract(pages.limit(6)).write.mode("append").parquet(src)
+
+        cfg = PipelineConfig(provider="heuristic")
+        stream = correct_pages_stream(
+            read_pages_stream(spark, src, max_files_per_trigger=1), cfg
+        )
+        _await(
+            write_stream_two_sinks(
+                stream,
+                os.path.join(tmp, "s_raw"),
+                os.path.join(tmp, "s_corr"),
+                ckpt,
+            )
+        )
+
+        batch = run_pipeline(pages, cfg, strategy="fused")
+        write_raw_pages(batch, os.path.join(tmp, "b_raw"))
+        write_corrected_docs(batch, os.path.join(tmp, "b_corr"))
+
+        def snap(path, col):
+            return {
+                r["url"]: r[col] for r in spark.read.parquet(path).collect()
+            }
+
+        assert snap(os.path.join(tmp, "s_raw"), "raw_text") == snap(
+            os.path.join(tmp, "b_raw"), "raw_text"
+        )
+        s_corr = snap(os.path.join(tmp, "s_corr"), "corrected_text")
+        b_corr = snap(os.path.join(tmp, "b_corr"), "corrected_text")
+        assert s_corr == b_corr and len(s_corr) == 12
+        # layout parity: both sinks expose the same columns as batch
+        assert set(spark.read.parquet(os.path.join(tmp, "s_corr")).columns) == set(
+            spark.read.parquet(os.path.join(tmp, "b_corr")).columns
+        )

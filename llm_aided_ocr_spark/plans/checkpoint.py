@@ -15,6 +15,7 @@ commit — on plain parquet. The reference's analogue is its two output files
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 import shutil
@@ -28,11 +29,43 @@ from pyspark.sql import functions as F
 
 @dataclass
 class CheckpointStore:
+    """``bucketed_keys=True`` additionally maintains, per stage, a catalog
+    table of committed keys bucketed on ``key_col`` (``n_buckets``). The
+    resume anti-join then reads that table instead of the full stage
+    parquet: when the input is itself bucketed on the same key/count, the
+    anti-join runs with ZERO Exchange on either side — the 100 TB resume
+    primitive (every crawl re-run starts with this join)."""
+
     warehouse_dir: str
     run_id: str = "run0"
+    bucketed_keys: bool = False
+    key_col: str = "url"
+    n_buckets: int = 64
+    # Iceberg toggle: with a configured Iceberg catalog on the cluster
+    # (spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog),
+    # set use_iceberg=True and stage tables commit via the DataFrameWriterV2
+    # (`df.writeTo(catalog.namespace.stage).append()`) instead of the
+    # parquet-increment layout — no code rewrite for adopters. The lineage
+    # log, counters, and resume API are identical in both modes. This
+    # sandbox has no Iceberg runtime jar, so the path is dispatch-tested
+    # with a recording stub (tests/test_checkpoint_resume.py).
+    use_iceberg: bool = False
+    iceberg_catalog: str = "spark_catalog"
+    iceberg_namespace: str = "ocr_ckpt"
 
     def stage_path(self, stage: str) -> str:
         return os.path.join(self.warehouse_dir, "stages", stage)
+
+    def iceberg_table(self, stage: str) -> str:
+        return f"{self.iceberg_catalog}.{self.iceberg_namespace}.{stage}"
+
+    def keys_table(self, stage: str) -> str:
+        """Catalog table name for the stage's bucketed key set — scoped by
+        a warehouse-path digest so two stores never collide in a shared
+        metastore."""
+        digest = hashlib.md5(self.warehouse_dir.encode()).hexdigest()[:8]
+        safe = "".join(c if c.isalnum() else "_" for c in stage)
+        return f"ckpt_keys_{safe}_{digest}"
 
     def _lineage_dir(self) -> str:
         return os.path.join(self.warehouse_dir, "_lineage")
@@ -74,13 +107,31 @@ class CheckpointStore:
         history is never reprocessed on resume.
         """
         spark = df.sparkSession
-        if mode == "overwrite" and os.path.exists(self.stage_path(stage)):
-            shutil.rmtree(self.stage_path(stage))
-        inc_path = os.path.join(
-            self.stage_path(stage), f"inc_{self.run_id}_{time.time_ns()}"
-        )
-        df.write.mode("errorifexists").parquet(inc_path)
-        increment = spark.read.parquet(inc_path)
+        if mode == "overwrite":
+            if os.path.exists(self.stage_path(stage)):
+                shutil.rmtree(self.stage_path(stage))
+            if self.bucketed_keys:
+                spark.sql(f"DROP TABLE IF EXISTS {self.keys_table(stage)}")
+        if self.use_iceberg:
+            # DataFrameWriterV2 commit: one Iceberg snapshot per increment.
+            # The increment is persisted so the commit and the counter pass
+            # share one computation of the upstream plan.
+            table = self.iceberg_table(stage)
+            increment = df.persist()
+            commit_name = f"iceberg_{self.run_id}_{time.time_ns()}"
+            writer = increment.writeTo(table)
+            if mode == "overwrite" or not spark.catalog.tableExists(table):
+                writer.createOrReplace()
+            else:
+                writer.append()
+            inc_path = None
+        else:
+            inc_path = os.path.join(
+                self.stage_path(stage), f"inc_{self.run_id}_{time.time_ns()}"
+            )
+            df.write.mode("errorifexists").parquet(inc_path)
+            increment = spark.read.parquet(inc_path)
+            commit_name = os.path.basename(inc_path)
 
         agg_cols = [F.count(F.lit(1)).alias("rows")]
         if counted_col is not None:
@@ -107,7 +158,7 @@ class CheckpointStore:
             "stage": stage,
             "ts": time.time(),
             "mode": mode,
-            "commit": os.path.basename(inc_path),
+            "commit": commit_name,
             "increment_rows": inc_rows,
             "total_rows": prev_rows + inc_rows,
             "partitions": [r.asDict() for r in counters],
@@ -116,6 +167,20 @@ class CheckpointStore:
         log_path = os.path.join(self._lineage_dir(), "lineage.jsonl")
         with open(log_path, "a", encoding="utf-8") as f:
             f.write(json.dumps(record) + "\n")
+        if self.bucketed_keys and self.key_col in increment.columns:
+            # append THIS increment's keys to the bucketed catalog table
+            # (bucket spec is stable across appends); O(increment) like the
+            # counters, never a history rescan
+            (
+                increment.select(self.key_col)
+                .write.mode("append")
+                .bucketBy(self.n_buckets, self.key_col)
+                .sortBy(self.key_col)
+                .format("parquet")
+                .saveAsTable(self.keys_table(stage))
+            )
+        if self.use_iceberg and return_committed:
+            increment.unpersist()
         return self.read(spark, stage) if return_committed else increment
 
     # -- read / resume ----------------------------------------------------
@@ -134,6 +199,15 @@ class CheckpointStore:
         comparison uses the trailing timestamp, not the raw name (run ids
         would break lexicographic order across runs)."""
 
+        if self.use_iceberg:
+            if as_of_commit is not None:
+                raise NotImplementedError(
+                    "on Iceberg, time travel is native — query "
+                    f"'SELECT * FROM {self.iceberg_table(stage)} VERSION AS OF "
+                    "<snapshot>' (or TIMESTAMP AS OF) instead of as_of_commit"
+                )
+            return spark.table(self.iceberg_table(stage))
+
         def _ns(name: str) -> int:
             return int(name.rsplit("_", 1)[1])
 
@@ -150,10 +224,27 @@ class CheckpointStore:
     ) -> DataFrame:
         """Rows of ``input_df`` not yet present in ``stage`` — the resume
         anti-join. Broadcast-eligible when the checkpoint key set is small;
-        at scale AQE picks the join strategy from runtime stats."""
+        at scale AQE picks the join strategy from runtime stats.
+
+        With ``bucketed_keys``, the done-key side reads the bucketed
+        catalog table: its scan already satisfies the join's distribution
+        (no Exchange, no ``distinct`` needed — left_anti is
+        duplicate-insensitive on the right), and a same-bucketed input
+        joins with no Exchange on either side (plan-tested)."""
+        spark = input_df.sparkSession
+        if self.bucketed_keys and spark.catalog.tableExists(self.keys_table(stage)):
+            done_keys = spark.table(self.keys_table(stage))
+            if key != self.key_col:
+                done_keys = done_keys.withColumnRenamed(self.key_col, key)
+            return input_df.join(done_keys, on=key, how="left_anti")
+        if self.use_iceberg:
+            if not spark.catalog.tableExists(self.iceberg_table(stage)):
+                return input_df
+            done_keys = spark.table(self.iceberg_table(stage)).select(key).distinct()
+            return input_df.join(done_keys, on=key, how="left_anti")
         if not self.exists(stage):
             return input_df
-        done_keys = self.read(input_df.sparkSession, stage).select(key).distinct()
+        done_keys = self.read(spark, stage).select(key).distinct()
         return input_df.join(done_keys, on=key, how="left_anti")
 
     def lineage_records(self) -> List[dict]:
@@ -162,3 +253,78 @@ class CheckpointStore:
             return []
         with open(log_path, encoding="utf-8") as f:
             return [json.loads(line) for line in f if line.strip()]
+
+    # -- reporting --------------------------------------------------------
+
+    def stage_counters(self, stage: Optional[str] = None) -> dict:
+        """The lineage log as a queryable per-stage summary — the north
+        rule's "per-partition lineage and counters" as an API, not just a
+        JSONL file. Per stage: cumulative rows, payload chars, commit
+        count/list, and the partition histogram of the commits' per-file-
+        partition row counts (min/max/mean + the raw counts), so skew in
+        what each commit wrote is visible without rescanning any table.
+        ``stage=None`` returns all stages keyed by name; overwrites reset
+        the cumulative totals exactly as ``total_rows`` bookkeeping does."""
+        out: dict = {}
+        for rec in self.lineage_records():
+            s = rec["stage"]
+            if stage is not None and s != stage:
+                continue
+            if rec.get("mode") == "overwrite" or s not in out:
+                out[s] = {
+                    "total_rows": 0,
+                    "total_payload_chars": 0,
+                    "n_commits": 0,
+                    "commits": [],
+                    "partition_rows": [],
+                }
+            agg = out[s]
+            parts = rec.get("partitions", [])
+            prow = [int(p.get("rows", 0)) for p in parts]
+            inc_payload = sum(int(p.get("payload_chars") or 0) for p in parts)
+            agg["total_rows"] += int(rec.get("increment_rows", 0))
+            agg["total_payload_chars"] += inc_payload
+            agg["n_commits"] += 1
+            agg["commits"].append(
+                {
+                    "commit": rec.get("commit"),
+                    "run_id": rec.get("run_id"),
+                    "increment_rows": int(rec.get("increment_rows", 0)),
+                    "increment_payload_chars": inc_payload,
+                    "n_partitions": len(parts),
+                }
+            )
+            agg["partition_rows"].extend(prow)
+        for agg in out.values():
+            pr = agg["partition_rows"]
+            agg["partition_histogram"] = {
+                "n_partitions": len(pr),
+                "min_rows": min(pr) if pr else 0,
+                "max_rows": max(pr) if pr else 0,
+                "mean_rows": round(sum(pr) / len(pr), 2) if pr else 0.0,
+            }
+        return out if stage is None else out.get(stage, {})
+
+    def stage_counters_df(self, spark: SparkSession) -> DataFrame:
+        """The same summary as a DataFrame (one row per stage) for SQL
+        dashboards: ``store.stage_counters_df(spark).createOrReplaceTempView
+        ('lineage')``."""
+        rows = [
+            (
+                s,
+                agg["total_rows"],
+                agg["total_payload_chars"],
+                agg["n_commits"],
+                agg["partition_histogram"]["n_partitions"],
+                agg["partition_histogram"]["min_rows"],
+                agg["partition_histogram"]["max_rows"],
+                float(agg["partition_histogram"]["mean_rows"]),
+            )
+            for s, agg in sorted(self.stage_counters().items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "stage string, total_rows long, total_payload_chars long, "
+            "n_commits long, n_partitions long, min_partition_rows long, "
+            "max_partition_rows long, mean_partition_rows double",
+        )

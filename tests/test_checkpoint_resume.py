@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
+
 from llm_aided_ocr_spark.config import PipelineConfig
 from llm_aided_ocr_spark.plans.checkpoint import CheckpointStore
 from llm_aided_ocr_spark.plans.pipeline import run_pipeline
@@ -160,3 +162,135 @@ def test_resume_byte_identity_vs_single_run(spark):
         single = run_pipeline(full, PipelineConfig(provider="heuristic"), strategy="fused")
         want = {r["url"]: r["corrected_text"] for r in single.collect()}
         assert got == want
+
+
+def test_stage_counters_api(spark):
+    """stage_counters(): cumulative rows/payload, commit list, partition
+    histogram — and an overwrite resets the totals like total_rows does."""
+    with tempfile.TemporaryDirectory() as tmp:
+        store = CheckpointStore(tmp, run_id="tc")
+        df = pages_dataframe(spark, n_rows=10, include_golden=False).select(
+            "url", "text"
+        )
+        store.write(df, "s", counted_col="text")
+        store.write(df.limit(4), "s", counted_col="text")
+        store.write(df.limit(3), "other")
+
+        c = store.stage_counters("s")
+        assert c["total_rows"] == 14
+        assert c["n_commits"] == 2
+        assert [x["increment_rows"] for x in c["commits"]] == [10, 4]
+        assert c["total_payload_chars"] > 0
+        h = c["partition_histogram"]
+        assert h["n_partitions"] == sum(x["n_partitions"] for x in c["commits"])
+        assert h["min_rows"] >= 0 and h["max_rows"] >= h["min_rows"]
+        assert sum(c["partition_rows"]) == 14
+
+        allc = store.stage_counters()
+        assert set(allc) == {"s", "other"}
+        assert allc["other"]["total_payload_chars"] == 0  # no counted_col
+
+        store.write(df.limit(2), "s", mode="overwrite")
+        assert store.stage_counters("s")["total_rows"] == 2
+
+        sdf = store.stage_counters_df(spark)
+        rows = {r["stage"]: r for r in sdf.collect()}
+        assert rows["s"]["total_rows"] == 2
+        assert rows["other"]["n_commits"] == 1
+
+
+def test_bucketed_resume_anti_join_no_exchange(spark):
+    """bucketed_keys=True: the resume anti-join against a same-bucketed
+    input runs with ZERO Exchange on either side, and still filters the
+    completed urls correctly across commits."""
+    import io
+    from contextlib import redirect_stdout
+
+    from llm_aided_ocr_spark.sources.io import write_bucketed_table
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = CheckpointStore(
+            tmp, run_id="tb", bucketed_keys=True, n_buckets=4
+        )
+        pages = pages_dataframe(spark, n_rows=20, include_golden=False).select(
+            "url", "text"
+        )
+        try:
+            store.write(pages.limit(5), "done_stage")
+            store.write(pages.limit(9).subtract(pages.limit(5)), "done_stage")
+
+            write_bucketed_table(
+                pages, "bt_resume_input", n_buckets=4, sort_col="url"
+            )
+            inp = spark.table("bt_resume_input")
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                rem = store.remaining(inp, "done_stage")
+                buf = io.StringIO()
+                with redirect_stdout(buf):
+                    rem.explain()
+                plan = buf.getvalue()
+                assert "Exchange" not in plan, plan
+                assert rem.count() == 11
+                done = {r["url"] for r in pages.limit(9).collect()}
+                assert {r["url"] for r in rem.collect()}.isdisjoint(done)
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bt_resume_input")
+            spark.sql(f"DROP TABLE IF EXISTS {store.keys_table('done_stage')}")
+
+
+def test_iceberg_mode_dispatch(spark, monkeypatch):
+    """use_iceberg=True routes commits through DataFrameWriterV2
+    (writeTo().append() / .createOrReplace()) while keeping the lineage
+    log and O(increment) counters identical. No Iceberg jar in this
+    sandbox, so the writer is a recording stub — this pins the dispatch
+    contract a cluster adopter toggles into."""
+    calls = []
+    existing = set()
+
+    class FakeWriterV2:
+        def __init__(self, table):
+            self.table = table
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace", self.table))
+            existing.add(self.table)
+
+        def append(self):
+            calls.append(("append", self.table))
+
+    # patch the CONCRETE DataFrame class (pyspark 4's pyspark.sql.DataFrame
+    # is a facade; classic sessions instantiate a subclass with its own
+    # writeTo)
+    probe = pages_dataframe(spark, n_rows=1, include_golden=False)
+    monkeypatch.setattr(type(probe), "writeTo", lambda self, t: FakeWriterV2(t))
+    real_exists = spark.catalog.tableExists
+    monkeypatch.setattr(
+        spark.catalog,
+        "tableExists",
+        lambda name: name in existing or real_exists(name),
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = CheckpointStore(tmp, run_id="ti", use_iceberg=True)
+        table = store.iceberg_table("s")
+        df = pages_dataframe(spark, n_rows=6, include_golden=False).select(
+            "url", "text"
+        )
+        inc = store.write(df, "s", counted_col="text", return_committed=False)
+        assert inc.count() == 6
+        inc2 = store.write(df.limit(2), "s", return_committed=False)
+        assert inc2.count() == 2
+        assert calls == [("createOrReplace", table), ("append", table)]
+
+        recs = store.lineage_records()
+        assert [r["increment_rows"] for r in recs] == [6, 2]
+        assert recs[0]["total_rows"] == 6 and recs[1]["total_rows"] == 8
+        assert all(r["commit"].startswith("iceberg_ti_") for r in recs)
+        assert store.stage_counters("s")["total_rows"] == 8
+
+        with pytest.raises(NotImplementedError):
+            store.read(spark, "s", as_of_commit=recs[0]["commit"])

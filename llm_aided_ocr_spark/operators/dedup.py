@@ -133,14 +133,20 @@ def word_shingles(
     per-word hashes (position-sensitive): word hashes are computed ONCE
     per word and each shingle costs O(n) integer ops — the naive
     slice-and-concat form re-materializes every shingle's bytes and is
-    ~10x slower. 8-byte shuffle payload per shingle either way."""
+    ~10x slower. Dedup is DOCUMENT-LOCAL (``array_distinct`` before the
+    explode), not a ``.distinct()`` — per-document shingle sets need no
+    corpus-wide exchange, so this relation reaches its consumer (the
+    inverted-index join) with zero shuffles of its own. PRECONDITION:
+    ``id_col`` identifies a single row (the pipeline-wide url/doc_id
+    uniqueness contract); duplicate ids would no longer be merged here."""
     from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
 
     df = ensure_min_parallelism(df)
-    shingles = shingle_array_col(text_col, n=n, hash_family=hash_family)
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
-        .distinct()
+    shingles = F.array_distinct(
+        shingle_array_col(text_col, n=n, hash_family=hash_family)
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")
     )
 
 

@@ -173,6 +173,44 @@ def _q_hallucination_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("url").alias("doc_id_str"), "n_sentences", "n_kept")
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a deterministic chain-pair relation
+    (doc 10k~10k+1, 10k+1~10k+2, 10k+2~10k+3): exercises TRANSITIVE
+    clustering — pairs never connect 10k to 10k+3 directly, yet all four
+    must land in cluster 10k. Oracle is a DuckDB recursive CTE computing
+    min-reachable-id per node."""
+    from llm_aided_ocr_spark.operators.dedup import dedup_clusters
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    edges = (
+        d.filter(F.col("doc_id") % 10 < 3)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+        .join(d.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi")
+    )
+    return dedup_clusters(edges)
+
+
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 < 3),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m)
+SELECT CAST(n AS BIGINT) AS id, CAST(MIN(m) AS BIGINT) AS cluster_id
+FROM reach GROUP BY n
+"""
+
+
 def _q_pipeline_raw_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's per-row invariant, driver-checked: the pipeline's
     ``raw_text`` (extracted text per url) must be BYTE-IDENTICAL to the
@@ -859,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncation": _q_truncation,
         "pipeline_e2e": _q_pipeline_e2e,
         "pipeline_raw_parity": _q_pipeline_raw_parity,
+        "dedup_clusters": _q_dedup_clusters,
         "hallucination_filter": _q_hallucination_filter,
         "exact_dup_groups": _q_exact_dup_groups,
         "exact_dedup_keep": _q_exact_dedup_keep,
@@ -1417,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": _TPCH_Q5_SQL,
         "tpch_q14": _TPCH_Q14_SQL,
         "ann_lsh_topk": _build_ann_lsh_sql(k=10, num_planes=4, seed=7),
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "pipeline_raw_parity": (
             # Full-text byte parity: the driver's value hash covers the
             # complete raw_text column, so this IS the north rule's

@@ -510,3 +510,88 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    pairs_df: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """``(id, cluster_id)`` — connected components over a near-dup pair
+    relation (cluster_id = min doc id in the component), the step that
+    turns pairwise dedup output into a drop list: keep ``id ==
+    cluster_id``, drop the rest (transitively: A~B, B~C puts A,C in one
+    cluster even if the A~C pair was never emitted).
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round takes the min of its own and its neighbors' labels;
+    converges in O(component diameter) rounds. Near-dup clusters are
+    dense/shallow (diameter 2-4 in practice), so the loop runs a handful
+    of rounds of [join + min-aggregate] — two key-partitioned shuffles per
+    round on an ``(node, label)`` relation of 16-byte rows, NEVER the
+    documents themselves. Each round ends in an eager ``localCheckpoint``
+    (truncates the growing lineage — an iterative-join plan would
+    otherwise double per round) and convergence is detected by the
+    monotone label sum (labels only ever decrease, so an unchanged
+    (count, sum) pair means a fixpoint — one tiny aggregate per round, no
+    extra join). For adversarial high-diameter graphs (long chains), the
+    published fix is the large-star/small-star decomposition
+    [Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14] — same primitives, fewer rounds; not needed for dedup
+    workloads and omitted.
+
+    Only nodes that appear in some pair are returned (singletons are
+    already their own keeper). Input pairs may be duplicated/asymmetric;
+    the edge set is symmetrized internally.
+    """
+    edges = pairs_df.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["dst"] == labels["node"]
+        ).select(F.col("src").alias("node"), F.col("label"))
+        labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        row = labels.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        sig = (row["n"], row["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_list(
+    pairs_df: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """``(id, cluster_id, keep)`` — the actionable form of
+    :func:`dedup_clusters`: ``keep`` is true for the cluster's min-id
+    representative. Materialize survivors with an anti-join of the corpus
+    against ``filter(~keep)`` (16-byte rows; bucket the corpus on the id
+    for an exchange-free join, see ``sources/io.py``)."""
+    c = dedup_clusters(pairs_df, id_a=id_a, id_b=id_b)
+    return c.withColumn("keep", F.col("id") == F.col("cluster_id"))

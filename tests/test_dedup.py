@@ -205,3 +205,56 @@ def test_exact_keeper_ids(spark, corpus):
         if "HashAggregate" in ln:
             assert "text" not in ln, plan
     assert exchange_seen, plan
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B, B~C must cluster A,B,C together (min-id label) even though
+    the A~C pair was never emitted; disjoint components stay apart."""
+    from llm_aided_ocr_spark.operators.dedup import dedup_clusters, dedup_keep_list
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (11, 10), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    keep = {r["id"]: r["keep"] for r in dedup_keep_list(pairs).collect()}
+    assert keep == {0: True, 1: False, 2: False, 3: False,
+                    10: True, 11: False, 20: True, 21: False}
+
+
+def test_dedup_clusters_random_vs_union_find(spark):
+    """Random graph vs a driver-side union-find reference."""
+    import random
+
+    from llm_aided_ocr_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want = {n: find(n) for n in nodes}
+    # union-find roots are not guaranteed min-of-component; normalize
+    comp_min = {}
+    for n, r in want.items():
+        comp_min.setdefault(r, n)
+        comp_min[r] = min(comp_min[r], n)
+    want = {n: comp_min[find(n)] for n in nodes}
+
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == want

@@ -101,6 +101,22 @@ def main() -> None:
     ))
     spark.catalog.clearCache()
 
+    from llm_aided_ocr_spark.operators.dedup import minhash_signatures
+
+    sections.append((
+        "MinHash signatures — ZERO shuffles (round 3)",
+        "the shingle set is document-local: built as a native array "
+        "(word-hash transform + rotation-XOR grams + array_distinct) and "
+        "fed straight into MapInPandas. No key-partitioned Exchange — the "
+        "round-2 form paid explode→distinct→collect_list (two full "
+        "hashpartitioning exchanges of every shingle hash). The only "
+        "Exchange below is the toy-input RoundRobin spread "
+        "(ensure_min_parallelism — gated OFF for any input with enough "
+        "splits, i.e. always at corpus scale); at 10^12 docs this plan "
+        "moves nothing between executors.",
+        plan_of(minhash_signatures(docs.repartition(8).select("doc_id", "text"))),
+    ))
+
     sections.append((
         "Winnowing fingerprints — native portable hashing + one Arrow pass",
         "word hashes (md5-52, portable) and the content hash are computed "

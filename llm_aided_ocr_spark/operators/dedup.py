@@ -219,7 +219,9 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
+    from llm_aided_ocr_spark.operators.util import pin
+
+    return pin(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -227,7 +229,8 @@ def ngram_jaccard_pairs(
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        sh,
     )
 
 
@@ -390,12 +393,15 @@ def minhash_dedup_pairs(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
         )
     )
-    return (
+    from llm_aided_ocr_spark.operators.util import pin
+
+    return pin(
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("est_jaccard", agree / F.lit(num_perm))
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .select("id_a", "id_b", "est_jaccard"),
+        sigs,
     )
 
 
@@ -497,7 +503,9 @@ def simhash_near_dup_pairs(
         bands = bands.join(small, on=["band", "key"], how="left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    from llm_aided_ocr_spark.operators.util import pin
+
+    return pin(
         a.join(b, on=["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
@@ -508,7 +516,8 @@ def simhash_near_dup_pairs(
             ).alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("hamming") <= max_hamming),
+        sigs,
     )
 
 

@@ -257,7 +257,8 @@ def embedding_near_dup_pairs(
         sk = hyperplane_sketch(vectors, dim, num_planes, seed, vec_col)
     # cache: the sketch feeds the bucket-size aggregation and both join
     # sides; uncached it would be recomputed per consumer
-    buckets = sk.select(id_col, vec_col, "bucket").cache()
+    cached_sketch = sk.select(id_col, vec_col, "bucket").cache()
+    buckets = cached_sketch
     if max_bucket_size is not None:
         small = (
             buckets.groupBy("bucket")
@@ -297,12 +298,15 @@ def embedding_near_dup_pairs(
             yield out
 
     id_type = dict(cand.dtypes)["id_a"]
-    return (
+    from llm_aided_ocr_spark.operators.util import pin
+
+    return pin(
         cand.mapInPandas(
             _score, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
         )
         .distinct()
-        .filter(F.col("cosine") >= threshold)
+        .filter(F.col("cosine") >= threshold),
+        cached_sketch,
     )
 
 

@@ -466,7 +466,10 @@ def fingerprint_matches(
     # cache: the exploded index is consumed by the DF-cap aggregation AND
     # both sides of the pair join — without it the winnowing expression
     # recomputes per consumer
-    e = fp.select(F.col(id_col).alias("id"), F.explode("fps").alias("fp")).cache()
+    cached_index = fp.select(
+        F.col(id_col).alias("id"), F.explode("fps").alias("fp")
+    ).cache()
+    e = cached_index
     if max_fp_df is not None:
         rare = (
             e.groupBy("fp")
@@ -476,10 +479,13 @@ def fingerprint_matches(
         )
         e = e.join(rare, on="fp", how="left_semi")
     a, b = e.alias("a"), e.alias("b")
-    return (
+    from llm_aided_ocr_spark.operators.util import pin
+
+    return pin(
         a.join(b, on="fp")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .filter(F.col("shared_fps") >= min_shared)
+        .filter(F.col("shared_fps") >= min_shared),
+        cached_index,
     )

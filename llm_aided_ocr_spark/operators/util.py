@@ -87,3 +87,26 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
         if est >= threshold:
             return df
     return df.repartition(target)
+
+
+def pin(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Record that ``result``'s plan depends on the persisted ``cached``
+    relation, so callers can release it deterministically with
+    :func:`release_pinned` after their terminal action — instead of
+    leaning on ContextCleaner GC, which in a long-lived session pins
+    executor memory/disk until the plan object happens to be collected."""
+    pinned = list(getattr(result, "_ocr_spark_pinned", None) or [])
+    pinned.append(cached)
+    result._ocr_spark_pinned = pinned  # type: ignore[attr-defined]
+    return result
+
+
+def release_pinned(result: DataFrame, blocking: bool = False) -> int:
+    """Unpersist every relation pinned on ``result`` (see :func:`pin`).
+    Safe on any DataFrame (no-op when nothing is pinned), idempotent.
+    Returns the number of relations released."""
+    pinned = getattr(result, "_ocr_spark_pinned", None) or []
+    for df in pinned:
+        df.unpersist(blocking=blocking)
+    result._ocr_spark_pinned = []  # type: ignore[attr-defined]
+    return len(pinned)

@@ -265,9 +265,13 @@ def release_pipeline_cache(result: DataFrame, blocking: bool = False) -> int:
     action (write/collect) on ``result`` — the cache exists precisely so the
     two routing branches share one source scan during that action. Returns
     the number of relations released. Safe to call on any DataFrame (no-op
-    when nothing is pinned) and idempotent."""
-    pinned = getattr(result, "_ocr_spark_pinned", None) or []
-    for df in pinned:
-        df.unpersist(blocking=blocking)
-    result._ocr_spark_pinned = []  # type: ignore[attr-defined]
-    return len(pinned)
+    when nothing is pinned) and idempotent.
+
+    The same contract covers every operator with an internal cache
+    (ngram/minhash/simhash pairs, embedding near-dup, fingerprint
+    matches): their results carry the pin, and
+    ``operators.util.release_pinned`` (this function's generic form)
+    releases them."""
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    return release_pinned(result, blocking=blocking)

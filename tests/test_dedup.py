@@ -258,3 +258,24 @@ def test_dedup_clusters_random_vs_union_find(spark):
     pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
     got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == want
+
+
+def test_internal_caches_are_pinned_and_releasable(spark, corpus):
+    """Every operator with an internal .cache() pins it on its result so a
+    long-lived session can release the storage deterministically."""
+    from llm_aided_ocr_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    for op in (ngram_jaccard_pairs, minhash_dedup_pairs, simhash_near_dup_pairs):
+        out = op(corpus)
+        out.count()
+        pinned = getattr(out, "_ocr_spark_pinned", [])
+        assert pinned, op.__name__
+        assert all(p.storageLevel.useMemory for p in pinned), op.__name__
+        assert release_pinned(out, blocking=True) >= 1, op.__name__
+        assert not any(p.storageLevel.useMemory for p in pinned), op.__name__
+        assert release_pinned(out) == 0  # idempotent

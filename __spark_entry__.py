@@ -211,6 +211,40 @@ FROM reach GROUP BY n
 """
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (training-data bin assembly):
+    deterministic stream routing (doc_id % 8), in-order greedy fill at
+    budget=512 over the native T3 token approximation. Oracle replays the
+    EXACT greedy recurrence as a DuckDB recursive CTE, so bin boundaries —
+    not just counts — are value-checked."""
+    from llm_aided_ocr_spark.operators.packing import pack_sequences
+
+    d = _docs(spark, sf_dir)
+    return pack_sequences(d, budget=512, num_streams=8)
+
+
+def _build_pack_sequences_sql(budget: int = 512, num_streams: int = 8) -> str:
+    token_expr = (
+        "CAST(trunc(coalesce(list_sum(" + _TOKEN_COST_SQL + "), 0) * 1.1) AS INTEGER)"
+    )
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, CAST(doc_id % {num_streams} AS INTEGER) AS stream,
+         {token_expr} AS t,
+         row_number() OVER (PARTITION BY doc_id % {num_streams}
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+walk(stream, rn, doc_id, t, bin_ix, fill) AS (
+  SELECT stream, rn, doc_id, t, CAST(0 AS BIGINT), t FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.stream, d.rn, d.doc_id, d.t,
+         CASE WHEN w.fill + d.t > {budget} THEN w.bin_ix + 1 ELSE w.bin_ix END,
+         CASE WHEN w.fill + d.t > {budget} THEN d.t ELSE w.fill + d.t END
+  FROM walk w JOIN d ON d.stream = w.stream AND d.rn = w.rn + 1)
+SELECT doc_id, stream, bin_ix, t AS n_tokens FROM walk
+"""
+
+
 def _q_pipeline_raw_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's per-row invariant, driver-checked: the pipeline's
     ``raw_text`` (extracted text per url) must be BYTE-IDENTICAL to the
@@ -898,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": _q_pipeline_e2e,
         "pipeline_raw_parity": _q_pipeline_raw_parity,
         "dedup_clusters": _q_dedup_clusters,
+        "pack_sequences": _q_pack_sequences,
         "hallucination_filter": _q_hallucination_filter,
         "exact_dup_groups": _q_exact_dup_groups,
         "exact_dedup_keep": _q_exact_dedup_keep,
@@ -1457,6 +1492,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14": _TPCH_Q14_SQL,
         "ann_lsh_topk": _build_ann_lsh_sql(k=10, num_planes=4, seed=7),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "pack_sequences": _build_pack_sequences_sql(budget=512, num_streams=8),
         "pipeline_raw_parity": (
             # Full-text byte parity: the driver's value hash covers the
             # complete raw_text column, so this IS the north rule's

@@ -1,0 +1,93 @@
+"""Token-budget sequence packing — the training-data step after curation:
+assemble cleaned documents into fixed-token-budget training sequences
+(bins). Beyond the reference's surface (its T3/T4 ops count and chunk ONE
+document, llm_aided_ocr.py:185-203 / :272-314); a pretraining pipeline
+needs the corpus-level converse: many documents per sequence.
+
+Design for 10^12 docs: global greedy packing is inherently sequential, so
+packing is deterministic-stream-local — each document routes to stream
+``id % num_streams``, streams pack independently (orderd by id, greedy
+first-fit-in-order), and the ONLY shuffle is the stream partitioning.
+Waste vs a global packer is bounded by one partial bin per stream, i.e.
+``num_streams * budget`` tokens corpus-wide — noise at scale — while
+every stream packs in parallel. The per-stream loop is O(docs/stream)
+integer arithmetic inside one Arrow batch group; choose ``num_streams``
+≈ corpus_docs / 10^6 to bound group size (and raise shuffle width to
+match).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_streams: int = 8,
+) -> DataFrame:
+    """``(doc_id, stream, bin_ix, n_tokens)`` — greedy in-order packing.
+
+    Semantics (exactly mirrored by the driver's recursive-CTE oracle):
+    within a stream, docs are visited in ascending id; a doc joins the
+    current bin unless ``fill + t > budget``, in which case the next bin
+    opens with it. A document larger than the budget therefore occupies a
+    bin alone. ``token_col`` defaults to the native T3 approximation over
+    ``text_col`` (functions.tokens.approx_tokens_col).
+    """
+    if token_col is None:
+        from llm_aided_ocr_spark.functions.tokens import approx_tokens_col
+
+        token_col = approx_tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+
+    prepped = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % F.lit(num_streams)).cast("int").alias("stream"),
+        token_col.cast("int").alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        t = pdf["n_tokens"].to_numpy()
+        bins = np.empty(len(t), dtype=np.int64)
+        b = 0
+        fill = 0
+        for i, x in enumerate(t):
+            if i == 0:
+                fill = int(x)
+            elif fill + int(x) > budget:
+                b += 1
+                fill = int(x)
+            else:
+                fill += int(x)
+            bins[i] = b
+        pdf["bin_ix"] = bins
+        return pdf[["doc_id", "stream", "bin_ix", "n_tokens"]]
+
+    return prepped.groupBy("stream").applyInPandas(
+        _pack, schema="doc_id bigint, stream int, bin_ix bigint, n_tokens int"
+    )
+
+
+def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-stream packing quality: bins used, mean fill ratio, token
+    totals — the knob-tuning readout (budget vs document length
+    distribution)."""
+    per_bin = packed.groupBy("stream", "bin_ix").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return per_bin.groupBy("stream").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("bin_tokens").alias("total_tokens"),
+        F.round(F.avg(F.col("bin_tokens") / F.lit(float(budget))), 6).alias(
+            "mean_fill_ratio"
+        ),
+    )

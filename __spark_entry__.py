@@ -245,6 +245,58 @@ SELECT doc_id, stream, bin_ix, t AS n_tokens FROM walk
 """
 
 
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-style domain-level curation profile. The driver's documents
+    table has no url column, so the query synthesizes a deterministic one
+    (37 domains) — the adapter, not the operator, owns that mapping."""
+    from llm_aided_ocr_spark.operators.textstats import domain_stats
+
+    d = _docs(spark, sf_dir).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return domain_stats(d)
+
+
+_DOMAIN_STATS_SQL = """
+WITH d AS (
+  SELECT 'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.example.org/doc/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         length(coalesce(text,'')) AS chars,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+  FROM documents)
+SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS domain,
+       COUNT(*) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS total_chars,
+       round(AVG(chars), 6) AS mean_chars_r,
+       round(AVG(en), 6) AS en_share_r
+FROM d GROUP BY 1
+"""
+
+
+def _q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated length percentiles per lang (Spark `percentile`
+    vs DuckDB quantile_cont — identical p*(n-1) interpolation)."""
+    from llm_aided_ocr_spark.operators.textstats import length_percentiles
+
+    return length_percentiles(_docs(spark, sf_dir))
+
+
+_LENGTH_PCT_SQL = """
+SELECT lang, COUNT(*) AS n,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95
+FROM documents GROUP BY lang
+"""
+
+
 def _q_pipeline_raw_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's per-row invariant, driver-checked: the pipeline's
     ``raw_text`` (extracted text per url) must be BYTE-IDENTICAL to the
@@ -933,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_raw_parity": _q_pipeline_raw_parity,
         "dedup_clusters": _q_dedup_clusters,
         "pack_sequences": _q_pack_sequences,
+        "domain_stats": _q_domain_stats,
+        "length_percentiles": _q_length_percentiles,
         "hallucination_filter": _q_hallucination_filter,
         "exact_dup_groups": _q_exact_dup_groups,
         "exact_dedup_keep": _q_exact_dedup_keep,
@@ -1493,6 +1547,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _build_ann_lsh_sql(k=10, num_planes=4, seed=7),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "pack_sequences": _build_pack_sequences_sql(budget=512, num_streams=8),
+        "domain_stats": _DOMAIN_STATS_SQL,
+        "length_percentiles": _LENGTH_PCT_SQL,
         "pipeline_raw_parity": (
             # Full-text byte parity: the driver's value hash covers the
             # complete raw_text column, so this IS the north rule's

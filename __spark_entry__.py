@@ -53,13 +53,18 @@ def entry(spark: SparkSession) -> DataFrame:
     from llm_aided_ocr_spark.config import PipelineConfig
     from llm_aided_ocr_spark.plans.pipeline import run_pipeline
 
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
     pages = _docs_as_pages(spark, "/root/testdata/sf0.001")
     result = run_pipeline(pages, PipelineConfig(provider="heuristic"), strategy="auto")
-    return result.select(
-        "url",
-        "n_chunks",
-        F.length("corrected_text").alias("corrected_len"),
-        F.length("raw_text").alias("raw_len"),
+    return carry_pins(
+        result,
+        result.select(
+            "url",
+            "n_chunks",
+            F.length("corrected_text").alias("corrected_len"),
+            F.length("raw_text").alias("raw_len"),
+        ),
     )
 
 
@@ -154,9 +159,14 @@ def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_aided_ocr_spark.config import PipelineConfig
     from llm_aided_ocr_spark.plans.pipeline import run_pipeline
 
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
     pages = _docs_as_pages(spark, sf_dir)
     result = run_pipeline(pages, PipelineConfig(provider="heuristic"), strategy="auto")
-    return result.select("url", "n_chunks", F.length("corrected_text").alias("out_len"))
+    return carry_pins(
+        result,
+        result.select("url", "n_chunks", F.length("corrected_text").alias("out_len")),
+    )
 
 
 def _q_hallucination_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,9 +317,14 @@ def _q_pipeline_raw_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_aided_ocr_spark.config import PipelineConfig
     from llm_aided_ocr_spark.plans.pipeline import run_pipeline
 
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
     pages = _docs_as_pages(spark, sf_dir)
     result = run_pipeline(pages, PipelineConfig(provider="heuristic"), strategy="auto")
-    return result.select("url", "raw_text", F.length("raw_text").alias("raw_len"))
+    return carry_pins(
+        result,
+        result.select("url", "raw_text", F.length("raw_text").alias("raw_len")),
+    )
 
 
 def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,10 +401,12 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate exactly."""
     from llm_aided_ocr_spark.operators.dedup import minhash_dedup_pairs
 
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
     out = minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
-    return out.select(
+    return carry_pins(out, out.select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard_r")
-    )
+    ))
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,10 +427,14 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes == Jaccard over distinct shingles barring 64-bit collisions)."""
     from llm_aided_ocr_spark.operators.dedup import ngram_jaccard_pairs
 
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
     out = ngram_jaccard_pairs(
         _docs(spark, sf_dir), n=3, threshold=0.8, max_shingle_df=1000
     )
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+    return carry_pins(
+        out, out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+    )
 
 
 def _q_exact_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,10 +946,14 @@ def _q_ann_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
         "vec_id", "embedding"
     )
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
     out = embedding_near_dup_pairs(
         emb, dim=64, threshold=0.35, num_planes=6, seed=7, max_bucket_size=200
     )
-    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+    return carry_pins(
+        out, out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+    )
 
 
 def _q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1327,7 +1352,10 @@ sig AS (
           for pr in [{perms}]] END AS sig
   FROM sh),
 bk AS (
-  SELECT id, sig, unnest([{band_list}]) AS band FROM sig),
+  -- sentinel (shingle-less) docs generate no candidates, mirroring the
+  -- operator's filter: near-dup of zero shared content is undefined
+  SELECT id, sig, unnest([{band_list}]) AS band FROM sig
+  WHERE sig[1] != {MINHASH_P}),
 bk2 AS (
   SELECT id, sig, band,
          array_to_string(sig[band*{rows_per_band}+1 : band*{rows_per_band}+{rows_per_band}], ',') AS key

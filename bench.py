@@ -100,6 +100,8 @@ def bench_pipeline(spark, iters: int = 3) -> dict:
 def bench_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry_mod
 
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
     out = {}
     for name, fn in entry_mod.queries().items():
         df = fn(spark, sf_dir)
@@ -107,6 +109,9 @@ def bench_queries(spark, sf_dir: str) -> dict:
         t0 = time.time()
         _noop_sink(df)
         out[name] = round(time.time() - t0, 3)
+        # release each query's pinned caches so 41 queries don't stack
+        # corpus-sized persisted relations in one session
+        release_pinned(df)
     return out
 
 

@@ -378,10 +378,18 @@ def minhash_dedup_pairs(
             f"num_perm({num_perm}); band slices would read past the signature "
             "and hash empty arrays into one degenerate bucket"
         )
+    # Docs with fewer than n normalized words have NO shingles and get the
+    # sentinel signature — identical for ALL of them. Pairing on it would
+    # declare every short/empty doc a near-duplicate of every other
+    # (est_jaccard 1.0 over zero shared content) and near_dedup would then
+    # silently delete distinct short documents. Shingle-less docs therefore
+    # participate in no near-dup pairs by definition; byte-identical empties
+    # are exact_dedup's job. (sig[0] == p identifies the sentinel: the
+    # universal family maps real shingles into [0, p).)
     sigs = minhash_signatures(
         df, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col,
         hash_family=hash_family,
-    ).cache()
+    ).filter(F.get(F.col("sig"), 0) != F.lit(MINHASH_P)).cache()
     cands = lsh_candidate_pairs(
         sigs, bands=bands, rows_per_band=rows_per_band,
         max_bucket_size=max_bucket_size,
@@ -564,6 +572,11 @@ def dedup_clusters(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # materialize the (16-byte-row) edge list ONCE: every propagation round
+    # joins against it, and without this the full pairs_df lineage (for
+    # near_dedup: the whole LSH candidate generation) would re-execute per
+    # round
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -619,6 +632,8 @@ def near_dedup(
     rows with their original schema. The anti-join's right side is the
     tiny ``(id)`` drop list (broadcast-eligible; at 100 TB bucket the
     corpus on the id for an exchange-free join, see ``sources/io.py``)."""
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
     pairs = minhash_dedup_pairs(
         df, threshold=threshold, text_col=text_col, id_col=id_col,
         **minhash_kwargs,
@@ -628,4 +643,9 @@ def near_dedup(
         .filter(~F.col("keep"))
         .select(F.col("id").alias(id_col))
     )
+    # dedup_clusters ran eagerly (localCheckpoint rounds), so `drops` no
+    # longer depends on the pairs plan — the signature cache pinned inside
+    # minhash_dedup_pairs is dead; release it here instead of leaking it
+    # into the caller's session
+    release_pinned(pairs)
     return df.join(drops, on=id_col, how="left_anti")

@@ -66,10 +66,13 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
         return df
     if not files:  # in-memory relation: createDataFrame already slices
         return df
-    max_split = _parse_bytes(
+    max_split_conf = _parse_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
-    est = 0
+    open_cost = _parse_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    sizes = []
     for uri in files:
         if uri.startswith("file:"):
             path = uri[5:]
@@ -80,12 +83,19 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
         else:  # remote FS — stat is an RPC per file; assume big input
             return df
         try:
-            size = os.path.getsize(path)
+            sizes.append(os.path.getsize(path))
         except OSError:
             return df
-        est += max(1, -(-size // max_split))
-        if est >= threshold:
-            return df
+    # Spark's FilePartition packing: each file costs size + openCost, the
+    # split size is min(maxPartitionBytes, max(openCost, total/parallelism)),
+    # and splits bin-pack to that size. Estimating with the same formula
+    # (not ceil(size/maxPartitionBytes) per file) matters for many-small-
+    # files inputs, which pack into far fewer partitions than file count.
+    total_cost = sum(sizes) + open_cost * len(sizes)
+    max_split = min(max_split_conf, max(open_cost, -(-total_cost // max(1, target))))
+    est = max(1, -(-total_cost // max(1, max_split)))
+    if est >= threshold:
+        return df
     return df.repartition(target)
 
 
@@ -99,6 +109,16 @@ def pin(result: DataFrame, cached: DataFrame) -> DataFrame:
     pinned.append(cached)
     result._ocr_spark_pinned = pinned  # type: ignore[attr-defined]
     return result
+
+
+def carry_pins(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """Move ``src``'s pinned relations onto ``dst`` (a derived DataFrame —
+    ``src.select(...)`` etc. returns a NEW object without the pin
+    attribute, which would orphan the cache)."""
+    for cached in getattr(src, "_ocr_spark_pinned", None) or []:
+        pin(dst, cached)
+    src._ocr_spark_pinned = []  # type: ignore[attr-defined]
+    return dst
 
 
 def release_pinned(result: DataFrame, blocking: bool = False) -> int:

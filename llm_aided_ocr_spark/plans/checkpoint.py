@@ -167,21 +167,67 @@ class CheckpointStore:
         log_path = os.path.join(self._lineage_dir(), "lineage.jsonl")
         with open(log_path, "a", encoding="utf-8") as f:
             f.write(json.dumps(record) + "\n")
-        if self.bucketed_keys and self.key_col in increment.columns:
-            # append THIS increment's keys to the bucketed catalog table
-            # (bucket spec is stable across appends); O(increment) like the
-            # counters, never a history rescan
-            (
-                increment.select(self.key_col)
-                .write.mode("append")
-                .bucketBy(self.n_buckets, self.key_col)
-                .sortBy(self.key_col)
-                .format("parquet")
-                .saveAsTable(self.keys_table(stage))
-            )
-        if self.use_iceberg and return_committed:
-            increment.unpersist()
+        if self.bucketed_keys and not self.use_iceberg:
+            # keys lag the parquet commit by design (the increment's
+            # _SUCCESS is the source of truth); _sync_keys is the
+            # self-healing reconciliation that replays any committed
+            # increment whose keys never landed (crash window), so it is
+            # the ONLY writer of the keys table — called here and again
+            # defensively in remaining()
+            self._sync_keys(spark, stage)
+        if self.use_iceberg:
+            if return_committed:
+                increment.unpersist()
+            else:
+                # the caller keeps using the persisted increment — hand it
+                # the release handle instead of leaking until GC
+                from llm_aided_ocr_spark.operators.util import pin
+
+                pin(increment, increment)
         return self.read(spark, stage) if return_committed else increment
+
+    def _keys_marker(self, stage: str) -> str:
+        safe = "".join(c if c.isalnum() else "_" for c in stage)
+        return os.path.join(self.warehouse_dir, "_keys_synced", f"{safe}.txt")
+
+    def _sync_keys(self, spark: SparkSession, stage: str) -> int:
+        """Bring the bucketed keys table up to date with the COMMITTED
+        increments — O(unsynced increments), idempotent, crash-safe:
+
+        * keys append AFTER the increment's ``_SUCCESS``: a crash between
+          them leaves a committed increment unsynced; the next write OR
+          the next ``remaining()`` replays it here (missing keys would
+          otherwise make resume reprocess committed rows).
+        * marker append AFTER the keys append: a crash between THEM
+          re-appends that increment's keys once more — duplicate key rows,
+          which the left-anti join is insensitive to. Never data loss in
+          either window.
+        """
+        marker = self._keys_marker(stage)
+        synced: set = set()
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as f:
+                synced = {line.strip() for line in f if line.strip()}
+        done = 0
+        for inc_path in self._committed_increments(stage):
+            name = os.path.basename(inc_path)
+            if name in synced:
+                continue
+            inc = spark.read.parquet(inc_path)
+            if self.key_col in inc.columns:
+                (
+                    inc.select(self.key_col)
+                    .write.mode("append")
+                    .bucketBy(self.n_buckets, self.key_col)
+                    .sortBy(self.key_col)
+                    .format("parquet")
+                    .saveAsTable(self.keys_table(stage))
+                )
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            with open(marker, "a", encoding="utf-8") as f:
+                f.write(name + "\n")
+            done += 1
+        return done
 
     # -- read / resume ----------------------------------------------------
 
@@ -232,11 +278,17 @@ class CheckpointStore:
         duplicate-insensitive on the right), and a same-bucketed input
         joins with no Exchange on either side (plan-tested)."""
         spark = input_df.sparkSession
-        if self.bucketed_keys and spark.catalog.tableExists(self.keys_table(stage)):
-            done_keys = spark.table(self.keys_table(stage))
-            if key != self.key_col:
-                done_keys = done_keys.withColumnRenamed(self.key_col, key)
-            return input_df.join(done_keys, on=key, how="left_anti")
+        if self.bucketed_keys and not self.use_iceberg and self.exists(stage):
+            # heal any committed-but-unsynced increments BEFORE trusting
+            # the keys table (crash between increment commit and keys
+            # append — see _sync_keys)
+            self._sync_keys(spark, stage)
+            if spark.catalog.tableExists(self.keys_table(stage)):
+                done_keys = spark.table(self.keys_table(stage))
+                if key != self.key_col:
+                    done_keys = done_keys.withColumnRenamed(self.key_col, key)
+                return input_df.join(done_keys, on=key, how="left_anti")
+            # increments carry no key_col → fall through to the stage read
         if self.use_iceberg:
             if not spark.catalog.tableExists(self.iceberg_table(stage)):
                 return input_df

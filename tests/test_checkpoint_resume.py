@@ -294,3 +294,39 @@ def test_iceberg_mode_dispatch(spark, monkeypatch):
 
         with pytest.raises(NotImplementedError):
             store.read(spark, "s", as_of_commit=recs[0]["commit"])
+
+
+def test_bucketed_keys_heal_after_crash_window(spark):
+    """A crash between an increment's _SUCCESS and its keys append must
+    NOT make remaining() reprocess the committed rows: the next
+    remaining()/write() replays the unsynced increment's keys
+    (self-healing), and a replayed append (crash before the marker) only
+    duplicates key rows, which the anti-join ignores."""
+    import os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = CheckpointStore(tmp, run_id="th", bucketed_keys=True, n_buckets=4)
+        pages = pages_dataframe(spark, n_rows=12, include_golden=False).select(
+            "url", "text"
+        )
+        try:
+            store.write(pages.limit(4), "s")
+            # simulate the crash window: commit an increment directly
+            # (parquet + _SUCCESS) WITHOUT the keys append
+            inc = os.path.join(store.stage_path("s"), "inc_th_9999999999999999999")
+            pages.limit(8).subtract(pages.limit(4)).write.parquet(inc)
+            assert len(store._committed_increments("s")) == 2
+
+            rem = store.remaining(pages, "s")
+            assert rem.count() == 4  # 12 - 8 committed; healed, no reprocess
+
+            # marker-append crash replay: drop the last marker line and
+            # heal again -> duplicate key rows, same remaining() answer
+            marker = store._keys_marker("s")
+            lines = open(marker).read().splitlines()
+            with open(marker, "w") as f:
+                f.write("\n".join(lines[:-1]) + "\n")
+            assert store._sync_keys(spark, "s") == 1
+            assert store.remaining(pages, "s").count() == 4
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {store.keys_table('s')}")

@@ -90,6 +90,10 @@ def test_minhash_lsh_finds_near_dups(spark, corpus):
     assert pairs[(3, 4)] == 1.0
     assert (0, 2) in pairs               # near dup found by LSH
     assert not any({a, b} == {0, 3} for (a, b) in pairs)
+    # shingle-less docs (5: two words < n=3; 6/7: empty) must generate NO
+    # pairs — the sentinel signature is not content (regression: they all
+    # paired each other at est_jaccard 1.0 before round 3)
+    assert not any({a, b} & {5, 6, 7} for (a, b) in pairs)
 
 
 def test_minhash_signature_determinism(spark, corpus):
@@ -288,8 +292,22 @@ def test_near_dedup_one_call(spark, corpus):
 
     kept = sorted(r["doc_id"] for r in near_dedup(corpus, threshold=0.5).collect())
     # 0,1,2 cluster (exact+near dup) -> keep 0; 3,4 -> keep 3;
-    # 5 (short), 6 (empty), 7 (null) untouched (empty/null sigs are
-    # sentinel-bucketed but est_jaccard 1.0 pairs 6~7 — both empty texts)
-    assert 0 in kept and 3 in kept and 5 in kept
-    assert 1 not in kept and 2 not in kept and 4 not in kept
-    assert set(kept) <= {0, 3, 5, 6, 7}
+    # 5 (short), 6 (empty), 7 (null) ALL survive — shingle-less docs
+    # participate in no near-dup pairs (distinct short docs must never be
+    # deleted by a sentinel-signature collision)
+    assert kept == [0, 3, 5, 6, 7]
+
+
+def test_near_dedup_never_deletes_distinct_short_docs(spark):
+    """Two distinct sub-n-word documents share zero content; near_dedup
+    must keep both (the round-3 review bug: identical sentinel minhash
+    signatures paired them at est_jaccard 1.0)."""
+    from llm_aided_ocr_spark.operators.dedup import minhash_dedup_pairs, near_dedup
+
+    df = spark.createDataFrame(
+        [(10, "hello world"), (11, "goodbye friend"), (12, "")],
+        "doc_id bigint, text string",
+    )
+    assert minhash_dedup_pairs(df, threshold=0.1).count() == 0
+    kept = sorted(r["doc_id"] for r in near_dedup(df, threshold=0.1).collect())
+    assert kept == [10, 11, 12]

@@ -255,6 +255,93 @@ SELECT doc_id, stream, bin_ix, t AS n_tokens FROM walk
 """
 
 
+def _q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition metrics. The driver corpus is single-line, so the
+    adapter constructs multi-line text ('. ' → newline) and, for every 3rd
+    doc, appends a copy of its first line — non-vacuous duplicate-line
+    fractions at every sf. The Python Counter pass is value-checked
+    against DuckDB's independent relational derivation (GROUP BY line /
+    bigram + ordinality-free list bigrams)."""
+    from llm_aided_ocr_spark.operators.textstats import repetition_metrics
+
+    d = _docs(spark, sf_dir, spread=True)
+    multiline = F.replace(
+        F.coalesce("text", F.lit("")), F.lit(". "), F.lit("\n")
+    )
+    from llm_aided_ocr_spark.operators.util import let_
+
+    t2 = let_(
+        multiline,
+        lambda ml: F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(ml, F.lit("\n"), F.get(F.split(ml, "\n"), 0)),
+        ).otherwise(ml),
+    )
+    out = repetition_metrics(d.select("doc_id", t2.alias("text")))
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac_r"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac_r"),
+        F.round("top_bigram_char_frac", 6).alias("top_bigram_char_frac_r"),
+    )
+
+
+_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN ml || chr(10) || string_split(ml, chr(10))[1]
+              ELSE ml END AS t
+  FROM (SELECT doc_id,
+               replace(coalesce(text,''), '. ', chr(10)) AS ml
+        FROM documents)),
+lines AS (
+  SELECT doc_id, trim(u.l) AS line
+  FROM base, unnest(string_split(t, chr(10))) AS u(l)
+  WHERE trim(u.l) != ''),
+lc AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY 1, 2),
+lstats AS (
+  SELECT doc_id,
+         1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE) AS dlf,
+         CASE WHEN SUM(length(line) * c) > 0
+              THEN SUM(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END)
+                   / CAST(SUM(length(line) * c) AS DOUBLE)
+              ELSE 0.0 END AS dlcf
+  FROM lc GROUP BY doc_id),
+wl AS (
+  SELECT doc_id,
+         [w for w in string_split_regex(lower(t), '[^a-z0-9]+') if w != ''] AS ws
+  FROM base),
+bg AS (
+  SELECT doc_id,
+         [ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))] AS bigrams,
+         list_sum([length(w) for w in ws]) AS total_wc
+  FROM wl),
+bc AS (
+  SELECT b.doc_id, u.g AS bigram, COUNT(*) AS c, any_value(b.total_wc) AS total_wc
+  FROM bg b, unnest(b.bigrams) AS u(g)
+  GROUP BY b.doc_id, u.g),
+top AS (
+  SELECT doc_id, bigram, c, total_wc,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, bigram ASC) AS rn
+  FROM bc),
+tstats AS (
+  SELECT doc_id,
+         CASE WHEN total_wc > 0
+              THEN c * (length(bigram) - 1) / CAST(total_wc AS DOUBLE)
+              ELSE 0.0 END AS tbcf
+  FROM top WHERE rn = 1)
+SELECT d.doc_id,
+       round(coalesce(l.dlf, 0.0), 6) AS dup_line_frac_r,
+       round(coalesce(l.dlcf, 0.0), 6) AS dup_line_char_frac_r,
+       round(coalesce(ts.tbcf, 0.0), 6) AS top_bigram_char_frac_r
+FROM documents d
+LEFT JOIN lstats l USING (doc_id)
+LEFT JOIN tstats ts USING (doc_id)
+"""
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CC-style domain-level curation profile. The driver's documents
     table has no url column, so the query synthesizes a deterministic one
@@ -1011,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "pack_sequences": _q_pack_sequences,
         "domain_stats": _q_domain_stats,
+        "repetition_metrics": _q_repetition_metrics,
         "length_percentiles": _q_length_percentiles,
         "hallucination_filter": _q_hallucination_filter,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -1576,6 +1664,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "pack_sequences": _build_pack_sequences_sql(budget=512, num_streams=8),
         "domain_stats": _DOMAIN_STATS_SQL,
+        "repetition_metrics": _REPETITION_SQL,
         "length_percentiles": _LENGTH_PCT_SQL,
         "pipeline_raw_parity": (
             # Full-text byte parity: the driver's value hash covers the

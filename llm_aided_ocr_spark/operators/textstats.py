@@ -556,3 +556,88 @@ def length_percentiles(
         for p in percentiles
     ]
     return df.groupBy(by_col).agg(F.count(F.lit(1)).alias("n"), *aggs)
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher §A1.1 repetition rules)
+# ---------------------------------------------------------------------------
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (Rae et al. 2021 §A1.1 family):
+
+    * ``dup_line_frac``       — 1 − distinct/total over non-blank lines
+    * ``dup_line_char_frac``  — chars on lines whose content repeats /
+                                chars on all lines (every occurrence)
+    * ``top_bigram_char_frac``— chars covered by the most frequent word
+                                bigram / chars of all words (ties broken
+                                by lexicographically smallest bigram —
+                                deterministic and engine-independent)
+
+    One Arrow-batched pass with O(doc) hash counting per document — NOT
+    the quadratic HOF formulation (per-distinct-element `filter` scans are
+    O(n²) per doc and melt on long documents). The driver's oracle states
+    the same metrics relationally (GROUP BY line / bigram), so the Python
+    counting is value-checked against an independent set-based derivation.
+    """
+    import re
+    from collections import Counter
+    from typing import Iterator
+
+    import pandas as pd
+
+    word_re = re.compile(r"[^a-z0-9]+")
+
+    def _metrics(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, dlf, dlcf, tbcf = [], [], [], []
+            for id_, text in zip(batch["id"], batch["t"]):
+                text = text or ""
+                lines = [ln.strip() for ln in text.split("\n")]
+                lines = [ln for ln in lines if ln]
+                if lines:
+                    lc = Counter(lines)
+                    dlf.append(1.0 - len(lc) / len(lines))
+                    total_lc = sum(len(ln) * c for ln, c in lc.items())
+                    dup_lc = sum(len(ln) * c for ln, c in lc.items() if c > 1)
+                    dlcf.append(dup_lc / total_lc if total_lc else 0.0)
+                else:
+                    dlf.append(0.0)
+                    dlcf.append(0.0)
+                words = [w for w in word_re.split(text.lower()) if w]
+                total_wc = sum(len(w) for w in words)
+                if len(words) >= 2 and total_wc:
+                    bc = Counter(
+                        words[i] + " " + words[i + 1] for i in range(len(words) - 1)
+                    )
+                    top_n = max(bc.values())
+                    top = min(b for b, c in bc.items() if c == top_n)
+                    tbcf.append(top_n * (len(top) - 1) / total_wc)
+                else:
+                    tbcf.append(0.0)
+                ids.append(id_)
+            # raw doubles — rounding happens in the caller's projection
+            # with F.round (HALF_UP, matching SQL round); Python's round()
+            # is banker's and would diverge on exact .5 ties at 6dp
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "dup_line_frac": dlf,
+                    "dup_line_char_frac": dlcf,
+                    "top_bigram_char_frac": tbcf,
+                }
+            )
+
+    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
+
+    prepped = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), F.coalesce(F.col(text_col), F.lit("")).alias("t")
+    )
+    return prepped.mapInPandas(
+        _metrics,
+        schema=(
+            "doc_id bigint, dup_line_frac double, dup_line_char_frac double, "
+            "top_bigram_char_frac double"
+        ),
+    )

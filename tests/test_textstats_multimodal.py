@@ -292,3 +292,23 @@ def test_domain_stats_null_lang_counts_as_not_english(spark):
     r = domain_stats(df).collect()[0]
     assert r["domain"] == "a.com" and r["n_docs"] == 2
     assert r["en_share_r"] == 0.5  # null lang counted as 0, not dropped
+
+
+def test_repetition_metrics(spark):
+    from llm_aided_ocr_spark.operators.textstats import repetition_metrics
+
+    rows = [
+        (0, "aa bb\naa bb\ncc dd"),      # one dup line pair
+        (1, "xx yy zz"),                  # no dups, single line
+        (2, ""),                          # empty
+        (3, "w w w w"),                   # top bigram 'w w' x3, chars 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    # doc 0: 3 lines, 2 distinct -> dup_line_frac = 1/3; dup chars = 10/15
+    assert abs(got[0]["dup_line_frac"] - 1 / 3) < 1e-12
+    assert abs(got[0]["dup_line_char_frac"] - 10 / 15) < 1e-12
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[2]["dup_line_frac"] == 0.0 and got[2]["top_bigram_char_frac"] == 0.0
+    # doc 3: bigram 'w w' occurs 3x, len('w w')-1 = 2 chars, total word chars 4
+    assert abs(got[3]["top_bigram_char_frac"] - 3 * 2 / 4) < 1e-12

@@ -342,6 +342,75 @@ LEFT JOIN tstats ts USING (doc_id)
 """
 
 
+def _q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (crawl dedup key): the adapter synthesizes 5
+    deterministic mess patterns per doc (case, default ports, unsorted
+    query params, fragments, bare trailing slash, no-scheme passthrough)
+    and the native canonicalizer must normalize them identically to
+    DuckDB's independent regexp/list_sort derivation."""
+    from llm_aided_ocr_spark.operators.textstats import canonical_url_col
+
+    d = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("HTTP://Site"), k, F.lit(".Example.org:80/Path/"), i,
+                        F.lit("?b=2&a=1#frag")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("https://site"), k, F.lit(".example.org:443/p/"), i))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("https://site"), k, F.lit(".example.org/")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("relative/no-scheme/"), i))
+        .otherwise(
+            F.concat(F.lit("http://site"), k, F.lit(".example.org/x?z=1&y=2&")))
+    )
+    return d.select(
+        "doc_id", canonical_url_col(url).alias("canon_url")
+    )
+
+
+_CANONICAL_URLS_SQL = """
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'HTTP://Site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.Example.org:80/Path/' || CAST(doc_id AS VARCHAR)
+                  || '?b=2&a=1#frag'
+      WHEN 1 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.org:443/p/' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/'
+      WHEN 3 THEN 'relative/no-scheme/' || CAST(doc_id AS VARCHAR)
+      ELSE 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/x?z=1&y=2&'
+    END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u),
+q AS (
+  SELECT *, array_to_string(
+    list_sort([p for p in string_split(query, '&') if p != '']), '&') AS sq
+  FROM parts)
+SELECT doc_id,
+  CASE WHEN scheme = '' THEN url ELSE
+    scheme || '://' ||
+    CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+           THEN substr(hostport, 1, length(hostport) - 3)
+         WHEN scheme = 'https' AND hostport LIKE '%:443'
+           THEN substr(hostport, 1, length(hostport) - 4)
+         ELSE hostport END ||
+    CASE WHEN path = '/' THEN '' ELSE path END ||
+    CASE WHEN sq != '' THEN '?' || sq ELSE '' END
+  END AS canon_url
+FROM q
+"""
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CC-style domain-level curation profile. The driver's documents
     table has no url column, so the query synthesizes a deterministic one
@@ -1099,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "domain_stats": _q_domain_stats,
         "repetition_metrics": _q_repetition_metrics,
+        "canonical_urls": _q_canonical_urls,
         "length_percentiles": _q_length_percentiles,
         "hallucination_filter": _q_hallucination_filter,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -1665,6 +1735,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _build_pack_sequences_sql(budget=512, num_streams=8),
         "domain_stats": _DOMAIN_STATS_SQL,
         "repetition_metrics": _REPETITION_SQL,
+        "canonical_urls": _CANONICAL_URLS_SQL,
         "length_percentiles": _LENGTH_PCT_SQL,
         "pipeline_raw_parity": (
             # Full-text byte parity: the driver's value hash covers the

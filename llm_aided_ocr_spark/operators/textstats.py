@@ -641,3 +641,53 @@ def repetition_metrics(
             "top_bigram_char_frac double"
         ),
     )
+
+
+def canonical_url_col(url_col: Column) -> Column:
+    """URL canonicalization for crawl dedup keys, fully native:
+
+    * lowercase scheme and host
+    * strip the fragment (``#...``)
+    * drop default ports (``:80`` for http, ``:443`` for https)
+    * sort query parameters bytewise (``?b=2&a=1`` → ``?a=1&b=2``) and
+      drop an empty ``?``
+    * collapse a bare trailing slash on a pathless url
+
+    Two crawls of the same page routinely disagree on all five; grouping
+    on the canonical form is the standard first pass before content
+    dedup. Non-url strings pass through unchanged (no scheme → no-op).
+    """
+    from llm_aided_ocr_spark.operators.util import let_
+
+    def _canon(u: Column) -> Column:
+        scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+        hostport = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+        host = F.when(
+            (scheme == "http") & hostport.endswith(":80"),
+            F.substring(hostport, 1, F.length(hostport) - 3),
+        ).when(
+            (scheme == "https") & hostport.endswith(":443"),
+            F.substring(hostport, 1, F.length(hostport) - 4),
+        ).otherwise(hostport)
+        path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+        query = F.regexp_extract(u, r"\?([^#]*)", 1)
+        sorted_q = F.array_join(
+            F.array_sort(F.filter(F.split(query, "&"), lambda p: p != "")), "&"
+        )
+        norm_path = F.when(path == "/", F.lit("")).otherwise(path)
+        return F.when(
+            scheme == "",
+            u,  # not a url; leave untouched
+        ).otherwise(
+            F.concat(
+                scheme,
+                F.lit("://"),
+                host,
+                norm_path,
+                F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(
+                    F.lit("")
+                ),
+            )
+        )
+
+    return let_(url_col, _canon)

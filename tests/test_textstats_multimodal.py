@@ -312,3 +312,26 @@ def test_repetition_metrics(spark):
     assert got[2]["dup_line_frac"] == 0.0 and got[2]["top_bigram_char_frac"] == 0.0
     # doc 3: bigram 'w w' occurs 3x, len('w w')-1 = 2 chars, total word chars 4
     assert abs(got[3]["top_bigram_char_frac"] - 3 * 2 / 4) < 1e-12
+
+
+def test_canonical_url_col(spark):
+    from llm_aided_ocr_spark.operators.textstats import canonical_url_col
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HTTP://Ex.COM:80/A?b=2&a=1#f", "http://ex.com/A?a=1&b=2"),
+        ("https://ex.com:443/p", "https://ex.com/p"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),  # non-default port kept
+        ("http://ex.com:443/p", "http://ex.com:443/p"),      # 443 not default for http
+        ("https://ex.com/", "https://ex.com"),
+        ("https://ex.com/a/", "https://ex.com/a/"),          # only bare slash collapses
+        ("http://ex.com/x?z=1&y=2&", "http://ex.com/x?y=2&z=1"),
+        ("http://ex.com/x?", "http://ex.com/x"),
+        ("not a url", "not a url"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"] for r in df.select(canonical_url_col(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases], list(zip(got, cases))

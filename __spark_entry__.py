@@ -264,7 +264,10 @@ def _q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram + ordinality-free list bigrams)."""
     from llm_aided_ocr_spark.operators.textstats import repetition_metrics
 
-    d = _docs(spark, sf_dir, spread=True)
+    # no spread=True: the operator self-spreads; both would stack two
+    # round-robin exchanges (CollapseRepartition can't merge across the
+    # intervening Project)
+    d = _docs(spark, sf_dir)
     multiline = F.replace(
         F.coalesce("text", F.lit("")), F.lit(". "), F.lit("\n")
     )
@@ -296,9 +299,10 @@ WITH base AS (
                replace(coalesce(text,''), '. ', chr(10)) AS ml
         FROM documents)),
 lines AS (
-  SELECT doc_id, trim(u.l) AS line
+  -- trim the same ASCII whitespace class the Python kernel strips
+  SELECT doc_id, trim(u.l, ' ' || chr(9) || chr(13) || chr(10) || chr(12) || chr(11)) AS line
   FROM base, unnest(string_split(t, chr(10))) AS u(l)
-  WHERE trim(u.l) != ''),
+  WHERE trim(u.l, ' ' || chr(9) || chr(13) || chr(10) || chr(12) || chr(11)) != ''),
 lc AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY 1, 2),
 lstats AS (
   SELECT doc_id,
@@ -390,7 +394,7 @@ parts AS (
     lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
     lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-    regexp_extract(url, '\\?([^#]*)', 1) AS query
+    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
   FROM u),
 q AS (
   SELECT *, array_to_string(

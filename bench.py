@@ -109,8 +109,8 @@ def bench_queries(spark, sf_dir: str) -> dict:
         t0 = time.time()
         _noop_sink(df)
         out[name] = round(time.time() - t0, 3)
-        # release each query's pinned caches so 41 queries don't stack
-        # corpus-sized persisted relations in one session
+        # release each query's pinned caches so the full sweep doesn't
+        # stack corpus-sized persisted relations in one session
         release_pinned(df)
     return out
 

@@ -594,7 +594,10 @@ def repetition_metrics(
             ids, dlf, dlcf, tbcf = [], [], [], []
             for id_, text in zip(batch["id"], batch["t"]):
                 text = text or ""
-                lines = [ln.strip() for ln in text.split("\n")]
+                # ASCII whitespace class only — Python's bare strip() also
+                # eats unicode whitespace, which SQL trim(...) does not;
+                # the oracle trims the identical class
+                lines = [ln.strip(" \t\r\n\f\v") for ln in text.split("\n")]
                 lines = [ln for ln in lines if ln]
                 if lines:
                     lc = Counter(lines)
@@ -634,11 +637,12 @@ def repetition_metrics(
     prepped = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"), F.coalesce(F.col(text_col), F.lit("")).alias("t")
     )
+    id_type = dict(prepped.dtypes)["id"]  # follow the input's id type
     return prepped.mapInPandas(
         _metrics,
         schema=(
-            "doc_id bigint, dup_line_frac double, dup_line_char_frac double, "
-            "top_bigram_char_frac double"
+            f"doc_id {id_type}, dup_line_frac double, "
+            "dup_line_char_frac double, top_bigram_char_frac double"
         ),
     )
 
@@ -670,7 +674,10 @@ def canonical_url_col(url_col: Column) -> Column:
             F.substring(hostport, 1, F.length(hostport) - 4),
         ).otherwise(hostport)
         path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-        query = F.regexp_extract(u, r"\?([^#]*)", 1)
+        # the query must be found BEFORE the fragment: a bare `\?` would
+        # match a '?' inside '#/route?tab=1' (SPA hash routing) and
+        # resurrect fragment content as a query string
+        query = F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1)
         sorted_q = F.array_join(
             F.array_sort(F.filter(F.split(query, "&"), lambda p: p != "")), "&"
         )

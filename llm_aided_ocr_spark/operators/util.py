@@ -86,16 +86,34 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
             sizes.append(os.path.getsize(path))
         except OSError:
             return df
-    # Spark's FilePartition packing: each file costs size + openCost, the
-    # split size is min(maxPartitionBytes, max(openCost, total/parallelism)),
-    # and splits bin-pack to that size. Estimating with the same formula
-    # (not ceil(size/maxPartitionBytes) per file) matters for many-small-
-    # files inputs, which pack into far fewer partitions than file count.
+    # Replay Spark's actual FilePartition packing (FilePartition.scala):
+    # maxSplitBytes = min(maxPartitionBytes, max(openCost, total/parallelism));
+    # files split into <= maxSplitBytes chunks, chunks sorted descending,
+    # greedily closed when currentSize + chunk > maxSplitBytes, and every
+    # chunk pads currentSize by openCost. A closed-form ceil(total/max)
+    # over-counts the openCost remainder (one small file would estimate 2
+    # vs Spark's actual 1 and the gate would skip the repartition it
+    # exists to apply).
     total_cost = sum(sizes) + open_cost * len(sizes)
     max_split = min(max_split_conf, max(open_cost, -(-total_cost // max(1, target))))
-    est = max(1, -(-total_cost // max(1, max_split)))
-    if est >= threshold:
-        return df
+    chunks: list = []
+    for size in sizes:
+        while size > max_split:
+            chunks.append(max_split)
+            size -= max_split
+        if size > 0:
+            chunks.append(size)
+        else:
+            chunks.append(0)  # empty file still occupies a slot
+    chunks.sort(reverse=True)
+    est, current = 0, None
+    for c in chunks:
+        if current is None or current + c > max_split:
+            est += 1
+            current = 0
+        current += c + open_cost
+        if est >= threshold:
+            return df
     return df.repartition(target)
 
 

@@ -167,14 +167,32 @@ class CheckpointStore:
         log_path = os.path.join(self._lineage_dir(), "lineage.jsonl")
         with open(log_path, "a", encoding="utf-8") as f:
             f.write(json.dumps(record) + "\n")
-        if self.bucketed_keys and not self.use_iceberg:
-            # keys lag the parquet commit by design (the increment's
-            # _SUCCESS is the source of truth); _sync_keys is the
-            # self-healing reconciliation that replays any committed
-            # increment whose keys never landed (crash window), so it is
-            # the ONLY writer of the keys table — called here and again
-            # defensively in remaining()
-            self._sync_keys(spark, stage)
+        if self.bucketed_keys:
+            if self.use_iceberg:
+                # no _SUCCESS markers to heal from in iceberg mode —
+                # append this increment's keys directly (the increment is
+                # still persisted). Crash window between the Iceberg
+                # commit and this append = possible reprocessing on
+                # resume, not data loss; a production deployment should
+                # maintain the keys table in the SAME Iceberg transaction
+                # (or use storage-partitioned joins on the stage table).
+                if self.key_col in increment.columns:
+                    (
+                        increment.select(self.key_col)
+                        .write.mode("append")
+                        .bucketBy(self.n_buckets, self.key_col)
+                        .sortBy(self.key_col)
+                        .format("parquet")
+                        .saveAsTable(self.keys_table(stage))
+                    )
+            else:
+                # keys lag the parquet commit by design (the increment's
+                # _SUCCESS is the source of truth); _sync_keys is the
+                # self-healing reconciliation that replays any committed
+                # increment whose keys never landed (crash window), so it
+                # is the ONLY writer of the keys table — called here and
+                # again defensively in remaining()
+                self._sync_keys(spark, stage)
         if self.use_iceberg:
             if return_committed:
                 increment.unpersist()
@@ -278,11 +296,15 @@ class CheckpointStore:
         duplicate-insensitive on the right), and a same-bucketed input
         joins with no Exchange on either side (plan-tested)."""
         spark = input_df.sparkSession
-        if self.bucketed_keys and not self.use_iceberg and self.exists(stage):
-            # heal any committed-but-unsynced increments BEFORE trusting
-            # the keys table (crash between increment commit and keys
-            # append — see _sync_keys)
-            self._sync_keys(spark, stage)
+        if self.bucketed_keys and (
+            self.use_iceberg or self.exists(stage)
+        ):
+            if not self.use_iceberg:
+                # heal any committed-but-unsynced increments BEFORE
+                # trusting the keys table (crash between increment commit
+                # and keys append — see _sync_keys); iceberg mode has no
+                # _SUCCESS markers to heal from (see write())
+                self._sync_keys(spark, stage)
             if spark.catalog.tableExists(self.keys_table(stage)):
                 done_keys = spark.table(self.keys_table(stage))
                 if key != self.key_col:

@@ -329,6 +329,8 @@ def test_canonical_url_col(spark):
         ("http://ex.com/x?", "http://ex.com/x"),
         ("not a url", "not a url"),
         ("", ""),
+        # SPA hash routing: a '?' inside the fragment is NOT a query
+        ("https://ex.com/page#/route?tab=1&b=2", "https://ex.com/page"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [

@@ -346,6 +346,54 @@ LEFT JOIN tstats ts USING (doc_id)
 """
 
 
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + a 10% sample flag, both
+    keyed on the portable 52-bit md5 of seed:id — identical rows on any
+    cluster layout and in DuckDB (df.sample() is partition-layout-
+    dependent and could never be oracled)."""
+    from llm_aided_ocr_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    split = hash_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=1)
+    sampled = deterministic_sample(d, 0.1, seed=2).withColumn(
+        "in_sample", F.lit(1)
+    )
+    return split.join(sampled, "doc_id", "left").select(
+        "doc_id", "split", F.coalesce("in_sample", F.lit(0)).alias("in_sample")
+    )
+
+
+def _build_hash_split_sql(
+    weights: dict, rate: float, seed_split: int = 1, seed_sample: int = 2
+) -> str:
+    """Thresholds are accumulated with the SAME float additions the Spark
+    operator performs (0.9 + 0.05 is 0.9500000000000001, not 0.95 — a
+    literal would disagree on hash values in the gap) and inlined via
+    repr, which round-trips doubles exactly."""
+    names = list(weights)
+    acc = 0.0
+    cases = []
+    for name in names[:-1]:
+        acc += weights[name]
+        cases.append(f"WHEN u1 < {acc!r} THEN '{name}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5('{seed_split}:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+      / CAST({1 << 52} AS DOUBLE) AS u1,
+    CAST('0x' || substr(md5('{seed_sample}:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+      / CAST({1 << 52} AS DOUBLE) AS u2
+  FROM documents)
+SELECT doc_id, {case_sql} AS split,
+       CASE WHEN u2 < {rate!r} THEN 1 ELSE 0 END AS in_sample
+FROM h
+"""
+
+
 def _q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (crawl dedup key): the adapter synthesizes 5
     deterministic mess patterns per doc (case, default ports, unsorted
@@ -1173,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "repetition_metrics": _q_repetition_metrics,
         "canonical_urls": _q_canonical_urls,
+        "hash_split": _q_hash_split,
         "length_percentiles": _q_length_percentiles,
         "hallucination_filter": _q_hallucination_filter,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -1740,6 +1789,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _DOMAIN_STATS_SQL,
         "repetition_metrics": _REPETITION_SQL,
         "canonical_urls": _CANONICAL_URLS_SQL,
+        "hash_split": _build_hash_split_sql({"train": 0.9, "val": 0.05, "test": 0.05}, rate=0.1),
         "length_percentiles": _LENGTH_PCT_SQL,
         "pipeline_raw_parity": (
             # Full-text byte parity: the driver's value hash covers the

@@ -291,6 +291,7 @@ def minhash_signatures(
             shingle_array_col(text_col, n=n, hash_family=hash_family)
         ).alias("shingles"),
     )
+    id_type = dict(grouped.dtypes)["id"]  # follow the input's id type
 
     def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sentinel = [int(MINHASH_P)] * num_perm
@@ -308,7 +309,7 @@ def minhash_signatures(
                 sigs.append([int(v) for v in vals.min(axis=1)])
             yield pd.DataFrame({"id": ids, "sig": sigs})
 
-    return grouped.mapInPandas(_sig, schema="id bigint, sig array<bigint>")
+    return grouped.mapInPandas(_sig, schema=f"id {id_type}, sig array<bigint>")
 
 
 def lsh_candidate_pairs(
@@ -463,7 +464,8 @@ def simhash_signatures(
                 sims.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
             yield pd.DataFrame({"id": ids, "simhash": sims})
 
-    return hashed.mapInPandas(_sim, schema="id bigint, simhash bigint")
+    id_type = dict(hashed.dtypes)["id"]  # follow the input's id type
+    return hashed.mapInPandas(_sim, schema=f"id {id_type}, simhash bigint")
 
 
 def simhash_near_dup_pairs(

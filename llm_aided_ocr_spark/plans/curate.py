@@ -1,0 +1,105 @@
+"""End-to-end corpus curation: the whole suite composed into one plan.
+
+``curate(pages_df)`` is the capstone API a training-data team actually
+calls: extraction/correction (the reference pipeline, byte-identical),
+quality gating, exact dedup, transitive near-dedup, deterministic
+train/val/test splitting — each stage an operator this repo ships and
+oracle-checks individually, composed here with the 100 TB plan shapes
+(narrow gates, keeper-list anti-joins, layout-independent splits).
+
+Stage order matters and is deliberate:
+
+1. extract+correct FIRST (dedup must see canonical text, not raw mess);
+2. quality gate BEFORE dedup (a narrow filter is cheaper than pair
+   generation over junk that will be dropped anyway);
+3. exact dedup BEFORE near-dedup (byte-identical copies are the common
+   case — removing them first shrinks the LSH candidate space and keeps
+   empty/short docs out of the near-dup problem entirely);
+4. split LAST (so sampling rates apply to the CURATED population).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llm_aided_ocr_spark.config import PipelineConfig
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    pipeline: PipelineConfig = field(default_factory=lambda: PipelineConfig(provider="heuristic"))
+    min_quality_score: int = 0            # 0 = no quality gate
+    use_gopher_gate: bool = False         # AND of the Gopher rules
+    exact_dedup: bool = True
+    near_dedup: bool = True
+    near_dup_threshold: float = 0.8
+    split_weights: Dict[str, float] = field(
+        default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    split_seed: int = 1
+
+
+def curate(
+    pages_df: DataFrame,
+    cfg: CurationConfig = CurationConfig(),
+    store=None,
+) -> DataFrame:
+    """Pages table in → curated, split training corpus out:
+    ``(url, corrected_text, n_chunks, quality_score, split)``.
+
+    With a ``store`` (CheckpointStore) and ``cfg.pipeline.checkpointing``,
+    the correction stage resumes from its checkpoint like ``run_pipeline``
+    always does; the curation stages are deterministic recomputations over
+    the corrected table (cheap relative to correction) and need no state.
+    """
+    from llm_aided_ocr_spark.operators.dedup import exact_dedup, near_dedup
+    from llm_aided_ocr_spark.operators.sampling import hash_split
+    from llm_aided_ocr_spark.operators.textstats import quality_score_col
+    from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+
+    corrected = run_pipeline(pages_df, cfg.pipeline, store=store, strategy="auto")
+    docs = corrected.select(
+        "url",
+        "corrected_text",
+        "n_chunks",
+        quality_score_col(F.col("corrected_text")).alias("quality_score"),
+    )
+
+    if cfg.use_gopher_gate:
+        from llm_aided_ocr_spark.operators.textstats import gopher_quality_flags
+
+        flags = gopher_quality_flags(
+            docs, text_col="corrected_text", id_col="url"
+        ).select("url", "gopher_pass")
+        docs = docs.join(flags, "url").filter(F.col("gopher_pass")).drop("gopher_pass")
+    if cfg.min_quality_score > 0:
+        docs = docs.filter(F.col("quality_score") >= cfg.min_quality_score)
+
+    if cfg.exact_dedup:
+        docs = exact_dedup(docs, text_col="corrected_text", id_col="url")
+    if cfg.near_dedup:
+        docs = near_dedup(
+            docs,
+            threshold=cfg.near_dup_threshold,
+            text_col="corrected_text",
+            id_col="url",
+        )
+
+    return hash_split(
+        docs, dict(cfg.split_weights), id_col="url", seed=cfg.split_seed
+    )
+
+
+def curation_report(curated: DataFrame) -> DataFrame:
+    """Per-split corpus profile of a :func:`curate` result — the release
+    readout (doc counts, char totals, quality distribution)."""
+    return curated.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("corrected_text")).alias("total_chars"),
+        F.round(F.avg("quality_score"), 2).alias("avg_quality"),
+        F.min("quality_score").alias("min_quality"),
+    )

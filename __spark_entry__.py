@@ -346,6 +346,109 @@ LEFT JOIN tstats ts USING (doc_id)
 """
 
 
+def _q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curate() composition's MATH, end-to-end against one composed
+    DuckDB derivation: quality gate → exact dedup (min-id keep) →
+    minhash-LSH near-dedup with TRANSITIVE connected components → hash
+    split. (The correction stage is separately byte-checked by
+    pipeline_raw_parity + tests; this oracles everything after it.)
+    Non-vacuous by construction: exact copies (+1e9 ids) and one-word-
+    appended near copies (+2e9 ids) of slices of the corpus are injected,
+    so every stage drops real rows at every sf."""
+    from llm_aided_ocr_spark.operators.dedup import exact_dedup, near_dedup
+    from llm_aided_ocr_spark.operators.sampling import hash_split
+    from llm_aided_ocr_spark.operators.textstats import quality_score_col
+
+    d = _docs(spark, sf_dir, spread=True).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    dups = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    nears = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + F.lit(2_000_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    corpus = d.unionByName(dups).unionByName(nears)
+    scored = corpus.withColumn("quality_score", quality_score_col(F.col("text")))
+    gated = scored.filter(F.col("quality_score") >= 40)
+    deduped = exact_dedup(gated, text_col="text", id_col="doc_id")
+    survivors = near_dedup(deduped, threshold=0.5, text_col="text", id_col="doc_id")
+    out = hash_split(
+        survivors, {"train": 0.9, "val": 0.05, "test": 0.05}, id_col="doc_id", seed=1
+    )
+    return out.select("doc_id", "quality_score", "split")
+
+
+def _build_curation_sql(quality_min: int = 40, threshold: float = 0.5) -> str:
+    """One WITH RECURSIVE chain replaying curate()'s math: the corpus
+    construction, the quality gate (shared scoring arithmetic), min-id
+    exact dedup (QUALIFY), the full minhash CTE chain over the deduped
+    base, min-reachable-id connected components (recursive CTE), the
+    non-keeper anti-join, and the hash split."""
+    from llm_aided_ocr_spark.operators.textstats import _LANG_MARKERS
+
+    en = _in_list(_LANG_MARKERS["en"])
+    t = "coalesce(text,'')"
+    minhash = _minhash_pair_ctes(source="base")
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, coalesce(text,'') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000, coalesce(text,'') FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000, coalesce(text,'') || ' extraword'
+  FROM documents WHERE doc_id % 10 = 5),
+q0 AS (
+  SELECT doc_id, text,
+    length({t}) AS nc,
+    ({_WORD_COUNT_SQL}) AS nw,
+    length({t}) - length(regexp_replace({t}, '[^\\w\\s]', '', 'g')) AS np,
+    len(list_filter(
+      string_split_regex(regexp_replace(lower({t}), '[^a-z\\s]', ' ', 'g'), '\\s+'),
+      w -> w IN ({en}))) AS sh_hits
+  FROM corpus),
+q1 AS (
+  SELECT doc_id, text, CAST(round(
+      least(CAST(nw AS DOUBLE)/100.0, 1.0) * 30
+    + least((CASE WHEN nw > 0 THEN CAST(sh_hits AS DOUBLE)/nw ELSE 0.0 END) * 4, 1.0) * 30
+    + (CASE WHEN nw > 0 AND CAST(nc AS DOUBLE)/nw >= 3
+            AND CAST(nc AS DOUBLE)/nw <= 12 THEN 20.0 ELSE 5.0 END)
+    + greatest(0.0, (0.25 - (CASE WHEN nc > 0 THEN CAST(np AS DOUBLE)/nc ELSE 0.0 END)) * 80)
+  ) AS INTEGER) AS quality_score
+  FROM q0),
+gated AS (SELECT * FROM q1 WHERE quality_score >= {quality_min}),
+base AS (
+  SELECT doc_id, text, quality_score FROM gated
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+{minhash},
+pairs AS (SELECT id_a, id_b FROM est WHERE est >= {threshold}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+labels AS (SELECT n AS id, MIN(m) AS label FROM reach GROUP BY n),
+drops AS (SELECT id FROM labels WHERE label != id),
+survivors AS (
+  SELECT b.* FROM base b LEFT JOIN drops ON drops.id = b.doc_id
+  WHERE drops.id IS NULL),
+split_u AS (
+  SELECT doc_id, quality_score,
+    CAST('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+      / CAST({1 << 52} AS DOUBLE) AS u1
+  FROM survivors)
+SELECT doc_id, quality_score,
+       CASE WHEN u1 < {0.9!r} THEN 'train'
+            WHEN u1 < {0.9 + 0.05!r} THEN 'val'
+            ELSE 'test' END AS split
+FROM split_u
+"""
+
+
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment + a 10% sample flag, both
     keyed on the portable 52-bit md5 of seed:id — identical rows on any
@@ -1222,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": _q_repetition_metrics,
         "canonical_urls": _q_canonical_urls,
         "hash_split": _q_hash_split,
+        "curation_e2e": _q_curation_e2e,
         "length_percentiles": _q_length_percentiles,
         "hallucination_filter": _q_hallucination_filter,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -1513,22 +1617,19 @@ FROM inter WHERE shared_fps >= {min_shared}
 _MD5_52_SQL = "CAST('0x' || substring(md5({v}),1,13) AS BIGINT)"
 
 
-def _build_minhash_sql(
+def _minhash_pair_ctes(
+    source: str = "documents",
     num_perm: int = 64,
     bands: int = 16,
     rows_per_band: int = 4,
     n: int = 3,
-    threshold: float = 0.5,
     seed: int = 1,
     max_bucket_size: int = 200,
 ) -> str:
-    """DuckDB mirror of operators.dedup.minhash_dedup_pairs: identical
-    shingles (rotation-XOR combine of md5-52 word hashes — the same
-    52-bit rotate scheme as the winnowing fingerprints), identical
-    universal-family coefficients (inlined from minhash_perms — the same
-    RNG the operator uses), identical sentinel for empty docs, band
-    buckets grouped on band VALUES with the same size cap, and the same
-    agreement/num_perm estimate."""
+    """The minhash candidate/estimate pipeline as a CTE chain (``norm`` …
+    ``est``) over ``source`` — shared by the standalone minhash_pairs
+    oracle and the composed curation oracle. ``source`` must expose
+    ``(doc_id, text)``."""
     from llm_aided_ocr_spark.operators.dedup import MINHASH_P, minhash_perms
 
     a, b = minhash_perms(num_perm, seed)
@@ -1545,9 +1646,8 @@ def _build_minhash_sql(
     for j in range(1, n):
         gram = f"xor({gram}, {rot(f'whs[i+{j}]', j)})"
     band_list = ", ".join(str(i) for i in range(bands))
-    return f"""
-WITH norm AS (
-  SELECT doc_id AS id, {_NORM_TEXT_SQL} AS nt FROM documents),
+    return f"""norm AS (
+  SELECT doc_id AS id, {_NORM_TEXT_SQL} AS nt FROM {source}),
 wh AS (
   SELECT id, list_transform(string_split(nt, ' '),
            w -> {_MD5_52_SQL.format(v='w')}) AS whs
@@ -1581,9 +1681,33 @@ est AS (
   SELECT id_a, id_b,
          len([1 for i in range(1, {num_perm} + 1) if sa.sig[i] = sb.sig[i]])
            / {float(num_perm)} AS est
-  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)
-SELECT id_a, id_b, round(est, 6) AS est_jaccard_r FROM est WHERE est >= {threshold}
-"""
+  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)"""
+
+
+def _build_minhash_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 1,
+    max_bucket_size: int = 200,
+) -> str:
+    """DuckDB mirror of operators.dedup.minhash_dedup_pairs: identical
+    shingles (rotation-XOR combine of md5-52 word hashes — the same
+    52-bit rotate scheme as the winnowing fingerprints), identical
+    universal-family coefficients (inlined from minhash_perms — the same
+    RNG the operator uses), identical sentinel for empty docs (excluded
+    from candidates), band buckets grouped on band VALUES with the same
+    size cap, and the same agreement/num_perm estimate."""
+    ctes = _minhash_pair_ctes(
+        "documents", num_perm, bands, rows_per_band, n, seed, max_bucket_size
+    )
+    return (
+        "WITH " + ctes
+        + f"\nSELECT id_a, id_b, round(est, 6) AS est_jaccard_r "
+        f"FROM est WHERE est >= {threshold}"
+    )
 
 
 def _build_ann_near_dup_sql(
@@ -1790,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_metrics": _REPETITION_SQL,
         "canonical_urls": _CANONICAL_URLS_SQL,
         "hash_split": _build_hash_split_sql({"train": 0.9, "val": 0.05, "test": 0.05}, rate=0.1),
+        "curation_e2e": _build_curation_sql(quality_min=40, threshold=0.5),
         "length_percentiles": _LENGTH_PCT_SQL,
         "pipeline_raw_parity": (
             # Full-text byte parity: the driver's value hash covers the

@@ -386,11 +386,8 @@ def _build_curation_sql(quality_min: int = 40, threshold: float = 0.5) -> str:
     exact dedup (QUALIFY), the full minhash CTE chain over the deduped
     base, min-reachable-id connected components (recursive CTE), the
     non-keeper anti-join, and the hash split."""
-    from llm_aided_ocr_spark.operators.textstats import _LANG_MARKERS
-
-    en = _in_list(_LANG_MARKERS["en"])
-    t = "coalesce(text,'')"
     minhash = _minhash_pair_ctes(source="base")
+    quality = _quality_score_ctes(source="corpus", carry="text")
     return f"""
 WITH RECURSIVE corpus AS (
   SELECT doc_id, coalesce(text,'') AS text FROM documents
@@ -399,25 +396,10 @@ WITH RECURSIVE corpus AS (
   UNION ALL
   SELECT doc_id + 2000000000, coalesce(text,'') || ' extraword'
   FROM documents WHERE doc_id % 10 = 5),
-q0 AS (
-  SELECT doc_id, text,
-    length({t}) AS nc,
-    ({_WORD_COUNT_SQL}) AS nw,
-    length({t}) - length(regexp_replace({t}, '[^\\w\\s]', '', 'g')) AS np,
-    len(list_filter(
-      string_split_regex(regexp_replace(lower({t}), '[^a-z\\s]', ' ', 'g'), '\\s+'),
-      w -> w IN ({en}))) AS sh_hits
-  FROM corpus),
-q1 AS (
-  SELECT doc_id, text, CAST(round(
-      least(CAST(nw AS DOUBLE)/100.0, 1.0) * 30
-    + least((CASE WHEN nw > 0 THEN CAST(sh_hits AS DOUBLE)/nw ELSE 0.0 END) * 4, 1.0) * 30
-    + (CASE WHEN nw > 0 AND CAST(nc AS DOUBLE)/nw >= 3
-            AND CAST(nc AS DOUBLE)/nw <= 12 THEN 20.0 ELSE 5.0 END)
-    + greatest(0.0, (0.25 - (CASE WHEN nc > 0 THEN CAST(np AS DOUBLE)/nc ELSE 0.0 END)) * 80)
-  ) AS INTEGER) AS quality_score
-  FROM q0),
-gated AS (SELECT * FROM q1 WHERE quality_score >= {quality_min}),
+{quality},
+gated AS (
+  SELECT doc_id, text, qscore AS quality_score FROM qs1
+  WHERE qscore >= {quality_min}),
 base AS (
   SELECT doc_id, text, quality_score FROM gated
   QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
@@ -482,7 +464,10 @@ def _build_hash_split_sql(
     for name in names[:-1]:
         acc += weights[name]
         cases.append(f"WHEN u1 < {acc!r} THEN '{name}'")
-    case_sql = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    if cases:
+        case_sql = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    else:  # single split — a WHEN-less CASE is invalid SQL
+        case_sql = f"'{names[-1]}'"
     return f"""
 WITH h AS (
   SELECT doc_id,
@@ -1475,33 +1460,41 @@ FROM b
 """
 
 
-def _build_quality_score_sql() -> str:
+def _quality_score_ctes(source: str = "documents", carry: str = "") -> str:
+    """The quality-score arithmetic as CTEs ``qs0``/``qs1`` over
+    ``source`` (must expose ``doc_id, text``), producing ``qscore`` —
+    ONE definition shared by the standalone quality_score oracle and the
+    composed curation oracle so the two can never drift. ``carry`` lists
+    extra columns to forward through the chain."""
     en = _in_list(_lang_markers()["en"])
     t = "coalesce(text,'')"
-    return f"""
-WITH b AS (
-  SELECT doc_id,
+    c = (carry + ",") if carry else ""
+    return f"""qs0 AS (
+  SELECT doc_id, {c}
     length({t}) AS nc,
     ({_WORD_COUNT_SQL}) AS nw,
     length({t}) - length(regexp_replace({t}, '[^\\w\\s]', '', 'g')) AS np,
     len(list_filter(
       string_split_regex(regexp_replace(lower({t}), '[^a-z\\s]', ' ', 'g'), '\\s+'),
       w -> w IN ({en}))) AS sh
-  FROM documents),
-r AS (
-  SELECT doc_id, nc, nw,
-    CASE WHEN nw > 0 THEN CAST(sh AS DOUBLE)/nw ELSE 0.0 END AS stop_ratio,
-    CASE WHEN nc > 0 THEN CAST(np AS DOUBLE)/nc ELSE 0.0 END AS punct_ratio,
-    CASE WHEN nw > 0 THEN CAST(nc AS DOUBLE)/nw ELSE 0.0 END AS mean_wl
-  FROM b)
-SELECT doc_id, CAST(round(
-    least(CAST(nw AS DOUBLE)/100.0, 1.0) * 30
-  + least(stop_ratio * 4, 1.0) * 30
-  + (CASE WHEN mean_wl >= 3 AND mean_wl <= 12 THEN 20.0 ELSE 5.0 END)
-  + greatest(0.0, (0.25 - punct_ratio) * 80)
-) AS INTEGER) AS qscore
-FROM r
-"""
+  FROM {source}),
+qs1 AS (
+  SELECT doc_id, {c} CAST(round(
+      least(CAST(nw AS DOUBLE)/100.0, 1.0) * 30
+    + least((CASE WHEN nw > 0 THEN CAST(sh AS DOUBLE)/nw ELSE 0.0 END) * 4, 1.0) * 30
+    + (CASE WHEN (CASE WHEN nw > 0 THEN CAST(nc AS DOUBLE)/nw ELSE 0.0 END) >= 3
+            AND (CASE WHEN nw > 0 THEN CAST(nc AS DOUBLE)/nw ELSE 0.0 END) <= 12
+            THEN 20.0 ELSE 5.0 END)
+    + greatest(0.0, (0.25 - (CASE WHEN nc > 0 THEN CAST(np AS DOUBLE)/nc ELSE 0.0 END)) * 80)
+  ) AS INTEGER) AS qscore
+  FROM qs0)"""
+
+
+def _build_quality_score_sql() -> str:
+    return (
+        "WITH " + _quality_score_ctes("documents")
+        + "\nSELECT doc_id, qscore FROM qs1"
+    )
 
 
 # Mirrors operators.dedup._normalize_col exactly (lower → non-alnum→space →

@@ -555,10 +555,12 @@ def dedup_clusters(
     round on an ``(node, label)`` relation of 16-byte rows, NEVER the
     documents themselves. Each round ends in an eager ``localCheckpoint``
     (truncates the growing lineage — an iterative-join plan would
-    otherwise double per round) and convergence is detected by the
-    monotone label sum (labels only ever decrease, so an unchanged
-    (count, sum) pair means a fixpoint — one tiny aggregate per round, no
-    extra join). For adversarial high-diameter graphs (long chains), the
+    otherwise double per round) and convergence is detected EXACTLY by
+    counting changed labels against the previous round's checkpointed set
+    — a join over the tiny (node, label) relation that works for ANY id
+    type (a numeric "monotone sum" signature would crash casting string
+    url ids under ANSI mode). For adversarial high-diameter graphs (long
+    chains), the
     published fix is the large-star/small-star decomposition
     [Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14] — same primitives, fewer rounds; not needed for dedup
@@ -585,25 +587,26 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_sig = None
     for _ in range(max_iter):
         prop = edges.join(
             labels, edges["dst"] == labels["node"]
         ).select(F.col("src").alias("node"), F.col("label"))
-        labels = (
+        new_labels = (
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        row = labels.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
-        ).first()
-        sig = (row["n"], row["s"])
-        if sig == prev_sig:
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             break
-        prev_sig = sig
     return labels.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))
 
 

@@ -26,12 +26,14 @@ HASH_SPACE = 1 << 52  # md5-52 domain, exact in BIGINT everywhere
 
 def _unit_hash_col(id_col: Column, seed: int) -> Column:
     """Uniform value in [0, 1) from the 52-bit md5 of ``seed:id`` —
-    reproducible in any engine with md5 + hex parsing."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string"))), 1, 13),
-        16,
-        10,
-    ).cast("bigint")
+    reproducible in any engine with md5 + hex parsing. Reuses the repo's
+    single md5-52 definition (operators.dedup) so the whole portable-hash
+    stack changes together or not at all."""
+    from llm_aided_ocr_spark.operators.dedup import _word_hash_col
+
+    h = _word_hash_col(
+        F.concat(F.lit(f"{seed}:"), id_col.cast("string")), "md5_52"
+    )
     return h.cast("double") / F.lit(float(HASH_SPACE))
 
 
@@ -58,7 +60,8 @@ def hash_split(
     Weights must sum to 1 (±1e-9); assignment order follows the dict
     order, so renaming or reordering splits — with the same seed —
     preserves every row's bucket boundary."""
-    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if weights is None:  # `or` would silently replace an empty dict
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")

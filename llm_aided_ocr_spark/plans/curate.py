@@ -56,9 +56,12 @@ def curate(
     always does; the curation stages are deterministic recomputations over
     the corrected table (cheap relative to correction) and need no state.
     """
+    from pyspark import StorageLevel
+
     from llm_aided_ocr_spark.operators.dedup import exact_dedup, near_dedup
     from llm_aided_ocr_spark.operators.sampling import hash_split
     from llm_aided_ocr_spark.operators.textstats import quality_score_col
+    from llm_aided_ocr_spark.operators.util import carry_pins, pin
     from llm_aided_ocr_spark.plans.pipeline import run_pipeline
 
     corrected = run_pipeline(pages_df, cfg.pipeline, store=store, strategy="auto")
@@ -68,6 +71,14 @@ def curate(
         "n_chunks",
         quality_score_col(F.col("corrected_text")).alias("quality_score"),
     )
+    # correction is the expensive stage (potentially real LLM calls) and
+    # the curation graph consumes it from several branches (quality join,
+    # minhash signatures, the final anti-join) — persist it so it runs
+    # ONCE. Pinned on the result; callers release with release_pinned
+    # after materializing (with a checkpointing store the stage is already
+    # parquet-backed and this cache is just locality).
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned_docs = docs
 
     if cfg.use_gopher_gate:
         from llm_aided_ocr_spark.operators.textstats import gopher_quality_flags
@@ -89,9 +100,13 @@ def curate(
             id_col="url",
         )
 
-    return hash_split(
+    out = hash_split(
         docs, dict(cfg.split_weights), id_col="url", seed=cfg.split_seed
     )
+    out = pin(out, pinned_docs)
+    # carry the pipeline's own routed-corpus pin too; near_dedup released
+    # its internal signature cache itself (its cluster rounds are eager)
+    return carry_pins(corrected, out)
 
 
 def curation_report(curated: DataFrame) -> DataFrame:

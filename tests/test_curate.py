@@ -40,16 +40,50 @@ def test_curate_end_to_end(spark):
 
 
 def test_curate_near_dedup_and_quality_gate(spark):
-    pages = _with_dups(spark)
-    out = curate(
-        pages,
-        CurationConfig(near_dedup=True, min_quality_score=1),
+    """NON-vacuous near-dedup over STRING url ids: injected one-word-
+    appended near copies must be transitively dropped (this path once
+    crashed under ANSI — dedup_clusters cast string labels to decimal)."""
+    base = pages_dataframe(spark, n_rows=24, include_golden=False).cache()
+    # choose near-copy sources whose corrected text is UNIQUE in the base
+    # corpus (the synthetic templates can collide; a collision would merge
+    # pair structure and break the exactly-one-survivor assertion)
+    from collections import Counter
+
+    base_rows = base.collect()
+    text_counts = Counter(r["text"] for r in base_rows)
+    # ... and SHORT enough to stay single-chunk through correction: for a
+    # multi-chunk doc, one appended word shifts every later chunk boundary
+    # and the corrected text genuinely diverges (correct behavior — but
+    # not a near-dup pair this test can assert on)
+    # ... and SUBSTANTIAL (the corpus includes near-empty docs, which are
+    # shingle-less and correctly participate in no near-dup pairs)
+    unique_urls = [
+        r["url"]
+        for r in base_rows
+        if text_counts[r["text"]] == 1 and 200 <= len(r["text"]) < 4000
+    ][:4]
+    assert len(unique_urls) == 4
+    pick = base.filter(F.col("url").isin(unique_urls))
+    nears = pick.select(
+        F.concat(F.lit("near-"), "url").alias("url"),
+        "warc_ts", "html",
+        F.concat("text", F.lit(" extraword")).alias("text"),
+        "lang",
     )
+    pages = base.unionByName(nears).cache()
+    out = curate(pages, CurationConfig(near_dedup=True, near_dup_threshold=0.5))
     rows = out.collect()
-    # near-dedup runs after exact dedup; with distinct synthetic docs the
-    # count stays 20 unless near-dups exist — assert no crash + uniqueness
     urls = [r["url"] for r in rows]
-    assert len(urls) == len(set(urls)) and 0 < len(urls) <= 20
+    assert len(urls) == len(set(urls))
+    # every injected near-copy collapsed into its source's cluster; the
+    # base corpus may additionally contain its own near-dup pairs (same
+    # template family), so survivors <= distinct base texts
+    n_base_distinct = len(set(text_counts))
+    assert len(urls) <= n_base_distinct
+    assert not any(u.startswith("near-") and u[5:] in urls for u in urls)
+    # each (doc, near-doc) pair lost exactly one member
+    for u in unique_urls:
+        assert (u in urls) != (f"near-{u}" in urls)
 
 
 def test_curate_correction_is_byte_identical_to_pipeline(spark):

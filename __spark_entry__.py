@@ -346,6 +346,39 @@ LEFT JOIN tstats ts USING (doc_id)
 """
 
 
+def _q_word_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word-commonness scores — the two-pass global operator
+    (corpus word counts joined back per occurrence); exact integer-sum +
+    fixed-order-division arithmetic makes the DuckDB mirror
+    deterministic (no transcendentals, no float-sum order)."""
+    from llm_aided_ocr_spark.operators.textstats import word_commonness
+
+    return word_commonness(_docs(spark, sf_dir, spread=True)).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _build_word_commonness_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_NORM_TEXT_SQL} AS nt FROM documents),
+words AS (
+  SELECT doc_id, u.w AS w
+  FROM base, unnest(string_split(nt, ' ')) AS u(w)
+  WHERE u.w != ''),
+freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM freq),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS sum_c, COUNT(*) AS n_words
+  FROM words JOIN freq USING (w) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+       coalesce(round(CAST(p.sum_c AS DOUBLE) / CAST(total.t AS DOUBLE)
+                      / CAST(p.n_words AS DOUBLE), 6), 0.0) AS commonness_r
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id, total
+"""
+
+
 def _q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curate() composition's MATH, end-to-end against one composed
     DuckDB derivation: quality gate → exact dedup (min-id keep) →
@@ -1311,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": _q_canonical_urls,
         "hash_split": _q_hash_split,
         "curation_e2e": _q_curation_e2e,
+        "word_commonness": _q_word_commonness,
         "length_percentiles": _q_length_percentiles,
         "hallucination_filter": _q_hallucination_filter,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -1908,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": _CANONICAL_URLS_SQL,
         "hash_split": _build_hash_split_sql({"train": 0.9, "val": 0.05, "test": 0.05}, rate=0.1),
         "curation_e2e": _build_curation_sql(quality_min=40, threshold=0.5),
+        "word_commonness": _build_word_commonness_sql(),
         "length_percentiles": _LENGTH_PCT_SQL,
         "pipeline_raw_parity": (
             # Full-text byte parity: the driver's value hash covers the

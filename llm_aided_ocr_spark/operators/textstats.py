@@ -698,3 +698,58 @@ def canonical_url_col(url_col: Column) -> Column:
         )
 
     return let_(url_col, _canon)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level word commonness (CCNet-style LM-filter proxy)
+# ---------------------------------------------------------------------------
+
+def word_commonness(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, n_words, commonness_r)`` — the mean CORPUS frequency of a
+    document's word occurrences: the cheap, model-free stand-in for
+    CCNet-style LM-perplexity filtering (documents made of corpus-rare
+    words score low ≈ high perplexity; boilerplate made of ubiquitous
+    words scores high). The suite's first two-pass GLOBAL operator: pass
+    1 aggregates corpus word counts, pass 2 joins them back per word
+    occurrence — both shuffles are word-keyed and carry 8-byte counts.
+
+    Exactness discipline: per-document aggregation sums INTEGER corpus
+    counts (order-independent), then applies exactly two IEEE divisions
+    in a fixed order — no transcendentals (ln differs between libms and
+    would make a cross-engine oracle flaky), no float summation order
+    sensitivity. Empty documents get commonness 0 with n_words 0.
+    """
+    from llm_aided_ocr_spark.operators.dedup import _normalize_col
+    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
+
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), _normalize_col(text_col).alias("nt")
+    )
+    words = base.select(
+        "id", F.explode(F.split("nt", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    per_doc = (
+        words.join(freq, "w")
+        .groupBy("id")
+        .agg(F.sum("c").alias("sum_c"), F.count(F.lit(1)).alias("n_words"))
+    )
+    scored = per_doc.crossJoin(F.broadcast(total)).select(
+        "id",
+        "n_words",
+        F.round(
+            F.col("sum_c").cast("double")
+            / F.col("t").cast("double")
+            / F.col("n_words").cast("double"),
+            6,
+        ).alias("commonness_r"),
+    )
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return all_ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("commonness_r", F.lit(0.0)).alias("commonness_r"),
+    )

@@ -337,3 +337,24 @@ def test_canonical_url_col(spark):
         r["c"] for r in df.select(canonical_url_col(F.col("url")).alias("c")).collect()
     ]
     assert got == [want for _, want in cases], list(zip(got, cases))
+
+
+def test_word_commonness(spark):
+    from llm_aided_ocr_spark.operators.textstats import word_commonness
+
+    rows = [
+        (0, "the the the"),       # all max-frequency word
+        (1, "the rare"),          # mixed
+        (2, ""),                  # empty -> 0
+        (3, None),                # null -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["id"]: r for r in word_commonness(df).collect()}
+    # corpus: the x4, rare x1; total 5
+    # doc0: mean freq of [4,4,4]/5 = 0.8; doc1: (4+1)/5/2 = 0.5
+    assert got[0]["n_words"] == 3 and abs(got[0]["commonness_r"] - 0.8) < 1e-9
+    assert got[1]["n_words"] == 2 and abs(got[1]["commonness_r"] - 0.5) < 1e-9
+    assert got[2]["n_words"] == 0 and got[2]["commonness_r"] == 0.0
+    assert got[3]["n_words"] == 0 and got[3]["commonness_r"] == 0.0
+    # common-word doc scores higher than rare-word doc (the filter signal)
+    assert got[0]["commonness_r"] > got[1]["commonness_r"]

@@ -705,7 +705,10 @@ def canonical_url_col(url_col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 def word_commonness(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
 ) -> DataFrame:
     """``(id, n_words, commonness_r)`` — the mean CORPUS frequency of a
     document's word occurrences: the cheap, model-free stand-in for
@@ -721,7 +724,7 @@ def word_commonness(
     would make a cross-engine oracle flaky), no float summation order
     sensitivity. Empty documents get commonness 0 with n_words 0.
     """
-    from llm_aided_ocr_spark.operators.dedup import _normalize_col
+    from llm_aided_ocr_spark.operators.dedup import _normalize_col, _word_hash_col
     from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
 
     base = ensure_min_parallelism(df).select(
@@ -730,6 +733,11 @@ def word_commonness(
     words = base.select(
         "id", F.explode(F.split("nt", " ")).alias("w")
     ).filter(F.col("w") != "")
+    if hashed:
+        # 100 TB form: shuffle 8-byte xxhash64 keys instead of word
+        # strings — identical counts barring 64-bit collisions. The
+        # driver oracle uses the string form (exact by construction).
+        words = words.select("id", F.xxhash64("w").alias("w"))
     freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("t"))
     per_doc = (

@@ -358,3 +358,15 @@ def test_word_commonness(spark):
     assert got[3]["n_words"] == 0 and got[3]["commonness_r"] == 0.0
     # common-word doc scores higher than rare-word doc (the filter signal)
     assert got[0]["commonness_r"] > got[1]["commonness_r"]
+
+
+def test_word_commonness_hashed_fast_path(spark):
+    """The 8-byte-shuffle hashed form must score identically to the
+    string form on a collision-free corpus."""
+    from llm_aided_ocr_spark.operators.textstats import word_commonness
+
+    rows = [(i, f"alpha beta common{i % 3} word{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(tuple(r) for r in word_commonness(df).collect())
+    b = sorted(tuple(r) for r in word_commonness(df, hashed=True).collect())
+    assert a == b

@@ -352,10 +352,10 @@ def _q_word_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-order-division arithmetic makes the DuckDB mirror
     deterministic (no transcendentals, no float-sum order)."""
     from llm_aided_ocr_spark.operators.textstats import word_commonness
+    from llm_aided_ocr_spark.operators.util import carry_pins
 
-    return word_commonness(_docs(spark, sf_dir, spread=True)).withColumnRenamed(
-        "id", "doc_id"
-    )
+    out = word_commonness(_docs(spark, sf_dir, spread=True))
+    return carry_pins(out, out.withColumnRenamed("id", "doc_id"))
 
 
 def _build_word_commonness_sql() -> str:

@@ -587,6 +587,7 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iter):
         prop = edges.join(
             labels, edges["dst"] == labels["node"]
@@ -607,6 +608,15 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silent truncation would return WRONG labels (multiple "keepers"
+        # inside one true component) — refuse instead
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds: a "
+            "component has diameter > max_iter (e.g. a long chain of "
+            "pairwise near-dups). Raise max_iter, or switch to a "
+            "large-star/small-star decomposition for adversarial graphs."
+        )
     return labels.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))
 
 

@@ -738,6 +738,10 @@ def word_commonness(
         # strings — identical counts barring 64-bit collisions. The
         # driver oracle uses the string form (exact by construction).
         words = words.select("id", F.xxhash64("w").alias("w"))
+    # cache: the exploded occurrences feed the frequency aggregation AND
+    # the join side — uncached, the normalize+explode pass would run
+    # twice per action (pinned on the result; see release_pinned)
+    words = words.cache()
     freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("t"))
     per_doc = (
@@ -755,9 +759,14 @@ def word_commonness(
             6,
         ).alias("commonness_r"),
     )
+    from llm_aided_ocr_spark.operators.util import pin
+
     all_ids = df.select(F.col(id_col).alias("id"))
-    return all_ids.join(scored, "id", "left").select(
-        "id",
-        F.coalesce("n_words", F.lit(0)).alias("n_words"),
-        F.coalesce("commonness_r", F.lit(0.0)).alias("commonness_r"),
+    return pin(
+        all_ids.join(scored, "id", "left").select(
+            "id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("commonness_r", F.lit(0.0)).alias("commonness_r"),
+        ),
+        words,
     )

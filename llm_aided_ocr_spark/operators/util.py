@@ -61,6 +61,22 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     threshold = max(1, int(target * min_factor))
     try:
+        # If the plan already contains a partitioning-defining operator
+        # (an explicit repartition, or a shuffle-inducing window/agg/join/
+        # sort/distinct), its output width is spark.sql.shuffle.partitions
+        # or the caller's choice — adding a RoundRobin on top would either
+        # stack a redundant full exchange or silently override an explicit
+        # repartition(N). The file-size estimate below only judges plain
+        # scans. (Logical-plan string scan: no analysis/RDD conversion.)
+        logical = df._jdf.queryExecution().logical().toString()
+        if any(
+            node in logical
+            for node in (
+                "Repartition", "Window", "Aggregate", "Join", "Sort",
+                "Deduplicate",
+            )
+        ):
+            return df
         files = df.inputFiles()
     except Exception:
         return df
@@ -122,7 +138,14 @@ def pin(result: DataFrame, cached: DataFrame) -> DataFrame:
     relation, so callers can release it deterministically with
     :func:`release_pinned` after their terminal action — instead of
     leaning on ContextCleaner GC, which in a long-lived session pins
-    executor memory/disk until the plan object happens to be collected."""
+    executor memory/disk until the plan object happens to be collected.
+
+    LIMITATION: the pin lives on the DataFrame OBJECT. Any further
+    transformation (``result.filter(...)``, ``.select(...)``) returns a
+    new object without it — either release the pin on ``result`` itself
+    after the terminal action, or move it with :func:`carry_pins` before
+    transforming. (Plan-level tracking would need a JVM-side hook; the
+    object-level handle plus this rule is the deliberate trade.)"""
     pinned = list(getattr(result, "_ocr_spark_pinned", None) or [])
     pinned.append(cached)
     result._ocr_spark_pinned = pinned  # type: ignore[attr-defined]

@@ -61,9 +61,14 @@ class CheckpointStore:
 
     def keys_table(self, stage: str) -> str:
         """Catalog table name for the stage's bucketed key set — scoped by
-        a warehouse-path digest so two stores never collide in a shared
-        metastore."""
-        digest = hashlib.md5(self.warehouse_dir.encode()).hexdigest()[:8]
+        a digest of (warehouse path, RAW stage name) so two stores never
+        collide in a shared metastore AND two stages whose names mangle to
+        the same identifier (``stage.a`` vs ``stage_a``) never share a key
+        set (a merged key set would make resume silently skip rows that
+        only the OTHER stage processed)."""
+        digest = hashlib.md5(
+            f"{self.warehouse_dir}\x00{stage}".encode()
+        ).hexdigest()[:10]
         safe = "".join(c if c.isalnum() else "_" for c in stage)
         return f"ckpt_keys_{safe}_{digest}"
 
@@ -205,8 +210,13 @@ class CheckpointStore:
         return self.read(spark, stage) if return_committed else increment
 
     def _keys_marker(self, stage: str) -> str:
+        # digest-suffixed for the same mangling-collision reason as
+        # keys_table (stage.a vs stage_a must not share sync state)
+        digest = hashlib.md5(stage.encode()).hexdigest()[:10]
         safe = "".join(c if c.isalnum() else "_" for c in stage)
-        return os.path.join(self.warehouse_dir, "_keys_synced", f"{safe}.txt")
+        return os.path.join(
+            self.warehouse_dir, "_keys_synced", f"{safe}_{digest}.txt"
+        )
 
     def _sync_keys(self, spark: SparkSession, stage: str) -> int:
         """Bring the bucketed keys table up to date with the COMMITTED

@@ -55,6 +55,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strategy", default="auto",
                    choices=["auto", "fused", "staged"])
     p.add_argument("--master", default=None)
+    # --- one-call curation mode ---
+    p.add_argument("--curate", action="store_true",
+                   help="run the full curation composition instead of the "
+                        "plain pipeline: correct -> quality gate -> exact "
+                        "dedup -> transitive near-dedup -> train/val/test "
+                        "split; writes curated_docs (+ per-split report)")
+    p.add_argument("--min-quality", type=int, default=0,
+                   help="curate: drop docs scoring below this (0 = off)")
+    p.add_argument("--no-near-dedup", action="store_true",
+                   help="curate: skip minhash near-dedup (exact only)")
+    p.add_argument("--split-seed", type=int, default=1)
     return p
 
 
@@ -97,6 +108,38 @@ def main(argv=None) -> int:
     store = CheckpointStore(args.warehouse, run_id=args.run_id) if args.resume else None
 
     pages = spark.read.parquet(args.input)
+
+    if args.curate:
+        from llm_aided_ocr_spark.operators.util import release_pinned
+        from llm_aided_ocr_spark.plans.curate import (
+            CurationConfig,
+            curate,
+            curation_report,
+        )
+
+        curated = curate(
+            pages,
+            CurationConfig(
+                pipeline=cfg,
+                min_quality_score=args.min_quality,
+                near_dedup=not args.no_near_dedup,
+                split_seed=args.split_seed,
+            ),
+            store=store,
+        )
+        curated.write.mode("overwrite").parquet(args.output + "/curated_docs")
+        release_pinned(curated)
+        back = spark.read.parquet(args.output + "/curated_docs")
+        for r in curation_report(back).orderBy("split").collect():
+            print(
+                f"split={r['split']} n={r['n_docs']} "
+                f"chars={r['total_chars']} avg_quality={r['avg_quality']}"
+            )
+        print(f"wrote {back.count()} curated documents to "
+              f"{args.output}/curated_docs")
+        spark.stop()
+        return 0
+
     result = run_pipeline(
         pages,
         cfg,

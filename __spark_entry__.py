@@ -153,9 +153,27 @@ def _q_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline, heuristic provider — chunker is document-local Python
-    (not SQL-expressible): rows-only driver check; byte-level correctness is
-    covered by tests/ against the reference oracle."""
+    """Full pipeline, heuristic provider, auto routing — every
+    SQL-expressible output column driver-oracled:
+
+    * ``n_chunks`` — oracled by the recursive-CTE replay of the greedy
+      paragraph/sentence chunker (``_build_chunker_cte``, the same
+      technique as ``pack_sequences``/``dedup_clusters``);
+    * ``raw_text`` bytes — oracled separately by ``pipeline_raw_parity``
+      (full-corpus value hash).
+
+    The ONLY pipeline column with no driver oracle is ``corrected_text``:
+    it is the heuristic provider's string rewrite (hyphenation repair,
+    markdown structuring, difflib-adjacent dup-paragraph removal) —
+    sequential regex passes over free text with no relational
+    decomposition. Its correctness is carried by byte-parity tests
+    against the exec'd reference (tests/reference_oracle.py) instead.
+
+    At the default 8000-char chunk size this corpus yields 1 chunk/doc;
+    the multi-chunk regime of the SAME pipeline + oracle pair is covered
+    by ``pipeline_chunky`` (chunk_size=450, synthesized paragraph/sentence
+    structure), and exact boundary offsets by ``chunk_boundaries``.
+    """
     from llm_aided_ocr_spark.config import PipelineConfig
     from llm_aided_ocr_spark.plans.pipeline import run_pipeline
 
@@ -163,10 +181,81 @@ def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _docs_as_pages(spark, sf_dir)
     result = run_pipeline(pages, PipelineConfig(provider="heuristic"), strategy="auto")
-    return carry_pins(
-        result,
-        result.select("url", "n_chunks", F.length("corrected_text").alias("out_len")),
+    return carry_pins(result, result.select("url", "n_chunks"))
+
+
+# Deterministic multi-paragraph/multi-sentence document constructed from the
+# corpus text `t` — ONE expression string evaluated by BOTH engines (Spark
+# F.expr and DuckDB), so the chunker oracle is non-vacuous on a corpus whose
+# raw texts contain no newlines or sentence punctuation. The construction
+# exercises every chunker branch at chunk_size=450: paragraphs that fit,
+# paragraph overflow → sentence mode, sentence overflow with and without
+# pending, single sentences longer than the chunk size (553-char max docs),
+# sentence-remainder carry into the next paragraph, and the \n\s*\n
+# paragraph split swallowing whitespace-bearing and 4-newline separators.
+_CHUNK_DOC_TEMPLATE = (
+    "concat({t}, '.', chr(10), chr(10), "
+    "{t}, '. ', {t}, '! ', {t}, chr(10), ' ', chr(10), "
+    "{t}, '? ', {t}, '.', chr(10), chr(10), chr(10), chr(10), "
+    "{t}, '. ', {t})"
+)
+
+_CHUNKY_SIZE = 450
+
+
+def _synth_structured_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-shaped pages whose text is the structured construction."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.expr(_CHUNK_DOC_TEMPLATE.format(t="coalesce(text,'')")).alias("text"),
+        "lang",
     )
+
+
+def _q_pipeline_chunky(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL pipeline (auto routing, heuristic provider) in the
+    multi-chunk regime: chunk_size=450 over synthesized structured docs
+    gives 1-8 chunks per document, so the recursive-CTE oracle verifies
+    the greedy packing (reference llm_aided_ocr.py:539-569) through the
+    full run_pipeline wiring, not just the kernel."""
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
+    pages = _synth_structured_pages(spark, sf_dir)
+    cfg = PipelineConfig(provider="heuristic", chunk_size_chars=_CHUNKY_SIZE)
+    result = run_pipeline(pages, cfg, strategy="auto")
+    return carry_pins(result, result.select("url", "n_chunks"))
+
+
+def _q_chunk_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact chunk BOUNDARY check: explode the pre-overlap chunk list
+    (kernels.chunk_pieces — the same function chunk_full_text builds on)
+    per structured document and emit each chunk's index and length. The
+    oracle replays the packing state machine in DuckDB and emits one row
+    per flush, so every boundary position is value-hash-verified (the
+    compounding overlap prefix is additive on top and is byte-parity
+    tested against the exec'd reference)."""
+    import pandas as pd
+
+    from llm_aided_ocr_spark.kernels import chunk_pieces
+
+    pages = _synth_structured_pages(spark, sf_dir).select("url", "text")
+
+    def _bounds(batches):
+        for batch in batches:
+            urls, ixs, lens = [], [], []
+            for url, text in zip(batch["url"], batch["text"]):
+                for ix, piece in enumerate(chunk_pieces(text or "", _CHUNKY_SIZE)):
+                    urls.append(url)
+                    ixs.append(ix + 1)
+                    lens.append(len(piece))
+            yield pd.DataFrame({"url": urls, "chunk_ix": ixs, "chunk_len": lens})
+
+    return pages.mapInPandas(_bounds, schema="url string, chunk_ix int, chunk_len long")
 
 
 def _q_hallucination_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1326,6 +1415,119 @@ WHERE pn BETWEEN 2 AND 4
 """
 
 
+def _build_chunker_cte(base_select: str, chunk_size: int) -> str:
+    """WITH RECURSIVE replay of the reference chunker's greedy
+    paragraph/sentence packing (llm_aided_ocr.py:539-569 — the exact
+    state machine in kernels.chunk_pieces) — the pack_sequences /
+    dedup_clusters recursive-CTE-oracle technique applied to the chunker.
+
+    ``base_select`` must yield ``(url, full_text)``. State per step:
+    ``(pi, si, pend_len, pend_cnt, n_chunks)`` where ``si=0`` is paragraph
+    mode and ``si>=1`` walks the sentences of paragraph ``pi``; one
+    recursion step consumes one piece, matching the kernel's loop:
+
+    * paragraph fits  → pend += plen (separator-blind counter);
+    * paragraph overflow → flush pending as a ``"\\n\\n"``-joined chunk
+      (len = pend_len + 2*(cnt-1)), reset, enter sentence mode;
+    * sentence fits / overflow → same greedy rule with ``" "`` joins
+      (len = pend_len + (cnt-1));
+    * sentences exhausted → carry pending into the next paragraph
+      (the reference's state-reuse quirk);
+    * input exhausted → final flush ``"\\n\\n"``-joined.
+
+    Sentence split ``(?<=[.!?])\\s+`` needs lookbehind, which RE2 lacks:
+    equivalently, each ``[.!?]`` + maximal following whitespace run is
+    rewritten to punct + chr(1) and split on chr(1) (documents must not
+    contain U+0001 — true of the driver corpus). RE2's ``\\s`` is ASCII
+    where Python's is Unicode-aware; the corpus is ASCII-only (verified),
+    so the classes agree.
+    """
+    return f"""
+WITH RECURSIVE
+base AS ({base_select}),
+docs AS (SELECT url, regexp_split_to_array(full_text, '\\n\\s*\\n') AS parr FROM base),
+dmeta AS (SELECT url, len(parr) AS n_paras FROM docs),
+paras AS (SELECT url, generate_subscripts(parr,1) AS pi, unnest(parr) AS para FROM docs),
+pmeta AS (SELECT url, pi, length(para) AS plen,
+  string_split(regexp_replace(para, '([.!?])(\\s+)', '\\1' || chr(1), 'g'), chr(1)) AS sarr
+  FROM paras),
+smeta AS (SELECT url, pi, len(sarr) AS n_sents FROM pmeta),
+sents AS (SELECT url, pi, si, length(sent) AS slen FROM
+  (SELECT url, pi, generate_subscripts(sarr,1) AS si, unnest(sarr) AS sent FROM pmeta)),
+st AS (
+  SELECT url, 0 AS step, 1 AS pi, 0 AS si,
+         CAST(0 AS BIGINT) AS pend_len, 0 AS pend_cnt, 0 AS n_chunks,
+         CAST(NULL AS BIGINT) AS emit_len
+  FROM base
+  UNION ALL
+  SELECT s.url, s.step + 1,
+    CASE WHEN s.si = 0 THEN (CASE WHEN s.pend_len + p.plen <= {chunk_size} THEN s.pi + 1 ELSE s.pi END)
+         WHEN s.si > m.n_sents THEN s.pi + 1 ELSE s.pi END,
+    CASE WHEN s.si = 0 THEN (CASE WHEN s.pend_len + p.plen <= {chunk_size} THEN 0 ELSE 1 END)
+         WHEN s.si > m.n_sents THEN 0 ELSE s.si + 1 END,
+    CASE WHEN s.si = 0 THEN (CASE WHEN s.pend_len + p.plen <= {chunk_size} THEN s.pend_len + p.plen ELSE 0 END)
+         WHEN s.si > m.n_sents THEN s.pend_len
+         WHEN s.pend_len + x.slen <= {chunk_size} THEN s.pend_len + x.slen ELSE x.slen END,
+    CASE WHEN s.si = 0 THEN (CASE WHEN s.pend_len + p.plen <= {chunk_size} THEN s.pend_cnt + 1 ELSE 0 END)
+         WHEN s.si > m.n_sents THEN s.pend_cnt
+         WHEN s.pend_len + x.slen <= {chunk_size} THEN s.pend_cnt + 1 ELSE 1 END,
+    CASE WHEN s.si = 0 THEN (CASE WHEN s.pend_len + p.plen <= {chunk_size} THEN s.n_chunks
+                                  ELSE s.n_chunks + (CASE WHEN s.pend_cnt > 0 THEN 1 ELSE 0 END) END)
+         WHEN s.si > m.n_sents THEN s.n_chunks
+         WHEN s.pend_len + x.slen <= {chunk_size} THEN s.n_chunks
+         ELSE s.n_chunks + (CASE WHEN s.pend_cnt > 0 THEN 1 ELSE 0 END) END,
+    CASE WHEN s.si = 0 AND s.pend_len + p.plen > {chunk_size} AND s.pend_cnt > 0
+           THEN s.pend_len + 2*(s.pend_cnt - 1)
+         WHEN s.si >= 1 AND s.si <= m.n_sents AND s.pend_len + x.slen > {chunk_size} AND s.pend_cnt > 0
+           THEN s.pend_len + (s.pend_cnt - 1)
+         ELSE NULL END
+  FROM st s
+  JOIN dmeta d ON d.url = s.url
+  LEFT JOIN (SELECT url, pi, plen FROM pmeta) p ON p.url = s.url AND p.pi = s.pi
+  LEFT JOIN smeta m ON m.url = s.url AND m.pi = s.pi
+  LEFT JOIN sents x ON x.url = s.url AND x.pi = s.pi AND x.si = s.si
+  WHERE NOT (s.si = 0 AND s.pi > d.n_paras)
+),
+terminal AS (
+  SELECT s.url, s.pend_len, s.pend_cnt, s.n_chunks
+  FROM st s JOIN dmeta d ON d.url = s.url
+  WHERE s.si = 0 AND s.pi > d.n_paras
+),
+emits AS (
+  SELECT url, step, emit_len FROM st WHERE emit_len IS NOT NULL
+  UNION ALL
+  SELECT url, 2147483647 AS step, pend_len + 2*(pend_cnt-1) AS emit_len
+  FROM terminal WHERE pend_cnt > 0
+)
+"""
+
+
+_RAW_DOC_BASE = (
+    "SELECT CAST(doc_id AS VARCHAR) AS url, coalesce(text,'') AS full_text "
+    "FROM documents"
+)
+
+_STRUCTURED_DOC_BASE = (
+    "SELECT CAST(doc_id AS VARCHAR) AS url, "
+    + _CHUNK_DOC_TEMPLATE.format(t="t")
+    + " AS full_text FROM (SELECT doc_id, coalesce(text,'') AS t FROM documents)"
+)
+
+
+def _build_chunk_count_sql(base_select: str, chunk_size: int) -> str:
+    return _build_chunker_cte(base_select, chunk_size) + (
+        "SELECT url, CAST(n_chunks + (CASE WHEN pend_cnt > 0 THEN 1 ELSE 0 END)"
+        " AS INTEGER) AS n_chunks FROM terminal"
+    )
+
+
+def _build_chunk_bounds_sql(base_select: str, chunk_size: int) -> str:
+    return _build_chunker_cte(base_select, chunk_size) + (
+        "SELECT url, CAST(row_number() OVER (PARTITION BY url ORDER BY step)"
+        " AS INTEGER) AS chunk_ix, CAST(emit_len AS BIGINT) AS chunk_len FROM emits"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_filter": _q_page_filter,
@@ -1336,6 +1538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "truncation": _q_truncation,
         "pipeline_e2e": _q_pipeline_e2e,
+        "pipeline_chunky": _q_pipeline_chunky,
+        "chunk_boundaries": _q_chunk_boundaries,
         "pipeline_raw_parity": _q_pipeline_raw_parity,
         "dedup_clusters": _q_dedup_clusters,
         "pack_sequences": _q_pack_sequences,
@@ -1962,11 +2166,13 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(({_SENT_COUNT_SQL}) AS INTEGER) AS n_kept "
             "FROM documents"
         ),
-        # pipeline_e2e: the chunker + heuristic corrector are document-local
-        # Python (separator-blind counter, compounding overlap) —
-        # intentionally no SQL oracle; the driver records the rows-only
-        # check. Its SQL-expressible surface (raw_text extraction parity)
-        # is fully oracle-checked by pipeline_raw_parity above, and byte
-        # parity of the Python kernels is carried by tests/ against the
-        # exec'd reference (tests/reference_oracle.py).
+        # The chunker oracle family: the greedy paragraph/sentence packing
+        # replayed as a recursive CTE (the pack_sequences technique). With
+        # these, EVERY SQL-expressible pipeline output column is driver-
+        # oracled; the only Python-only column left is corrected_text (the
+        # heuristic rewrite), byte-parity-tested against the exec'd
+        # reference in tests/reference_oracle.py.
+        "pipeline_e2e": _build_chunk_count_sql(_RAW_DOC_BASE, 8000),
+        "pipeline_chunky": _build_chunk_count_sql(_STRUCTURED_DOC_BASE, _CHUNKY_SIZE),
+        "chunk_boundaries": _build_chunk_bounds_sql(_STRUCTURED_DOC_BASE, _CHUNKY_SIZE),
     }

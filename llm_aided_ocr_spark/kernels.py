@@ -62,28 +62,31 @@ def assemble_chunks(chunks: List[str]) -> str:
 # §2.3 — the chunker (reference llm_aided_ocr.py:534-573)
 # ---------------------------------------------------------------------------
 
-def chunk_full_text(
+def chunk_pieces(
     full_text: str,
     chunk_size: int = CHUNK_SIZE_CHARS,
-    overlap_words: int = OVERLAP_WORDS,
 ) -> List[str]:
-    """Split a document into greedy paragraph/sentence chunks with a
-    compounding word-overlap prefix.
+    """The chunker WITHOUT the overlap pass: the pre-overlap chunk list
+    whose boundaries the greedy paragraph/sentence packing determines
+    (reference llm_aided_ocr.py:539-569). :func:`chunk_full_text` applies
+    the compounding overlap prefix on top; factored out so chunk
+    boundaries are independently checkable (the driver oracle replays
+    this exact state machine as a DuckDB recursive CTE — see
+    ``__spark_entry__._build_chunker_cte``).
 
-    Byte-exact reproduction of the reference chunker's semantics
-    (llm_aided_ocr.py:539-573), including its quirks:
+    Quirks reproduced byte-exactly:
 
     * the running length counter sums raw piece lengths only — join
       separators are NOT counted, so emitted chunks may exceed
       ``chunk_size`` (reference :547,:560);
     * when a paragraph overflows, it is sentence-split and sentences are
       greedily packed joined by a single space (reference :554-566);
+    * sentence-mode remainder carries into the NEXT paragraph's pending,
+      so a paragraph-overflow flush may ``"\\n\\n"``-join carried
+      sentences with whole paragraphs (reference :556-566 state reuse);
     * the trailing remainder is joined with ``"\\n\\n"`` whenever it holds
       more than one piece, even if those pieces are sentences
-      (reference :569);
-    * the overlap pass walks forward and reads the ALREADY-PREFIXED
-      predecessor, so overlap words compound across boundaries
-      (reference :571-573).
+      (reference :569).
     """
     paragraphs = _PARA_SPLIT_RE.split(full_text)
     chunks: List[str] = []
@@ -110,9 +113,24 @@ def chunk_full_text(
 
     if pending:
         chunks.append("\n\n".join(pending) if len(pending) > 1 else pending[0])
+    return chunks
 
-    # Compounding overlap prefix: chunk i inherits the last N words of the
-    # already-mutated chunk i-1.
+
+def chunk_full_text(
+    full_text: str,
+    chunk_size: int = CHUNK_SIZE_CHARS,
+    overlap_words: int = OVERLAP_WORDS,
+) -> List[str]:
+    """Split a document into greedy paragraph/sentence chunks with a
+    compounding word-overlap prefix.
+
+    Byte-exact reproduction of the reference chunker (llm_aided_ocr.py:
+    539-573): the boundary pass is :func:`chunk_pieces` (and keeps its
+    quirks); the overlap pass here walks forward reading the
+    ALREADY-PREFIXED predecessor, so overlap words compound across
+    boundaries (reference :571-573).
+    """
+    chunks = chunk_pieces(full_text, chunk_size=chunk_size)
     for i in range(1, len(chunks)):
         tail_words = chunks[i - 1].split()[-overlap_words:]
         chunks[i] = " ".join(tail_words) + " " + chunks[i]

@@ -106,6 +106,24 @@ def test_chunker_overlap_compounds():
         assert chunks[i].split()[:10] == prev_words[-10:] or len(prev_words) < 10
 
 
+def test_chunk_pieces_is_chunker_without_overlap():
+    # chunk_full_text == chunk_pieces + compounding prefix pass; boundary
+    # count and each piece's suffix position must agree (the driver's
+    # chunk_boundaries oracle verifies chunk_pieces lengths, so this ties
+    # the oracled function to the pipeline's actual chunker).
+    text = "\n\n".join(
+        ["alpha beta. gamma delta! " * 40, "x" * 900, "short one.", "tail " * 50]
+    )
+    pieces = kernels.chunk_pieces(text, chunk_size=450)
+    full = kernels.chunk_full_text(text, chunk_size=450, overlap_words=10)
+    assert len(pieces) == len(full) > 1
+    assert full[0] == pieces[0]
+    for i in range(1, len(full)):
+        assert full[i].endswith(pieces[i])
+        prefix_words = " ".join(full[i - 1].split()[-10:])
+        assert full[i] == prefix_words + " " + pieces[i]
+
+
 def test_chunker_trailing_join_quirk():
     # Remainder holding >1 sentence pieces is joined with "\n\n" even though
     # they were sentence-split (reference :569).

@@ -555,7 +555,12 @@ def dedup_clusters(
     round on an ``(node, label)`` relation of 16-byte rows, NEVER the
     documents themselves. Each round ends in an eager ``localCheckpoint``
     (truncates the growing lineage — an iterative-join plan would
-    otherwise double per round) and convergence is detected EXACTLY by
+    otherwise double per round); each superseded round's checkpoint
+    blocks are released immediately (and the edge list's after the loop)
+    so repeated ``near_dedup`` calls in a long session do not accumulate
+    executor storage, and the FINAL labels relation is pinned on the
+    result for the caller's ``release_pinned``. Convergence is detected
+    EXACTLY by
     counting changed labels against the previous round's checkpointed set
     — a join over the tiny (node, label) relation that works for ANY id
     type (a numeric "monotone sum" signature would crash casting string
@@ -570,6 +575,8 @@ def dedup_clusters(
     already their own keeper). Input pairs may be duplicated/asymmetric;
     the edge set is symmetrized internally.
     """
+    from llm_aided_ocr_spark.operators.util import pin, release_local_checkpoint
+
     edges = pairs_df.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
@@ -605,6 +612,10 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
+        # the previous round's checkpoint is superseded the moment the
+        # convergence check (its last consumer) has run — release its
+        # blocks now rather than letting them pile up until GC
+        release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -617,7 +628,14 @@ def dedup_clusters(
             "pairwise near-dups). Raise max_iter, or switch to a "
             "large-star/small-star decomposition for adversarial graphs."
         )
-    return labels.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))
+    release_local_checkpoint(edges)
+    # the result still READS the final labels checkpoint lazily — pin it
+    # so the caller's release_pinned frees the blocks after its terminal
+    # action (the same lifecycle as every operator-internal cache)
+    return pin(
+        labels.select(F.col("node").alias("id"), F.col("label").alias("cluster_id")),
+        labels,
+    )
 
 
 def dedup_keep_list(
@@ -630,8 +648,10 @@ def dedup_keep_list(
     representative. Materialize survivors with an anti-join of the corpus
     against ``filter(~keep)`` (16-byte rows; bucket the corpus on the id
     for an exchange-free join, see ``sources/io.py``)."""
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
     c = dedup_clusters(pairs_df, id_a=id_a, id_b=id_b)
-    return c.withColumn("keep", F.col("id") == F.col("cluster_id"))
+    return carry_pins(c, c.withColumn("keep", F.col("id") == F.col("cluster_id")))
 
 
 def near_dedup(
@@ -647,20 +667,18 @@ def near_dedup(
     rows with their original schema. The anti-join's right side is the
     tiny ``(id)`` drop list (broadcast-eligible; at 100 TB bucket the
     corpus on the id for an exchange-free join, see ``sources/io.py``)."""
-    from llm_aided_ocr_spark.operators.util import release_pinned
+    from llm_aided_ocr_spark.operators.util import carry_pins, release_pinned
 
     pairs = minhash_dedup_pairs(
         df, threshold=threshold, text_col=text_col, id_col=id_col,
         **minhash_kwargs,
     )
-    drops = (
-        dedup_keep_list(pairs)
-        .filter(~F.col("keep"))
-        .select(F.col("id").alias(id_col))
-    )
+    keep_list = dedup_keep_list(pairs)
+    drops = keep_list.filter(~F.col("keep")).select(F.col("id").alias(id_col))
     # dedup_clusters ran eagerly (localCheckpoint rounds), so `drops` no
     # longer depends on the pairs plan — the signature cache pinned inside
     # minhash_dedup_pairs is dead; release it here instead of leaking it
-    # into the caller's session
+    # into the caller's session. The final labels checkpoint is still
+    # read by the anti-join: its pin rides the result for the caller.
     release_pinned(pairs)
-    return df.join(drops, on=id_col, how="left_anti")
+    return carry_pins(keep_list, df.join(drops, on=id_col, how="left_anti"))

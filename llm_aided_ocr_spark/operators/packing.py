@@ -35,20 +35,40 @@ def pack_sequences(
     """``(doc_id, stream, bin_ix, n_tokens)`` — greedy in-order packing.
 
     Semantics (exactly mirrored by the driver's recursive-CTE oracle):
-    within a stream, docs are visited in ascending id; a doc joins the
-    current bin unless ``fill + t > budget``, in which case the next bin
-    opens with it. A document larger than the budget therefore occupies a
-    bin alone. ``token_col`` defaults to the native T3 approximation over
-    ``text_col`` (functions.tokens.approx_tokens_col).
+    within a stream, docs are visited in ascending id (numeric order for
+    numeric ids, lexicographic for string ids like the pipeline's url); a
+    doc joins the current bin unless ``fill + t > budget``, in which case
+    the next bin opens with it. A document larger than the budget
+    therefore occupies a bin alone. ``token_col`` defaults to the native
+    T3 approximation over ``text_col``
+    (functions.tokens.approx_tokens_col).
+
+    Stream routing follows the id type: numeric ids keep the original
+    ``id % num_streams`` (oracle-parity with the driver's recursive CTE);
+    any other type routes via ``pmod(xxhash64(id), num_streams)`` — under
+    ANSI mode a string ``%`` would throw, and a hash spreads url-keyed
+    corpora evenly regardless of prefix skew. The output ``doc_id``
+    column keeps the input id type (same id-type-following contract as
+    minhash/simhash/repetition_metrics).
     """
+    from pyspark.sql.types import NumericType
+
     if token_col is None:
         from llm_aided_ocr_spark.functions.tokens import approx_tokens_col
 
         token_col = approx_tokens_col(F.coalesce(F.col(text_col), F.lit("")))
 
+    id_type = df.schema[id_col].dataType
+    if isinstance(id_type, NumericType):
+        stream_expr = (F.col(id_col) % F.lit(num_streams)).cast("int")
+    else:
+        stream_expr = F.pmod(
+            F.xxhash64(F.col(id_col)), F.lit(num_streams)
+        ).cast("int")
+
     prepped = df.select(
         F.col(id_col).alias("doc_id"),
-        (F.col(id_col) % F.lit(num_streams)).cast("int").alias("stream"),
+        stream_expr.alias("stream"),
         token_col.cast("int").alias("n_tokens"),
     )
 
@@ -70,9 +90,10 @@ def pack_sequences(
         pdf["bin_ix"] = bins
         return pdf[["doc_id", "stream", "bin_ix", "n_tokens"]]
 
-    return prepped.groupBy("stream").applyInPandas(
-        _pack, schema="doc_id bigint, stream int, bin_ix bigint, n_tokens int"
+    out_schema = (
+        f"doc_id {id_type.simpleString()}, stream int, bin_ix bigint, n_tokens int"
     )
+    return prepped.groupBy("stream").applyInPandas(_pack, schema=out_schema)
 
 
 def packing_stats(packed: DataFrame, budget: int) -> DataFrame:

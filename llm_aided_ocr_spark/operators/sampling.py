@@ -58,8 +58,10 @@ def hash_split(
     """Append a ``split`` column assigning every row to exactly one named
     split by disjoint hash ranges (e.g. train/val/test 0.9/0.05/0.05).
     Weights must sum to 1 (±1e-9); assignment order follows the dict
-    order, so renaming or reordering splits — with the same seed —
-    preserves every row's bucket boundary."""
+    order. RENAMING a split (same position, same weight, same seed)
+    preserves every row's assignment; REORDERING entries changes the
+    cumulative thresholds and reassigns rows unless the swapped weights
+    are equal — keep the dict order stable across runs."""
     if weights is None:  # `or` would silently replace an empty dict
         weights = {"train": 0.9, "val": 0.05, "test": 0.05}
     total = sum(weights.values())

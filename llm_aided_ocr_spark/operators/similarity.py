@@ -342,6 +342,21 @@ def ivf_assign(
     )
 
 
+def _collect_bounded_sample(
+    df: DataFrame, vec_col: str, fraction: float, seed: int, max_rows: int
+) -> "np.ndarray":
+    """Driver-side training sample, hard-capped at ``max_rows`` rows
+    regardless of corpus size (the scale guard train_centroids_sample
+    documents)."""
+    rows = (
+        df.select(vec_col)
+        .sample(fraction=fraction, seed=seed)
+        .limit(int(max_rows))
+        .collect()
+    )
+    return np.array([r[vec_col] for r in rows], dtype=np.float64)
+
+
 def train_centroids_sample(
     df: DataFrame,
     n_centroids: int = 16,
@@ -349,13 +364,23 @@ def train_centroids_sample(
     iters: int = 5,
     seed: int = 11,
     vec_col: str = "embedding",
+    max_rows: int = 100_000,
 ) -> List[List[float]]:
     """k-means on a driver-side sample (the standard IVF recipe: train the
-    coarse quantizer on a sample, assign the full corpus distributed)."""
-    sample = (
-        df.select(vec_col).sample(fraction=sample_fraction, seed=seed).collect()
-    )
-    X = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    coarse quantizer on a sample, assign the full corpus distributed).
+
+    The driver materialization is bounded by ``max_rows`` (default 100k —
+    ~50 MB at dim=64 float64), NOT by the fraction alone: a fraction-only
+    sample scales with the corpus, and at 10^12 rows fraction=0.1 would
+    collect 10^11 vectors onto the driver. ``limit`` after ``sample``
+    keeps the scan one pass and early-exits once ``max_rows`` rows are
+    produced; the k-means quantizer only needs a representative sample,
+    not a uniform one, so per-layout row choice under ``limit`` is
+    acceptable (the seed fixes the sample for a fixed input layout).
+    Corpus-scale alternative when a fully layout-independent model is
+    required: Spark ML KMeans on the sampled relation (distributed, no
+    driver collect)."""
+    X = _collect_bounded_sample(df, vec_col, sample_fraction, seed, max_rows)
     if len(X) < n_centroids:
         raise ValueError("sample smaller than n_centroids; raise sample_fraction")
     rng = np.random.RandomState(seed)

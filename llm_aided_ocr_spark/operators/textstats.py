@@ -123,6 +123,99 @@ def quality_score_col(text_col: Column) -> Column:
     return F.round(length_term + stop_term + wl_term + punct_term).cast("int")
 
 
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_words_expr(t: Column) -> Column:
+    return F.filter(F.split(t, r"\s+"), lambda w: w != "")
+
+
+def _gopher_lines_expr(t: Column) -> Column:
+    return F.filter(F.split(t, "\n"), lambda ln: F.trim(ln) != "")
+
+
+def _gopher_word_flag_pairs(words: Column) -> list:
+    """The per-word-array Gopher rules as ``(name, boolean Column)`` pairs
+    over an already-bound words array (bind with ``let_`` so the split
+    runs once per row however many flags are consumed)."""
+    n_words = F.size(words)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+        ).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.size(
+        F.filter(words, lambda w: w.contains("#") | w.contains("..."))
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    n_stops = F.size(
+        F.filter(
+            stop_arr,
+            lambda s: F.array_contains(F.transform(words, F.lower), s),
+        )
+    )
+    return [
+        ("ok_word_count", (n_words >= 50) & (n_words <= 100_000)),
+        ("ok_mean_word_len", (mean_wl >= 3.0) & (mean_wl <= 10.0)),
+        (
+            "ok_symbol_ratio",
+            F.when(n_words > 0, n_symbols.cast("double") / n_words <= 0.1)
+            .otherwise(F.lit(False)),
+        ),
+        (
+            "ok_alpha_words",
+            F.when(n_words > 0, n_alpha.cast("double") / n_words >= 0.8)
+            .otherwise(F.lit(False)),
+        ),
+        ("ok_stop_words", n_stops >= 2),
+    ]
+
+
+def _gopher_line_flag_pairs(lines: Column) -> list:
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).startswith("-")
+            | F.trim(ln).startswith("*")
+            | F.trim(ln).startswith("•"),
+        )
+    )
+    ellipsis = F.size(F.filter(lines, lambda ln: F.trim(ln).endswith("...")))
+    safe = lambda n: F.when(  # noqa: E731
+        n_lines > 0, n.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    return [
+        ("ok_bullet_lines", safe(bullet) <= 0.9),
+        ("ok_ellipsis_lines", safe(ellipsis) <= 0.3),
+    ]
+
+
+def gopher_pass_col(text: Column) -> Column:
+    """The combined Gopher gate as ONE native boolean expression — the
+    join-free form for inline filtering (``curate()`` uses this: the flags
+    are pure per-row functions of the text, so deriving them through
+    :func:`gopher_quality_flags` and joining back on the id would buy an
+    Exchange for zero information). Same rules, same ``let_`` binding
+    discipline; equivalence with the flags table is pinned by test."""
+    from llm_aided_ocr_spark.operators.util import let_
+
+    t = F.coalesce(text, F.lit(""))
+
+    def _and(pairs) -> Column:
+        acc = F.lit(True)
+        for _, c in pairs:
+            acc = acc & c
+        return acc
+
+    w_ok = let_(_gopher_words_expr(t), lambda ws: _and(_gopher_word_flag_pairs(ws)))
+    l_ok = let_(_gopher_lines_expr(t), lambda ls: _and(_gopher_line_flag_pairs(ls)))
+    return w_ok & l_ok
+
+
 def gopher_quality_flags(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -140,59 +233,17 @@ def gopher_quality_flags(
     from llm_aided_ocr_spark.operators.util import let_
 
     t = F.coalesce(F.col(text_col), F.lit(""))
-    words_expr = F.filter(F.split(t, r"\s+"), lambda w: w != "")
-    lines_expr = F.filter(F.split(t, "\n"), lambda ln: F.trim(ln) != "")
-    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    words_expr = _gopher_words_expr(t)
+    lines_expr = _gopher_lines_expr(t)
 
     def _flags(words: Column) -> Column:
-        n_words = F.size(words)
-        mean_wl = F.when(
-            n_words > 0,
-            F.aggregate(
-                words, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
-            ).cast("double")
-            / n_words,
-        ).otherwise(F.lit(0.0))
-        n_symbols = F.size(
-            F.filter(words, lambda w: w.contains("#") | w.contains("..."))
-        )
-        n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-        stop_arr = F.array(*[F.lit(s) for s in stops])
-        n_stops = F.size(
-            F.filter(
-                stop_arr,
-                lambda s: F.array_contains(F.transform(words, F.lower), s),
-            )
-        )
         return F.struct(
-            ((n_words >= 50) & (n_words <= 100_000)).alias("ok_word_count"),
-            ((mean_wl >= 3.0) & (mean_wl <= 10.0)).alias("ok_mean_word_len"),
-            F.when(n_words > 0, n_symbols.cast("double") / n_words <= 0.1)
-            .otherwise(F.lit(False))
-            .alias("ok_symbol_ratio"),
-            F.when(n_words > 0, n_alpha.cast("double") / n_words >= 0.8)
-            .otherwise(F.lit(False))
-            .alias("ok_alpha_words"),
-            (n_stops >= 2).alias("ok_stop_words"),
+            *[c.alias(n) for n, c in _gopher_word_flag_pairs(words)]
         )
 
     def _line_flags(lines: Column) -> Column:
-        n_lines = F.size(lines)
-        bullet = F.size(
-            F.filter(
-                lines,
-                lambda ln: F.trim(ln).startswith("-")
-                | F.trim(ln).startswith("*")
-                | F.trim(ln).startswith("•"),
-            )
-        )
-        ellipsis = F.size(F.filter(lines, lambda ln: F.trim(ln).endswith("...")))
-        safe = lambda n: F.when(
-            n_lines > 0, n.cast("double") / n_lines
-        ).otherwise(F.lit(0.0))
         return F.struct(
-            (safe(bullet) <= 0.9).alias("ok_bullet_lines"),
-            (safe(ellipsis) <= 0.3).alias("ok_ellipsis_lines"),
+            *[c.alias(n) for n, c in _gopher_line_flag_pairs(lines)]
         )
 
     flag_cols = [
@@ -715,8 +766,15 @@ def word_commonness(
     CCNet-style LM-perplexity filtering (documents made of corpus-rare
     words score low ≈ high perplexity; boilerplate made of ubiquitous
     words scores high). The suite's first two-pass GLOBAL operator: pass
-    1 aggregates corpus word counts, pass 2 joins them back per word
-    occurrence — both shuffles are word-keyed and carry 8-byte counts.
+    1 aggregates corpus word counts, pass 2 joins them back per DISTINCT
+    word per document: occurrences are pre-aggregated to ``(id, w, n)``
+    before any exchange (the map-side combine of ``groupBy(id, w)`` runs
+    where the document's words already sit), so the frequency join — the
+    operator's widest move — carries distinct-words-per-doc rows
+    (typically 3-10x fewer than occurrences on natural text) instead of
+    one row per word occurrence. The score is identical by linearity:
+    ``sum_over_occurrences(c) == sum_over_distinct_words(c*n)`` and
+    ``n_words == sum(n)``.
 
     Exactness discipline: per-document aggregation sums INTEGER corpus
     counts (order-independent), then applies exactly two IEEE divisions
@@ -738,16 +796,20 @@ def word_commonness(
         # strings — identical counts barring 64-bit collisions. The
         # driver oracle uses the string form (exact by construction).
         words = words.select("id", F.xxhash64("w").alias("w"))
-    # cache: the exploded occurrences feed the frequency aggregation AND
-    # the join side — uncached, the normalize+explode pass would run
-    # twice per action (pinned on the result; see release_pinned)
-    words = words.cache()
-    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # Pre-aggregate occurrences → (id, w, n): the only relation that ever
+    # crosses an exchange. cache: it feeds the frequency aggregation AND
+    # the join side — uncached, the normalize+explode+combine pass would
+    # run twice per action (pinned on the result; see release_pinned).
+    occ = words.groupBy("id", "w").agg(F.count(F.lit(1)).alias("n")).cache()
+    freq = occ.groupBy("w").agg(F.sum("n").alias("c"))
     total = freq.agg(F.sum("c").alias("t"))
     per_doc = (
-        words.join(freq, "w")
+        occ.join(freq, "w")
         .groupBy("id")
-        .agg(F.sum("c").alias("sum_c"), F.count(F.lit(1)).alias("n_words"))
+        .agg(
+            F.sum(F.col("c") * F.col("n")).alias("sum_c"),
+            F.sum("n").alias("n_words"),
+        )
     )
     scored = per_doc.crossJoin(F.broadcast(total)).select(
         "id",
@@ -768,5 +830,5 @@ def word_commonness(
             F.coalesce("n_words", F.lit(0)).alias("n_words"),
             F.coalesce("commonness_r", F.lit(0.0)).alias("commonness_r"),
         ),
-        words,
+        occ,
     )

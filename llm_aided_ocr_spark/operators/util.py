@@ -35,6 +35,24 @@ def _parse_bytes(v: str) -> int:
     return int(num) * _BYTE_SUFFIX.get(suffix, 1)
 
 
+def _logical_plan_node_names(df: DataFrame) -> set:
+    """Class simple-names of every node in the analyzed logical plan,
+    walked structurally through py4j (TreeNode.children()). Private Spark
+    API — deliberately NOT wrapped in try/except here so the compat test
+    (tests/test_review_fixes.py::test_plan_node_walk_compat) breaks loudly
+    when a Spark upgrade changes the layout; the production caller
+    (ensure_min_parallelism) adds its own failure-safe wrapper."""
+    names = set()
+    stack = [df._jdf.queryExecution().logical()]
+    while stack:
+        node = stack.pop()
+        names.add(node.getClass().getSimpleName())
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return names
+
+
 def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     """Round-robin repartition ONLY when the input has fewer partitions
     than ``min_factor * defaultParallelism``.
@@ -54,10 +72,18 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     that size); non-file and non-local sources skip the repartition —
     at scale they are many-partition anyway, and guessing wrong merely
     costs parallelism on a toy input, never a shuffle on a big one.
+
+    Escape hatch: set ``spark.ocrspark.ensureMinParallelism=false``
+    (session conf) to disable the gate wholesale.
     """
     if df.isStreaming:  # partitioning is per-micro-batch; no-op
         return df
     spark = df.sparkSession
+    if (
+        str(spark.conf.get("spark.ocrspark.ensureMinParallelism", "true")).lower()
+        == "false"
+    ):  # documented escape hatch: disable the gate wholesale
+        return df
     target = spark.sparkContext.defaultParallelism
     threshold = max(1, int(target * min_factor))
     try:
@@ -67,15 +93,16 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
         # or the caller's choice — adding a RoundRobin on top would either
         # stack a redundant full exchange or silently override an explicit
         # repartition(N). The file-size estimate below only judges plain
-        # scans. (Logical-plan string scan: no analysis/RDD conversion.)
-        logical = df._jdf.queryExecution().logical().toString()
-        if any(
-            node in logical
-            for node in (
-                "Repartition", "Window", "Aggregate", "Join", "Sort",
-                "Deduplicate",
-            )
-        ):
+        # scans. Matched STRUCTURALLY on plan-node class names (a
+        # substring scan of the plan string can false-positive on column
+        # names / string literals like "Join"); the private-API walk is
+        # version-pinned by test_plan_node_walk_compat so a Spark upgrade
+        # fails CI loudly instead of silently disabling this gate.
+        names = _logical_plan_node_names(df)
+        if names & {
+            "Repartition", "RepartitionByExpression", "RebalancePartitions",
+            "Window", "Aggregate", "Join", "Sort", "Deduplicate",
+        }:
             return df
         files = df.inputFiles()
     except Exception:
@@ -162,12 +189,32 @@ def carry_pins(src: DataFrame, dst: DataFrame) -> DataFrame:
     return dst
 
 
+def release_local_checkpoint(df: DataFrame, blocking: bool = False) -> bool:
+    """Free the executor storage blocks behind a
+    ``localCheckpoint(eager=True)`` relation. ``DataFrame.unpersist`` only
+    clears CacheManager entries; a local checkpoint's blocks belong to its
+    internal RDD, reachable through the plan's ``LogicalRDD`` node. That
+    is private API (pinned by test for this Spark version), so the access
+    is failure-safe: on any layout change the blocks simply remain until
+    ContextCleaner GC — the pre-helper behavior, a bounded leak, never an
+    error. Returns True when blocks were actually released."""
+    try:
+        rdd = df._jdf.queryExecution().analyzed().rdd()
+        rdd.unpersist(blocking)
+        return True
+    except Exception:
+        return False
+
+
 def release_pinned(result: DataFrame, blocking: bool = False) -> int:
-    """Unpersist every relation pinned on ``result`` (see :func:`pin`).
-    Safe on any DataFrame (no-op when nothing is pinned), idempotent.
-    Returns the number of relations released."""
+    """Unpersist every relation pinned on ``result`` (see :func:`pin`) —
+    both CacheManager caches and ``localCheckpoint`` relations (whose
+    blocks need :func:`release_local_checkpoint`). Safe on any DataFrame
+    (no-op when nothing is pinned), idempotent. Returns the number of
+    relations released."""
     pinned = getattr(result, "_ocr_spark_pinned", None) or []
     for df in pinned:
         df.unpersist(blocking=blocking)
+        release_local_checkpoint(df, blocking=blocking)
     result._ocr_spark_pinned = []  # type: ignore[attr-defined]
     return len(pinned)

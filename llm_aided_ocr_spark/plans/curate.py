@@ -81,12 +81,12 @@ def curate(
     pinned_docs = docs
 
     if cfg.use_gopher_gate:
-        from llm_aided_ocr_spark.operators.textstats import gopher_quality_flags
+        # join-free: the gate is a pure per-row expression of the text,
+        # so it filters inline (no Exchange) instead of deriving a flags
+        # table and joining it back on url.
+        from llm_aided_ocr_spark.operators.textstats import gopher_pass_col
 
-        flags = gopher_quality_flags(
-            docs, text_col="corrected_text", id_col="url"
-        ).select("url", "gopher_pass")
-        docs = docs.join(flags, "url").filter(F.col("gopher_pass")).drop("gopher_pass")
+        docs = docs.filter(gopher_pass_col(F.col("corrected_text")))
     if cfg.min_quality_score > 0:
         docs = docs.filter(F.col("quality_score") >= cfg.min_quality_score)
 
@@ -103,9 +103,10 @@ def curate(
     out = hash_split(
         docs, dict(cfg.split_weights), id_col="url", seed=cfg.split_seed
     )
-    out = pin(out, pinned_docs)
+    out = carry_pins(docs, pin(out, pinned_docs))
     # carry the pipeline's own routed-corpus pin too; near_dedup released
     # its internal signature cache itself (its cluster rounds are eager)
+    # and pinned the final component-labels checkpoint (carried above)
     return carry_pins(corrected, out)
 
 

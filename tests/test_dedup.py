@@ -228,6 +228,51 @@ def test_dedup_clusters_transitive(spark):
                     10: True, 11: False, 20: True, 21: False}
 
 
+def test_dedup_clusters_long_chain_refuses_not_truncates(spark):
+    """Adversarial high-diameter graph: a 40-edge chain (diameter 40 >
+    max_iter 25) must raise the documented RuntimeError — silent
+    truncation would return multiple 'keepers' inside one true component
+    — and the SAME graph must converge once max_iter covers the
+    diameter, with every node labeled by the chain's min id."""
+    import pytest
+
+    from llm_aided_ocr_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iter=8).collect()
+
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(chain, max_iter=50).collect()
+    }
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_dedup_clusters_releases_superseded_checkpoints(spark):
+    """The propagation loop localCheckpoints a new labels relation every
+    round; superseded rounds (and the edge list) must be unpersisted so
+    repeated calls don't accumulate executor storage. Only the final
+    labels relation may remain pinned — and release_pinned frees it."""
+    from llm_aided_ocr_spark.operators.dedup import dedup_clusters
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint"
+    )
+    out = dedup_clusters(pairs, max_iter=20)
+    out.count()
+    # everything the ≥12-round loop checkpointed is gone except the final
+    # labels relation the result still reads
+    assert jsc.getPersistentRDDs().size() <= base + 1
+    release_pinned(out, blocking=True)
+    assert jsc.getPersistentRDDs().size() <= base
+
+
 def test_dedup_clusters_random_vs_union_find(spark):
     """Random graph vs a driver-side union-find reference."""
     import random

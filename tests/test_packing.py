@@ -40,6 +40,31 @@ def test_streams_pack_independently_and_deterministically(spark):
     assert all(r[1] == r[0] % 4 for r in ra)
 
 
+def test_string_ids_pack_via_hash_routing(spark):
+    # url-keyed corpora (the pipeline's native id) must pack: streams come
+    # from pmod(xxhash64(url), n) — a numeric % on strings throws under
+    # ANSI — and the output doc_id keeps the string type. In-stream visit
+    # order is lexicographic ascending.
+    from llm_aided_ocr_spark.operators.packing import pack_sequences
+
+    rows = [(f"u{i:03d}", 4) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    out = pack_sequences(df, budget=10, token_col=F.col("n_tok"), num_streams=3)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = sorted((r["stream"], r["doc_id"], r["bin_ix"]) for r in out.collect())
+    assert len(got) == 40
+    # greedy in lexicographic order: within a stream, bin_ix is
+    # nondecreasing and each bin holds exactly 2 docs of 4 tokens
+    from itertools import groupby
+
+    for stream, grp in groupby(got, key=lambda r: r[0]):
+        grp = list(grp)
+        bins = [b for _, _, b in grp]
+        assert bins == sorted(bins)
+        for _, members in groupby(grp, key=lambda r: r[2]):
+            assert len(list(members)) <= 2
+
+
 def test_packing_stats_fill_bound(spark):
     from llm_aided_ocr_spark.operators.packing import pack_sequences, packing_stats
 

@@ -147,3 +147,48 @@ def test_auto_extracts_html_once_per_row(spark):
     finally:
         K.extract_main_text = original
     assert calls.value == n, f"extraction ran {calls.value}x for {n} rows"
+
+
+def test_plan_node_walk_compat(spark, tmp_path):
+    """Version-pin the private-API plan walk ensure_min_parallelism's gate
+    rests on: if a Spark upgrade changes queryExecution().logical() /
+    TreeNode.children() layout, THIS fails loudly (the production caller
+    degrades failure-safe, which would otherwise silently disable the
+    gate). Also pins the structural (not substring) matching: a column
+    literally NAMED "Join" must not trip the gate."""
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.util import (
+        _logical_plan_node_names,
+        ensure_min_parallelism,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    assert "Aggregate" in _logical_plan_node_names(df.groupBy("k").count())
+    assert "Sort" in _logical_plan_node_names(df.orderBy("k"))
+    joined = df.join(df.withColumnRenamed("k", "j"), df["k"] == F.col("j"))
+    assert "Join" in _logical_plan_node_names(joined)
+    reparted = df.repartition(7)
+    assert _logical_plan_node_names(reparted) & {
+        "Repartition", "RepartitionByExpression"
+    }
+
+    # substring false-positive guard: a scan projecting a column named
+    # "Join" has no Join node, so the gate must still consider spreading
+    p = str(tmp_path / "t.parquet")
+    spark.range(50).select(
+        F.col("id"), F.lit("x").alias("Join"), F.lit("y").alias("Window")
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    scan = spark.read.parquet(p)
+    names = _logical_plan_node_names(scan.select("Join", "Window"))
+    assert not names & {"Join", "Window", "Aggregate", "Sort"}
+    out = ensure_min_parallelism(scan.select("Join", "Window"))
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism // 2
+
+    # the documented escape hatch disables the gate wholesale
+    spark.conf.set("spark.ocrspark.ensureMinParallelism", "false")
+    try:
+        off = ensure_min_parallelism(scan.select("Join"))
+        assert off.rdd.getNumPartitions() == scan.select("Join").rdd.getNumPartitions()
+    finally:
+        spark.conf.unset("spark.ocrspark.ensureMinParallelism")

@@ -100,6 +100,25 @@ def test_ivf_topk(spark, vectors, queries_df):
         assert rows[0][1] == qid  # query's own cell contains it
 
 
+def test_train_sample_is_row_capped(spark, vectors):
+    # The driver collect must be bounded by max_rows even at fraction=1.0
+    # (at 10^12 rows a fraction-only sample OOMs the driver); the trainer
+    # must still produce n_centroids valid centroids from the capped set.
+    from llm_aided_ocr_spark.operators.similarity import (
+        _collect_bounded_sample,
+        train_centroids_sample,
+    )
+
+    n_total = vectors.count()
+    cap = max(4, n_total // 4)
+    X = _collect_bounded_sample(vectors, "embedding", 1.0, 11, cap)
+    assert len(X) == cap < n_total
+    cents = train_centroids_sample(
+        vectors, n_centroids=4, sample_fraction=1.0, iters=2, max_rows=cap
+    )
+    assert len(cents) == 4 and all(len(c) == len(cents[0]) for c in cents)
+
+
 def test_embedding_near_dup_pairs(spark):
     from llm_aided_ocr_spark.operators.similarity import embedding_near_dup_pairs
 

@@ -183,6 +183,20 @@ def test_gopher_quality_flags(spark):
     assert got[3]["ok_alpha_words"] is False
     assert got[4]["gopher_pass"] is False
 
+    # the join-free column form (what curate() filters with) must agree
+    # with the flags table's combined gopher_pass on every row
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.textstats import gopher_pass_col
+
+    col_form = {
+        r["doc_id"]: r["p"]
+        for r in df.select(
+            "doc_id", gopher_pass_col(F.col("text")).alias("p")
+        ).collect()
+    }
+    assert col_form == {k: v["gopher_pass"] for k, v in got.items()}
+
 
 def test_media_metadata_and_decode(spark):
     from llm_aided_ocr_spark.operators.multimodal import (

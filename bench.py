@@ -236,9 +236,112 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+STRESS_OPS = ("minhash_pairs", "simhash_pairs", "ngram_jaccard",
+              "word_commonness", "near_dedup", "curate")
+
+
+def _stress_corpus(spark, rows: int) -> str:
+    path = f"/tmp/ocr_spark_stress_corpus_v1_r{rows}_s{BENCH_SEED}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from llm_aided_ocr_spark.sources.synthetic import pages_dataframe_distributed
+
+        df = pages_dataframe_distributed(
+            spark, rows, seed=BENCH_SEED, num_partitions=256, mega_every=10_000
+        )
+        df.select("url", "text").write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_stress(spark, scale_ratio: int = 10) -> dict:
+    """Second scale point for the shuffle-bearing suite (the 100 TB design
+    claims' empirical backing): run minhash/simhash/ngram/commonness/
+    near-dedup/curate at 1x and ``scale_ratio``x the bench corpus
+    (~1.1 GB -> ~11 GB at 10x) and flag any super-linear query — a time
+    ratio beyond ``scale_ratio * 1.3`` means some stage (a candidate
+    explosion, an uncapped bucket, a driver collect) is growing faster
+    than the input and would not survive the next 10x."""
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        near_dedup,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+    from llm_aided_ocr_spark.operators.textstats import word_commonness
+    from llm_aided_ocr_spark.operators.util import release_pinned
+    from llm_aided_ocr_spark.plans.curate import CurationConfig, curate
+
+    def _ops(docs):
+        pages = docs.select(
+            "url",
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            F.lit("en").alias("lang"),
+        )
+        return {
+            "minhash_pairs": lambda: minhash_dedup_pairs(
+                docs, threshold=0.8, text_col="text", id_col="url"
+            ),
+            "simhash_pairs": lambda: simhash_near_dup_pairs(
+                docs, text_col="text", id_col="url", hash_family="xxhash64"
+            ),
+            "ngram_jaccard": lambda: ngram_jaccard_pairs(
+                docs, text_col="text", id_col="url"
+            ),
+            "word_commonness": lambda: word_commonness(
+                docs, text_col="text", id_col="url", hashed=True
+            ),
+            "near_dedup": lambda: near_dedup(
+                docs, threshold=0.8, text_col="text", id_col="url"
+            ),
+            "curate": lambda: curate(
+                pages,
+                CurationConfig(pipeline=PipelineConfig(provider="heuristic")),
+            ),
+        }
+
+    report = {"scale_ratio": scale_ratio, "ops": {}}
+    for tag, rows in (("1x", BENCH_ROWS), (f"{scale_ratio}x", BENCH_ROWS * scale_ratio)):
+        path = _stress_corpus(spark, rows)
+        docs = spark.read.parquet(path)
+        mb = docs.agg(F.sum(F.length("text"))).first()[0] / 1e6
+        report[f"rows_{tag}"] = rows
+        report[f"input_mb_{tag}"] = round(mb, 1)
+        _noop_sink(docs)  # warm the scan + Python worker pool once per corpus
+        for name, build in _ops(docs).items():
+            # time build + sink together: near_dedup/curate run their
+            # component rounds EAGERLY at build time — timing only the
+            # sink would exclude most of their work
+            t0 = time.time()
+            df = build()
+            _noop_sink(df)
+            dt = time.time() - t0
+            release_pinned(df)
+            if name == "curate":
+                from llm_aided_ocr_spark.plans.pipeline import release_pipeline_cache
+
+                release_pipeline_cache(df)
+            rec = report["ops"].setdefault(name, {})
+            rec[f"sec_{tag}"] = round(dt, 2)
+            rec[f"mb_per_sec_{tag}"] = round(mb / dt, 1)
+    for name, rec in report["ops"].items():
+        ratio = rec[f"sec_{scale_ratio}x"] / max(rec["sec_1x"], 1e-9)
+        rec["time_ratio"] = round(ratio, 2)
+        rec["superlinear"] = bool(ratio > scale_ratio * 1.3)
+    report["superlinear_ops"] = sorted(
+        n for n, r in report["ops"].items() if r["superlinear"]
+    )
+    return report
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--stress", action="store_true",
+                    help="two-scale-point stress tier for the shuffle-bearing suite")
     ap.add_argument("--child", type=int, default=0, help="internal: run one parallelism level")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -267,6 +370,12 @@ def main() -> None:
     }
     if args.scaling:
         payload["scaling"] = run_scaling(args.sf_dir)
+    if args.stress:
+        spark = _get_spark(cores)
+        try:
+            payload["stress"] = bench_stress(spark)
+        finally:
+            spark.stop()
     print(json.dumps(payload))
 
 

@@ -98,3 +98,38 @@ def test_curate_correction_is_byte_identical_to_pipeline(spark):
         pages, PipelineConfig(provider="heuristic"), strategy="auto"
     ).collect()}
     assert cur == direct
+
+
+def test_gopher_gate_adds_no_join_or_exchange(spark):
+    """Round-4 altitude fix: the Gopher gate is a pure per-row expression,
+    so enabling it must not change the plan's Join/Exchange count (the
+    old form derived a flags table and joined it back on url)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from llm_aided_ocr_spark.plans.curate import CurationConfig, curate
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.operators.util import release_pinned
+    from llm_aided_ocr_spark.sources.synthetic import pages_dataframe
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+    pages = pages_dataframe(spark, n_rows=8, include_golden=False)
+    base = dict(
+        pipeline=PipelineConfig(provider="heuristic"),
+        exact_dedup=False,
+        near_dedup=False,
+    )
+    on = curate(pages, CurationConfig(use_gopher_gate=True, **base))
+    off = curate(pages, CurationConfig(use_gopher_gate=False, **base))
+    p_on, p_off = plan_of(on), plan_of(off)
+    assert p_on.count("Join") == p_off.count("Join"), p_on
+    assert p_on.count("Exchange") == p_off.count("Exchange"), p_on
+    # and the gate actually filters (the expression is present)
+    assert on.count() <= off.count()
+    release_pinned(on)
+    release_pinned(off)

@@ -79,6 +79,54 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert exact.count() == 30 * 29 // 2
 
 
+def test_ngram_jaccard_prefix_count_filter_is_exact(spark):
+    """The round-4 c-extended prefix + count filter must be invisible in
+    the OUTPUT: against a randomized corpus with planted near-dup pairs of
+    assorted sizes (including docs smaller than prefix_c shingles, where
+    the required count clamps to ceil(t*sz)), the result equals a
+    brute-force Python Jaccard over the same shingle space — at several
+    thresholds, including ones landing exactly on integral t*sz."""
+    import itertools
+    import random
+
+    from llm_aided_ocr_spark.operators.dedup import ngram_jaccard_pairs
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    rng = random.Random(4)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = {}
+    i = 0
+    for _ in range(25):  # random base docs, varied length (some < c+2 words)
+        texts[i] = " ".join(rng.choices(vocab, k=rng.randint(4, 60)))
+        i += 1
+    for _ in range(10):  # planted near-dups: copy + small tail edit
+        base = texts[rng.randrange(i)]
+        texts[i] = base + " " + " ".join(rng.choices(vocab, k=rng.randint(0, 3)))
+        i += 1
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+
+    def shingles(t):
+        w = t.split()
+        return {tuple(w[j : j + 3]) for j in range(len(w) - 2)}
+
+    sets = {k: shingles(v) for k, v in texts.items() if len(v.split()) >= 3}
+    for t in (0.5, 0.8, 1.0):
+        expect = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= t:
+                expect[(a, b)] = round(inter / union, 9)
+        out = ngram_jaccard_pairs(df, n=3, threshold=t, max_shingle_df=None)
+        got = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in out.collect()
+        }
+        release_pinned(out)
+        assert got == expect, (t, set(got) ^ set(expect))
+
+
 def test_minhash_lsh_finds_near_dups(spark, corpus):
     from llm_aided_ocr_spark.operators.dedup import minhash_dedup_pairs
 

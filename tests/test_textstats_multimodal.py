@@ -384,3 +384,35 @@ def test_word_commonness_hashed_fast_path(spark):
     a = sorted(tuple(r) for r in word_commonness(df).collect())
     b = sorted(tuple(r) for r in word_commonness(df, hashed=True).collect())
     assert a == b
+
+
+def test_word_commonness_joins_preaggregated(spark):
+    """Round-4 scale fix: occurrences must combine to (id, word, n) below
+    the first Exchange — a partial count keyed on (id, w) in the physical
+    plan — so the frequency join carries distinct-words-per-doc rows, not
+    one row per occurrence."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from llm_aided_ocr_spark.operators.textstats import word_commonness
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    df = spark.createDataFrame(
+        [(1, "a a b c c c"), (2, "b b d"), (3, None)], "doc_id bigint, text string"
+    )
+    out = word_commonness(df)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    assert re.search(
+        r"HashAggregate\(keys=\[id#\d+L?, w#\d+\], functions=\[partial_count", plan
+    ), plan
+    # values unchanged by the pre-aggregation (linearity): doc 1 has 6
+    # occurrences over corpus freqs a:2 b:3 c:3 d:1 (total 9)
+    got = {r["id"]: (r["n_words"], r["commonness_r"]) for r in out.collect()}
+    assert got[1] == (6, round((2 * 2 + 3 * 1 + 3 * 3) / 9 / 6, 6))
+    assert got[2] == (3, round((3 * 2 + 1 * 1) / 9 / 3, 6))
+    assert got[3] == (0, 0.0)
+    release_pinned(out)

@@ -138,6 +138,23 @@ def main() -> None:
     ))
     spark.catalog.clearCache()
 
+    from llm_aided_ocr_spark.operators.dedup import ngram_jaccard_pairs
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    nj = ngram_jaccard_pairs(docs.select("doc_id", "text"))
+    sections.append((
+        "n-gram Jaccard — prefix-filtered candidates, count filter BEFORE arrays",
+        "candidate pairs come from joining only each doc's c-extended "
+        "df-ascending PREFIX shingles; the pair HashAggregate (count of "
+        "common prefix shingles) plus the count/size filter run on "
+        "fixed-width (id_a, id_b) rows, and the full shingle arrays join "
+        "in AFTER that filter — the arrays cross an Exchange once per "
+        "SURVIVING pair, never per candidate (the round-4 stress tier "
+        "caught the per-candidate form spilling the disk at 20k docs).",
+        plan_of(nj),
+    ))
+    release_pinned(nj)
+
     sections.append((
         "As-of join — union + window, one shuffle, no Python",
         "both sides tagged and unioned, one Exchange on the key, a single "

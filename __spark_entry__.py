@@ -1528,6 +1528,110 @@ def _build_chunk_bounds_sql(base_select: str, chunk_size: int) -> str:
     )
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate line removal, driver-oracled on
+    rebuilt BYTES (portable md5 of the cleaned text). The documents table
+    is single-line word soup, so the query first derives a deterministic
+    multi-line web corpus from it — per-source nav header + 6-words-per-
+    line body + blank line + per-source copyright footer — in BOTH
+    engines; the per-source chrome (doc-freq 25 per source) is what
+    min_doc_freq=10 must strip while every body line and the blank
+    survive."""
+    from llm_aided_ocr_spark.operators.boilerplate import line_dedup_stats
+
+    d = _docs(spark, sf_dir)
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_body = F.greatest(
+        F.ceil(F.size(words) / F.lit(6)).cast("int"), F.lit(1)
+    )
+    body = F.transform(
+        F.sequence(F.lit(0), n_body - 1),
+        lambda i: F.array_join(F.slice(words, i * F.lit(6) + 1, 6), " "),
+    )
+    multi = F.concat_ws(
+        "\n",
+        F.concat(F.lit("home | about | contact -- "), F.col("source")),
+        F.array_join(body, "\n"),
+        F.lit(""),
+        F.concat(F.lit("(c) 2024 "), F.col("source")),
+    )
+    pages = d.select("doc_id", multi.alias("text"))
+    return line_dedup_stats(pages, min_doc_freq=10).select(
+        F.col("id").alias("doc_id"), "n_lines", "n_kept", "clean_len", "clean_md5"
+    )
+
+
+_LINE_DEDUP_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(coalesce(text,''), ' ') AS ws, source FROM documents),
+pages AS (
+  SELECT doc_id,
+    'home | about | contact -- ' || source || chr(10) ||
+    array_to_string(
+      [array_to_string(ws[i*6+1 : i*6+6], ' ')
+       for i in range(0, CAST(greatest(ceil(len(ws)/6.0), 1) AS BIGINT))],
+      chr(10)) ||
+    chr(10) || chr(10) || '(c) 2024 ' || source AS text
+  FROM base),
+lines AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pages),
+ex AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           list_filter(ls, l -> trim(l) <> ''), l -> trim(l)))) AS tl
+  FROM lines),
+dup AS (SELECT tl FROM ex GROUP BY tl HAVING COUNT(*) >= 10),
+dlist AS (SELECT coalesce(list(tl), []) AS dl FROM dup),
+reb AS (
+  SELECT doc_id, ls,
+         list_filter(ls, l -> trim(l) = '' OR NOT list_contains(dl, trim(l))) AS kept
+  FROM lines, dlist)
+SELECT doc_id,
+       CAST(len(ls) AS INTEGER) AS n_lines,
+       CAST(CASE WHEN length(array_to_string(kept, chr(10))) = 0 THEN 0
+                 ELSE len(kept) END AS INTEGER) AS n_kept,
+       CAST(length(array_to_string(kept, chr(10))) AS INTEGER) AS clean_len,
+       md5(array_to_string(kept, chr(10))) AS clean_md5
+FROM reb
+"""
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style eval decontamination: every 50th document plays the
+    benchmark, the rest the training corpus; n=4 word-grams (sized to the
+    synthetic 31-word vocabulary so collisions exist but aren't
+    universal — the operator default is the published n=13). Output:
+    contaminated train docs with their DISTINCT shared-gram count."""
+    from llm_aided_ocr_spark.operators.dedup import decontaminate
+
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    tr = d.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(tr, ev, n=4).select(
+        F.col("id").alias("doc_id"), "n_hits"
+    )
+
+
+def _build_decontaminate_sql(n: int = 4, modulus: int = 50) -> str:
+    """Portable mirror of operators.dedup.decontaminate: distinct word-
+    n-gram STRINGS over the shared normalization (the Spark side keys on
+    xxhash64 — identical counts barring 64-bit collisions, the
+    ngram_jaccard precedent)."""
+    gram = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+    return f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM_TEXT_SQL} AS nt FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [{gram} for i in range(1, greatest(len(words)-{n - 1}, 0)+1)])) AS g
+  FROM (SELECT doc_id, string_split(nt, ' ') AS words FROM norm)),
+ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % {modulus} = 0)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM sh s JOIN ev USING (g)
+WHERE s.doc_id % {modulus} <> 0
+GROUP BY s.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_filter": _q_page_filter,
@@ -1578,6 +1682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "tpch_q14": _q_tpch_q14,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "line_dedup": _q_line_dedup,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -2175,4 +2281,6 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_e2e": _build_chunk_count_sql(_RAW_DOC_BASE, 8000),
         "pipeline_chunky": _build_chunk_count_sql(_STRUCTURED_DOC_BASE, _CHUNKY_SIZE),
         "chunk_boundaries": _build_chunk_bounds_sql(_STRUCTURED_DOC_BASE, _CHUNKY_SIZE),
+        "line_dedup": _LINE_DEDUP_SQL,
+        "decontaminate": _build_decontaminate_sql(n=4, modulus=50),
     }

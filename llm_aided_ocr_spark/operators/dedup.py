@@ -785,3 +785,88 @@ def near_dedup(
     # read by the anti-join: its pin rides the result for the caller.
     release_pinned(pairs)
     return carry_pins(keep_list, df.join(drops, on=id_col, how="left_anti"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def eval_ngram_set(
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """``(shingle)`` — the distinct word-n-gram hashes of an evaluation
+    corpus, the blocklist side of :func:`decontaminate`. The per-document
+    sets are built document-locally (:func:`shingle_array_col` +
+    ``array_distinct``, zero shuffle); the one ``.distinct()`` exchange
+    moves 8-byte hashes of a BENCHMARK-sized relation (eval suites are
+    10^3..10^6 grams, never corpus-scale), so it stays broadcastable."""
+    shingles = F.array_distinct(
+        shingle_array_col(text_col, n=n, hash_family=hash_family)
+    )
+    return (
+        eval_df.select(F.explode(shingles).alias("shingle")).distinct()
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """``(id, n_hits)`` — training documents sharing at least one word
+    n-gram with the evaluation corpus, with the count of DISTINCT shared
+    grams. The GPT-3/PaLM eval-decontamination rule (n=13 word-gram
+    collision ⇒ drop the training document) as a DataFrame operator; no
+    reference analogue (the reference is single-document,
+    llm_aided_ocr.py has no corpus stage).
+
+    Scale shape: the train side never shuffles — shingle sets are
+    document-local arrays and the contamination join streams them against
+    the BROADCAST eval-gram set (eval benchmarks are tiny relative to a
+    100 TB corpus; set ``broadcast_eval=False`` to fall back to a
+    shuffle hash join when the blocklist outgrows the driver). The only
+    exchange of the whole operator is the final ``groupBy(id)`` on
+    16-byte ``(id, 1)`` rows with map-side combine. Normalization matches
+    the n-gram Jaccard family (lower → strip non-alnum → collapse
+    whitespace), so "same gram" is casing/punctuation-insensitive."""
+    ev = eval_ngram_set(eval_df, n=n, text_col=text_col, hash_family=hash_family)
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = word_shingles(
+        train_df, n=n, text_col=text_col, id_col=id_col, hash_family=hash_family
+    )
+    return (
+        tr.join(ev, on="shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def remove_contaminated(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+    min_hits: int = 1,
+) -> DataFrame:
+    """The actionable form: the training corpus minus every document with
+    ``>= min_hits`` eval-gram collisions. The anti-join's right side is
+    the tiny contaminated-id list (broadcast-eligible); the corpus rows
+    move at most once, same discipline as :func:`near_dedup`."""
+    hits = decontaminate(
+        train_df, eval_df, n=n, text_col=text_col, id_col=id_col,
+        hash_family=hash_family,
+    )
+    drops = hits.filter(F.col("n_hits") >= F.lit(min_hits)).select(
+        F.col("id").alias(id_col)
+    )
+    return train_df.join(drops, on=id_col, how="left_anti")

@@ -1,0 +1,208 @@
+"""Line-level boilerplate dedup + benchmark decontamination.
+
+Both are corpus-curation stages with no reference analogue (the reference
+is a single-document CLI); semantics follow the public recipes they name
+(CCNet line dedup, GPT-3 13-gram decontamination)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_aided_ocr_spark.operators.boilerplate import (
+    dup_line_hashes,
+    line_dedup,
+    line_dedup_stats,
+)
+from llm_aided_ocr_spark.operators.dedup import (
+    decontaminate,
+    eval_ngram_set,
+    remove_contaminated,
+)
+
+
+@pytest.fixture(scope="module")
+def chrome_corpus(spark):
+    """Six pages of one 'site' sharing header+footer chrome, one
+    chrome-only page, one empty page, one page whose header has extra
+    surrounding whitespace (must still count as the same line)."""
+    rows = [
+        (
+            i,
+            "HOME | ABOUT | CONTACT\n"
+            f"unique body {i} alpha\n\nunique body {i} beta\n"
+            "(c) 2024 example.com",
+        )
+        for i in range(6)
+    ]
+    rows.append((90, "  HOME | ABOUT | CONTACT  \n(c) 2024 example.com"))
+    rows.append((91, ""))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dup_line_hashes_counts_distinct_docs(spark, chrome_corpus):
+    # header appears in 7 docs, footer in 7; with min_doc_freq=7 both
+    # qualify; at 8 neither does
+    assert dup_line_hashes(chrome_corpus, min_doc_freq=7).count() == 2
+    assert dup_line_hashes(chrome_corpus, min_doc_freq=8).count() == 0
+
+
+def test_dup_line_counting_is_per_document_distinct(spark):
+    # one doc repeating a line 10 times contributes doc-frequency 1
+    df = spark.createDataFrame(
+        [(1, "\n".join(["same line"] * 10))], "doc_id bigint, text string"
+    )
+    assert dup_line_hashes(df, min_doc_freq=2).count() == 0
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "join"])
+def test_line_dedup_strips_chrome_keeps_body_and_blanks(
+    spark, chrome_corpus, strategy
+):
+    out = {
+        r.doc_id: r.text
+        for r in line_dedup(
+            chrome_corpus, min_doc_freq=5, strategy=strategy
+        ).collect()
+    }
+    assert out[0] == "unique body 0 alpha\n\nunique body 0 beta"
+    assert out[90] == ""  # chrome-only page -> empty, not dropped
+    assert out[91] == ""
+    assert len(out) == 8
+
+
+def test_line_dedup_strategies_agree(spark, chrome_corpus):
+    a = line_dedup(chrome_corpus, min_doc_freq=5, strategy="broadcast")
+    b = line_dedup(chrome_corpus, min_doc_freq=5, strategy="join")
+    assert sorted((r.doc_id, r.text) for r in a.collect()) == sorted(
+        (r.doc_id, r.text) for r in b.collect()
+    )
+
+
+def test_line_dedup_trim_insensitive_but_preserves_original_bytes(spark):
+    # the padded variant of a frequent line is ALSO removed (trim-keyed),
+    # while surviving lines keep their original (untrimmed) bytes
+    rows = [(i, "CHROME\nbody %d" % i) for i in range(5)]
+    rows.append((9, "  CHROME  \n  body nine  "))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.text for r in line_dedup(df, min_doc_freq=5).collect()}
+    assert out[9] == "  body nine  "
+
+
+def test_line_dedup_no_frequent_lines_is_identity(spark, chrome_corpus):
+    out = line_dedup(chrome_corpus, min_doc_freq=100)
+    orig = {r.doc_id: r.text for r in chrome_corpus.collect()}
+    assert {r.doc_id: r.text for r in out.collect()} == orig
+
+
+def test_line_dedup_stats_md5_of_rebuilt_bytes(spark, chrome_corpus):
+    import hashlib
+
+    stats = {r.id: r for r in line_dedup_stats(chrome_corpus, min_doc_freq=5).collect()}
+    r0 = stats[0]
+    want = "unique body 0 alpha\n\nunique body 0 beta"
+    assert (r0.n_lines, r0.n_kept, r0.clean_len) == (5, 3, len(want))
+    assert r0.clean_md5 == hashlib.md5(want.encode()).hexdigest()
+    assert stats[91].n_kept == 0 and stats[91].clean_len == 0
+
+
+def test_line_dedup_broadcast_rebuild_adds_no_per_line_exchange(spark, chrome_corpus):
+    """The default-strategy plan must contain exactly the counting
+    aggregation's exchanges — no per-line shuffle for the rebuild side."""
+    plan = (
+        line_dedup(chrome_corpus, min_doc_freq=5, strategy="broadcast")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # counting: one hash-partitioned exchange (partial->final count);
+    # rebuild: only the broadcast of the 1-row array
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_line_dedup_portable_hash_family(spark, chrome_corpus):
+    a = line_dedup(chrome_corpus, min_doc_freq=5, hash_family="md5_52")
+    b = line_dedup(chrome_corpus, min_doc_freq=5, hash_family="xxhash64")
+    assert sorted((r.doc_id, r.text) for r in a.collect()) == sorted(
+        (r.doc_id, r.text) for r in b.collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def contam(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "totally clean words nothing shared here at all folks"),
+            (3, "THE QUICK, BROWN FOX jumps over something else"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over a fence")],
+        "doc_id bigint, text string",
+    )
+    return train, ev
+
+
+def test_decontaminate_counts_distinct_shared_grams(spark, contam):
+    train, ev = contam
+    hits = {r.id: r.n_hits for r in decontaminate(train, ev, n=5).collect()}
+    # doc1 shares 'the quick brown fox jumps' + 'quick brown fox jumps over'
+    # doc3 shares the same two (normalization strips case + punctuation)
+    assert hits == {1: 2, 3: 2}
+
+
+def test_decontaminate_repeated_gram_counts_once(spark, contam):
+    _, ev = contam
+    train = spark.createDataFrame(
+        [(7, "the quick brown fox jumps x the quick brown fox jumps")],
+        "doc_id bigint, text string",
+    )
+    hits = decontaminate(train, ev, n=5).collect()
+    assert [(r.id, r.n_hits) for r in hits] == [(7, 1)]
+
+
+def test_remove_contaminated_keeps_clean_docs(spark, contam):
+    train, ev = contam
+    kept = sorted(r.doc_id for r in remove_contaminated(train, ev, n=5).collect())
+    assert kept == [2]
+    # higher n: no 9-gram collisions -> nothing removed
+    assert remove_contaminated(train, ev, n=9).count() == 3
+
+
+def test_eval_ngram_set_is_distinct(spark, contam):
+    _, ev = contam
+    ng = eval_ngram_set(ev.union(ev), n=5)
+    assert ng.count() == ng.distinct().count() == 4
+
+
+def test_decontaminate_train_side_shuffles_only_the_group_by(spark, contam):
+    """The train shingle relation must reach the broadcast join with no
+    exchange of its own: the only hash exchange in the whole plan is the
+    final groupBy(id) partial-count combine (eval-side distinct runs
+    before its broadcast, inside the BroadcastExchange subtree)."""
+    train, ev = contam
+    plan = (
+        decontaminate(train, ev, n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    idx_bcast = plan.index("BroadcastExchange")
+    before_bcast = plan[:idx_bcast]
+    # train side (everything above the broadcast subtree): one exchange,
+    # the groupBy(id)
+    assert before_bcast.count("Exchange hashpartitioning") <= 1
+
+
+def test_decontaminate_hash_families_agree(spark, contam):
+    train, ev = contam
+    a = decontaminate(train, ev, n=5, hash_family="md5_52").collect()
+    b = decontaminate(train, ev, n=5, hash_family="xxhash64").collect()
+    assert sorted((r.id, r.n_hits) for r in a) == sorted((r.id, r.n_hits) for r in b)

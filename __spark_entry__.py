@@ -1632,6 +1632,84 @@ GROUP BY s.doc_id
 """
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table with the FIXED demo centroids
+    (fixed for the same reason as ann_ivf_topk: oracle-reproducible cell
+    assignment). tau=0.4 is sized to the synthetic random embeddings
+    (max same-cell cosine ≈0.47 — real near-dup corpora use ≥0.95);
+    output is float-free: (vec_id, cell, kept) where kept=0 marks a
+    dropped semantic duplicate (non-min member of a within-cell
+    cosine-component)."""
+    from llm_aided_ocr_spark.operators.dedup import dedup_keep_list
+    from llm_aided_ocr_spark.operators.similarity import (
+        ivf_assign,
+        ivf_demo_centroids,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = ivf_demo_centroids()
+    pairs = semantic_dedup_pairs(emb, cents, tau=0.4)
+    drops = (
+        dedup_keep_list(pairs)
+        .filter(~F.col("keep"))
+        .select(F.col("id").alias("vec_id"), F.lit(1).alias("_dropped"))
+    )
+    return (
+        ivf_assign(emb, cents)
+        .select("vec_id", "cell")
+        .join(drops, on="vec_id", how="left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.when(F.col("_dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+def _build_semantic_dedup_sql(tau: float = 0.4) -> str:
+    """DuckDB mirror of SemDeDup: same centroid literals and first-
+    occurrence argmin cell assignment as ann_ivf_topk, within-cell
+    cosine-tau pairs, transitive closure via the dedup_clusters
+    recursive-CTE technique, kept = min-id representative or untouched
+    vector."""
+    from llm_aided_ocr_spark.operators.similarity import ivf_demo_centroids
+
+    cents = ivf_demo_centroids()
+    dist_terms = ", ".join(
+        "list_distance(v, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        for row in cents
+    )
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, v, [{dist_terms}] AS dists FROM e),
+assign AS (
+  SELECT vec_id, v,
+         CAST(list_position(dists, list_min(dists)) - 1 AS INTEGER) AS cell
+  FROM d),
+p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE coalesce(list_cosine_similarity(a.v, b.v), 0.0) >= {tau!r}),
+edges AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+reach(n, m) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.n, e2.dst FROM reach r JOIN edges e2 ON e2.src = r.m),
+lab AS (SELECT n AS id, MIN(m) AS cid FROM reach GROUP BY n),
+drops AS (SELECT id FROM lab WHERE id <> cid)
+SELECT a.vec_id, a.cell,
+       CAST(CASE WHEN dr.id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM assign a LEFT JOIN drops dr ON dr.id = a.vec_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_filter": _q_page_filter,
@@ -1684,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -2283,4 +2362,5 @@ def oracle_sql() -> dict[str, str]:
         "chunk_boundaries": _build_chunk_bounds_sql(_STRUCTURED_DOC_BASE, _CHUNKY_SIZE),
         "line_dedup": _LINE_DEDUP_SQL,
         "decontaminate": _build_decontaminate_sql(n=4, modulus=50),
+        "semantic_dedup": _build_semantic_dedup_sql(tau=0.4),
     }

@@ -472,3 +472,110 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    centroids: List[List[float]],
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """``(id_a, id_b, cosine)`` — same-IVF-cell pairs with cosine >=
+    ``tau``: the candidate stage of SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540 — k-means-cluster the embeddings, then call
+    within-cluster high-cosine pairs semantic duplicates). The cross-
+    cluster blind spot is the algorithm's documented recall trade, not an
+    implementation shortcut.
+
+    Scale shape: cell assignment is a pure literal expression (no join);
+    the pair join shuffles each vector ONCE keyed on its cell, and the
+    per-cell join is quadratic only within a cell — the operator's
+    contract is that the CALLER sizes ``len(centroids)`` to the corpus
+    (the paper uses 50k clusters at 5B docs, keeping cells ~10^5).
+    ``max_cell_size`` optionally drops oversized cells entirely (a recall
+    trade under centroid collapse); it is None by default because unlike
+    LSH buckets a cell has no "try another band" fallback — silently
+    skipping one would change SEMANTICS, not just recall. The cosine
+    verify is the same Arrow-vectorized pass as
+    :func:`embedding_near_dup_pairs`."""
+    assigned = ivf_assign(vectors, centroids, vec_col)
+    cached = assigned.select(id_col, vec_col, "cell").cache()
+    cells = cached
+    if max_cell_size is not None:
+        small = (
+            cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("csz"))
+            .filter(F.col("csz") <= max_cell_size)
+            .select("cell")
+        )
+        cells = cells.join(small, on="cell", how="left_semi")
+    a = cells.alias("a")
+    b = cells.alias("b")
+    cand = (
+        a.join(b, on="cell")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("vec_a"),
+            F.col(f"b.{vec_col}").alias("vec_b"),
+        )
+    )
+
+    def _score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            out = batch[["id_a", "id_b"]].copy()
+            if len(batch):
+                va = np.stack([np.asarray(v, dtype=np.float64) for v in batch["vec_a"]])
+                vb = np.stack([np.asarray(v, dtype=np.float64) for v in batch["vec_b"]])
+                dots = np.einsum("ij,ij->i", va, vb)
+                denom = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+                out["cosine"] = np.where(denom > 0, dots / np.where(denom == 0, 1, denom), 0.0)
+            else:
+                out["cosine"] = np.zeros(0)
+            yield out
+
+    id_type = dict(cand.dtypes)["id_a"]
+    from llm_aided_ocr_spark.operators.util import pin
+
+    return pin(
+        cand.mapInPandas(
+            _score, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
+        ).filter(F.col("cosine") >= tau),
+        cached,
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: List[List[float]],
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Surviving rows after SemDeDup: within-cell cosine-``tau`` pairs →
+    connected components → keep each component's min-id representative.
+    (The paper keeps the member FARTHEST from its centroid; min-id is the
+    pipeline-wide deterministic keep policy — same trade as
+    :func:`llm_aided_ocr_spark.operators.dedup.near_dedup`, documented
+    here because it is a deliberate deviation.) The drop list is a tiny
+    ``(id)`` relation — broadcast-eligible anti-join, document vectors
+    move at most once."""
+    from llm_aided_ocr_spark.operators.dedup import dedup_keep_list
+    from llm_aided_ocr_spark.operators.util import carry_pins, release_pinned
+
+    pairs = semantic_dedup_pairs(
+        vectors, centroids, tau=tau, id_col=id_col, vec_col=vec_col
+    )
+    keep = dedup_keep_list(pairs)
+    drops = keep.filter(~F.col("keep")).select(F.col("id").alias(id_col))
+    # dedup_clusters materialized eagerly (localCheckpoint rounds): the
+    # sketch/cell cache pinned inside semantic_dedup_pairs is dead here
+    release_pinned(pairs)
+    return carry_pins(keep, vectors.join(drops, on=id_col, how="left_anti"))

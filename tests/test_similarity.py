@@ -222,3 +222,83 @@ def test_ivf_multi_probe_recall(spark, vectors, queries_df):
     assert r2 >= r1
     assert r2 > r1 or r1 == 1.0, (r1, r2)
     assert rall == 1.0, "probing every cell must equal brute force"
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def semdedup_corpus(spark):
+    """Two well-separated clusters around axis-aligned centroids, with a
+    triple of near-identical vectors in cluster A, a pair in cluster B,
+    and a cross-cluster near-identical pair (the algorithm's documented
+    blind spot)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+
+    def noisy(base, vid, eps):
+        v = np.asarray(base, dtype=np.float64)
+        v = v + rng.normal(0, eps, size=v.shape)
+        rows.append((vid, [float(x) for x in v]))
+
+    a = [10.0, 0.0, 0.0, 0.0]
+    b = [0.0, 10.0, 0.0, 0.0]
+    for vid in (1, 2, 3):          # triple of semantic dups in cell A
+        noisy(a, vid, 0.01)
+    for vid in (4, 5):             # pair in cell B
+        noisy(b, vid, 0.01)
+    noisy([7.0, 7.1, 0.0, 0.0], 6, 0.005)   # cross-cluster near-identical
+    noisy([7.1, 7.0, 0.0, 0.0], 7, 0.005)   # ...lands in the other cell
+    noisy([5.0, 0.0, 8.0, 0.0], 8, 0.0)     # unique in cell A
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+SEM_CENTS = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0]]
+
+
+def test_semantic_dedup_pairs_within_cell_only(spark, semdedup_corpus):
+    from llm_aided_ocr_spark.operators.similarity import semantic_dedup_pairs
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            semdedup_corpus, SEM_CENTS, tau=0.999
+        ).collect()
+    }
+    assert pairs == {(1, 2), (1, 3), (2, 3), (4, 5)}
+    # 6 and 7 are near-identical but in different cells: SemDeDup's
+    # documented cross-cluster blind spot, asserted so it stays a
+    # deliberate trade, not an accident
+    assert (6, 7) not in pairs
+
+
+def test_semantic_dedup_keeps_min_id_per_component(spark, semdedup_corpus):
+    from llm_aided_ocr_spark.operators.similarity import semantic_dedup
+
+    kept = sorted(
+        r.vec_id for r in semantic_dedup(semdedup_corpus, SEM_CENTS, tau=0.999).collect()
+    )
+    assert kept == [1, 4, 6, 7, 8]
+
+
+def test_semantic_dedup_max_cell_size_drops_oversized_cells(spark, semdedup_corpus):
+    from llm_aided_ocr_spark.operators.similarity import semantic_dedup_pairs
+
+    # cell A holds 5 vectors (1,2,3,6,8), cell B 4 (4,5,7): capping at 4
+    # removes every cell-A candidate but keeps (4,5)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            semdedup_corpus, SEM_CENTS, tau=0.999, max_cell_size=4
+        ).collect()
+    }
+    assert pairs == {(4, 5)}
+
+
+def test_semantic_dedup_tau_one_keeps_everything(spark, semdedup_corpus):
+    from llm_aided_ocr_spark.operators.similarity import semantic_dedup
+
+    assert semantic_dedup(semdedup_corpus, SEM_CENTS, tau=1.000001).count() == 8

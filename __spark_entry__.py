@@ -1710,6 +1710,87 @@ FROM assign a LEFT JOIN drops dr ON dr.id = a.vec_id
 """
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR domain-relevance weights: target = the src0 slice of the
+    corpus, raw = everything; hashed unigram+bigram log-importance
+    weights plus the Gumbel-top-50 selection flag (seeded by the portable
+    md5 unit hash, so DuckDB reproduces the sample exactly). Weights are
+    rounded to 6dp for the value hash; the selection flag compares
+    UNROUNDED keys in both engines (key gaps dwarf cross-engine libm
+    ulps)."""
+    from pyspark.sql import Window
+
+    from llm_aided_ocr_spark.operators.sampling import (
+        _unit_hash_col,
+        dsir_log_weights,
+    )
+
+    d = _docs(spark, sf_dir)
+    target = d.filter(F.col("source") == "src0")
+    w = dsir_log_weights(d, target)
+    u = F.greatest(_unit_hash_col(F.col("id"), 3), F.lit(1e-300))
+    key = F.col("log_weight") - F.log(-F.log(u))
+    win = Window.orderBy(F.desc(key), F.col("id"))
+    return w.select(
+        F.col("id").alias("doc_id"),
+        F.round("log_weight", 6).alias("log_weight_r"),
+        F.when(F.row_number().over(win) <= 50, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("selected"),
+    )
+
+
+def _build_dsir_sql(
+    target_source: str = "src0", smoothing: float = 1.0, k: int = 50,
+    gumbel_seed: int = 3,
+) -> str:
+    """String-keyed mirror of operators.sampling.dsir_log_weights +
+    Gumbel-top-k: unigram+bigram counts over the shared normalization,
+    add-a smoothing over the union vocabulary, identical float recipe
+    (counts and totals are exact integers, divisions see identical
+    inputs, ln differences are sub-6dp)."""
+    a = repr(float(smoothing))
+    return f"""
+WITH norm AS (
+  SELECT doc_id, source, {_NORM_TEXT_SQL} AS nt FROM documents),
+words AS (SELECT doc_id, source, string_split(nt, ' ') AS ws FROM norm),
+feats AS (
+  SELECT doc_id, source, unnest(ws) AS f FROM words
+  UNION ALL
+  SELECT doc_id, source,
+         unnest([ws[i] || ' ' || ws[i+1] for i in range(1, greatest(len(ws)-1, 0)+1)]) AS f
+  FROM words),
+docfeat AS (SELECT doc_id, f, COUNT(*) AS n FROM feats GROUP BY doc_id, f),
+rawc AS (SELECT f, CAST(SUM(n) AS BIGINT) AS c_r FROM docfeat GROUP BY f),
+tgtc AS (SELECT f, COUNT(*) AS c_t FROM feats WHERE source = '{target_source}' GROUP BY f),
+un AS (
+  SELECT coalesce(r.f, t.f) AS f,
+         coalesce(c_r, 0) AS c_r, coalesce(c_t, 0) AS c_t
+  FROM rawc r FULL JOIN tgtc t ON r.f = t.f),
+stats AS (
+  SELECT CAST(SUM(c_r) AS DOUBLE) AS t_r, CAST(SUM(c_t) AS DOUBLE) AS t_t,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM un),
+lr AS (
+  SELECT f, ln((c_t + {a}) / (t_t + {a} * v)) - ln((c_r + {a}) / (t_r + {a} * v)) AS llr
+  FROM un, stats),
+w AS (
+  SELECT d.doc_id, SUM(d.n * lr.llr) AS lw
+  FROM docfeat d JOIN lr USING (f) GROUP BY d.doc_id),
+keyed AS (
+  SELECT doc_id, lw,
+         lw - ln(-ln(greatest(
+           CAST('0x' || substring(md5('{gumbel_seed}:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+             / CAST({1 << 52} AS DOUBLE), 1e-300))) AS gk
+  FROM w)
+SELECT doc_id, round(lw, 6) AS log_weight_r,
+       CAST(CASE WHEN row_number() OVER (ORDER BY gk DESC, doc_id) <= {k}
+                 THEN 1 ELSE 0 END AS INTEGER) AS selected
+FROM keyed
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_filter": _q_page_filter,
@@ -1763,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
         "semantic_dedup": _q_semantic_dedup,
+        "dsir_weights": _q_dsir_weights,
     }
 
 
@@ -2363,4 +2445,5 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_SQL,
         "decontaminate": _build_decontaminate_sql(n=4, modulus=50),
         "semantic_dedup": _build_semantic_dedup_sql(tau=0.4),
+        "dsir_weights": _build_dsir_sql(target_source="src0", smoothing=1.0, k=50),
     }

@@ -78,3 +78,128 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection with importance resampling
+# ---------------------------------------------------------------------------
+
+def _feature_counts(
+    df: DataFrame, text_col: str, id_col: str, hash_family: str
+) -> DataFrame:
+    """``(id, f, n)`` — per-document hashed unigram+bigram counts, the
+    DSIR feature space (Xie et al. 2023, arXiv:2302.03169 §3: hashed
+    n-gram features over unigrams and bigrams). Features are built
+    DOCUMENT-LOCALLY (shingle arrays, duplicates kept — counts matter),
+    and every row of one document explodes inside one input partition, so
+    the ``groupBy(id, f)`` exchange carries per-doc-DISTINCT features
+    after map-side combine — never raw token occurrences. Full-width
+    hashes (not the paper's 10k buckets): the count model is then exact
+    per n-gram barring 64-bit collisions, which is what lets the driver
+    oracle verify weights against string-keyed DuckDB counts."""
+    from llm_aided_ocr_spark.operators.dedup import shingle_array_col
+
+    feats = F.concat(
+        shingle_array_col(text_col, n=1, hash_family=hash_family),
+        shingle_array_col(text_col, n=2, hash_family=hash_family),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(feats).alias("f"))
+        .groupBy("id", "f")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """``(id, log_weight)`` — per-document DSIR log importance weight
+    ``sum_f n_f(d) * (ln p_target(f) - ln p_raw(f))`` with add-``a``
+    smoothing over the union feature space:
+    ``p(f) = (c(f)+a) / (T + a*V)`` where ``T`` is total feature mass
+    and ``V`` the union vocabulary size. High weight = the document's
+    n-gram distribution looks like the target corpus (the
+    domain-relevance score DSIR resamples by).
+
+    Scale shape: raw-side counts reduce the per-doc relation with
+    map-side combine (8-byte hash keys); the log-ratio table is
+    vocabulary-sized — broadcast — so scoring never shuffles the corpus:
+    the only corpus-keyed exchanges are ``groupBy(id, f)`` and the final
+    ``groupBy(id)`` sum. The 1-row totals relation rides a broadcast
+    cross join (the repo's standard scalar pattern), never a driver
+    collect."""
+    a = float(smoothing)
+    docfeat = _feature_counts(df, text_col, id_col, hash_family).cache()
+    rawc = docfeat.groupBy("f").agg(F.sum("n").alias("c_r"))
+    tgtc = (
+        _feature_counts(target_df, text_col, id_col, hash_family)
+        .groupBy("f")
+        .agg(F.sum("n").alias("c_t"))
+    )
+    union = rawc.join(tgtc, on="f", how="full").select(
+        "f",
+        F.coalesce("c_r", F.lit(0)).alias("c_r"),
+        F.coalesce("c_t", F.lit(0)).alias("c_t"),
+    )
+    totals = F.broadcast(
+        union.agg(
+            F.sum("c_r").cast("double").alias("t_r"),
+            F.sum("c_t").cast("double").alias("t_t"),
+            F.count(F.lit(1)).cast("double").alias("v"),
+        )
+    )
+    lr = union.crossJoin(totals).select(
+        "f",
+        (
+            F.log((F.col("c_t") + a) / (F.col("t_t") + a * F.col("v")))
+            - F.log((F.col("c_r") + a) / (F.col("t_r") + a * F.col("v")))
+        ).alias("llr"),
+    )
+    from llm_aided_ocr_spark.operators.util import pin
+
+    return pin(
+        docfeat.join(F.broadcast(lr), on="f")
+        .groupBy("id")
+        .agg(F.sum(F.col("n") * F.col("llr")).alias("log_weight")),
+        docfeat,
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_df: DataFrame,
+    k: int,
+    seed: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """``(id, log_weight, gumbel_key)`` — the ``k`` documents DSIR
+    selects: Gumbel-top-k sampling without replacement from the softmax
+    of the log weights (key = log_weight + Gumbel(0,1); taking the top
+    ``k`` keys IS a weighted sample without replacement — the
+    Gumbel-max trick). The Gumbel noise is seeded by the portable md5
+    unit hash of ``seed:id``, so selection is layout-independent and
+    engine-reproducible, like every sampling decision in this module.
+    Top-k is a TakeOrdered (per-partition heads + one small merge), not a
+    global sort."""
+    w = dsir_log_weights(
+        df, target_df, text_col=text_col, id_col=id_col,
+        smoothing=smoothing, hash_family=hash_family,
+    )
+    u = F.greatest(_unit_hash_col(F.col("id"), seed), F.lit(1e-300))
+    key = F.col("log_weight") - F.log(-F.log(u))
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
+    return carry_pins(
+        w,
+        w.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.col("id"))
+        .limit(k),
+    )

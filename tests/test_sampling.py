@@ -47,3 +47,79 @@ def test_hash_split_disjoint_exhaustive(spark):
 
     with pytest.raises(ValueError):
         hash_split(df, {"a": 0.5, "b": 0.2})
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dsir_corpus(spark):
+    """Two 'dialects': docs 0-9 speak medical, 10-19 legal; the target
+    corpus is pure medical."""
+    med = "patient dose clinical trial symptom therapy"
+    leg = "court plaintiff statute contract verdict appeal"
+    rows = [(i, f"{med} case {i}") for i in range(10)]
+    rows += [(i, f"{leg} case {i}") for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    target = spark.createDataFrame(
+        [(100, med), (101, f"{med} outcome")], "doc_id bigint, text string"
+    )
+    return df, target
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark, dsir_corpus):
+    from llm_aided_ocr_spark.operators.sampling import dsir_log_weights
+
+    df, target = dsir_corpus
+    w = {r.id: r.log_weight for r in dsir_log_weights(df, target).collect()}
+    assert len(w) == 20
+    assert min(w[i] for i in range(10)) > max(w[i] for i in range(10, 20))
+
+
+def test_dsir_select_prefers_target_dialect_and_is_layout_invariant(
+    spark, dsir_corpus
+):
+    from llm_aided_ocr_spark.operators.sampling import dsir_select
+
+    df, target = dsir_corpus
+    sel = dsir_select(df, target, k=8, seed=7)
+    ids = sorted(r.id for r in sel.collect())
+    assert len(ids) == 8
+    # the medical docs' weight edge dominates the Gumbel noise scale for
+    # this corpus: most of the sample comes from the target dialect
+    assert sum(1 for i in ids if i < 10) >= 6
+    ids2 = sorted(
+        r.id for r in dsir_select(df.repartition(7), target, k=8, seed=7).collect()
+    )
+    assert ids == ids2
+    # a different seed resamples (neither a superset nor fixed)
+    ids3 = sorted(r.id for r in dsir_select(df, target, k=8, seed=8).collect())
+    assert len(ids3) == 8
+
+
+def test_dsir_weights_hash_families_agree(spark, dsir_corpus):
+    from llm_aided_ocr_spark.operators.sampling import dsir_log_weights
+
+    df, target = dsir_corpus
+    a = {r.id: round(r.log_weight, 9)
+         for r in dsir_log_weights(df, target, hash_family="md5_52").collect()}
+    b = {r.id: round(r.log_weight, 9)
+         for r in dsir_log_weights(df, target, hash_family="xxhash64").collect()}
+    assert a == b
+
+
+def test_dsir_scoring_join_broadcasts_the_ratio_table(spark, dsir_corpus):
+    """The corpus-side scoring join must be broadcast (the log-ratio
+    table is vocabulary-sized) — a sort-merge join there would shuffle
+    the per-doc feature relation a second time."""
+    from llm_aided_ocr_spark.operators.sampling import dsir_log_weights
+
+    df, target = dsir_corpus
+    plan = (
+        dsir_log_weights(df, target)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

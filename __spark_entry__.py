@@ -1587,10 +1587,10 @@ reb AS (
   FROM lines, dlist)
 SELECT doc_id,
        CAST(len(ls) AS INTEGER) AS n_lines,
-       CAST(CASE WHEN length(array_to_string(kept, chr(10))) = 0 THEN 0
+       CAST(CASE WHEN length(coalesce(array_to_string(kept, chr(10)), '')) = 0 THEN 0
                  ELSE len(kept) END AS INTEGER) AS n_kept,
-       CAST(length(array_to_string(kept, chr(10))) AS INTEGER) AS clean_len,
-       md5(array_to_string(kept, chr(10))) AS clean_md5
+       CAST(length(coalesce(array_to_string(kept, chr(10)), '')) AS INTEGER) AS clean_len,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
 FROM reb
 """
 
@@ -1791,6 +1791,61 @@ FROM keyed
 """
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span profile (the hashed-gram ExactSubstr stage)
+    at n=8 — sized so the corpus's exact-dup pairs show dup_frac=1.0 and
+    partial overlaps sit between — with the stripped token stream
+    verified at BYTE level via portable md5."""
+    from llm_aided_ocr_spark.operators.dedup import dup_span_profile
+
+    d = _docs(spark, sf_dir)
+    prof = dup_span_profile(d, n=8)
+    return prof.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "n_dup",
+        F.round("dup_frac", 6).alias("dup_frac_r"),
+        F.length("stripped").alias("stripped_len"),
+        F.md5("stripped").alias("stripped_md5"),
+    )
+
+
+def _build_dup_spans_sql(n: int = 8) -> str:
+    """DuckDB mirror of dup_span_profile: gram STRINGS over the shared
+    normalization (Spark keys on xxhash64 — identical sets barring
+    collisions), corpus frequency >= 2, 1-based coverage removal, md5 of
+    the rebuilt stream."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM_TEXT_SQL} AS nt FROM documents),
+words AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM norm),
+sh AS (
+  SELECT doc_id,
+         unnest([array_to_string(ws[i:i+{n - 1}], ' ')
+                 for i in range(1, greatest(len(ws)-{n - 1}, 0)+1)]) AS g,
+         unnest([i for i in range(1, greatest(len(ws)-{n - 1}, 0)+1)]) AS i
+  FROM words),
+dup AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 2),
+dup_pos AS (
+  SELECT doc_id, list_sort(list(i)) AS ps
+  FROM sh JOIN dup USING (g) GROUP BY doc_id),
+reb AS (
+  SELECT w.doc_id, w.ws, coalesce(dp.ps, []) AS ps,
+         [w.ws[j] for j in range(1, len(w.ws)+1)
+          if len(list_filter(coalesce(dp.ps, []),
+                             p -> p <= j AND j <= p + {n - 1})) = 0] AS kept
+  FROM words w LEFT JOIN dup_pos dp USING (doc_id))
+SELECT doc_id,
+       CAST(greatest(len(ws) - {n - 1}, 0) AS INTEGER) AS n_grams,
+       CAST(len(ps) AS INTEGER) AS n_dup,
+       round(CASE WHEN len(ws) - {n - 1} > 0
+                  THEN len(ps) * 1.0 / (len(ws) - {n - 1}) ELSE 0.0 END, 6) AS dup_frac_r,
+       CAST(length(coalesce(array_to_string(kept, ' '), '')) AS INTEGER) AS stripped_len,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS stripped_md5
+FROM reb
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_filter": _q_page_filter,
@@ -1845,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "semantic_dedup": _q_semantic_dedup,
         "dsir_weights": _q_dsir_weights,
+        "dup_spans": _q_dup_spans,
     }
 
 
@@ -2446,4 +2502,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _build_decontaminate_sql(n=4, modulus=50),
         "semantic_dedup": _build_semantic_dedup_sql(tau=0.4),
         "dsir_weights": _build_dsir_sql(target_source="src0", smoothing=1.0, k=50),
+        "dup_spans": _build_dup_spans_sql(n=8),
     }

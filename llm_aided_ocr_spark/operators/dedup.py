@@ -870,3 +870,83 @@ def remove_contaminated(
         F.col("id").alias(id_col)
     )
     return train_df.join(drops, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span detection / removal (hashed-n-gram approximation)
+# ---------------------------------------------------------------------------
+
+def dup_span_profile(
+    df: DataFrame,
+    n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+    with_stripped: bool = True,
+) -> DataFrame:
+    """``(id, n_grams, n_dup, dup_frac[, stripped])`` — per-document
+    profile of EXACT duplicated token spans: a position is duplicated if
+    its word-n-gram occurs >= 2 times in the whole corpus (other
+    documents or elsewhere in the same one). ``stripped`` is the
+    document's NORMALIZED token stream with every covered token removed
+    (token j is covered iff some duplicated gram starts in
+    ``[j-n+1, j]``) — span identity is defined on the normalized stream,
+    so that is the stream the removal rewrites.
+
+    This is the hashed-gram approximation of suffix-array substring
+    dedup (Lee et al. 2021, arXiv:2107.06499 — their ExactSubstr with
+    the 50-token threshold as the default ``n``): a duplicated span of
+    length >= n is exactly a run of duplicated n-gram positions, so
+    coverage-removal deletes the same tokens the suffix-array method
+    finds, at the cost of hash-collision false positives (~2^-64 per
+    gram pair) and of missing duplicates shorter than ``n``.
+
+    Scale shape: gram hashes are document-local arrays; the frequency
+    pass explodes 8-byte hashes into a map-side-combined ``groupBy``; the
+    duplicate-position pass re-explodes ``(id, pos, gram)`` 24-byte rows
+    through one semi-join keyed on the gram (the corpus-wide dup set is
+    unbounded, so no broadcast) and regroups to per-doc sorted position
+    arrays — document TEXT never enters an exchange; the final assembly
+    joins those small arrays back to the corpus by id. Token-level
+    coverage is a native ``filter`` with an ``exists`` probe over the
+    doc's dup positions — O(tokens x doc-dup-positions) per document,
+    degenerate only when a document is mostly duplicated spans."""
+    grams = shingle_array_col(text_col, n=n, hash_family=hash_family)
+    ex = df.select(
+        F.col(id_col).alias("_ds_id"), F.posexplode(grams).alias("pos", "gh")
+    )
+    dup = (
+        ex.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    dup_pos = (
+        ex.join(dup, on="gh", how="left_semi")
+        .groupBy("_ds_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_dup_pos"))
+    )
+    out = df.join(dup_pos, df[id_col] == dup_pos["_ds_id"], "left")
+    ps = F.coalesce(F.col("_dup_pos"), F.array().cast("array<int>"))
+    n_grams = F.greatest(
+        F.size(F.split(_normalize_col(text_col), " ")) - F.lit(n - 1), F.lit(0)
+    )
+    n_dup = F.size(ps)
+    cols = [
+        F.col(id_col).alias("id"),
+        n_grams.cast("int").alias("n_grams"),
+        n_dup.cast("int").alias("n_dup"),
+        F.when(n_grams > 0, n_dup.cast("double") / n_grams.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    ]
+    if with_stripped:
+        tokens = F.split(_normalize_col(text_col), " ")
+        kept = F.filter(
+            tokens,
+            lambda t, j: ~F.exists(
+                ps, lambda p: (p <= j) & (j <= p + F.lit(n - 1))
+            ),
+        )
+        cols.append(F.array_join(kept, " ").alias("stripped"))
+    return out.select(*cols)

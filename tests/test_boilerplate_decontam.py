@@ -206,3 +206,74 @@ def test_decontaminate_hash_families_agree(spark, contam):
     a = decontaminate(train, ev, n=5, hash_family="md5_52").collect()
     b = decontaminate(train, ev, n=5, hash_family="xxhash64").collect()
     assert sorted((r.id, r.n_hits) for r in a) == sorted((r.id, r.n_hits) for r in b)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span profile (ExactSubstr approximation)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def span_corpus(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),       # unique
+        (2, "p q r s t u v w x y"),       # exact pair with 3
+        (3, "p q r s t u v w x y"),
+        (4, "m m m m m m m m"),           # self-repeating
+        (5, "z1 z2 p q r s t u z3 z4"),   # shares one interior 6-gram
+        (6, "short"),                     # < n words
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dup_span_profile_semantics(spark, span_corpus):
+    from llm_aided_ocr_spark.operators.dedup import dup_span_profile
+
+    prof = {r.id: r for r in dup_span_profile(span_corpus, n=6).collect()}
+    assert (prof[1].n_dup, prof[1].stripped) == (0, "a b c d e f g h i j")
+    # exact pair: every position duplicated, full coverage
+    for k in (2, 3):
+        assert prof[k].dup_frac == 1.0 and prof[k].stripped == ""
+    # self-repetition within one doc counts
+    assert prof[4].dup_frac == 1.0 and prof[4].stripped == ""
+    # one duplicated 6-gram at position 2 covers tokens 2..7 (0-based)
+    assert (prof[5].n_dup, prof[5].stripped) == (1, "z1 z2 z3 z4")
+    # shorter than n: no grams, zero frac, stream untouched
+    assert (prof[6].n_grams, prof[6].dup_frac, prof[6].stripped) == (0, 0.0, "short")
+
+
+def test_dup_span_profile_spans_longer_than_n_fully_covered(spark):
+    """A duplicated run of length n+k is a run of k+1 duplicated gram
+    positions whose union covers exactly the run — the Lee et al.
+    maximal-span property under the gram approximation."""
+    from llm_aided_ocr_spark.operators.dedup import dup_span_profile
+
+    shared = " ".join(f"w{i}" for i in range(9))  # 9-token shared run
+    df = spark.createDataFrame(
+        [
+            (1, f"left1 left2 {shared} right1"),
+            (2, f"other {shared} tail1 tail2"),
+        ],
+        "doc_id bigint, text string",
+    )
+    prof = {r.id: r for r in dup_span_profile(df, n=6).collect()}
+    assert prof[1].n_dup == 4  # positions 2..5 start the 4 shared 6-grams
+    assert prof[1].stripped == "left1 left2 right1"
+    assert prof[2].stripped == "other tail1 tail2"
+
+
+def test_dup_span_profile_normalization_defines_span_identity(spark):
+    from llm_aided_ocr_spark.operators.dedup import dup_span_profile
+
+    df = spark.createDataFrame(
+        [(1, "The Quick Brown Fox Jumps Over!"), (2, "the quick, brown fox jumps over")],
+        "doc_id bigint, text string",
+    )
+    prof = {r.id: r for r in dup_span_profile(df, n=6).collect()}
+    assert prof[1].dup_frac == 1.0 and prof[2].dup_frac == 1.0
+
+
+def test_dup_span_profile_stats_only_mode(spark, span_corpus):
+    from llm_aided_ocr_spark.operators.dedup import dup_span_profile
+
+    cols = dup_span_profile(span_corpus, n=6, with_stripped=False).columns
+    assert cols == ["id", "n_grams", "n_dup", "dup_frac"]

@@ -1660,7 +1660,10 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ivf_assign(emb, cents)
         .select("vec_id", "cell")
-        .join(drops, on="vec_id", how="left")
+        # the drop list is bounded by the pair count — broadcast it
+        # explicitly rather than waiting for AQE (the localCheckpoint'd
+        # components relation carries no size stats for the static plan)
+        .join(F.broadcast(drops), on="vec_id", how="left")
         .select(
             "vec_id",
             F.col("cell").cast("int").alias("cell"),

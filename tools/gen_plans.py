@@ -173,6 +173,49 @@ def main() -> None:
         plan_of(q["tpch_q3"](spark, SF)),
     ))
 
+    sections.append((
+        "line-level boilerplate dedup — one counting exchange, broadcast rebuild",
+        "per-doc-distinct line hashes explode as 8-byte longs into ONE "
+        "map-side-combined count exchange; the frequent-line set (1/K "
+        "harmonic size bound) returns as a single broadcast sorted array "
+        "and every document is rebuilt with a native filter/array_join — "
+        "no per-line shuffle anywhere, document text never moves.",
+        plan_of(q["line_dedup"](spark, SF)),
+    ))
+
+    sections.append((
+        "benchmark decontamination — train side never shuffles before the join",
+        "train shingle sets are document-local arrays streamed against "
+        "the BroadcastExchange of the eval n-gram set (benchmarks are "
+        "tiny vs a 100 TB corpus); the eval-side distinct runs inside "
+        "the broadcast subtree. The only corpus-keyed exchange is the "
+        "final groupBy(id) partial-count combine.",
+        plan_of(q["decontaminate"](spark, SF)),
+    ))
+
+    sections.append((
+        "DSIR importance weights — corpus shuffles only on (id,f) and id",
+        "per-doc feature counts reach their groupBy with map-side "
+        "combine (one doc's rows explode inside one partition, so the "
+        "exchange carries per-doc-DISTINCT features); the log-ratio "
+        "table is vocabulary-sized and BROADCAST into the scoring join; "
+        "totals ride a broadcast 1-row cross join. All remaining "
+        "exchanges key vocabulary-sized relations, not the corpus. The "
+        "single-partition window at the end is query-display-only (the "
+        "operator's top-k path is a TakeOrdered).",
+        plan_of(q["dsir_weights"](spark, SF)),
+    ))
+
+    sections.append((
+        "duplicate-span profile — text never enters an exchange",
+        "gram frequency: 8-byte hash explode with map-side combine; "
+        "duplicate positions: (id,pos,gram) 24-byte rows through one "
+        "semi-join and one per-doc regroup; the stripped stream is a "
+        "native filter/exists over the doc's own position array after "
+        "the small arrays join back by id.",
+        plan_of(q["dup_spans"](spark, SF)),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence for key operators",
         "",

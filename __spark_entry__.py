@@ -2061,11 +2061,15 @@ def _build_quality_score_sql() -> str:
     )
 
 
-# Mirrors operators.dedup._normalize_col exactly (lower → non-alnum→space →
-# trim → collapse whitespace), so DuckDB shingles == Spark shingles.
+# Mirrors operators.dedup._normalize_col / _words_col exactly: tokens are
+# the maximal [a-z0-9]+ runs of the lowercased text, space-joined ('' for
+# empty docs — string_split of which yields [''], matching the Spark
+# side's [''] empty-doc token array). Stated independently (regex split +
+# filter) so DuckDB shingles == Spark shingles by derivation, not by
+# copying one engine's quirks.
 _NORM_TEXT_SQL = (
-    "regexp_replace(trim(regexp_replace(lower(coalesce(text,'')), "
-    "'[^a-z0-9\\s]', ' ', 'g')), '\\s+', ' ', 'g')"
+    "coalesce(array_to_string(list_filter(string_split_regex("
+    "lower(coalesce(text,'')), '[^a-z0-9]+'), w -> w <> ''), ' '), '')"
 )
 
 

@@ -237,7 +237,8 @@ def run_scaling(sf_dir: str) -> dict:
 
 
 STRESS_OPS = ("minhash_pairs", "simhash_pairs", "ngram_jaccard",
-              "word_commonness", "near_dedup", "curate")
+              "word_commonness", "near_dedup", "curate",
+              "line_dedup", "decontaminate", "dup_spans", "dsir")
 
 
 def _stress_corpus(spark, rows: int) -> str:
@@ -268,6 +269,15 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
         near_dedup,
         ngram_jaccard_pairs,
         simhash_near_dup_pairs,
+    )
+    from llm_aided_ocr_spark.operators.boilerplate import line_dedup_stats
+    from llm_aided_ocr_spark.operators.dedup import (
+        decontaminate,
+        dup_span_profile,
+    )
+    from llm_aided_ocr_spark.operators.sampling import (
+        deterministic_sample,
+        dsir_log_weights,
     )
     from llm_aided_ocr_spark.operators.textstats import word_commonness
     from llm_aided_ocr_spark.operators.util import release_pinned
@@ -300,6 +310,25 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
             "curate": lambda: curate(
                 pages,
                 CurationConfig(pipeline=PipelineConfig(provider="heuristic")),
+            ),
+            # round-4 curation layer (eval set / DSIR target are
+            # deterministic hash samples of the corpus itself, so both
+            # scale points stress realistic blocklist/target sizes)
+            "line_dedup": lambda: line_dedup_stats(
+                docs, text_col="text", id_col="url", min_doc_freq=10
+            ),
+            "decontaminate": lambda: decontaminate(
+                docs,
+                deterministic_sample(docs, 0.001, id_col="url", seed=11),
+                n=13, text_col="text", id_col="url",
+            ),
+            "dup_spans": lambda: dup_span_profile(
+                docs, n=50, text_col="text", id_col="url"
+            ),
+            "dsir": lambda: dsir_log_weights(
+                docs,
+                deterministic_sample(docs, 0.01, id_col="url", seed=12),
+                text_col="text", id_col="url",
             ),
         }
 

@@ -90,10 +90,41 @@ def exact_dup_groups(
 # Shingles + ngram Jaccard
 # ---------------------------------------------------------------------------
 
+def _words_col(text_col: str) -> F.Column:
+    """Token array for the whole shingle/token family: the maximal
+    ``[a-z0-9]+`` runs of the lowercased text, with blank/punct-only/null
+    text yielding ``['']`` (one empty token — so empty documents keep a
+    well-defined, engine-portable shingle story).
+
+    This is the round-4 rewrite of the original
+    ``split(regexp_replace(regexp_replace(lower(text)), ...), ' ')``
+    chain, which (a) cost two regexp buffer rewrites per document —
+    measured 11.6 s → 0.6 s tokenizing a 67 MB corpus on local[32], a
+    ~20x win that dominated every shingle-family operator — and (b) had
+    a latent artifact: ``trim`` strips SPACES only, so a leading
+    separator run containing a tab/newline (every OCR page starting with
+    ``\\n``!) leaked a phantom ``''`` token into the shingle space. The
+    clean definition drops the artifact; the DuckDB oracle formulation
+    (``_NORM_TEXT_SQL``) states the SAME clean semantics independently
+    (regex split + filter), equivalence fuzz-tested against a Python
+    ``re`` reference."""
+    from llm_aided_ocr_spark.operators.util import let_
+
+    raw = F.array_remove(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"),
+        "",
+    )
+    return let_(
+        raw,
+        lambda a: F.when(F.size(a) == 0, F.array(F.lit(""))).otherwise(a),
+    )
+
+
 def _normalize_col(text_col: str) -> F.Column:
-    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
-    return F.regexp_replace(F.trim(t), r"\s+", " ")
+    """Canonical normalized-text STRING: the clean token sequence joined
+    by single spaces ('' for empty documents). Defined via
+    :func:`_words_col` so string and token consumers can never drift."""
+    return F.array_join(_words_col(text_col), " ")
 
 
 def _word_hash_col(word: F.Column, hash_family: str) -> F.Column:
@@ -162,7 +193,7 @@ def shingle_array_col(
     from llm_aided_ocr_spark.operators.util import let_
 
     bits = 52 if hash_family == "md5_52" else 64
-    words = F.split(_normalize_col(text_col), " ")
+    words = _words_col(text_col)
     wh = F.transform(words, lambda w: _word_hash_col(w, hash_family))
 
     def _grams(whs: F.Column) -> F.Column:
@@ -539,7 +570,7 @@ def simhash_signatures(
 
     df = ensure_min_parallelism(df)
     bits = SIMHASH_BITS if hash_family == "md5_52" else 64
-    words = F.split(_normalize_col(text_col), " ")
+    words = _words_col(text_col)
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(
@@ -929,7 +960,7 @@ def dup_span_profile(
     out = df.join(dup_pos, df[id_col] == dup_pos["_ds_id"], "left")
     ps = F.coalesce(F.col("_dup_pos"), F.array().cast("array<int>"))
     n_grams = F.greatest(
-        F.size(F.split(_normalize_col(text_col), " ")) - F.lit(n - 1), F.lit(0)
+        F.size(_words_col(text_col)) - F.lit(n - 1), F.lit(0)
     )
     n_dup = F.size(ps)
     cols = [
@@ -941,7 +972,7 @@ def dup_span_profile(
         .alias("dup_frac"),
     ]
     if with_stripped:
-        tokens = F.split(_normalize_col(text_col), " ")
+        tokens = _words_col(text_col)
         kept = F.filter(
             tokens,
             lambda t, j: ~F.exists(

@@ -782,14 +782,14 @@ def word_commonness(
     would make a cross-engine oracle flaky), no float summation order
     sensitivity. Empty documents get commonness 0 with n_words 0.
     """
-    from llm_aided_ocr_spark.operators.dedup import _normalize_col, _word_hash_col
+    from llm_aided_ocr_spark.operators.dedup import _words_col
     from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
 
     base = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"), _normalize_col(text_col).alias("nt")
+        F.col(id_col).alias("id"), _words_col(text_col).alias("ws")
     )
     words = base.select(
-        "id", F.explode(F.split("nt", " ")).alias("w")
+        "id", F.explode("ws").alias("w")
     ).filter(F.col("w") != "")
     if hashed:
         # 100 TB form: shuffle 8-byte xxhash64 keys instead of word

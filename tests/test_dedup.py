@@ -404,3 +404,47 @@ def test_near_dedup_never_deletes_distinct_short_docs(spark):
     assert minhash_dedup_pairs(df, threshold=0.1).count() == 0
     kept = sorted(r["doc_id"] for r in near_dedup(df, threshold=0.1).collect())
     assert kept == [10, 11, 12]
+
+
+def _py_words(t):
+    """Independent Python reference for the token semantics: maximal
+    [a-z0-9]+ runs of the lowercased text; [''] for token-less text."""
+    import re
+
+    toks = [w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w]
+    return toks if toks else [""]
+
+
+def test_words_col_matches_python_reference_on_edges(spark):
+    from llm_aided_ocr_spark.operators.dedup import _normalize_col, _words_col
+
+    texts = [
+        "", "   ", "...", None, "a", " a b ", "A-b_c 9", "R&D <x>!",
+        "Tabs\tand\nnewlines mixed  runs", "ALL CAPS 123",
+        "\tleading tab", "trailing nl\n", "a.b,c;d:e", "1" * 50,
+        "word " * 200,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select("text", _words_col("text").alias("w"),
+                     _normalize_col("text").alias("nt")).collect()
+    for r in rows:
+        want = _py_words(r.text)
+        assert r.w == want, (r.text, r.w, want)
+        assert r.nt == " ".join(w for w in want if w), (r.text, r.nt)
+
+
+def test_words_col_matches_python_reference_fuzzed(spark):
+    import random
+
+    rng = random.Random(17)
+    alphabet = "ab1 .,;:!?\t\n-_&<>" + "\u00e9"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+        for _ in range(300)
+    ]
+    from llm_aided_ocr_spark.operators.dedup import _words_col
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select("text", _words_col("text").alias("w")).collect()
+    for r in rows:
+        assert r.w == _py_words(r.text), (r.text,)

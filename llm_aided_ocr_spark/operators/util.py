@@ -219,66 +219,3 @@ def release_pinned(result: DataFrame, blocking: bool = False) -> int:
     result._ocr_spark_pinned = []  # type: ignore[attr-defined]
     return len(pinned)
 
-
-def arrow_explode(
-    df: DataFrame,
-    arr_col: str,
-    keep_cols: list,
-    out_col: str = "value",
-    with_pos: bool = False,
-    pos_col: str = "pos",
-) -> DataFrame:
-    """Explode ``arr_col`` through one Arrow pass instead of a native
-    ``Generate``.
-
-    Why this exists: higher-order-function array expressions (transform /
-    filter / aggregate) are CodegenFallback — interpreted — and feeding
-    one to ``explode()`` makes the Generate stage pay the interpreted
-    evaluation ONCE PER OUTPUT ROW instead of once per document
-    (measured: 48M 13-gram hashes from 20k docs explode in ~0.4 s from a
-    materialized array column but 10-20 s inline, a ~30x cliff; a
-    projection barrier does not help because CollapseProject folds it
-    back into the Generate). ``mapInPandas`` forces exactly-once
-    evaluation by construction — the Arrow conversion materializes the
-    array column — and numpy ``repeat``/``concatenate`` does the flatten.
-
-    Caller contract: compute the array in a projection feeding this call
-    (``df.select(*keys, expr.alias(arr))``). Output schema:
-    ``keep_cols..., [pos int,] out_col`` with the array element type
-    preserved. Rows with empty/null arrays produce nothing (explode
-    semantics, not explode_outer)."""
-    import numpy as np
-    import pandas as pd
-
-    dtypes = dict(df.dtypes)
-    elem_type = dtypes[arr_col]
-    if not (elem_type.startswith("array<") and elem_type.endswith(">")):
-        raise ValueError(f"{arr_col} must be an array column, got {elem_type}")
-    elem_type = elem_type[len("array<"):-1]
-    fields = [f"{c} {dtypes[c]}" for c in keep_cols]
-    if with_pos:
-        fields.append(f"{pos_col} int")
-    fields.append(f"{out_col} {elem_type}")
-    schema = ", ".join(fields)
-
-    def _explode(batches):
-        for batch in batches:
-            arrs = batch[arr_col]
-            lens = np.fromiter(
-                (0 if a is None else len(a) for a in arrs), dtype=np.int64,
-                count=len(arrs),
-            )
-            out = {}
-            for c in keep_cols:
-                out[c] = np.repeat(batch[c].to_numpy(), lens)
-            if with_pos:
-                out[pos_col] = np.concatenate(
-                    [np.arange(n, dtype=np.int32) for n in lens]
-                ) if len(lens) else np.array([], dtype=np.int32)
-            nonempty = [np.asarray(a) for a in arrs if a is not None and len(a)]
-            out[out_col] = (
-                np.concatenate(nonempty) if nonempty else np.array([])
-            )
-            yield pd.DataFrame(out)
-
-    return df.select(*keep_cols, arr_col).mapInPandas(_explode, schema=schema)

@@ -1849,6 +1849,268 @@ FROM reb
 """
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide keep-first exact paragraph dedup (RefinedWeb/
+    MassiveText style), driver-oracled on rebuilt BYTES. The word-soup
+    corpus is single-paragraph, so BOTH engines first derive the same
+    multi-paragraph web corpus: per-source welcome header (dup across the
+    source's docs), a mostly-unique 12-word body slice, a whitespace
+    layout paragraph (must always survive), an every-3rd-doc shared
+    newsletter paragraph (dup corpus-wide), and a per-lang footer. The
+    oracle replays keep-first with string keys and a window; Spark uses
+    md5-52 hashes and a combinable min-struct aggregation."""
+    from llm_aided_ocr_spark.operators.dedup import paragraph_dedup_stats
+
+    d = _docs(spark, sf_dir)
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    text2 = F.concat_ws(
+        "\n\n",
+        F.concat(F.lit("Welcome to "), F.col("source")),
+        F.array_join(F.slice(words, 1, 12), " "),
+        F.lit(" "),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("subscribe to our newsletter today"),
+        ).otherwise(F.array_join(F.slice(words, 13, 12), " ")),
+        F.concat(F.lit("(c) 2024 "), F.col("lang")),
+    )
+    pages = d.select("doc_id", text2.alias("text"))
+    return paragraph_dedup_stats(pages, hash_family="md5_52").select(
+        F.col("id").alias("doc_id"), "n_paras", "n_kept", "clean_len", "clean_md5"
+    )
+
+
+_PARAGRAPH_DEDUP_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(coalesce(text,''), ' ') AS ws, source, lang
+  FROM documents),
+pages AS (
+  SELECT doc_id,
+    'Welcome to ' || source || chr(10) || chr(10) ||
+    coalesce(array_to_string(ws[1:12], ' '), '') || chr(10) || chr(10) ||
+    ' ' || chr(10) || chr(10) ||
+    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today'
+         ELSE coalesce(array_to_string(ws[13:24], ' '), '') END || chr(10) || chr(10) ||
+    '(c) 2024 ' || lang AS text
+  FROM base),
+paras AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM pages),
+ex AS (
+  SELECT doc_id,
+         unnest([i - 1 for i in range(1, len(ps)+1)]) AS pos,
+         unnest([trim(ps[i]) for i in range(1, len(ps)+1)]) AS tp
+  FROM paras),
+firsts AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY tp ORDER BY doc_id, pos) AS rn
+    FROM ex WHERE tp <> '') WHERE rn = 1),
+kl AS (SELECT doc_id, list(pos) AS kp FROM firsts GROUP BY doc_id),
+reb AS (
+  SELECT p.doc_id, p.ps,
+         coalesce(array_to_string(
+           [p.ps[i] for i in range(1, len(p.ps)+1)
+              if trim(p.ps[i]) = '' OR list_contains(coalesce(kl.kp, []), i-1)],
+           chr(10)||chr(10)), '') AS clean
+  FROM paras p LEFT JOIN kl USING (doc_id))
+SELECT doc_id,
+       CAST(len(list_filter(ps, q -> trim(q) <> '')) AS INTEGER) AS n_paras,
+       CAST(len(list_filter(string_split(clean, chr(10)||chr(10)),
+                            q -> trim(q) <> '')) AS INTEGER) AS n_kept,
+       CAST(length(clean) AS INTEGER) AS clean_len,
+       md5(clean) AS clean_md5
+FROM reb
+"""
+
+
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line cleaning + page gate (Raffel et al. 2020 §2.2),
+    driver-oracled on rebuilt BYTES. Both engines derive the same
+    multi-line corpus exercising every rule: a good terminal-punct line,
+    a no-terminal line (dropped), an every-7th-doc javascript line
+    (dropped) vs a good '!' line, a 2-word line (dropped), an
+    every-13th-doc 'lorem ipsum' line (page killed) vs a '?' line, and
+    an every-11th-doc curly-bracket line (page killed) vs a
+    padded-then-trimmed quoted-terminal line."""
+    from llm_aided_ocr_spark.operators.boilerplate import c4_clean_stats
+
+    d = _docs(spark, sf_dir)
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    seg = lambda a, n: F.array_join(F.slice(words, a, n), " ")  # noqa: E731
+    text2 = F.concat_ws(
+        "\n",
+        F.concat(seg(1, 6), F.lit(".")),
+        seg(7, 3),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("Please enable JavaScript to continue browsing here."),
+        ).otherwise(F.concat(seg(10, 5), F.lit("!"))),
+        F.lit("Too short."),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("lorem ipsum dolor sit amet fills this line."),
+        ).otherwise(F.concat(seg(15, 5), F.lit("?"))),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("This sentence sadly contains a { curly bracket."),
+        ).otherwise(F.concat(F.lit("  "), seg(20, 5), F.lit('."'))),
+    )
+    pages = d.select("doc_id", text2.alias("text"))
+    return c4_clean_stats(pages).select(
+        F.col("id").alias("doc_id"),
+        "n_lines", "n_kept", "n_sent", "keep", "clean_len", "clean_md5",
+    )
+
+
+_C4_CLEAN_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(coalesce(text,''), ' ') AS ws FROM documents),
+pages AS (
+  SELECT doc_id,
+    coalesce(array_to_string(ws[1:6], ' '), '') || '.' || chr(10) ||
+    coalesce(array_to_string(ws[7:9], ' '), '') || chr(10) ||
+    CASE WHEN doc_id % 7 = 0
+         THEN 'Please enable JavaScript to continue browsing here.'
+         ELSE coalesce(array_to_string(ws[10:14], ' '), '') || '!' END || chr(10) ||
+    'Too short.' || chr(10) ||
+    CASE WHEN doc_id % 13 = 0
+         THEN 'lorem ipsum dolor sit amet fills this line.'
+         ELSE coalesce(array_to_string(ws[15:19], ' '), '') || '?' END || chr(10) ||
+    CASE WHEN doc_id % 11 = 0
+         THEN 'This sentence sadly contains a { curly bracket.'
+         ELSE '  ' || coalesce(array_to_string(ws[20:24], ' '), '') || '."' END AS text
+  FROM base),
+lined AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM pages),
+reb AS (
+  SELECT doc_id, text, ls,
+         coalesce(array_to_string(
+           [trim(l) for l in ls
+              if right(trim(l), 1) IN ('.', '!', '?', '"')
+                 AND len(string_split(trim(l), ' ')) >= 5
+                 AND NOT contains(lower(trim(l)), 'javascript')],
+           chr(10)), '') AS clean
+  FROM lined)
+SELECT doc_id,
+       CAST(len(ls) AS INTEGER) AS n_lines,
+       CAST(CASE WHEN length(clean) = 0 THEN 0
+                 ELSE len(string_split(clean, chr(10))) END AS INTEGER) AS n_kept,
+       CAST(len(regexp_extract_all(clean, '[.!?]')) AS INTEGER) AS n_sent,
+       (NOT contains(lower(text), 'lorem ipsum'))
+         AND (NOT contains(text, '{'))
+         AND len(regexp_extract_all(clean, '[.!?]')) >= 3 AS keep,
+       CAST(length(clean) AS INTEGER) AS clean_len,
+       md5(clean) AS clean_md5
+FROM reb
+"""
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit, driver-oracled on redacted BYTES and on
+    per-category counts measured over the ORIGINAL text. Both engines
+    append the same deterministic PII tail to each document: one or two
+    emails (every 4th doc gets a second), a dotted-quad IP, and an
+    every-5th-doc international phone number — plus look-alikes that
+    must NOT match (version 1.2.3 stays put; plain numbers have no
+    ``+`` prefix)."""
+    from llm_aided_ocr_spark.operators.pii import pii_stats
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    text2 = F.concat(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+        F.lit(" See version 1.2.3 notes. Contact user"),
+        did.cast("string"),
+        F.lit("@example.com"),
+        F.when(did % 4 == 0, F.lit(" or sales@corp.io.")).otherwise(F.lit(".")),
+        F.lit(" Host 10."),
+        (did % 250).cast("string"),
+        F.lit(".0."),
+        (did % 100).cast("string"),
+        F.lit("."),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" Call +1 555 01"),
+                (did % 90 + 10).cast("string"),
+                F.lit(" 22 now."),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pages = d.select("doc_id", text2.alias("text"))
+    return pii_stats(pages).select(
+        F.col("id").alias("doc_id"),
+        "n_email", "n_ip", "n_phone", "red_len", "red_md5",
+    )
+
+
+_PII_REDACT_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+    substring(coalesce(text,''), 1, 40) ||
+    ' See version 1.2.3 notes. Contact user' || CAST(doc_id AS VARCHAR) ||
+    '@example.com' ||
+    CASE WHEN doc_id % 4 = 0 THEN ' or sales@corp.io.' ELSE '.' END ||
+    ' Host 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.' ||
+    CAST(doc_id % 100 AS VARCHAR) || '.' ||
+    CASE WHEN doc_id % 5 = 0
+         THEN ' Call +1 555 01' || CAST(doc_id % 90 + 10 AS VARCHAR) || ' 22 now.'
+         ELSE '' END AS text
+  FROM documents),
+red AS (
+  SELECT doc_id, text,
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      '\+[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS r
+  FROM pages)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+  CAST(len(regexp_extract_all(text,
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ip,
+  CAST(len(regexp_extract_all(text,
+    '\+[0-9][0-9() -]{6,}[0-9]')) AS INTEGER) AS n_phone,
+  CAST(length(r) AS INTEGER) AS red_len,
+  md5(r) AS red_md5
+FROM red
+"""
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear classifier (fastText-shaped) over the
+    real corpus text — the model IS a hash function of the bucket id, so
+    the oracle rebuilds the identical weights from md5 alone and checks
+    the whole tokenize→bucket→weight→mean→sigmoid path. dim kept at
+    2^16 so bucket collisions actually occur in the test vocabulary."""
+    from llm_aided_ocr_spark.operators.textstats import quality_classifier_score
+
+    return quality_classifier_score(
+        _docs(spark, sf_dir, spread=True), dim=1 << 16, seed=1
+    ).select(F.col("id").alias("doc_id"), "n_words", "logit_r", "prob_r")
+
+
+def _build_quality_classifier_sql(dim: int = 1 << 16, seed: int = 1) -> str:
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '[^a-z0-9]+'),
+                w -> w <> '') AS ws
+  FROM documents),
+sc AS (
+  SELECT doc_id, len(ws) AS n_words,
+    CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+      list_sum(list_transform(ws, w ->
+        (CAST('0x' || substring(md5('w:{seed}:' || CAST(
+            CAST('0x' || substring(md5(w),1,13) AS BIGINT) % {dim}
+          AS VARCHAR)),1,13) AS BIGINT) / CAST({1 << 52} AS DOUBLE)) * 2.0 - 1.0
+      )) / len(ws) END AS logit
+  FROM norm)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       round(logit, 6) AS logit_r,
+       round(1.0/(1.0+exp(-logit)), 6) AS prob_r
+FROM sc
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_filter": _q_page_filter,
@@ -1904,6 +2166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "dsir_weights": _q_dsir_weights,
         "dup_spans": _q_dup_spans,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "c4_clean": _q_c4_clean,
+        "pii_redact": _q_pii_redact,
+        "quality_classifier": _q_quality_classifier,
     }
 
 
@@ -2510,4 +2776,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _build_semantic_dedup_sql(tau=0.4),
         "dsir_weights": _build_dsir_sql(target_source="src0", smoothing=1.0, k=50),
         "dup_spans": _build_dup_spans_sql(n=8),
+        "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
+        "c4_clean": _C4_CLEAN_SQL,
+        "pii_redact": _PII_REDACT_SQL,
+        "quality_classifier": _build_quality_classifier_sql(dim=1 << 16, seed=1),
     }

@@ -169,3 +169,107 @@ def line_dedup_stats(
         "n_kept",
         F.when(F.col("clean_len") == 0, F.lit(0)).otherwise(F.col("n_kept_raw")),
     ).drop("n_kept_raw")
+
+
+# ---------------------------------------------------------------------------
+# C4-style line cleaning + page gate (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+# ---------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+_C4_TERMINALS = (".", "!", "?", '"')
+
+
+def _c4_line_keep(line: F.Column, min_words: int) -> F.Column:
+    """C4's per-line rule on the TRIMMED line: ends in a terminal
+    punctuation mark, has at least ``min_words`` whitespace words, and
+    does not mention javascript (case-insensitive)."""
+    t = F.trim(line)
+    return (
+        F.substring(t, -1, 1).isin(*_C4_TERMINALS)
+        & (F.size(F.split(t, " ")) >= F.lit(min_words))
+        & ~F.contains(F.lower(t), F.lit("javascript"))
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_sentences: int = C4_MIN_SENTENCES,
+    out_col: str | None = None,
+    keep_col: str = "c4_keep",
+) -> DataFrame:
+    """The C4 cleaning recipe as ONE narrow per-row native expression —
+    no shuffle, no Python, survives any scale the scan survives:
+
+    * line level — keep only TRIMMED lines that end in a terminal
+      punctuation mark (``. ! ? "``), contain >= ``min_line_words``
+      words, and don't mention "javascript"; kept lines are re-joined
+      with ``"\\n"`` (C4 operates on stripped lines, so the rebuild emits
+      the trimmed text);
+    * page level — ``keep_col`` is false when the ORIGINAL page mentions
+      "lorem ipsum" (case-insensitive), contains a curly bracket, or the
+      cleaned text has fewer than ``min_sentences`` sentences. Sentences
+      are counted as terminal-punctuation marks (``[.!?]``) in the
+      cleaned text — a deterministic relational stand-in for the paper's
+      nltk sentence splitter, documented as a deviation.
+
+    The cleaned text is written to ``out_col`` (default: in place);
+    pages are FLAGGED, never dropped — the caller's filter decides, so
+    audits can count both sides (same contract as gopher_quality_flags).
+    """
+    out_col = out_col or text_col
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    kept = F.filter(
+        F.split(text, "\n"),
+        lambda l: _c4_line_keep(l, min_line_words),
+    )
+    # NB: an explicit 1-arg lambda — transform() passes (element, index)
+    # to any 2-arity callable, and F.trim's optional second parameter
+    # would silently become the index (trim-by-charset, wrong bytes)
+    clean = F.array_join(F.transform(kept, lambda l: F.trim(l)), "\n")
+    low = F.lower(text)
+    return (
+        df.withColumn(out_col, clean)
+        .withColumn(
+            keep_col,
+            ~F.contains(low, F.lit("lorem ipsum"))
+            & ~F.contains(text, F.lit("{"))
+            & (
+                F.regexp_count(F.col(out_col), F.lit(r"[.!?]"))
+                >= F.lit(min_sentences)
+            ),
+        )
+    )
+
+
+def c4_clean_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_sentences: int = C4_MIN_SENTENCES,
+) -> DataFrame:
+    """``(id, n_lines, n_kept, n_sent, keep, clean_len, clean_md5)`` —
+    the audit view of :func:`c4_clean` with the rebuilt BYTES pinned by
+    an engine-portable md5 (the driver-oracle contract shared by
+    line_dedup_stats / paragraph_dedup_stats)."""
+    cleaned = c4_clean(
+        df, text_col=text_col, id_col=id_col,
+        min_line_words=min_line_words, min_sentences=min_sentences,
+        out_col="_c4_clean", keep_col="_c4_keep",
+    )
+    lines = _lines_col(text_col)
+    return cleaned.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).alias("n_lines"),
+        F.when(F.length("_c4_clean") == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.col("_c4_clean"), "\n")))
+        .alias("n_kept"),
+        F.regexp_count(F.col("_c4_clean"), F.lit(r"[.!?]")).cast("int").alias("n_sent"),
+        F.col("_c4_keep").alias("keep"),
+        F.length("_c4_clean").alias("clean_len"),
+        F.md5(F.col("_c4_clean")).alias("clean_md5"),
+    )

@@ -981,3 +981,117 @@ def dup_span_profile(
         )
         cols.append(F.array_join(kept, " ").alias("stripped"))
     return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide exact paragraph dedup, keep-first (RefinedWeb/MassiveText style)
+# ---------------------------------------------------------------------------
+
+def paragraph_keep_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """``(id, pos)`` — the positions of the paragraphs that SURVIVE
+    corpus-wide keep-first exact dedup: for every distinct (trimmed)
+    paragraph, only its first occurrence in ``(id, pos)`` order survives;
+    every later occurrence — in other documents or later in the same one
+    — is dropped. This is the paragraph-level exact dedup of
+    RefinedWeb/MassiveText (keep one copy, remove repeats) as opposed to
+    :func:`~llm_aided_ocr_spark.operators.boilerplate.line_dedup`'s
+    frequency-threshold rule (which strips EVERY copy of corpus-frequent
+    lines).
+
+    Whitespace-only paragraphs are layout, not content: they are never
+    candidates and are always kept by the rebuild.
+
+    Scale shape: paragraphs hash document-locally; the only corpus-keyed
+    exchange carries ``(hash, id, pos)`` ~24-byte rows into a map-side-
+    combined ``min(struct(id, pos))`` per hash (no window, no sort —
+    first-occurrence is an aggregation, combinable on the map side), and
+    winners regroup to one small ``array<int>`` per document. Document
+    TEXT never enters an exchange. Matching is on the 64-bit paragraph
+    hash (~2^-64 false-merge per pair); ``md5_52`` is the engine-portable
+    family the driver oracle replays with string keys.
+    """
+    paras = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n\n")
+    hashes = F.transform(
+        paras, lambda p: _word_hash_col(F.trim(p), hash_family)
+    )
+    blank_hash = _word_hash_col(F.lit(""), hash_family)
+    ex = (
+        df.select(
+            F.col(id_col).alias("id"), F.posexplode(hashes).alias("pos", "ph")
+        )
+        .filter(F.col("ph") != blank_hash)
+    )
+    return (
+        ex.groupBy("ph")
+        .agg(F.min(F.struct("id", "pos")).alias("w"))
+        .select(F.col("w.id").alias("id"), F.col("w.pos").alias("pos"))
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rewrite every document keeping only its surviving paragraphs (see
+    :func:`paragraph_keep_positions`), preserving the order and the
+    whitespace-only layout paragraphs of everything kept; the join
+    separator is the ``"\\n\\n"`` the split consumed. A document whose
+    every paragraph is a repeat comes back ``''`` — paragraph dedup edits
+    documents, document-level filters decide their fate."""
+    out_col = out_col or text_col
+    kept = (
+        paragraph_keep_positions(
+            df, text_col=text_col, id_col=id_col, hash_family=hash_family
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_pd_pos"))
+        .withColumnRenamed("id", "_pd_id")
+    )
+    paras = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n\n")
+    pos = F.coalesce(F.col("_pd_pos"), F.array().cast("array<int>"))
+    rebuilt = F.array_join(
+        F.filter(
+            paras,
+            lambda p, j: (F.trim(p) == "") | F.array_contains(pos, j),
+        ),
+        "\n\n",
+    )
+    return (
+        df.join(kept, df[id_col] == kept["_pd_id"], "left")
+        .withColumn(out_col, rebuilt)
+        .drop("_pd_id", "_pd_pos")
+    )
+
+
+def paragraph_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """``(id, n_paras, n_kept, clean_len, clean_md5)`` — the audit view
+    of :func:`paragraph_dedup`: paragraph counts before/after (blank
+    layout paragraphs excluded from both counts) plus length and
+    engine-portable md5 of the rebuilt text, so the driver oracle
+    verifies the rebuilt BYTES."""
+    cleaned = paragraph_dedup(
+        df, text_col=text_col, id_col=id_col, hash_family=hash_family,
+        out_col="_pd_clean",
+    )
+    def _n_content(c: F.Column) -> F.Column:
+        return F.size(F.filter(F.split(c, "\n\n"), lambda p: F.trim(p) != ""))
+    return cleaned.select(
+        F.col(id_col).alias("id"),
+        _n_content(F.coalesce(F.col(text_col), F.lit(""))).alias("n_paras"),
+        _n_content(F.col("_pd_clean")).alias("n_kept"),
+        F.length("_pd_clean").alias("clean_len"),
+        F.md5(F.col("_pd_clean")).alias("clean_md5"),
+    )

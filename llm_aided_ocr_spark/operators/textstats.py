@@ -832,3 +832,118 @@ def word_commonness(
         ),
         occ,
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-bag-of-words linear quality classifier (fastText-shaped)
+# ---------------------------------------------------------------------------
+
+CLASSIFIER_DIM = 1 << 20
+
+
+def _bucket_weight_col(bucket: Column, seed: int) -> Column:
+    """Deterministic demo weight for a feature bucket, derived from the
+    engine-portable md5-52 hash of ``'w:<seed>:<bucket>'`` and mapped
+    affinely onto ``[-1, 1)`` — so BOTH engines can materialize the same
+    "model" from nothing but the hash, and the driver oracle checks the
+    whole scoring path end-to-end. A real deployment swaps this for
+    trained weights via the ``weights_df`` argument of
+    :func:`quality_classifier_score`."""
+    from llm_aided_ocr_spark.operators.dedup import _word_hash_col
+    from llm_aided_ocr_spark.operators.sampling import HASH_SPACE
+
+    h = _word_hash_col(
+        F.concat(F.lit(f"w:{seed}:"), bucket.cast("string")), "md5_52"
+    )
+    return (h.cast("double") / F.lit(float(HASH_SPACE))) * 2.0 - 1.0
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = CLASSIFIER_DIM,
+    seed: int = 1,
+    weights_df: DataFrame | None = None,
+    bias: float = 0.0,
+) -> DataFrame:
+    """``(id, n_words, logit_r, prob_r)`` — a hashed bag-of-words LINEAR
+    text classifier, the relational skeleton of the fastText quality
+    filters used to curate GPT-3/LLaMA-class corpora (Joulin et al. 2016,
+    arXiv:1607.01759: mean of word-bucket weights → linear layer →
+    sigmoid; the "hashing trick" buckets the vocabulary into ``dim``
+    slots):
+
+        ``logit = bias + mean_over_words(weight[bucket(word)])``
+        ``prob  = sigmoid(logit)``
+
+    Two execution shapes, chosen by whether trained weights are given:
+
+    * ``weights_df=None`` (default) — the weight of each bucket is a pure
+      hash function (:func:`_bucket_weight_col`), so scoring is ONE
+      narrow per-row native expression: tokenize, bucket, weight, mean —
+      zero shuffle, zero Python, whole-stage codegen. This is the shape
+      the driver oracle verifies.
+    * ``weights_df`` = ``(bucket:bigint, weight:double)`` — trained
+      weights join in by bucket. The model table is at most ``dim`` rows
+      (fastText models are exactly this: dim x 1 after the mean), so it
+      BROADCASTS and the corpus still never shuffles; only the
+      per-document distinct-bucket relation ``groupBy(id)`` reduces,
+      map-side combined.
+
+    Outputs are rounded to 6dp (the repo's cross-engine float contract);
+    empty documents score ``sigmoid(bias)`` with ``n_words = 0``.
+    """
+    from llm_aided_ocr_spark.operators.dedup import _word_hash_col, _words_col
+    from llm_aided_ocr_spark.operators.util import let_, pin
+
+    words = F.filter(_words_col(text_col), lambda w: w != "")
+    bucket_of = lambda w: F.pmod(_word_hash_col(w, "md5_52"), F.lit(dim))  # noqa: E731
+    if weights_df is None:
+        logit = let_(
+            words,
+            lambda ws: F.lit(float(bias))
+            + F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(
+                F.aggregate(
+                    ws,
+                    F.lit(0.0),
+                    lambda acc, w: acc + _bucket_weight_col(bucket_of(w), seed),
+                )
+                / F.size(ws).cast("double")
+            ),
+        )
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.size(words).alias("n_words"),
+            F.round(logit, 6).alias("logit_r"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob_r"),
+        )
+    # trained-weights shape: per-doc bucket counts x broadcast model
+    base = df.select(F.col(id_col).alias("id"), words.alias("ws")).cache()
+    buckets = base.select(
+        "id", F.explode(F.transform("ws", bucket_of)).alias("bucket")
+    )
+    counts = buckets.groupBy("id", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    scored = (
+        counts.join(F.broadcast(weights_df), on="bucket", how="left")
+        .groupBy("id")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.coalesce("weight", F.lit(0.0))).alias("s"),
+        )
+    )
+    logit = F.lit(float(bias)) + F.when(
+        F.col("n_words") == 0, F.lit(0.0)
+    ).otherwise(F.col("s") / F.col("n_words").cast("double"))
+    empty = base.select("id").where(F.size("ws") == 0).withColumn(
+        "n_words", F.lit(0).cast("bigint")
+    ).withColumn("s", F.lit(0.0))
+    out = scored.unionByName(empty).select(
+        "id",
+        "n_words",
+        F.round(logit, 6).alias("logit_r"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob_r"),
+    )
+    return pin(out, base)

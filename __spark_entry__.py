@@ -1720,28 +1720,40 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 unit hash, so DuckDB reproduces the sample exactly). Weights are
     rounded to 6dp for the value hash; the selection flag compares
     UNROUNDED keys in both engines (key gaps dwarf cross-engine libm
-    ulps)."""
-    from pyspark.sql import Window
+    ulps).
 
+    The flag is derived the way :func:`dsir_select` selects — a
+    TakeOrdered top-k (per-partition heads + one driver merge of 50
+    rows) broadcast-joined back as membership — NOT an unpartitioned
+    row_number window, which would move the whole weights relation to
+    one partition at corpus scale (the DuckDB oracle keeps its window;
+    a 500-row oracle is allowed what a 10^12-row plan is not)."""
     from llm_aided_ocr_spark.operators.sampling import (
         _unit_hash_col,
         dsir_log_weights,
     )
+    from llm_aided_ocr_spark.operators.util import carry_pins, pin
 
     d = _docs(spark, sf_dir)
     target = d.filter(F.col("source") == "src0")
-    w = dsir_log_weights(d, target)
+    w = dsir_log_weights(d, target).cache()
     u = F.greatest(_unit_hash_col(F.col("id"), 3), F.lit(1e-300))
     key = F.col("log_weight") - F.log(-F.log(u))
-    win = Window.orderBy(F.desc(key), F.col("id"))
-    return w.select(
-        F.col("id").alias("doc_id"),
-        F.round("log_weight", 6).alias("log_weight_r"),
-        F.when(F.row_number().over(win) <= 50, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("selected"),
+    top = (
+        w.withColumn("_gk", key)
+        .orderBy(F.desc("_gk"), F.col("id"))
+        .limit(50)
+        .select("id", F.lit(1).alias("_sel"))
     )
+    out = (
+        w.join(F.broadcast(top), on="id", how="left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.round("log_weight", 6).alias("log_weight_r"),
+            F.coalesce("_sel", F.lit(0)).cast("int").alias("selected"),
+        )
+    )
+    return pin(carry_pins(w, out), w)
 
 
 def _build_dsir_sql(
@@ -2111,6 +2123,61 @@ FROM sc
 """
 
 
+_BM25_TERMS = ("spark", "join", "window")
+
+
+def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval scores for a fixed 3-term query over the
+    real corpus text, oracled term-by-term: identical tokenization,
+    integer tf/df, one shared avgdl, ln over identical inputs, fixed
+    summation order — 6dp-stable across engines."""
+    from llm_aided_ocr_spark.operators.search import bm25_scores
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
+    out = bm25_scores(_docs(spark, sf_dir, spread=True), _BM25_TERMS)
+    return carry_pins(out, out.select(F.col("id").alias("doc_id"), "dl", "n_matched", "score_r"))
+
+
+def _build_bm25_sql(
+    terms: tuple = _BM25_TERMS, k1: float = 1.2, b: float = 0.75
+) -> str:
+    tf_cols = ",\n   ".join(
+        f"len(list_filter(ws, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n   ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * {k1 + 1.0!r}"
+        f" / (tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    matched = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '[^a-z0-9]+'),
+                w -> w <> '') AS ws
+  FROM documents),
+base AS (
+  SELECT doc_id, len(ws) AS dl,
+   {tf_cols}
+  FROM norm),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+   {df_cols}
+  FROM base)
+SELECT doc_id, CAST(dl AS INTEGER) AS dl,
+       CAST({matched} AS INTEGER) AS n_matched,
+       round(0.0 + {score}, 6) AS score_r
+FROM base, stats
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_filter": _q_page_filter,
@@ -2170,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _q_c4_clean,
         "pii_redact": _q_pii_redact,
         "quality_classifier": _q_quality_classifier,
+        "bm25_scores": _q_bm25_scores,
     }
 
 
@@ -2780,4 +2848,5 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": _C4_CLEAN_SQL,
         "pii_redact": _PII_REDACT_SQL,
         "quality_classifier": _build_quality_classifier_sql(dim=1 << 16, seed=1),
+        "bm25_scores": _build_bm25_sql(),
     }

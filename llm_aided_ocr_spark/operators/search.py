@@ -1,0 +1,140 @@
+"""Lexical retrieval over the corpus — BM25 (Robertson/Spärck Jones).
+
+The curation suite's retrieval gap-filler: embedding ANN
+(``operators.similarity``) answers "what is semantically near this
+vector"; BM25 answers "which documents match these query TERMS" — the
+scoring function of Lucene/Elasticsearch and the lexical baseline in
+every retrieval stack (Robertson & Zaragoza 2009, "The Probabilistic
+Relevance Framework: BM25 and Beyond"):
+
+    score(q, d) = sum over t in q of
+        idf(t) * f(t,d) * (k1 + 1) / (f(t,d) + k1 * (1 - b + b*|d|/avgdl))
+    idf(t) = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+
+Scale shape — the query is TINY and the corpus is huge, so nothing ever
+shuffles per-token:
+
+* per-document term frequencies are document-local native expressions
+  (``size(filter(words, w == t))`` per query term — the term list is a
+  literal, so this is one fused codegen projection, no explode);
+* the corpus statistics (N, avgdl, one df per term) reduce to ONE row
+  via a single aggregate and ride a broadcast cross join back (the
+  repo's standard scalar pattern — never a driver collect);
+* scoring is then a pure per-row expression; ``bm25_topk`` finishes
+  with a TakeOrdered (per-partition heads + one k-row merge), not a
+  global sort.
+
+The only corpus-wide data movement is the 1-row statistics aggregate.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """``(id, dl, n_matched, score_r)`` — the BM25 score of every
+    document against ``query_terms`` (matched on the shared normalized
+    tokenization: lowercase alphanumeric runs), rounded to 6dp (the
+    repo's cross-engine float contract). ``dl`` is the document token
+    length, ``n_matched`` how many distinct query terms occur.
+
+    Duplicate query terms are deduplicated (BM25 is defined over the
+    query's term SET; Lucene does the same); term order is irrelevant.
+    Empty documents score 0. ``k1``/``b`` are the standard Okapi
+    defaults."""
+    from llm_aided_ocr_spark.operators.dedup import _words_col
+    from llm_aided_ocr_spark.operators.util import pin
+
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    k1 = float(k1)
+    b = float(b)
+
+    words = F.filter(_words_col(text_col), lambda w: w != "")
+
+    def _tf(term: str) -> F.Column:
+        # NB: a closure returning a 1-ARG lambda — a `lambda w, t=t:`
+        # default-arg idiom has arity 2, and filter() would pass the
+        # element INDEX as t (the F.trim trap, see boilerplate.c4_clean)
+        return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(words).alias("dl"),
+        *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    ).cache()
+
+    stats = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"_tf{i}") > 0).cast("long"))
+                .cast("double")
+                .alias(f"_df{i}")
+                for i in range(len(terms))
+            ],
+        )
+    )
+
+    def _term_score(i: int) -> F.Column:
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"_df{i}") + 0.5)
+            / (F.col(f"_df{i}") + 0.5)
+        )
+        norm = F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        return idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+
+    score = sum(
+        (_term_score(i) for i in range(len(terms))), start=F.lit(0.0)
+    )
+    n_matched = sum(
+        ((F.col(f"_tf{i}") > 0).cast("int") for i in range(len(terms))),
+        start=F.lit(0),
+    )
+    out = base.crossJoin(stats).select(
+        "id",
+        "dl",
+        n_matched.alias("n_matched"),
+        F.round(score, 6).alias("score_r"),
+    )
+    return pin(out, base)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The ``k`` best-scoring documents (ties broken by id for
+    determinism) — a TakeOrdered over :func:`bm25_scores`, so the driver
+    merge sees ``k`` rows per partition, never the corpus."""
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
+    scores = bm25_scores(
+        df, query_terms, text_col=text_col, id_col=id_col, k1=k1, b=b
+    )
+    return carry_pins(
+        scores, scores.orderBy(F.desc("score_r"), F.col("id")).limit(k)
+    )

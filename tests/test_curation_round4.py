@@ -271,3 +271,74 @@ def test_classifier_broadcasts_trained_weights(spark, clf_df):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     release_pinned(out)
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def bm25_df(spark):
+    rows = [
+        (1, "spark spark spark streaming joins"),
+        (2, "spark is nice"),
+        (3, "window functions over rows"),
+        (4, "nothing relevant whatsoever"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bm25_scores_basics(bm25_df):
+    from llm_aided_ocr_spark.operators.search import bm25_scores
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    out = bm25_scores(bm25_df, ["spark", "window"])
+    rows = {r.id: r for r in out.collect()}
+    release_pinned(out)
+    # doc 1 mentions spark 3x -> highest spark score; doc 3 alone has window
+    assert rows[1].score_r > rows[2].score_r > 0
+    assert rows[3].n_matched == 1 and rows[3].score_r > 0
+    assert rows[4].score_r == 0.0 and rows[4].n_matched == 0
+    assert rows[5].dl == 0 and rows[5].score_r == 0.0
+
+
+def test_bm25_term_set_semantics(bm25_df):
+    from llm_aided_ocr_spark.operators.search import bm25_scores
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    a = bm25_scores(bm25_df, ["spark", "window"])
+    b = bm25_scores(bm25_df, ["spark", "window", "spark"])  # dup term
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    release_pinned(a)
+    release_pinned(b)
+    assert ra == rb
+    with pytest.raises(ValueError):
+        bm25_scores(bm25_df, [])
+
+
+def test_bm25_topk_order_and_limit(bm25_df):
+    from llm_aided_ocr_spark.operators.search import bm25_topk
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    top = bm25_topk(bm25_df, ["spark"], k=2)
+    rows = top.collect()
+    release_pinned(top)
+    assert [r.id for r in rows] == [1, 2]
+
+
+def test_bm25_single_corpus_exchange(bm25_df):
+    """The only corpus-wide movement is the 1-row stats aggregate: the
+    scoring side must reuse the cached per-doc relation with a broadcast
+    of the stats row — no shuffle keyed on the corpus."""
+    from llm_aided_ocr_spark.operators.search import bm25_scores
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    out = bm25_scores(bm25_df, ["spark", "window"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    release_pinned(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no hash-partitioned exchange on the scoring path (the agg's
+    # single-partition exchange is the 1-row stats reduction)
+    assert "hashpartitioning(id" not in plan

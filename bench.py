@@ -238,7 +238,8 @@ def run_scaling(sf_dir: str) -> dict:
 
 STRESS_OPS = ("minhash_pairs", "simhash_pairs", "ngram_jaccard",
               "word_commonness", "near_dedup", "curate",
-              "line_dedup", "decontaminate", "dup_spans", "dsir")
+              "line_dedup", "decontaminate", "dup_spans", "dsir",
+              "paragraph_dedup")
 
 
 def _stress_corpus(spark, rows: int) -> str:
@@ -274,6 +275,7 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
     from llm_aided_ocr_spark.operators.dedup import (
         decontaminate,
         dup_span_profile,
+        paragraph_dedup_stats,
     )
     from llm_aided_ocr_spark.operators.sampling import (
         deterministic_sample,
@@ -329,6 +331,9 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
                 docs,
                 deterministic_sample(docs, 0.01, id_col="url", seed=12),
                 text_col="text", id_col="url",
+            ),
+            "paragraph_dedup": lambda: paragraph_dedup_stats(
+                docs, text_col="text", id_col="url"
             ),
         }
 

@@ -201,8 +201,9 @@ def main() -> None:
         "table is vocabulary-sized and BROADCAST into the scoring join; "
         "totals ride a broadcast 1-row cross join. All remaining "
         "exchanges key vocabulary-sized relations, not the corpus. The "
-        "single-partition window at the end is query-display-only (the "
-        "operator's top-k path is a TakeOrdered).",
+        "Gumbel-top-k selection flag is a TakeOrderedAndProject (50 "
+        "rows) broadcast back as membership — no unpartitioned window "
+        "anywhere.",
         plan_of(q["dsir_weights"](spark, SF)),
     ))
 
@@ -215,6 +216,53 @@ def main() -> None:
         "the small arrays join back by id.",
         plan_of(q["dup_spans"](spark, SF)),
     ))
+
+    from llm_aided_ocr_spark.operators.dedup import paragraph_dedup_stats
+
+    sections.append((
+        "paragraph dedup (keep-first) — min-struct aggregation, no window",
+        "first-occurrence-wins is a map-side-combinable min(struct(id, "
+        "pos)) over 24-byte (hash,id,pos) rows — NOT a row_number window "
+        "(which would sort every partition). Winners regroup to one "
+        "array<int> per doc and join back by id; document text never "
+        "enters an exchange.",
+        plan_of(paragraph_dedup_stats(docs.select("doc_id", "text"))),
+    ))
+
+    from llm_aided_ocr_spark.operators.boilerplate import c4_clean_stats
+    from llm_aided_ocr_spark.operators.pii import pii_stats
+
+    sections.append((
+        "C4 cleaning + PII redaction — zero-shuffle narrow expressions",
+        "both are single Project nodes over the scan: the C4 line rules "
+        "are a native filter/transform/array_join with regexp_count for "
+        "the sentence gate; PII is a regexp_replace/regexp_count chain. "
+        "No Exchange, no Python — these survive any scale the scan does.",
+        plan_of(c4_clean_stats(docs.select("doc_id", "text")))
+        + "\n\n--- pii_stats ---\n"
+        + plan_of(pii_stats(docs.select("doc_id", "text"))),
+    ))
+
+    from llm_aided_ocr_spark.operators.textstats import quality_classifier_score
+
+    sections.append((
+        "hashed linear quality classifier — per-row scoring, no exchange",
+        "the hash-weight path is one codegen projection (tokenize -> "
+        "bucket -> weight -> mean -> sigmoid); with trained weights the "
+        "dim-row model BROADCASTS and only the per-doc bucket counts "
+        "reduce. Shown: the hash-weight (driver-oracled) shape.",
+        plan_of(quality_classifier_score(docs.select("doc_id", "text"))),
+    ))
+
+    sections.append((
+        "BM25 — corpus stats as ONE broadcast row, scoring never shuffles",
+        "per-term tf columns are document-local native filters; N/avgdl/"
+        "df reduce to a single row (the only corpus-wide exchange) and "
+        "ride a BroadcastNestedLoopJoin back over the cached per-doc "
+        "relation; scoring is a pure projection.",
+        plan_of(q["bm25_scores"](spark, SF)),
+    ))
+    spark.catalog.clearCache()
 
     out = [
         "# PLANS — physical-plan evidence for key operators",

@@ -32,6 +32,10 @@ from llm_aided_ocr_spark.config import PipelineConfig
 @dataclass(frozen=True)
 class CurationConfig:
     pipeline: PipelineConfig = field(default_factory=lambda: PipelineConfig(provider="heuristic"))
+    redact_pii: bool = False              # email/IPv4/phone → placeholder tokens
+    c4_gate: bool = False                 # C4 line cleaning + page gate
+    line_dedup_min_df: Optional[int] = None  # strip corpus-frequent lines
+    paragraph_dedup: bool = False         # keep-first exact paragraph dedup
     min_quality_score: int = 0            # 0 = no quality gate
     use_gopher_gate: bool = False         # AND of the Gopher rules
     exact_dedup: bool = True
@@ -65,20 +69,67 @@ def curate(
     from llm_aided_ocr_spark.plans.pipeline import run_pipeline
 
     corrected = run_pipeline(pages_df, cfg.pipeline, store=store, strategy="auto")
-    docs = corrected.select(
-        "url",
-        "corrected_text",
-        "n_chunks",
-        quality_score_col(F.col("corrected_text")).alias("quality_score"),
-    )
+    docs = corrected.select("url", "corrected_text", "n_chunks")
     # correction is the expensive stage (potentially real LLM calls) and
     # the curation graph consumes it from several branches (quality join,
-    # minhash signatures, the final anti-join) — persist it so it runs
-    # ONCE. Pinned on the result; callers release with release_pinned
-    # after materializing (with a checkpointing store the stage is already
-    # parquet-backed and this cache is just locality).
+    # minhash signatures, the final anti-join, rewrite-stage count+rebuild
+    # branches) — persist it so it runs ONCE. Pinned on the result;
+    # callers release with release_pinned after materializing (with a
+    # checkpointing store the stage is already parquet-backed and this
+    # cache is just locality).
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    pinned_docs = docs
+    pins = [docs]
+
+    # Text-REWRITING stages run between correction and the gates, so
+    # every downstream gate and every dedup key sees the FINAL bytes.
+    # Their internal order follows structure dependence:
+    #   pii (narrow regex, structure-preserving)
+    #   → corpus line dedup (keeps blank lines = keeps paragraph layout)
+    #   → keep-first paragraph dedup (NEEDS the \n\n structure)
+    #   → c4 line rules+gate LAST (it drops blank lines and rejoins with
+    #     a single \n — running it earlier would erase the paragraph
+    #     boundaries paragraph_dedup splits on).
+    # Corpus-level chrome removal precedes the document-level dedup
+    # stages below: shared nav/footer chrome otherwise inflates near-dup
+    # similarity between unrelated pages of one site.
+    if cfg.redact_pii:
+        from llm_aided_ocr_spark.operators.pii import redact_pii
+
+        docs = redact_pii(docs, text_col="corrected_text", count_cols=False)
+    if cfg.line_dedup_min_df is not None:
+        from llm_aided_ocr_spark.operators.boilerplate import line_dedup
+
+        docs = line_dedup(
+            docs, text_col="corrected_text", id_col="url",
+            min_doc_freq=cfg.line_dedup_min_df,
+        )
+    if cfg.paragraph_dedup:
+        from llm_aided_ocr_spark.operators.dedup import paragraph_dedup
+
+        docs = paragraph_dedup(docs, text_col="corrected_text", id_col="url")
+    if cfg.c4_gate:
+        from llm_aided_ocr_spark.operators.boilerplate import c4_clean
+
+        docs = (
+            c4_clean(docs, text_col="corrected_text", keep_col="_c4_keep")
+            .filter(F.col("_c4_keep"))
+            .drop("_c4_keep")
+        )
+    if cfg.line_dedup_min_df is not None or cfg.paragraph_dedup:
+        # the corpus-level rewrites carry join/aggregation subtrees; the
+        # dedup stages below consume the rewritten relation from several
+        # branches — persist the post-rewrite corpus too (the narrow
+        # pii/c4 projections alone are cheap to recompute and don't
+        # warrant a second materialization)
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        pins.append(docs)
+
+    # quality_score is computed AFTER the rewrites — the gate and the
+    # output column must describe the bytes that ship, not the pre-clean
+    # text
+    docs = docs.withColumn(
+        "quality_score", quality_score_col(F.col("corrected_text"))
+    )
 
     if cfg.use_gopher_gate:
         # join-free: the gate is a pure per-row expression of the text,
@@ -103,7 +154,9 @@ def curate(
     out = hash_split(
         docs, dict(cfg.split_weights), id_col="url", seed=cfg.split_seed
     )
-    out = carry_pins(docs, pin(out, pinned_docs))
+    out = carry_pins(docs, out)
+    for p in pins:
+        out = pin(out, p)
     # carry the pipeline's own routed-corpus pin too; near_dedup released
     # its internal signature cache itself (its cluster rounds are eager)
     # and pinned the final component-labels checkpoint (carried above)

@@ -133,3 +133,53 @@ def test_gopher_gate_adds_no_join_or_exchange(spark):
     assert on.count() <= off.count()
     release_pinned(on)
     release_pinned(off)
+
+
+def test_curate_rewrite_stages_compose_in_structure_order(spark):
+    """The round-4 rewrite stages: PII redaction, corpus line dedup,
+    keep-first paragraph dedup, C4 cleaning — ordered so the structure-
+    destroying C4 rejoin runs LAST (paragraph dedup needs the \\n\\n
+    boundaries line dedup preserves)."""
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.operators.util import release_pinned
+    from llm_aided_ocr_spark.plans.curate import CurationConfig, curate
+
+    rows = []
+    for i in range(40):
+        body = (
+            f"This is document number {i} with its own body sentence here.\n"
+            f"Another full sentence continues the body of page {i} now."
+        )
+        nav = "home | about | contact us today."          # df 40 >= 10
+        pii = f" Mail user{i}@example.com."
+        para2 = (
+            "shared boilerplate paragraph keeps first copy only."
+            if i % 5 == 0                                  # df 8 < 10
+            else f"unique paragraph {i} closing the page with words."
+        )
+        rows.append((f"u{i}", None, None, nav + "\n" + body + pii + "\n\n" + para2, "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    cfg = CurationConfig(
+        pipeline=PipelineConfig(provider="heuristic"),
+        redact_pii=True, c4_gate=True, line_dedup_min_df=10,
+        paragraph_dedup=True,
+    )
+    out = curate(pages, cfg)
+    texts = {r.url: r.corrected_text for r in out.collect()}
+    release_pinned(out)
+    assert len(texts) == 40
+    # pii: every email replaced by the placeholder
+    assert all("@example.com" not in t for t in texts.values())
+    assert "<EMAIL>" in texts["u3"]
+    # line dedup: the 40-doc nav chrome is gone everywhere
+    assert all("home | about" not in t for t in texts.values())
+    # paragraph dedup: the 8-doc shared paragraph (below the line-dedup
+    # threshold) survives ONLY in its first (url, pos) occurrence
+    survivors = sorted(
+        u for u, t in texts.items() if "shared boilerplate paragraph" in t
+    )
+    assert survivors == ["u0"]
+    # c4: rejoined with single newlines, no blank lines remain
+    assert all("\n\n" not in t for t in texts.values())

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from llm_aided_ocr_spark.operators.dedup import _word_hash_col
+from llm_aided_ocr_spark.operators.util import corpus_scaled
 
 
 def _lines_col(text_col: str) -> F.Column:
@@ -136,7 +137,9 @@ def line_dedup(
             "\n",
         )
         return (
-            df.join(kept_pos, df[id_col] == kept_pos["_ld_id"], "left")
+            df.join(
+                corpus_scaled(kept_pos), df[id_col] == kept_pos["_ld_id"], "left"
+            )
             .withColumn(out_col, rebuilt)
             .drop("_ld_id", "_kept_pos")
         )

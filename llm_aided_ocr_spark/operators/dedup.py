@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from llm_aided_ocr_spark.operators.util import corpus_scaled
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -208,6 +210,70 @@ def shingle_array_col(
         ).otherwise(F.array().cast("array<bigint>"))
 
     return let_(wh, _grams)
+
+
+def gram_hashes_arrow(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+    out_col: str = "ghs",
+) -> DataFrame:
+    """``(id, ghs array<bigint>)`` — the SAME word-n-gram hash array as
+    :func:`shingle_array_col`, computed as one Arrow/numpy pass over
+    natively-hashed words (a parity test pins value equality).
+
+    Why it exists: higher-order functions (``transform``/``aggregate``)
+    run INTERPRETED in Spark — they never enter whole-stage codegen — so
+    the native expression costs ~n interpreted tree-walks per gram
+    position. Fine at the shingle family's n=3; catastrophic at
+    ExactSubstr's n=50 (measured 200s for a 1.1 GB corpus on local[32],
+    ~6 MB/s, with the gram projection owning the profile). Here word
+    hashes stay native (portable values, no Python string handling) and
+    the rotation-XOR combine is n vectorized uint64 ops over the whole
+    array — the same restructuring that took winnowing ``fingerprints``
+    from 4.2s to 0.4s in round 2. No shuffle; per-row compute only."""
+    import numpy as np
+
+    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
+
+    bits = 52 if hash_family == "md5_52" else 64
+    prepared = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            _words_col(text_col), lambda w: _word_hash_col(w, hash_family)
+        ).alias("_whs"),
+    )
+    mask = np.uint64((1 << bits) - 1)
+
+    def _grams(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            out = []
+            for whs in batch["_whs"]:
+                w = np.asarray(whs, dtype=np.int64).view(np.uint64)
+                n_gr = max(len(w) - n + 1, 0)
+                if n_gr == 0:
+                    out.append([])
+                    continue
+                g = w[:n_gr].copy()
+                for j in range(1, n):
+                    x = w[j : j + n_gr]
+                    r = np.uint64(j % bits)  # Java shift semantics: j mod width
+                    if r == 0:
+                        rot = x
+                    else:
+                        rot = (x << r) | ((x & mask) >> (np.uint64(bits) - r))
+                    g ^= rot & mask if bits < 64 else rot
+                # hand Arrow the ndarray itself — materializing 10^8
+                # Python ints via tolist() measured 2x the whole pass
+                out.append(g.view(np.int64))
+            yield pd.DataFrame({"id": batch["id"], out_col: out})
+
+    id_type = dict(df.dtypes)[id_col]
+    return prepared.mapInPandas(
+        _grams, schema=f"id {id_type}, {out_col} array<bigint>"
+    )
 
 
 def ngram_jaccard_pairs(
@@ -914,6 +980,7 @@ def dup_span_profile(
     id_col: str = "doc_id",
     hash_family: str = "xxhash64",
     with_stripped: bool = True,
+    impl: str = "arrow",
 ) -> DataFrame:
     """``(id, n_grams, n_dup, dup_frac[, stripped])`` — per-document
     profile of EXACT duplicated token spans: a position is duplicated if
@@ -932,32 +999,50 @@ def dup_span_profile(
     finds, at the cost of hash-collision false positives (~2^-64 per
     gram pair) and of missing duplicates shorter than ``n``.
 
-    Scale shape: gram hashes are document-local arrays; the frequency
-    pass explodes 8-byte hashes into a map-side-combined ``groupBy``; the
-    duplicate-position pass re-explodes ``(id, pos, gram)`` 24-byte rows
-    through one semi-join keyed on the gram (the corpus-wide dup set is
-    unbounded, so no broadcast) and regroups to per-doc sorted position
-    arrays — document TEXT never enters an exchange; the final assembly
-    joins those small arrays back to the corpus by id. Token-level
-    coverage is a native ``filter`` with an ``exists`` probe over the
-    doc's dup positions — O(tokens x doc-dup-positions) per document,
-    degenerate only when a document is mostly duplicated spans."""
-    grams = shingle_array_col(text_col, n=n, hash_family=hash_family)
-    ex = df.select(
-        F.col(id_col).alias("_ds_id"), F.posexplode(grams).alias("pos", "gh")
-    )
-    dup = (
-        ex.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("gh")
-    )
+    Scale shape: gram hashes are document-local arrays (one Arrow/numpy
+    pass by default — ``impl='native'`` keeps the pure-expression form,
+    but higher-order functions are interpreted, so at n=50 the native
+    projection alone ran at ~6 MB/s; see :func:`gram_hashes_arrow`); the
+    occurrence relation ``(gram, id, pos)`` crosses ONE exchange keyed
+    on the gram into a hash aggregation collecting each gram's
+    occurrence list; grams with >=2 occurrences re-explode (already
+    partitioned — no second corpus-wide move) and regroup to per-doc
+    sorted position arrays — document TEXT never enters an exchange;
+    the final assembly joins those small arrays back to the corpus by
+    id. (The earlier count-then-semi-join form shuffled the occurrence
+    relation TWICE and sort-merge-sorted both sides — and on a corpus
+    with few duplicates the count shuffle gets no map-side combine
+    either; the single grouped pass halves the exchanged bytes, removes
+    two corpus-length sorts, and consumes the gram pass exactly once,
+    so nothing needs caching.) Token-level coverage is a native
+    ``filter`` with an ``exists`` probe over the doc's dup positions —
+    O(tokens x doc-dup-positions) per document, degenerate only when a
+    document is mostly duplicated spans; clean documents skip the probe
+    entirely (their stripped stream IS the normalized text)."""
+    if impl == "arrow":
+        gh_rel = gram_hashes_arrow(
+            df, n=n, text_col=text_col, id_col=id_col, hash_family=hash_family
+        )
+        ex = gh_rel.select(
+            F.col("id").alias("_ds_id"), F.posexplode("ghs").alias("pos", "gh")
+        )
+    else:
+        grams = shingle_array_col(text_col, n=n, hash_family=hash_family)
+        ex = df.select(
+            F.col(id_col).alias("_ds_id"),
+            F.posexplode(grams).alias("pos", "gh"),
+        )
     dup_pos = (
-        ex.join(dup, on="gh", how="left_semi")
-        .groupBy("_ds_id")
-        .agg(F.sort_array(F.collect_list("pos")).alias("_dup_pos"))
+        ex.groupBy("gh")
+        .agg(F.collect_list(F.struct("_ds_id", "pos")).alias("os"))
+        .filter(F.size("os") >= 2)
+        .select(F.explode("os").alias("o"))
+        .groupBy(F.col("o._ds_id").alias("_ds_id"))
+        .agg(F.sort_array(F.collect_list("o.pos")).alias("_dup_pos"))
     )
-    out = df.join(dup_pos, df[id_col] == dup_pos["_ds_id"], "left")
+    out = df.join(
+        corpus_scaled(dup_pos), df[id_col] == dup_pos["_ds_id"], "left"
+    )
     ps = F.coalesce(F.col("_dup_pos"), F.array().cast("array<int>"))
     n_grams = F.greatest(
         F.size(_words_col(text_col)) - F.lit(n - 1), F.lit(0)
@@ -979,7 +1064,14 @@ def dup_span_profile(
                 ps, lambda p: (p <= j) & (j <= p + F.lit(n - 1))
             ),
         )
-        cols.append(F.array_join(kept, " ").alias("stripped"))
+        # clean documents (the overwhelming majority of a real corpus)
+        # skip the interpreted per-token exists-probe entirely: their
+        # stripped stream IS the normalized text
+        cols.append(
+            F.when(n_dup == 0, _normalize_col(text_col))
+            .otherwise(F.array_join(kept, " "))
+            .alias("stripped")
+        )
     return out.select(*cols)
 
 
@@ -1065,7 +1157,7 @@ def paragraph_dedup(
         "\n\n",
     )
     return (
-        df.join(kept, df[id_col] == kept["_pd_id"], "left")
+        df.join(corpus_scaled(kept), df[id_col] == kept["_pd_id"], "left")
         .withColumn(out_col, rebuilt)
         .drop("_pd_id", "_pd_pos")
     )

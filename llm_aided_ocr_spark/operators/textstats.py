@@ -821,11 +821,11 @@ def word_commonness(
             6,
         ).alias("commonness_r"),
     )
-    from llm_aided_ocr_spark.operators.util import pin
+    from llm_aided_ocr_spark.operators.util import corpus_scaled, pin
 
     all_ids = df.select(F.col(id_col).alias("id"))
     return pin(
-        all_ids.join(scored, "id", "left").select(
+        all_ids.join(corpus_scaled(scored), "id", "left").select(
             "id",
             F.coalesce("n_words", F.lit(0)).alias("n_words"),
             F.coalesce("commonness_r", F.lit(0.0)).alias("commonness_r"),

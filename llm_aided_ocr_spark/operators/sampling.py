@@ -203,3 +203,67 @@ def dsir_select(
         .orderBy(F.desc("gumbel_key"), F.col("id"))
         .limit(k),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap — stratified down-sampling of over-represented hosts
+# ---------------------------------------------------------------------------
+
+def domain_cap(
+    df: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    seed: int = 1,
+) -> DataFrame:
+    """Keep at most ``max_per_domain`` documents per registrable host —
+    the standard stratification pass on raw crawls, where a handful of
+    spam/aggregator domains can be 10-30% of all pages (C4 and Gopher
+    both cap or drop dominant hosts before any content filter sees
+    them). Survivors are the ``max_per_domain`` LOWEST portable unit
+    hashes (``seed:url``, ties by url) within each domain, so the choice
+    is layout-independent, engine-reproducible, and a different ``seed``
+    draws an independent cap sample. Returns surviving rows with their
+    original schema.
+
+    Scale shape: a map-side-combined domain count finds the OVER-cap
+    domains (bounded by corpus/k, usually a short tail); under-cap
+    documents — the overwhelming majority — take a join against that
+    relation and bypass all ranking. Only over-cap documents flow into
+    the rank window, and the window's ``partitionBy(domain)`` reuses the
+    semi-join's hash partitioning (no extra exchange). A plain
+    corpus-wide ``row_number`` window would shuffle-and-sort EVERY
+    document by domain; here the sort touches only the skewed tail.
+    When the over-cap relation is small (always, outside adversarial
+    corpora) AQE broadcasts it and the bypass path never shuffles at
+    all; the semi/anti pair degrades to domain-keyed shuffles — never a
+    driver-side collect — when it is not."""
+    from pyspark.sql import Window
+
+    from llm_aided_ocr_spark.operators.textstats import domain_col
+
+    if max_per_domain < 1:
+        raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+    dom = domain_col(F.col(url_col))
+    with_dom = df.withColumn("_dc_domain", dom)
+    over = (
+        with_dom.groupBy("_dc_domain")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > max_per_domain)
+        .select("_dc_domain")
+    )
+    under = with_dom.join(over, on="_dc_domain", how="left_anti")
+    ranked = (
+        with_dom.join(over, on="_dc_domain", how="left_semi")
+        .withColumn("_dc_h", _unit_hash_col(F.col(url_col), seed))
+        .withColumn(
+            "_dc_rn",
+            F.row_number().over(
+                Window.partitionBy("_dc_domain").orderBy(
+                    "_dc_h", F.col(url_col)
+                )
+            ),
+        )
+        .filter(F.col("_dc_rn") <= max_per_domain)
+        .drop("_dc_h", "_dc_rn")
+    )
+    return under.unionByName(ranked).drop("_dc_domain")

@@ -78,7 +78,7 @@ def line_dedup(
     min_doc_freq: int = 5,
     hash_family: str = "xxhash64",
     out_col: str | None = None,
-    strategy: str = "broadcast",
+    strategy: str = "join",
 ) -> DataFrame:
     """Strip corpus-frequent lines from every document, preserving the
     order (and blank-line structure) of everything that survives. Blank
@@ -87,10 +87,18 @@ def line_dedup(
     dropped: line dedup edits documents, document-level filters decide
     their fate.
 
-    ``strategy='broadcast'`` (default) ships the frequent-hash set as one
-    sorted array column — the rebuild is a per-row native expression with
-    NO per-line exchange. ``strategy='join'`` is the unbounded-set escape
-    hatch (see module docstring)."""
+    ``strategy='join'`` (default) explodes line hashes into an anti-join
+    against the frequent set — a REAL hash-table probe: AQE broadcasts
+    the set when it is small (O(1) codegen probes, no corpus exchange
+    for the join) and falls back to a shuffle join when it is not; kept
+    positions regroup per document and the rebuild join is pinned off
+    broadcast (``corpus_scaled``). ``strategy='broadcast'`` ships the
+    frequent-hash set as one sorted array column and probes it per line
+    with ``array_contains`` — ZERO exchanges, but the probe is a LINEAR
+    interpreted scan, O(lines x |dup set|): at 37k frequent lines over a
+    28M-line corpus that is ~10^12 ops (measured: did not finish in 9
+    minutes where the join form takes seconds). Use it only when the
+    frequent set is known to be tiny (hundreds)."""
     out_col = out_col or text_col
     dup = dup_line_hashes(
         df, text_col=text_col, min_doc_freq=min_doc_freq,
@@ -129,12 +137,21 @@ def line_dedup(
             .groupBy("_ld_id")
             .agg(F.sort_array(F.collect_list("pos")).alias("_kept_pos"))
         )
-        rebuilt = F.array_join(
-            F.transform(
-                F.coalesce(F.col("_kept_pos"), F.array().cast("array<int>")),
-                lambda i: F.element_at(lines, i + 1),
+        from llm_aided_ocr_spark.operators.util import let_
+
+        kept_arr = F.coalesce(F.col("_kept_pos"), F.array().cast("array<int>"))
+        # let-bind the line array: HOF lambdas are interpreted with NO
+        # subexpression elimination, so an unbound `lines` inside the
+        # per-position lambda would re-split the WHOLE document once per
+        # kept line — O(lines x doc_bytes), hours on a 31k-line mega-doc
+        # (measured: the unbound form did not finish 320k docs in 9 min;
+        # bound, the full operator runs in seconds)
+        rebuilt = let_(
+            lines,
+            lambda ls: F.array_join(
+                F.transform(kept_arr, lambda i: F.element_at(ls, i + 1)),
+                "\n",
             ),
-            "\n",
         )
         return (
             df.join(
@@ -152,6 +169,7 @@ def line_dedup_stats(
     id_col: str = "doc_id",
     min_doc_freq: int = 5,
     hash_family: str = "xxhash64",
+    strategy: str = "join",
 ) -> DataFrame:
     """``(id, n_lines, n_kept, clean_len, clean_md5)`` — the audit view of
     :func:`line_dedup`: per-document line counts before/after plus the
@@ -159,7 +177,7 @@ def line_dedup_stats(
     driver oracle verifies the rebuilt BYTES, not just counts)."""
     cleaned = line_dedup(
         df, text_col=text_col, id_col=id_col, min_doc_freq=min_doc_freq,
-        hash_family=hash_family, out_col="_clean",
+        hash_family=hash_family, out_col="_clean", strategy=strategy,
     )
     return cleaned.select(
         F.col(id_col).alias("id"),

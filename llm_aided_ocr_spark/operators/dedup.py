@@ -1057,19 +1057,63 @@ def dup_span_profile(
         .alias("dup_frac"),
     ]
     if with_stripped:
+        from llm_aided_ocr_spark.operators.util import let_
+
         tokens = _words_col(text_col)
-        kept = F.filter(
-            tokens,
-            lambda t, j: ~F.exists(
-                ps, lambda p: (p <= j) & (j <= p + F.lit(n - 1))
+        # coverage via MERGED intervals: ps is sorted, so folding the
+        # [p, p+n-1] spans into their union is one pass, and the
+        # per-token probe touches M merged intervals instead of D raw
+        # positions. A mostly-duplicated document has D ~ tokens but M ~
+        # a handful of long runs — the raw exists-probe is O(T x D)
+        # interpreted (quadratic exactly on the documents this operator
+        # exists to catch); merged it is O(T x M + D x M). Adjacent
+        # intervals merge too (p <= last_e + 1): their union is
+        # contiguous, membership is unchanged.
+        itype = "array<struct<s:int,e:int>>"
+        merged = F.aggregate(
+            ps,
+            F.array().cast(itype),
+            lambda acc, p: F.when(
+                (F.size(acc) > 0)
+                & (p <= F.element_at(acc, -1)["e"] + 1),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            F.greatest(
+                                F.element_at(acc, -1)["e"], p + F.lit(n - 1)
+                            ).alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.struct(
+                            p.alias("s"), (p + F.lit(n - 1)).alias("e")
+                        )
+                    ),
+                )
             ),
         )
+
+        def _strip(iv: F.Column) -> F.Column:
+            kept = F.filter(
+                tokens,
+                lambda t, j: ~F.exists(
+                    iv, lambda m: (m["s"] <= j) & (j <= m["e"])
+                ),
+            )
+            return F.array_join(kept, " ")
+
         # clean documents (the overwhelming majority of a real corpus)
-        # skip the interpreted per-token exists-probe entirely: their
-        # stripped stream IS the normalized text
+        # skip the probe entirely: their stripped stream IS the
+        # normalized text
         cols.append(
             F.when(n_dup == 0, _normalize_col(text_col))
-            .otherwise(F.array_join(kept, " "))
+            .otherwise(let_(merged, _strip))
             .alias("stripped")
         )
     return out.select(*cols)
@@ -1147,15 +1191,27 @@ def paragraph_dedup(
         .agg(F.sort_array(F.collect_list("pos")).alias("_pd_pos"))
         .withColumnRenamed("id", "_pd_id")
     )
+    from llm_aided_ocr_spark.operators.util import let_
+
     paras = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n\n")
     pos = F.coalesce(F.col("_pd_pos"), F.array().cast("array<int>"))
-    rebuilt = F.array_join(
-        F.filter(
-            paras,
-            lambda p, j: (F.trim(p) == "") | F.array_contains(pos, j),
-        ),
-        "\n\n",
-    )
+
+    # rebuild from the position UNION (kept content + blank layout) with
+    # an O(P log P) sort instead of probing the kept array per paragraph
+    # (array_contains is a linear interpreted scan — O(P x K) per doc,
+    # quadratic on a mega-doc that keeps most paragraphs); the paragraph
+    # array is let-bound so it splits once, not once per kept position
+    def _rebuild(ps_arr: F.Column) -> F.Column:
+        blanks = F.filter(
+            F.sequence(F.lit(0), F.size(ps_arr) - 1),
+            lambda j: F.trim(F.get(ps_arr, j)) == "",
+        )
+        keep_all = F.array_sort(F.concat(pos, blanks))
+        return F.array_join(
+            F.transform(keep_all, lambda i: F.get(ps_arr, i)), "\n\n"
+        )
+
+    rebuilt = let_(paras, _rebuild)
     return (
         df.join(corpus_scaled(kept), df[id_col] == kept["_pd_id"], "left")
         .withColumn(out_col, rebuilt)

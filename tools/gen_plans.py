@@ -174,12 +174,17 @@ def main() -> None:
     ))
 
     sections.append((
-        "line-level boilerplate dedup — one counting exchange, broadcast rebuild",
+        "line-level boilerplate dedup — hash-table anti-join, hinted rebuild",
         "per-doc-distinct line hashes explode as 8-byte longs into ONE "
-        "map-side-combined count exchange; the frequent-line set (1/K "
-        "harmonic size bound) returns as a single broadcast sorted array "
-        "and every document is rebuilt with a native filter/array_join — "
-        "no per-line shuffle anywhere, document text never moves.",
+        "map-side-combined count exchange; line positions anti-join the "
+        "frequent set through a REAL hash table (AQE broadcasts it when "
+        "small — O(1) codegen probes, vs the linear interpreted "
+        "array_contains scan of the old broadcast-array form, which was "
+        "O(lines x set) and stalled a 28M-line corpus), kept positions "
+        "regroup per doc, and the rebuild joins back via shuffle-hash "
+        "(corpus_scaled — an O(corpus) relation must never be a "
+        "broadcast build side). The line array is let-bound so the "
+        "rebuild splits each document once, not once per kept line.",
         plan_of(q["line_dedup"](spark, SF)),
     ))
 
@@ -208,12 +213,16 @@ def main() -> None:
     ))
 
     sections.append((
-        "duplicate-span profile — text never enters an exchange",
-        "gram frequency: 8-byte hash explode with map-side combine; "
-        "duplicate positions: (id,pos,gram) 24-byte rows through one "
-        "semi-join and one per-doc regroup; the stripped stream is a "
-        "native filter/exists over the doc's own position array after "
-        "the small arrays join back by id.",
+        "duplicate-span profile — one corpus exchange, text never moves",
+        "gram hashes come from one Arrow/numpy pass over natively-hashed "
+        "words (the n=50 rotate-XOR combine is interpreted-HOF-hostile); "
+        "the (gram,id,pos) occurrence relation crosses ONE exchange into "
+        "a grouped aggregation, >=2-occurrence grams re-explode already "
+        "partitioned, and per-doc position arrays join back via "
+        "shuffle-hash (corpus_scaled). The stripped stream probes MERGED "
+        "coverage intervals (a handful of runs on real duplication, vs "
+        "the quadratic per-token exists over raw positions) and clean "
+        "documents bypass the probe entirely.",
         plan_of(q["dup_spans"](spark, SF)),
     ))
 
@@ -227,6 +236,30 @@ def main() -> None:
         "array<int> per doc and join back by id; document text never "
         "enters an exchange.",
         plan_of(paragraph_dedup_stats(docs.select("doc_id", "text"))),
+    ))
+
+    sections.append((
+        "reference-bigram LM scoring — integer sums, 8-byte gram joins",
+        "the document side is ONE pre-aggregated per-doc bigram relation "
+        "(cached: three model joins consume it); model counts join on "
+        "8-byte hashed grams (the reference model is sample-sized — AQE "
+        "broadcasts it when small); per-doc sums are map-side-combinable "
+        "INTEGERS (no float-summation order, so the DuckDB oracle "
+        "reproduces scores exactly); the 1-row T/V stats relation rides "
+        "a broadcast cross join; the all-ids rejoin is shuffle-hash "
+        "pinned (corpus_scaled).",
+        plan_of(q["lm_score"](spark, SF)),
+    ))
+
+    sections.append((
+        "per-domain cap — the rank window touches only the skewed tail",
+        "a map-side-combined domain count finds OVER-cap domains; "
+        "under-cap documents (the overwhelming majority) anti-join that "
+        "relation and bypass ranking entirely; only over-cap documents "
+        "flow into the row_number window, whose partitionBy(domain) "
+        "reuses the semi-join's hash partitioning. A naive corpus-wide "
+        "window would shuffle-and-sort EVERY document by domain.",
+        plan_of(q["domain_cap"](spark, SF)),
     ))
 
     from llm_aided_ocr_spark.operators.boilerplate import c4_clean_stats

@@ -1003,18 +1003,25 @@ def dup_span_profile(
     pass by default — ``impl='native'`` keeps the pure-expression form,
     but higher-order functions are interpreted, so at n=50 the native
     projection alone ran at ~6 MB/s; see :func:`gram_hashes_arrow`); the
-    occurrence relation ``(gram, id, pos)`` crosses ONE exchange keyed
-    on the gram into a hash aggregation collecting each gram's
-    occurrence list; grams with >=2 occurrences re-explode (already
-    partitioned — no second corpus-wide move) and regroup to per-doc
-    sorted position arrays — document TEXT never enters an exchange;
-    the final assembly joins those small arrays back to the corpus by
-    id. (The earlier count-then-semi-join form shuffled the occurrence
-    relation TWICE and sort-merge-sorted both sides — and on a corpus
-    with few duplicates the count shuffle gets no map-side combine
-    either; the single grouped pass halves the exchanged bytes, removes
-    two corpus-length sorts, and consumes the gram pass exactly once,
-    so nothing needs caching.) Token-level coverage is a native
+    frequency pass shuffles 8-byte gram hashes into a map-side-combined
+    count; the duplicate-position pass streams ``(id, pos, gram)`` rows
+    through a SHUFFLE-HASH semi-join against the dup set (the
+    ``shuffle_hash`` hint is load-bearing twice over: it kills the
+    sort-merge plan's two corpus-length sorts, and it forbids
+    broadcasting the unbounded dup set) and regroups to per-doc sorted
+    position arrays — document TEXT never enters an exchange; the final
+    assembly joins those small arrays back to the corpus by id. (A
+    measured alternative — ONE grouped exchange collecting each gram's
+    occurrence list — runs the gram pass once instead of twice and is
+    ~15% faster warm at 320k docs (43.2s vs 50.7s, interleaved
+    same-session A/B; earlier isolated runs swung 3x either way on host
+    state), but it materializes EVERY occurrence of a gram as one
+    in-memory array on one executor: a boilerplate 50-gram occurring
+    10^8 times across a web corpus is a guaranteed OOM, and it drew
+    GCLocker allocation-stall warnings even at test scale. Streaming
+    rows through a hash probe has no degenerate key, so the semi-join
+    form is the default on robustness, not speed.)
+    Token-level coverage is a native
     ``filter`` with an ``exists`` probe over the doc's dup positions —
     O(tokens x doc-dup-positions) per document, degenerate only when a
     document is mostly duplicated spans; clean documents skip the probe
@@ -1032,13 +1039,16 @@ def dup_span_profile(
             F.col(id_col).alias("_ds_id"),
             F.posexplode(grams).alias("pos", "gh"),
         )
-    dup_pos = (
+    dup = (
         ex.groupBy("gh")
-        .agg(F.collect_list(F.struct("_ds_id", "pos")).alias("os"))
-        .filter(F.size("os") >= 2)
-        .select(F.explode("os").alias("o"))
-        .groupBy(F.col("o._ds_id").alias("_ds_id"))
-        .agg(F.sort_array(F.collect_list("o.pos")).alias("_dup_pos"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    dup_pos = (
+        ex.join(dup.hint("shuffle_hash"), on="gh", how="left_semi")
+        .groupBy("_ds_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_dup_pos"))
     )
     out = df.join(
         corpus_scaled(dup_pos), df[id_col] == dup_pos["_ds_id"], "left"

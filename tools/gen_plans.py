@@ -216,13 +216,15 @@ def main() -> None:
         "duplicate-span profile — one corpus exchange, text never moves",
         "gram hashes come from one Arrow/numpy pass over natively-hashed "
         "words (the n=50 rotate-XOR combine is interpreted-HOF-hostile); "
-        "the (gram,id,pos) occurrence relation crosses ONE exchange into "
-        "a grouped aggregation, >=2-occurrence grams re-explode already "
-        "partitioned, and per-doc position arrays join back via "
-        "shuffle-hash (corpus_scaled). The stripped stream probes MERGED "
-        "coverage intervals (a handful of runs on real duplication, vs "
-        "the quadratic per-token exists over raw positions) and clean "
-        "documents bypass the probe entirely.",
+        "the frequency pass shuffles 8-byte hashes with map-side "
+        "combine; occurrences stream through a SHUFFLE-HASH semi-join "
+        "(hinted: kills the sort-merge sorts AND forbids broadcasting "
+        "the unbounded dup set; no per-gram occurrence array can "
+        "OOM a degenerate key) and per-doc position arrays join back "
+        "via shuffle-hash (corpus_scaled). The stripped stream probes "
+        "MERGED coverage intervals (a handful of runs on real "
+        "duplication, vs the quadratic per-token exists over raw "
+        "positions) and clean documents bypass the probe entirely.",
         plan_of(q["dup_spans"](spark, SF)),
     ))
 

@@ -499,7 +499,12 @@ def _q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hash_split(
         survivors, {"train": 0.9, "val": 0.05, "test": 0.05}, id_col="doc_id", seed=1
     )
-    return out.select("doc_id", "quality_score", "split")
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
+    # near_dedup pins its component-labels checkpoint on `survivors`;
+    # hash_split/select return NEW DataFrames, so carry the pin to the
+    # returned object or the blocks leak until ContextCleaner GC
+    return carry_pins(survivors, out.select("doc_id", "quality_score", "split"))
 
 
 def _build_curation_sql(quality_min: int = 40, threshold: float = 0.5) -> str:
@@ -2254,6 +2259,164 @@ FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id, stats
 """
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: the doc_id%3==0 slice is the EXISTING
+    corpus (only its minhash signature table is handed to the operator —
+    its text is never read); the new batch is the doc_id%3==1 slice plus
+    synthesized near-dups of the index (+10^9, ' extrawordone') and
+    within-batch near-dups (+2*10^9, ' extrawordtwo'). The oracle
+    replays the combined-bucket candidate generation, the drop-vs-index
+    precedence, and the within-batch connected components (recursive
+    CTE) end to end; result = surviving new rows."""
+    from llm_aided_ocr_spark.operators.dedup import (
+        minhash_signatures,
+        near_dedup_incremental,
+    )
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    idx_docs = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", t.alias("text")
+    )
+    new_docs = (
+        d.filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id", t.alias("text"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 1000000000).alias("doc_id"),
+                F.concat(t, F.lit(" extrawordone")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 1).select(
+                (F.col("doc_id") + 2000000000).alias("doc_id"),
+                F.concat(t, F.lit(" extrawordtwo")).alias("text"),
+            )
+        )
+    )
+    idx_sig = minhash_signatures(idx_docs, hash_family="md5_52")
+    kept = near_dedup_incremental(new_docs, idx_sig, threshold=0.5)
+    return carry_pins(
+        kept,
+        kept.select("doc_id", F.length("text").alias("text_len")),
+    )
+
+
+def _build_incremental_dedup_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 1,
+    max_bucket_size: int = 200,
+) -> str:
+    """DuckDB replay of near_dedup_incremental over the adapter's
+    index/new construction: ONE signature chain over index ∪ new with a
+    side tag, ONE combined bucket cap (exactly the operator's), cross
+    pairs drop new docs against the index first, surviving new-new pairs
+    feed the recursive-CTE components, min-id keeper per cluster."""
+    from llm_aided_ocr_spark.operators.dedup import MINHASH_P, minhash_perms
+
+    a, b = minhash_perms(num_perm, seed)
+    perms = ", ".join(f"[{int(ai)}, {int(bi)}]" for ai, bi in zip(a, b))
+    sentinel = ", ".join(str(MINHASH_P) for _ in range(num_perm))
+    mask = (1 << 52) - 1
+
+    def rot(x: str, j: int) -> str:
+        if j == 0:
+            return x
+        return f"((({x}) << {j}) | (({x}) >> {52 - j})) & {mask}"
+
+    gram = rot("whs[i]", 0)
+    for j in range(1, n):
+        gram = f"xor({gram}, {rot(f'whs[i+{j}]', j)})"
+    band_list = ", ".join(str(i) for i in range(bands))
+    agree = (
+        f"len([1 for i in range(1, {num_perm} + 1) if sa.sig[i] = sb.sig[i]])"
+        f" / {float(num_perm)}"
+    )
+    return f"""
+WITH RECURSIVE
+idx AS (
+  SELECT doc_id AS id, coalesce(text,'') AS text FROM documents
+  WHERE doc_id % 3 = 0),
+newb AS (
+  SELECT doc_id AS id, coalesce(text,'') AS text FROM documents
+  WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id + 1000000000, coalesce(text,'') || ' extrawordone'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000, coalesce(text,'') || ' extrawordtwo'
+  FROM documents WHERE doc_id % 3 = 1),
+allc AS (
+  SELECT id, text, FALSE AS is_new FROM idx
+  UNION ALL
+  SELECT id, text, TRUE FROM newb),
+norm AS (
+  SELECT id, is_new,
+    coalesce(array_to_string(list_filter(string_split_regex(
+      lower(text), '[^a-z0-9]+'), w -> w <> ''), ' '), '') AS nt
+  FROM allc),
+wh AS (
+  SELECT id, is_new, list_transform(string_split(nt, ' '),
+           w -> {_MD5_52_SQL.format(v='w')}) AS whs
+  FROM norm),
+sh AS (
+  SELECT id, is_new, list_distinct(
+    [{gram} for i in range(1, greatest(len(whs) - {n - 1}, 0) + 1)]) AS shs
+  FROM wh),
+sig AS (
+  SELECT id, is_new, CASE WHEN len(shs) = 0 THEN [{sentinel}]
+    ELSE [list_min(list_transform(shs,
+            s -> (pr[1] * (s % {MINHASH_P}) + pr[2]) % {MINHASH_P}))
+          for pr in [{perms}]] END AS sig
+  FROM sh),
+bk AS (
+  SELECT id, is_new, sig, unnest([{band_list}]) AS band FROM sig
+  WHERE sig[1] != {MINHASH_P}),
+bk2 AS (
+  SELECT id, is_new, band,
+         array_to_string(sig[band*{rows_per_band}+1 : band*{rows_per_band}+{rows_per_band}], ',') AS key
+  FROM bk),
+small AS (
+  SELECT band, key FROM bk2 GROUP BY band, key
+  HAVING COUNT(*) <= {max_bucket_size}),
+bks AS (SELECT bk2.* FROM bk2 JOIN small USING (band, key)),
+cross_hit AS (
+  SELECT DISTINCT a.id
+  FROM bks a JOIN bks b USING (band, key)
+  JOIN sig sa ON sa.id = a.id JOIN sig sb ON sb.id = b.id
+  WHERE a.is_new AND NOT b.is_new AND {agree} >= {threshold}),
+within AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bks a JOIN bks b USING (band, key)
+  WHERE a.is_new AND b.is_new AND a.id < b.id),
+wpairs AS (
+  SELECT id_a, id_b
+  FROM within JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+  WHERE {agree} >= {threshold}
+    AND id_a NOT IN (SELECT id FROM cross_hit)
+    AND id_b NOT IN (SELECT id FROM cross_hit)),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM wpairs
+  UNION
+  SELECT id_b, id_a FROM wpairs),
+reach(nn, m) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.nn, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+labels AS (SELECT nn AS id, MIN(m) AS label FROM reach GROUP BY nn),
+wdrops AS (SELECT id FROM labels WHERE label != id),
+drops AS (SELECT id FROM cross_hit UNION SELECT id FROM wdrops)
+SELECT n.id AS doc_id, length(n.text) AS text_len
+FROM newb n LEFT JOIN drops d ON d.id = n.id
+WHERE d.id IS NULL
+"""
+
+
 def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain cap on a deliberately skewed synthetic url map: docs
     with doc_id%10==0 get a unique solo domain (always under cap, must
@@ -2364,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": _q_bm25_scores,
         "lm_score": _q_lm_score,
         "domain_cap": _q_domain_cap,
+        "incremental_dedup": _q_incremental_dedup,
     }
 
 
@@ -2977,4 +3141,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _build_bm25_sql(),
         "lm_score": _build_lm_score_sql(),
         "domain_cap": _DOMAIN_CAP_SQL,
+        "incremental_dedup": _build_incremental_dedup_sql(),
     }

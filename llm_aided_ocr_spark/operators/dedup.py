@@ -512,6 +512,34 @@ def minhash_signatures(
     return grouped.mapInPandas(_sig, schema=f"id {id_type}, sig array<bigint>")
 
 
+def _band_buckets(
+    sig_df: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """``(id, band, bucket)`` — each signature's banded LSH bucket keys
+    (xxhash64 of the band index + the band's signature slice). Shared by
+    the batch self-join and the incremental new-vs-index join so both
+    sides of an incremental run land in IDENTICAL buckets."""
+    band_cols = [
+        F.xxhash64(
+            F.lit(bi),
+            F.concat_ws(",", F.transform(
+                F.slice("sig", bi * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            )),
+        ).alias("bucket")
+        for bi in range(bands)
+    ]
+    return sig_df.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(bi).alias("band"), band_cols[bi])
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     bands: int = 16,
@@ -528,19 +556,7 @@ def lsh_candidate_pairs(
     otherwise dominate the job). Members of an over-full bucket almost
     always co-occur in other, smaller buckets, so recall loss is
     marginal; set ``None`` for exhaustive candidates."""
-    band_cols = [
-        F.xxhash64(
-            F.lit(bi),
-            F.concat_ws(",", F.transform(
-                F.slice("sig", bi * rows_per_band + 1, rows_per_band),
-                lambda v: v.cast("string"),
-            )),
-        ).alias("bucket")
-        for bi in range(bands)
-    ]
-    buckets = sig_df.select(
-        "id", F.explode(F.array(*[F.struct(F.lit(bi).alias("band"), band_cols[bi]) for bi in range(bands)])).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = _band_buckets(sig_df, bands, rows_per_band)
     if max_bucket_size is not None:
         small = (
             buckets.groupBy("band", "bucket")
@@ -882,6 +898,127 @@ def near_dedup(
     # read by the anti-join: its pin rides the result for the caller.
     release_pinned(pairs)
     return carry_pins(keep_list, df.join(drops, on=id_col, how="left_anti"))
+
+
+def near_dedup_incremental(
+    new_df: DataFrame,
+    index_sig_df: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 200,
+    hash_family: str = "md5_52",
+) -> DataFrame:
+    """Dedupe a NEW batch against an existing corpus without touching
+    the corpus: the operation a production pipeline actually runs when a
+    crawl arrives. ``index_sig_df`` is a persisted
+    :func:`minhash_signatures` table ``(id, sig)`` for the existing
+    corpus — built ONCE, appended to after every batch — and MUST have
+    been built with the same ``(num_perm, n, seed, hash_family)``;
+    ``new_df`` and the index must not share ids.
+
+    Semantics (in precedence order, each step driver-oracle-replayable):
+
+    1. candidate buckets are built over index ∪ new with ONE combined
+       size cap — a new document lands in exactly the buckets it would
+       have landed in had the whole corpus been re-run;
+    2. a new document whose estimated Jaccard against ANY index member
+       reaches ``threshold`` is dropped (the corpus copy always wins —
+       keep-first across batches, the RefinedWeb/CCNet convention);
+    3. the survivors near-dedup among THEMSELVES: new-vs-new candidate
+       pairs (from the same combined buckets) restricted to surviving
+       endpoints → connected components → min-id keeper per cluster.
+
+    Returns surviving new rows with their original schema. To advance
+    the index, append ``minhash_signatures(kept)`` (or reuse this run's
+    — the signature relation is pinned on the result; read it before
+    ``release_pinned``).
+
+    Scale shape: the index contributes ONLY 8-byte-keyed ``(id, band,
+    bucket)`` rows — its text is never read, its signatures join in just
+    for the agreement check on candidate pairs (bucket-first, capped,
+    never all-pairs). Per batch this moves O(batch + matched-buckets)
+    rows, not O(corpus): re-running batch :func:`near_dedup` over the
+    whole corpus for each increment would re-shuffle every signature
+    every time."""
+    from llm_aided_ocr_spark.operators.util import carry_pins, pin
+
+    new_sigs = minhash_signatures(
+        new_df, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col,
+        hash_family=hash_family,
+    ).filter(F.get(F.col("sig"), 0) != F.lit(MINHASH_P)).cache()
+    idx_sigs = index_sig_df.filter(F.get(F.col("sig"), 0) != F.lit(MINHASH_P))
+
+    bn = _band_buckets(new_sigs, bands, rows_per_band)
+    bi = _band_buckets(idx_sigs, bands, rows_per_band)
+    u = bn.withColumn("is_new", F.lit(True)).unionByName(
+        bi.withColumn("is_new", F.lit(False))
+    )
+    if max_bucket_size is not None:
+        small = (
+            u.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        u = u.join(small, on=["band", "bucket"], how="left_semi")
+    u = u.cache()
+    un = u.filter(F.col("is_new")).drop("is_new")
+    ui = u.filter(~F.col("is_new")).drop("is_new")
+
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    sa = new_sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb_idx = idx_sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    sb_new = new_sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+
+    cross = (
+        un.alias("a")
+        .join(ui.alias("b"), on=["band", "bucket"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    cross_hit = (
+        cross.join(sa, "id_a")
+        .join(sb_idx, "id_b")
+        .filter(agree / F.lit(num_perm) >= threshold)
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+    )
+
+    within = (
+        un.alias("a")
+        .join(un.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    within_pairs = (
+        within.join(sa, "id_a")
+        .join(sb_new, "id_b")
+        .filter(agree / F.lit(num_perm) >= threshold)
+        # both endpoints must have survived the cross stage: a pair whose
+        # member was already dropped against the index must not also drag
+        # its partner into a within-batch cluster
+        .join(cross_hit.withColumnRenamed("id", "id_a"), "id_a", "left_anti")
+        .join(cross_hit.withColumnRenamed("id", "id_b"), "id_b", "left_anti")
+        .select("id_a", "id_b")
+    )
+    clusters = dedup_clusters(within_pairs)
+    within_drops = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    drops = cross_hit.unionByName(within_drops).distinct().withColumnRenamed(
+        "id", id_col
+    )
+    kept = new_df.join(drops, on=id_col, how="left_anti")
+    kept = carry_pins(clusters, kept)
+    return pin(pin(kept, new_sigs), u)
 
 
 # ---------------------------------------------------------------------------

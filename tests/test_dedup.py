@@ -448,3 +448,112 @@ def test_words_col_matches_python_reference_fuzzed(spark):
     rows = df.select("text", _words_col("text").alias("w")).collect()
     for r in rows:
         assert r.w == _py_words(r.text), (r.text,)
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dedup (new batch vs existing signature index)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def inc_corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away home tonight"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different text about spark dataframes and shuffles here now"),
+            (3, "third unrelated document with its own words entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base + " extra"),  # near-dup of index doc 1
+            (11, "brand new unique content nobody has ever written before in any corpus"),
+            (12, "brand new unique content nobody has ever written before in any corpus today"),
+            (13, "short"),          # shingle-less: participates in no pairs
+        ],
+        "doc_id bigint, text string",
+    )
+    return corpus, new
+
+
+def test_incremental_dedup_index_wins_then_batch_dedups(spark, inc_corpus):
+    from llm_aided_ocr_spark.operators.dedup import (
+        minhash_signatures,
+        near_dedup_incremental,
+    )
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    corpus, new = inc_corpus
+    idx = minhash_signatures(corpus)
+    kept = near_dedup_incremental(new, idx, threshold=0.5)
+    ids = sorted(r.doc_id for r in kept.collect())
+    release_pinned(kept, blocking=True)
+    # 10 dropped against the index; 12 dropped within-batch (11 is the
+    # min-id keeper); shingle-less 13 untouched
+    assert ids == [11, 13]
+
+
+def test_incremental_dedup_empty_index_matches_batch_near_dedup(spark, inc_corpus):
+    from llm_aided_ocr_spark.operators.dedup import (
+        minhash_signatures,
+        near_dedup,
+        near_dedup_incremental,
+    )
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    _, new = inc_corpus
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    kept = near_dedup_incremental(new, minhash_signatures(empty), threshold=0.5)
+    inc_ids = sorted(r.doc_id for r in kept.collect())
+    release_pinned(kept, blocking=True)
+    batch = near_dedup(new, threshold=0.5)
+    batch_ids = sorted(r.doc_id for r in batch.collect())
+    release_pinned(batch, blocking=True)
+    assert inc_ids == batch_ids
+
+
+def test_incremental_dedup_empty_batch(spark, inc_corpus):
+    from llm_aided_ocr_spark.operators.dedup import (
+        minhash_signatures,
+        near_dedup_incremental,
+    )
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    corpus, _ = inc_corpus
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    kept = near_dedup_incremental(empty, minhash_signatures(corpus))
+    assert kept.count() == 0
+    release_pinned(kept, blocking=True)
+
+
+def test_incremental_dedup_drop_vs_index_shields_batch_partner(spark):
+    """A new doc dropped against the index must NOT drag its within-batch
+    near-dup into a cluster: the partner survives (precedence rule 2
+    before rule 3)."""
+    from llm_aided_ocr_spark.operators.dedup import (
+        minhash_signatures,
+        near_dedup_incremental,
+    )
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    corpus = spark.createDataFrame([(1, base)], "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(20, base + " one"), (21, base + " one two")],
+        "doc_id bigint, text string",
+    )
+    kept = near_dedup_incremental(
+        new, minhash_signatures(corpus), threshold=0.5
+    )
+    ids = sorted(r.doc_id for r in kept.collect())
+    release_pinned(kept, blocking=True)
+    # both 20 and 21 are near-dups of index doc 1 -> both dropped by the
+    # cross stage, none survives via within-batch keeper status
+    assert ids == []

@@ -53,6 +53,8 @@ def _rowset(rows, cols):
 
 
 def test_queries_match_oracles(spark, entry_mod, duck):
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
@@ -60,6 +62,11 @@ def test_queries_match_oracles(spark, entry_mod, duck):
         sdf = qs[name](spark, SF_DIR)
         spark_cols = sdf.columns
         spark_rows = [tuple(r) for r in sdf.collect()]
+        # follow each operator's documented cache lifecycle: release the
+        # pinned relations after the terminal action so a 61-query sweep
+        # does not accumulate executor storage (and so later storage-
+        # count tests see a quiet session, not ContextCleaner races)
+        release_pinned(sdf, blocking=True)
         res = duck.execute(sql)
         duck_cols = [c[0] for c in res.description]
         duck_rows = res.fetchall()

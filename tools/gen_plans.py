@@ -254,6 +254,19 @@ def main() -> None:
     ))
 
     sections.append((
+        "incremental near-dedup — the index contributes keys, never text",
+        "a new batch dedups against an existing corpus via its persisted "
+        "signature table: index rows enter the plan only as (id, band, "
+        "bucket) keys and signature arrays for the agreement check; "
+        "candidates are bucket-first over index ∪ new with one combined "
+        "cap; drop-vs-index precedes within-batch components. Per batch "
+        "this moves O(batch + matched buckets), not O(corpus) — the "
+        "alternative (re-running batch near_dedup over corpus + batch) "
+        "re-shuffles every signature every increment.",
+        plan_of(q["incremental_dedup"](spark, SF)),
+    ))
+
+    sections.append((
         "per-domain cap — the rank window touches only the skewed tail",
         "a map-side-combined domain count finds OVER-cap domains; "
         "under-cap documents (the overwhelming majority) anti-join that "

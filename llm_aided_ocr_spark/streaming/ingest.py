@@ -162,6 +162,78 @@ def write_stream_two_sinks(
     return writer.start()
 
 
+def write_stream_near_dedup(
+    pages_stream: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "url",
+    available_now: bool = True,
+    **minhash_kwargs,
+):
+    """Streaming corpus NEAR-dedup: every micro-batch runs
+    ``near_dedup_incremental`` against the accumulated minhash signature
+    index (a parquet table at ``index_path``); surviving rows append to
+    ``out_path`` and their signatures append to the index, so the next
+    micro-batch — or the next run sharing the checkpoint — dedups
+    against everything ever kept. This is the streaming form of the
+    batch FineWeb recipe: state per historical document is ONE signature
+    row (8-byte ids + ``num_perm`` longs), not text, and each batch
+    moves O(batch + matched buckets), never O(history).
+
+    ``minhash_kwargs`` (num_perm/n/seed/hash_family/...) MUST be
+    identical across every run that shares ``index_path`` — signatures
+    from different parameter sets do not compare.
+
+    Exactly-once note (same honest caveat as
+    :func:`write_stream_two_sinks`): the two appends per batch are
+    at-least-once on a crash between them. Output is written BEFORE the
+    index on purpose — a replayed batch then re-drops against its own
+    already-indexed signatures and duplicates at worst the OUTPUT rows
+    (reconcilable downstream), whereas index-first would silently DROP
+    the batch's documents forever. On a transactional table format both
+    appends join one commit keyed by ``batch_id``."""
+    from llm_aided_ocr_spark.operators.dedup import (
+        minhash_signatures,
+        near_dedup_incremental,
+    )
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            idx = spark.read.parquet(index_path)
+        except Exception:  # first batch: no index yet
+            sigs = minhash_signatures(
+                batch_df, text_col=text_col, id_col=id_col, **minhash_kwargs
+            )
+            idx = spark.createDataFrame([], sigs.schema)
+        kept = near_dedup_incremental(
+            batch_df, idx, threshold=threshold,
+            text_col=text_col, id_col=id_col, **minhash_kwargs,
+        )
+        kept = kept.persist()
+        try:
+            kept.write.mode("append").parquet(out_path)
+            minhash_signatures(
+                kept, text_col=text_col, id_col=id_col, **minhash_kwargs
+            ).write.mode("append").parquet(index_path)
+        finally:
+            release_pinned(kept)
+            kept.unpersist()
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ---------------------------------------------------------------------------
 # Stateful streaming dedup
 # ---------------------------------------------------------------------------

@@ -188,3 +188,56 @@ def test_streaming_two_sinks_match_batch(spark):
         assert set(spark.read.parquet(os.path.join(tmp, "s_corr")).columns) == set(
             spark.read.parquet(os.path.join(tmp, "b_corr")).columns
         )
+
+
+def test_streaming_near_dedup_accumulates_index(spark):
+    """Micro-batch near-dedup against the growing signature index: a
+    batch-2 near-copy of a batch-1 document is dropped, batch-2 unique
+    content survives, and within-batch near-dups resolve to the min-id
+    keeper. The index holds one signature row per KEPT document."""
+    from llm_aided_ocr_spark.streaming.ingest import write_stream_near_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away home tonight"
+    )
+    uniq = "brand new unique content nobody has ever written before in any corpus"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        out = os.path.join(tmp, "out")
+        idx = os.path.join(tmp, "index")
+        ckpt = os.path.join(tmp, "ckpt")
+        schema = "url string, text string"
+
+        # batch 1
+        spark.createDataFrame(
+            [("a1", base), ("a2", "totally different first-batch words here")],
+            schema,
+        ).write.parquet(src)
+        _await(
+            write_stream_near_dedup(
+                spark.readStream.schema(schema).parquet(src),
+                out, idx, ckpt, threshold=0.5,
+            )
+        )
+        assert sorted(r.url for r in spark.read.parquet(out).collect()) == ["a1", "a2"]
+
+        # batch 2: near-dup of a1, a unique doc, and a within-batch pair
+        spark.createDataFrame(
+            [
+                ("b1", base + " extra"),
+                ("b2", uniq),
+                ("b3", uniq + " today"),
+            ],
+            schema,
+        ).write.mode("append").parquet(src)
+        _await(
+            write_stream_near_dedup(
+                spark.readStream.schema(schema).parquet(src),
+                out, idx, ckpt, threshold=0.5,
+            )
+        )
+        kept = sorted(r.url for r in spark.read.parquet(out).collect())
+        assert kept == ["a1", "a2", "b2"], kept
+        # index: one signature per kept doc
+        assert sorted(r.id for r in spark.read.parquet(idx).collect()) == kept

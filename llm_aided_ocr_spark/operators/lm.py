@@ -142,7 +142,13 @@ def lm_score(
     joins are keyed on 8-byte gram hashes; per-doc sums are map-side
     combinable integers; the single 1-row stats relation arrives by
     broadcast; and the final all-ids rejoin is pinned to a shuffle hash
-    join (``corpus_scaled``) because per-doc scores are O(corpus)."""
+    join (``corpus_scaled``) because per-doc scores are O(corpus).
+
+    Skew note: the ``c1`` join keys on the LEFT context gram, so stop
+    words ('the', 'of') are hot keys — but the document side is
+    per-document DISTINCT bigrams, which bounds any single key to one
+    row per document pair-type, and AQE's skew-join split handles the
+    residue; no salting needed."""
     from llm_aided_ocr_spark.operators.util import corpus_scaled, pin
 
     if (ref_df is None) == (model is None):

@@ -41,6 +41,8 @@ class CurationConfig:
     exact_dedup: bool = True
     near_dedup: bool = True
     near_dup_threshold: float = 0.8
+    max_per_domain: Optional[int] = None  # cap docs per registrable host
+    domain_cap_seed: int = 1
     split_weights: Dict[str, float] = field(
         default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
     )
@@ -141,6 +143,16 @@ def curate(
     if cfg.min_quality_score > 0:
         docs = docs.filter(F.col("quality_score") >= cfg.min_quality_score)
 
+    if cfg.max_per_domain is not None:
+        # cap BEFORE the dedup stages: a dominant host is exactly where
+        # boilerplate-driven near-dup clusters concentrate, so shedding
+        # its excess first shrinks the candidate space the LSH stages
+        # must chew through (C4/Gopher cap early for the same reason)
+        from llm_aided_ocr_spark.operators.sampling import domain_cap
+
+        docs = domain_cap(
+            docs, cfg.max_per_domain, url_col="url", seed=cfg.domain_cap_seed
+        )
     if cfg.exact_dedup:
         docs = exact_dedup(docs, text_col="corrected_text", id_col="url")
     if cfg.near_dedup:

@@ -183,3 +183,36 @@ def test_curate_rewrite_stages_compose_in_structure_order(spark):
     assert survivors == ["u0"]
     # c4: rejoined with single newlines, no blank lines remain
     assert all("\n\n" not in t for t in texts.values())
+
+
+def test_curate_domain_cap_stage(spark):
+    """max_per_domain caps dominant hosts before the dedup stages;
+    under-cap hosts pass untouched."""
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    base = pages_dataframe(spark, n_rows=30, include_golden=False)
+    # 30 docs: urls are https://example-<i>.test/doc/<i> — route i<20 onto
+    # one dominant host, the rest keep their unique hosts
+    doc_ix = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("int")
+    pages = base.withColumn(
+        "url",
+        F.when(
+            doc_ix < 20,
+            F.concat(F.lit("https://big.example.com/doc/"), doc_ix),
+        ).otherwise(F.col("url")),
+    )
+    n_big = pages.filter(F.col("url").startswith("https://big.")).count()
+    assert n_big == 20
+    cfg = CurationConfig(near_dedup=False, exact_dedup=False, max_per_domain=5)
+    out = curate(pages, cfg)
+    urls = [r.url for r in out.collect()]
+    release_pinned(out)
+    big = [u for u in urls if u.startswith("https://big.")]
+    solo = [u for u in urls if not u.startswith("https://big.")]
+    assert len(big) == 5
+    assert len(solo) == 30 - n_big
+    # deterministic: same seed, same survivors
+    out2 = curate(pages, cfg)
+    urls2 = sorted(r.url for r in out2.collect())
+    release_pinned(out2)
+    assert urls2 == sorted(urls)

@@ -214,6 +214,7 @@ def domain_cap(
     max_per_domain: int,
     url_col: str = "url",
     seed: int = 1,
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """Keep at most ``max_per_domain`` documents per registrable host —
     the standard stratification pass on raw crawls, where a handful of
@@ -236,7 +237,18 @@ def domain_cap(
     When the over-cap relation is small (always, outside adversarial
     corpora) AQE broadcasts it and the bypass path never shuffles at
     all; the semi/anti pair degrades to domain-keyed shuffles — never a
-    driver-side collect — when it is not."""
+    driver-side collect — when it is not.
+
+    ``salt_partitions=S`` adds a two-phase top-k for DEGENERATE domains
+    (one host owning 10^8+ documents would otherwise sort in a single
+    window task — a spill-to-disk straggler, though never an OOM:
+    WindowExec sorts externally): phase one ranks within
+    ``(domain, salt)`` and keeps ``max_per_domain`` per salt, phase two
+    re-ranks the ≤ S×k survivors per domain. The k smallest hashes of
+    the domain are each among the k smallest of their own salt bucket,
+    so the result is IDENTICAL to the unsalted form (a test pins this);
+    only the sort sizes change. Leave ``None`` unless a single domain
+    can exceed ~10^7 documents."""
     from pyspark.sql import Window
 
     from llm_aided_ocr_spark.operators.textstats import domain_col
@@ -252,10 +264,28 @@ def domain_cap(
         .select("_dc_domain")
     )
     under = with_dom.join(over, on="_dc_domain", how="left_anti")
+    ranked = with_dom.join(over, on="_dc_domain", how="left_semi").withColumn(
+        "_dc_h", _unit_hash_col(F.col(url_col), seed)
+    )
+    if salt_partitions is not None and salt_partitions > 1:
+        ranked = (
+            ranked.withColumn(
+                "_dc_salt",
+                F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_partitions)),
+            )
+            .withColumn(
+                "_dc_rn",
+                F.row_number().over(
+                    Window.partitionBy("_dc_domain", "_dc_salt").orderBy(
+                        "_dc_h", F.col(url_col)
+                    )
+                ),
+            )
+            .filter(F.col("_dc_rn") <= max_per_domain)
+            .drop("_dc_salt", "_dc_rn")
+        )
     ranked = (
-        with_dom.join(over, on="_dc_domain", how="left_semi")
-        .withColumn("_dc_h", _unit_hash_col(F.col(url_col), seed))
-        .withColumn(
+        ranked.withColumn(
             "_dc_rn",
             F.row_number().over(
                 Window.partitionBy("_dc_domain").orderBy(

@@ -164,3 +164,21 @@ def test_domain_cap_under_cap_bypasses_the_window(spark, skewed_corpus):
     assert sorted(r.url for r in out.collect()) == sorted(
         r.url for r in skewed_corpus.collect()
     )
+
+
+def test_domain_cap_salted_two_phase_identical(spark, skewed_corpus):
+    """salt_partitions changes sort sizes, never the result: the k
+    smallest hashes of a domain are each among the k smallest of their
+    own salt bucket."""
+    for k in (1, 3, 7):
+        plain = sorted(
+            r.url for r in domain_cap(skewed_corpus, k, seed=1).collect()
+        )
+        for s in (2, 4, 16):
+            salted = sorted(
+                r.url
+                for r in domain_cap(
+                    skewed_corpus, k, seed=1, salt_partitions=s
+                ).collect()
+            )
+            assert salted == plain, (k, s)

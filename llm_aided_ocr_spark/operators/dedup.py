@@ -939,12 +939,15 @@ def near_dedup_incremental(
     ``release_pinned``).
 
     Scale shape: the index contributes ONLY 8-byte-keyed ``(id, band,
-    bucket)`` rows — its text is never read, its signatures join in just
-    for the agreement check on candidate pairs (bucket-first, capped,
-    never all-pairs). Per batch this moves O(batch + matched-buckets)
-    rows, not O(corpus): re-running batch :func:`near_dedup` over the
-    whole corpus for each increment would re-shuffle every signature
-    every time."""
+    bucket)`` rows — its text is never read — and those rows are
+    filtered map-side against the batch's broadcast bucket-key set
+    BEFORE any aggregation or join, so the index is scanned narrow but
+    NEVER shuffled; its signatures join in just for the agreement check
+    on candidate pairs (bucket-first, capped, never all-pairs — a small
+    relation AQE broadcasts, streaming the signature scan too). Per
+    batch this shuffles O(batch + matched-buckets) rows, not O(corpus):
+    re-running batch :func:`near_dedup` over the whole corpus for each
+    increment would re-shuffle every signature every time."""
     from llm_aided_ocr_spark.operators.util import carry_pins, pin
 
     new_sigs = minhash_signatures(
@@ -954,7 +957,20 @@ def near_dedup_incremental(
     idx_sigs = index_sig_df.filter(F.get(F.col("sig"), 0) != F.lit(MINHASH_P))
 
     bn = _band_buckets(new_sigs, bands, rows_per_band)
-    bi = _band_buckets(idx_sigs, bands, rows_per_band)
+    # the index's bucket relation is CORPUS-scaled: restrict it to
+    # buckets the batch actually touches BEFORE any aggregation or join
+    # — the batch's distinct bucket keys broadcast (a micro-batch is
+    # small by contract; a corpus-sized "batch" belongs in batch
+    # near_dedup) and the index side streams through the semi-join
+    # map-side, so the index is SCANNED (8-byte keys, no text) but
+    # never shuffled. Equivalence: an untouched bucket can produce no
+    # cross or within pair, and a touched bucket keeps ALL its index
+    # members, so the combined cap below counts exactly what the
+    # all-buckets form would.
+    new_keys = F.broadcast(bn.select("band", "bucket").distinct())
+    bi = _band_buckets(idx_sigs, bands, rows_per_band).join(
+        new_keys, on=["band", "bucket"], how="left_semi"
+    )
     u = bn.withColumn("is_new", F.lit(True)).unionByName(
         bi.withColumn("is_new", F.lit(False))
     )

@@ -557,3 +557,23 @@ def test_incremental_dedup_drop_vs_index_shields_batch_partner(spark):
     # both 20 and 21 are near-dups of index doc 1 -> both dropped by the
     # cross stage, none survives via within-batch keeper status
     assert ids == []
+
+
+def test_incremental_dedup_index_is_never_shuffled(spark, inc_corpus):
+    """The index's bucket relation must stream through a broadcast
+    semi-join against the batch's bucket keys — no hash exchange may sit
+    between the index signature scan and that semi-join (the whole point
+    of the incremental form: the corpus is scanned narrow, never
+    shuffled)."""
+    from llm_aided_ocr_spark.operators.dedup import (
+        minhash_signatures,
+        near_dedup_incremental,
+    )
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    corpus, new = inc_corpus
+    kept = near_dedup_incremental(new, minhash_signatures(corpus), threshold=0.5)
+    kept.collect()
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    release_pinned(kept, blocking=True)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan

@@ -137,8 +137,9 @@ def lm_score(
     length-sensitive signal.
 
     Scale shape: the document side is the pre-aggregated per-doc bigram
-    relation (cached once — pinned on the result, release with
-    ``release_pinned`` — because three model joins consume it); model
+    relation, computed ONCE per action (the three model joins CHAIN over
+    one instance of it — nothing here needs a cache, and materializing a
+    corpus-scaled relation would cost storage for zero reuse); model
     joins are keyed on 8-byte gram hashes; per-doc sums are map-side
     combinable integers; the single 1-row stats relation arrives by
     broadcast; and the final all-ids rejoin is pinned to a shuffle hash
@@ -149,7 +150,7 @@ def lm_score(
     per-document DISTINCT bigrams, which bounds any single key to one
     row per document pair-type, and AQE's skew-join split handles the
     residue; no salting needed."""
-    from llm_aided_ocr_spark.operators.util import corpus_scaled, pin
+    from llm_aided_ocr_spark.operators.util import corpus_scaled
 
     if (ref_df is None) == (model is None):
         raise ValueError("pass exactly one of ref_df or model")
@@ -158,7 +159,7 @@ def lm_score(
             ref_df, text_col=text_col, id_col=id_col,
             hash_family=hash_family, hashed=hashed,
         )
-    occ = _bigram_rel(df, text_col, id_col, hash_family, hashed).cache()
+    occ = _bigram_rel(df, text_col, id_col, hash_family, hashed)
     uni = model["uni"]
     c1 = uni.select(F.col("g").alias("g1"), F.col("c").alias("c1"))
     c2 = uni.select(F.col("g").alias("g2"), F.col("c").alias("c2"))
@@ -204,14 +205,11 @@ def lm_score(
         ).alias("lm_score_r"),
     )
     all_ids = df.select(F.col(id_col).alias("id"))
-    return pin(
-        all_ids.join(corpus_scaled(scored), "id", "left").select(
-            "id",
-            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-            F.coalesce("oov_bigram_frac_r", F.lit(0.0)).alias(
-                "oov_bigram_frac_r"
-            ),
-            F.coalesce("lm_score_r", F.lit(0.0)).alias("lm_score_r"),
+    return all_ids.join(corpus_scaled(scored), "id", "left").select(
+        "id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("oov_bigram_frac_r", F.lit(0.0)).alias(
+            "oov_bigram_frac_r"
         ),
-        occ,
+        F.coalesce("lm_score_r", F.lit(0.0)).alias("lm_score_r"),
     )

@@ -239,7 +239,25 @@ def run_scaling(sf_dir: str) -> dict:
 STRESS_OPS = ("minhash_pairs", "simhash_pairs", "ngram_jaccard",
               "word_commonness", "near_dedup", "curate",
               "line_dedup", "decontaminate", "dup_spans", "dsir",
-              "paragraph_dedup")
+              "paragraph_dedup", "incremental_dedup")
+
+
+def _stress_index(spark, docs, rows: int) -> str:
+    """Materialized minhash signature table for the 90% 'existing corpus'
+    slice of the stress corpus — the state an incremental run reads."""
+    path = f"/tmp/ocr_spark_stress_idx_v1_r{rows}_s{BENCH_SEED}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from llm_aided_ocr_spark.operators.dedup import minhash_signatures
+        from llm_aided_ocr_spark.operators.sampling import deterministic_sample
+
+        batch_urls = deterministic_sample(
+            docs, 0.1, id_col="url", seed=13
+        ).select("url")
+        minhash_signatures(
+            docs.join(batch_urls, "url", "left_anti"),
+            text_col="text", id_col="url",
+        ).write.mode("overwrite").parquet(path)
+    return path
 
 
 def _stress_corpus(spark, rows: int) -> str:
@@ -275,6 +293,8 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
     from llm_aided_ocr_spark.operators.dedup import (
         decontaminate,
         dup_span_profile,
+        minhash_signatures,
+        near_dedup_incremental,
         paragraph_dedup_stats,
     )
     from llm_aided_ocr_spark.operators.sampling import (
@@ -285,7 +305,7 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
     from llm_aided_ocr_spark.operators.util import release_pinned
     from llm_aided_ocr_spark.plans.curate import CurationConfig, curate
 
-    def _ops(docs):
+    def _ops(docs, rows):
         pages = docs.select(
             "url",
             F.lit(None).cast("timestamp").alias("warc_ts"),
@@ -335,6 +355,18 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
             "paragraph_dedup": lambda: paragraph_dedup_stats(
                 docs, text_col="text", id_col="url"
             ),
+            # incremental form: 90% of the corpus is the "existing" index
+            # — its signature table is MATERIALIZED once outside the
+            # timed region (production reads a persisted table; timing a
+            # lazy plan would bill 90% of the corpus's signature
+            # computation to the incremental path) — and the other 10%
+            # arrives as the batch; the index side must stay scan-only
+            # at both scale points
+            "incremental_dedup": lambda: near_dedup_incremental(
+                deterministic_sample(docs, 0.1, id_col="url", seed=13),
+                spark.read.parquet(_stress_index(spark, docs, rows)),
+                threshold=0.8, text_col="text", id_col="url",
+            ),
         }
 
     report = {"scale_ratio": scale_ratio, "ops": {}}
@@ -345,7 +377,7 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
         report[f"rows_{tag}"] = rows
         report[f"input_mb_{tag}"] = round(mb, 1)
         _noop_sink(docs)  # warm the scan + Python worker pool once per corpus
-        for name, build in _ops(docs).items():
+        for name, build in _ops(docs, rows).items():
             # time build + sink together: near_dedup/curate run their
             # component rounds EAGERLY at build time — timing only the
             # sink would exclude most of their work

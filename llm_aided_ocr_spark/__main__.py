@@ -66,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-near-dedup", action="store_true",
                    help="curate: skip minhash near-dedup (exact only)")
     p.add_argument("--split-seed", type=int, default=1)
+    p.add_argument(
+        "--dedup-incremental", metavar="INDEX_DIR", default=None,
+        help="near-dedup the input batch against the minhash signature "
+             "index at INDEX_DIR (created on first use): survivors append "
+             "to OUTPUT/kept_docs, their signatures append to the index. "
+             "Run per arriving batch; the corpus itself is never re-read.",
+    )
+    p.add_argument("--near-dup-threshold", type=float, default=0.8)
     return p
 
 
@@ -108,6 +116,27 @@ def main(argv=None) -> int:
     store = CheckpointStore(args.warehouse, run_id=args.run_id) if args.resume else None
 
     pages = spark.read.parquet(args.input)
+
+    if args.dedup_incremental:
+        from llm_aided_ocr_spark.operators.dedup import apply_incremental_dedup
+
+        n_in = pages.count()
+        n_kept = apply_incremental_dedup(
+            pages,
+            args.output + "/kept_docs",
+            args.dedup_incremental,
+            threshold=args.near_dup_threshold,
+            text_col="text",
+            id_col="url",
+        )
+        print(
+            f"incremental dedup: {n_in} in, {n_kept} kept "
+            f"({n_in - n_kept} near-dups of the index or of this batch); "
+            f"survivors appended to {args.output}/kept_docs, signatures "
+            f"to {args.dedup_incremental}"
+        )
+        spark.stop()
+        return 0
 
     if args.curate:
         from llm_aided_ocr_spark.operators.util import release_pinned

@@ -1037,6 +1037,49 @@ def near_dedup_incremental(
     return pin(pin(kept, new_sigs), u)
 
 
+def apply_incremental_dedup(
+    batch_df: DataFrame,
+    out_path: str,
+    index_path: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **minhash_kwargs,
+) -> int:
+    """One incremental-dedup step against persisted state: run
+    :func:`near_dedup_incremental` for ``batch_df`` against the
+    signature table at ``index_path`` (created on first use), append
+    survivors to ``out_path`` and their signatures to the index; returns
+    the number of surviving rows. Shared by the CLI batch mode and the
+    streaming ``foreachBatch`` writer — output is appended BEFORE the
+    index on purpose (see ``streaming.ingest.write_stream_near_dedup``
+    for the replay-semantics rationale)."""
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    spark = batch_df.sparkSession
+    try:
+        idx = spark.read.parquet(index_path)
+    except Exception:  # first batch: no index yet
+        sigs = minhash_signatures(
+            batch_df, text_col=text_col, id_col=id_col, **minhash_kwargs
+        )
+        idx = spark.createDataFrame([], sigs.schema)
+    kept = near_dedup_incremental(
+        batch_df, idx, threshold=threshold,
+        text_col=text_col, id_col=id_col, **minhash_kwargs,
+    )
+    kept = kept.persist()
+    try:
+        kept.write.mode("append").parquet(out_path)
+        minhash_signatures(
+            kept, text_col=text_col, id_col=id_col, **minhash_kwargs
+        ).write.mode("append").parquet(index_path)
+        return kept.count()
+    finally:
+        release_pinned(kept)
+        kept.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------

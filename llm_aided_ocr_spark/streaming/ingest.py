@@ -195,34 +195,13 @@ def write_stream_near_dedup(
     (reconcilable downstream), whereas index-first would silently DROP
     the batch's documents forever. On a transactional table format both
     appends join one commit keyed by ``batch_id``."""
-    from llm_aided_ocr_spark.operators.dedup import (
-        minhash_signatures,
-        near_dedup_incremental,
-    )
-    from llm_aided_ocr_spark.operators.util import release_pinned
+    from llm_aided_ocr_spark.operators.dedup import apply_incremental_dedup
 
     def _emit(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            idx = spark.read.parquet(index_path)
-        except Exception:  # first batch: no index yet
-            sigs = minhash_signatures(
-                batch_df, text_col=text_col, id_col=id_col, **minhash_kwargs
-            )
-            idx = spark.createDataFrame([], sigs.schema)
-        kept = near_dedup_incremental(
-            batch_df, idx, threshold=threshold,
+        apply_incremental_dedup(
+            batch_df, out_path, index_path, threshold=threshold,
             text_col=text_col, id_col=id_col, **minhash_kwargs,
         )
-        kept = kept.persist()
-        try:
-            kept.write.mode("append").parquet(out_path)
-            minhash_signatures(
-                kept, text_col=text_col, id_col=id_col, **minhash_kwargs
-            ).write.mode("append").parquet(index_path)
-        finally:
-            release_pinned(kept)
-            kept.unpersist()
 
     writer = (
         pages_stream.writeStream.foreachBatch(_emit)

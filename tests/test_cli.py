@@ -77,3 +77,58 @@ def test_cli_curate_mode(spark):
         texts = [r["corrected_text"] for r in rows]
         assert len(texts) == len(set(texts)), "exact dups must be gone"
         assert {"split", "quality_score"} <= set(curated.columns)
+
+
+def test_cli_incremental_dedup_mode(spark):
+    """Two CLI invocations sharing one index dir: batch 2's copy of a
+    batch-1 document is dropped against the index, unique docs append."""
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.sources.synthetic import pages_dataframe
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as tmp:
+        in1 = os.path.join(tmp, "batch1.parquet")
+        in2 = os.path.join(tmp, "batch2.parquet")
+        out = os.path.join(tmp, "out")
+        idx = os.path.join(tmp, "sig_index")
+        b1 = pages_dataframe(spark, n_rows=4, include_golden=False)
+        b1.write.parquet(in1)
+        # batch 2: one near-copy of a batch-1 doc (re-urled) + one new doc
+        copy = b1.limit(1).select(
+            F.concat(F.lit("copy-"), "url").alias("url"),
+            "warc_ts", "html",
+            F.concat("text", F.lit(" tail")).alias("text"),
+            "lang",
+        )
+        new = b1.limit(1).select(
+            F.lit("https://fresh.test/x").alias("url"),
+            "warc_ts", "html",
+            F.lit(
+                "entirely fresh words never seen in any earlier batch at all"
+            ).alias("text"),
+            "lang",
+        )
+        copy.union(new).write.parquet(in2)
+
+        env = dict(os.environ, PYTHONPATH=repo)
+        for inp in (in1, in2):
+            proc = subprocess.run(
+                [
+                    sys.executable, "-m", "llm_aided_ocr_spark",
+                    "--input", inp, "--output", out,
+                    "--dedup-incremental", idx,
+                    "--near-dup-threshold", "0.5",
+                    "--master", "local[2]",
+                ],
+                capture_output=True, text=True, cwd=repo, env=env,
+                timeout=600,
+            )
+            assert proc.returncode == 0, proc.stderr[-2000:]
+        kept = spark.read.parquet(os.path.join(out, "kept_docs"))
+        urls = sorted(r.url for r in kept.collect())
+        assert "https://fresh.test/x" in urls
+        assert not any(u.startswith("copy-") for u in urls)
+        assert len(urls) == 5  # 4 from batch 1 + the fresh doc
+        sigs = spark.read.parquet(idx)
+        assert sigs.count() == 5

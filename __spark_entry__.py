@@ -2259,6 +2259,62 @@ FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id, stats
 """
 
 
+def _q_media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image-header parsing over binary media: the adapter
+    SYNTHESIZES valid PNG/GIF/JPEG/BMP headers with doc_id-derived
+    dimensions (format cycles on doc_id % 4; JPEG dims sit behind an
+    APP0 marker so the real marker walk runs), the operator parses the
+    BYTES back, and the oracle states the expected values independently
+    from the same doc_id arithmetic — a round-trip proof of the parser
+    against a constructor it never sees."""
+    import struct as st
+
+    from llm_aided_ocr_spark.operators.multimodal import image_header_info
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def _mk(batches):
+        import pandas as pd
+
+        for batch in batches:
+            blobs = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                w, h = i % 1900 + 1, i % 1060 + 1
+                k = i % 4
+                if k == 0:
+                    blob = (b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13)
+                            + b"IHDR" + st.pack(">II", w, h)
+                            + b"\x08\x02\x00\x00\x00" + b"\x00" * 8)
+                elif k == 1:
+                    blob = b"GIF89a" + st.pack("<HH", w, h) + b"\x00" * 6
+                elif k == 2:
+                    app0 = b"JFIF\x00" + b"\x00" * 9
+                    blob = (b"\xff\xd8\xff\xe0" + st.pack(">H", len(app0) + 2)
+                            + app0 + b"\xff\xc0" + st.pack(">H", 11)
+                            + b"\x08" + st.pack(">HH", h, w) + b"\x03\x00\x00")
+                else:
+                    blob = (b"BM" + b"\x00" * 16 + st.pack("<ii", w, -h)
+                            + b"\x00" * 8)
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "media": blobs})
+
+    media = d.mapInPandas(_mk, schema="doc_id bigint, media binary")
+    return image_header_info(media, id_col="doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+_MEDIA_DIMENSIONS_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                       WHEN 2 THEN 'jpeg' ELSE 'bmp' END AS format,
+       CAST(doc_id % 1900 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 1060 + 1 AS INTEGER) AS height
+FROM documents
+"""
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup: the doc_id%3==0 slice is the EXISTING
     corpus (only its minhash signature table is handed to the operator —
@@ -2528,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "domain_cap": _q_domain_cap,
         "incremental_dedup": _q_incremental_dedup,
+        "media_dimensions": _q_media_dimensions,
     }
 
 
@@ -3142,4 +3199,5 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _build_lm_score_sql(),
         "domain_cap": _DOMAIN_CAP_SQL,
         "incremental_dedup": _build_incremental_dedup_sql(),
+        "media_dimensions": _MEDIA_DIMENSIONS_SQL,
     }

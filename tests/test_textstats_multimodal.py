@@ -416,3 +416,72 @@ def test_word_commonness_joins_preaggregated(spark):
     assert got[2] == (3, round((3 * 2 + 1 * 1) / 9 / 3, 6))
     assert got[3] == (0, 0.0)
     release_pinned(out)
+
+
+# ---------------------------------------------------------------------------
+# real image header parsing (dependency-free)
+# ---------------------------------------------------------------------------
+
+def _png(w, h):
+    import struct as st
+    return b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR" + st.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 8
+
+def _gif(w, h):
+    import struct as st
+    return b"GIF89a" + st.pack("<HH", w, h) + b"\x00" * 6
+
+def _bmp(w, h):
+    import struct as st
+    return b"BM" + b"\x00" * 16 + st.pack("<ii", w, -h) + b"\x00" * 8
+
+def _jpeg(w, h, pad_markers=True):
+    import struct as st
+    b = b"\xff\xd8"
+    if pad_markers:
+        app0 = b"JFIF\x00" + b"\x00" * 9
+        b += b"\xff\xe0" + st.pack(">H", len(app0) + 2) + app0
+        com = b"a comment"
+        b += b"\xff\xfe" + st.pack(">H", len(com) + 2) + com
+        b += b"\xff"  # legal padding FF before the next marker
+    b += b"\xff\xc2" + st.pack(">H", 11) + b"\x08" + st.pack(">HH", h, w) + b"\x03" + b"\x00" * 2
+    return b
+
+
+def test_parse_image_header_formats():
+    from llm_aided_ocr_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(_png(640, 480)) == ("png", 640, 480)
+    assert parse_image_header(_gif(320, 200)) == ("gif", 320, 200)
+    # BMP top-down (negative height) reports absolute height
+    assert parse_image_header(_bmp(800, 600)) == ("bmp", 800, 600)
+    # JPEG: SOF2 behind APP0 + COM + padding FF
+    assert parse_image_header(_jpeg(1024, 768)) == ("jpeg", 1024, 768)
+    assert parse_image_header(_jpeg(33, 44, pad_markers=False)) == ("jpeg", 33, 44)
+    # garbage / truncation / empty are data, not errors
+    assert parse_image_header(b"") == ("unknown", None, None)
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00")[1] is None
+    assert parse_image_header(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
+    assert parse_image_header(b"not an image at all") == ("unknown", None, None)
+
+
+def test_image_header_info_dataframe(spark):
+    from llm_aided_ocr_spark.operators.multimodal import image_header_info
+
+    rows = [
+        ("u1", _png(12, 34)),
+        ("u2", _gif(56, 78)),
+        ("u3", _jpeg(90, 12)),
+        ("u4", _bmp(13, 57)),
+        ("u5", None),
+        ("u6", b"junk"),
+    ]
+    df = spark.createDataFrame(rows, "url string, media binary")
+    got = {r.id: (r.format, r.width, r.height) for r in image_header_info(df).collect()}
+    assert got == {
+        "u1": ("png", 12, 34),
+        "u2": ("gif", 56, 78),
+        "u3": ("jpeg", 90, 12),
+        "u4": ("bmp", 13, 57),
+        "u5": ("unknown", None, None),
+        "u6": ("unknown", None, None),
+    }

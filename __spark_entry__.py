@@ -2259,6 +2259,41 @@ FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id, stats
 """
 
 
+_BLOCKLIST_DEMO = ("vector", "fast", "zqxv")  # demo list; real C4 uses LDNOOBW
+
+
+def _q_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's bad-words document gate on a demo blocklist chosen so the
+    check is non-vacuous at every sf ('vector'/'fast' appear in ~75% of
+    the synthetic prose — n_blocked distinguishes 0/1/2 hits — while
+    'zqxv' never matches, pinning the no-false-positive side).
+    Token-boundary semantics: the oracle intersects the SAME normalized
+    token space."""
+    from llm_aided_ocr_spark.operators.boilerplate import blocklist_flags
+
+    return blocklist_flags(
+        _docs(spark, sf_dir), list(_BLOCKLIST_DEMO), id_col="doc_id"
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _build_blocklist_sql() -> str:
+    words = ", ".join(f"'{w}'" for w in _BLOCKLIST_DEMO)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_distinct(list_filter(string_split_regex(
+      lower(coalesce(text,'')), '[^a-z0-9]+'), w -> w <> '')) AS ws
+  FROM documents),
+hits AS (
+  SELECT doc_id,
+    len(list_intersect(ws, [{words}])) AS n_blocked
+  FROM toks)
+SELECT doc_id, CAST(n_blocked AS INTEGER) AS n_blocked,
+       n_blocked > 0 AS blocked
+FROM hits
+"""
+
+
 def _q_media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image-header parsing over binary media: the adapter
     SYNTHESIZES valid PNG/GIF/JPEG/BMP headers with doc_id-derived
@@ -2585,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "incremental_dedup": _q_incremental_dedup,
         "media_dimensions": _q_media_dimensions,
+        "blocklist_gate": _q_blocklist_gate,
     }
 
 
@@ -3200,4 +3236,5 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _DOMAIN_CAP_SQL,
         "incremental_dedup": _build_incremental_dedup_sql(),
         "media_dimensions": _MEDIA_DIMENSIONS_SQL,
+        "blocklist_gate": _build_blocklist_sql(),
     }

@@ -17,15 +17,14 @@ Scale shape, in order of data moved:
   document-locally (``array_distinct`` over a native ``transform``) and
   explode as 8-byte longs into one map-side-combined ``groupBy`` — the
   count exchange carries hash+partial-count, never line text.
-* rebuild (default ``strategy='broadcast'``): the frequent-line set is by
-  construction small (at threshold K over L total non-blank lines it has
-  at most L/K entries — the 1/K harmonic bound), so it is collected into
-  ONE sorted array literal broadcast with the job and each document is
-  rebuilt locally with zero additional shuffles.
-* rebuild (``strategy='join'``): for adversarial corpora where the
-  frequent set outgrows the driver, per-line ``(id, pos, hash)`` 24-byte
-  rows anti-join the frequent relation and regroup to kept-position
+* rebuild (default ``strategy='join'``): per-line ``(id, pos, hash)``
+  24-byte rows anti-join the frequent relation through a REAL hash table
+  (AQE broadcasts the set when small) and regroup to kept-position
   arrays; document text still moves at most once (the final id join).
+* rebuild (``strategy='broadcast'``): the frequent set as one sorted
+  array literal, zero exchanges — but the per-line probe is a LINEAR
+  interpreted scan, usable only when the set is tiny (see line_dedup's
+  docstring for the measured blowup).
 """
 
 from __future__ import annotations
@@ -293,4 +292,62 @@ def c4_clean_stats(
         F.col("_c4_keep").alias("keep"),
         F.length("_c4_clean").alias("clean_len"),
         F.md5(F.col("_c4_clean")).alias("clean_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist gate (C4's "bad words" document filter)
+# ---------------------------------------------------------------------------
+
+def blocklist_flags(
+    df: DataFrame,
+    blocklist: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, n_blocked, blocked)`` — C4's remaining document gate: drop
+    any page containing a word from a blocklist (Raffel et al. 2020
+    §2.2 use the public "List of Dirty, Naughty, Obscene..." — ship your
+    own list; none is bundled). Matching is on the shared normalized
+    token space (lowercased ``[a-z0-9]+`` runs), so ``bad-word!`` and
+    ``Bad Word`` match their tokens but substrings never do (``class``
+    does not match ``ass`` — token-boundary semantics, the documented
+    C4 behavior).
+
+    Fully native and shuffle-free: the document's distinct token set
+    intersects a LITERAL array (blocklists are hundreds of words — they
+    ride the serialized plan; a corpus-side join would shuffle tokens
+    for nothing). ``n_blocked`` counts distinct blocked token TYPES, the
+    audit signal for threshold tuning."""
+    from llm_aided_ocr_spark.operators.dedup import _words_col
+
+    if not blocklist:
+        raise ValueError("blocklist must be a non-empty list of words")
+    bl = F.array(*[F.lit(str(w).lower()) for w in blocklist])
+    toks = F.array_distinct(_words_col(text_col))
+    hits = F.array_intersect(toks, bl)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(hits).cast("int").alias("n_blocked"),
+        (F.size(hits) > 0).alias("blocked"),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of ``df`` whose text contains NO blocklisted token — the
+    enforcement form of :func:`blocklist_flags`, inlined as a narrow
+    native filter (no join, no shuffle; survives any scale the scan
+    does)."""
+    from llm_aided_ocr_spark.operators.dedup import _words_col
+
+    if not blocklist:
+        raise ValueError("blocklist must be a non-empty list of words")
+    bl = F.array(*[F.lit(str(w).lower()) for w in blocklist])
+    return df.filter(
+        ~F.arrays_overlap(F.array_distinct(_words_col(text_col)), bl)
     )

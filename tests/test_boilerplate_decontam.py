@@ -366,3 +366,48 @@ def test_word_commonness_rejoin_not_broadcast(spark, span_corpus):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan, plan
     release_pinned(out, blocking=True)
+
+
+# ---------------------------------------------------------------------------
+# blocklist gate
+# ---------------------------------------------------------------------------
+
+def test_blocklist_token_boundary_semantics(spark):
+    from llm_aided_ocr_spark.operators.boilerplate import (
+        blocklist_filter,
+        blocklist_flags,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a perfectly classy document"),   # 'class'/'ass' are substrings only
+            (2, "contains BADWORD right here"),   # case-insensitive token hit
+            (3, "bad-word hyphen splits to tokens badword no wait"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    flags = {r.id: r for r in blocklist_flags(df, ["badword", "ass"]).collect()}
+    assert flags[1].blocked is False      # substring must NOT match
+    assert flags[2].blocked is True and flags[2].n_blocked == 1
+    assert flags[3].blocked is True       # 'bad-word' normalizes to bad+word... 'badword' token present
+    assert flags[4].blocked is False and flags[5].blocked is False
+    kept = sorted(r.doc_id for r in blocklist_filter(df, ["badword", "ass"]).collect())
+    assert kept == [1, 4, 5]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        blocklist_flags(df, [])
+
+
+def test_blocklist_is_shuffle_free(spark):
+    from llm_aided_ocr_spark.operators.boilerplate import blocklist_flags
+
+    df = spark.createDataFrame([(1, "x y z")], "doc_id bigint, text string")
+    plan = (
+        blocklist_flags(df, ["bad"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

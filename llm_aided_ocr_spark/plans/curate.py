@@ -43,6 +43,7 @@ class CurationConfig:
     near_dup_threshold: float = 0.8
     max_per_domain: Optional[int] = None  # cap docs per registrable host
     domain_cap_seed: int = 1
+    blocklist: tuple = ()                 # C4 bad-words gate (empty = off)
     split_weights: Dict[str, float] = field(
         default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
     )
@@ -142,6 +143,12 @@ def curate(
         docs = docs.filter(gopher_pass_col(F.col("corrected_text")))
     if cfg.min_quality_score > 0:
         docs = docs.filter(F.col("quality_score") >= cfg.min_quality_score)
+    if cfg.blocklist:
+        from llm_aided_ocr_spark.operators.boilerplate import blocklist_filter
+
+        docs = blocklist_filter(
+            docs, list(cfg.blocklist), text_col="corrected_text", id_col="url"
+        )
 
     if cfg.max_per_domain is not None:
         # cap BEFORE the dedup stages: a dominant host is exactly where

@@ -216,3 +216,25 @@ def test_curate_domain_cap_stage(spark):
     urls2 = sorted(r.url for r in out2.collect())
     release_pinned(out2)
     assert urls2 == sorted(urls)
+
+
+def test_curate_blocklist_gate(spark):
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    pages = pages_dataframe(spark, n_rows=10, include_golden=False)
+    base = CurationConfig(near_dedup=False, exact_dedup=False)
+    all_out = curate(pages, base)
+    n_all = all_out.count()
+    release_pinned(all_out)
+    # block a word present in some corrected docs
+    word = "scanned"
+    gated = curate(
+        pages,
+        CurationConfig(near_dedup=False, exact_dedup=False, blocklist=(word,)),
+    )
+    rows = gated.collect()
+    release_pinned(gated)
+    assert 0 < len(rows) < n_all or all(
+        word not in r.corrected_text.lower() for r in rows
+    )
+    assert all(word not in r.corrected_text.lower() for r in rows)

@@ -1056,10 +1056,17 @@ def apply_incremental_dedup(
     for the replay-semantics rationale)."""
     from llm_aided_ocr_spark.operators.util import release_pinned
 
+    from pyspark.errors import AnalysisException
+
     spark = batch_df.sparkSession
     try:
         idx = spark.read.parquet(index_path)
-    except Exception:  # first batch: no index yet
+    except AnalysisException as ex:
+        # ONLY a missing index means "first batch"; a corrupt/unreadable
+        # index must raise — silently treating it as empty would re-keep
+        # every near-dup of the entire history
+        if "PATH_NOT_FOUND" not in str(ex) and "Path does not exist" not in str(ex):
+            raise
         sigs = minhash_signatures(
             batch_df, text_col=text_col, id_col=id_col, **minhash_kwargs
         )

@@ -577,3 +577,31 @@ def test_incremental_dedup_index_is_never_shuffled(spark, inc_corpus):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     release_pinned(kept, blocking=True)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_apply_incremental_dedup_corrupt_index_raises(spark, inc_corpus, tmp_path):
+    """A missing index means 'first batch'; a CORRUPT index must raise —
+    silently treating it as empty would re-keep every historical
+    near-dup."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    from llm_aided_ocr_spark.operators.dedup import apply_incremental_dedup
+
+    _, new = inc_corpus
+    bad = tmp_path / "sig_index"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with _pytest.raises(Exception):
+        apply_incremental_dedup(
+            new, str(tmp_path / "out"), str(bad), threshold=0.5, id_col="doc_id"
+        )
+    # and the happy first-batch path still works on a truly absent dir
+    n = apply_incremental_dedup(
+        new, str(tmp_path / "out2"), str(tmp_path / "fresh_index"),
+        threshold=0.5, id_col="doc_id",
+    )
+    assert n > 0
+    assert os.path.exists(str(tmp_path / "fresh_index"))

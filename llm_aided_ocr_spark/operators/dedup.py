@@ -1176,6 +1176,37 @@ def remove_contaminated(
 # Exact duplicate-span detection / removal (hashed-n-gram approximation)
 # ---------------------------------------------------------------------------
 
+def _strip_covered_udf(n: int):
+    """Scalar pandas UDF ``(tokens array<string>, dup_pos array<int>) ->
+    string``: the document's tokens minus every position covered by a
+    duplicated n-gram start (position j covered iff some start p
+    satisfies ``p <= j <= p+n-1``), single-space-joined. Coverage is a
+    numpy difference array — +1 at each start, -1 at ``start+n`` (gram
+    starts satisfy ``p+n <= T`` by construction; ``minimum`` guards
+    degenerate inputs), ``cumsum > 0`` is the covered mask — so the pass
+    is O(tokens + dup_positions) per document regardless of how the dup
+    positions cluster. NULL token input (the clean-document gate in
+    :func:`dup_span_profile`) short-circuits to ``''``."""
+
+    @F.pandas_udf("string")
+    def _strip(toks: "pd.Series", ps: "pd.Series") -> "pd.Series":
+        out = []
+        for t, p in zip(toks, ps):
+            if t is None:
+                out.append("")
+                continue
+            T = len(t)
+            pos = np.asarray(p, dtype=np.int64)
+            diff = np.zeros(T + 1, dtype=np.int64)
+            np.add.at(diff, pos, 1)
+            np.add.at(diff, np.minimum(pos + n, T), -1)
+            cov = np.cumsum(diff[:T]) > 0
+            out.append(" ".join(np.asarray(t, dtype=object)[~cov]))
+        return pd.Series(out, dtype=object)
+
+    return _strip
+
+
 def dup_span_profile(
     df: DataFrame,
     n: int = 50,
@@ -1184,6 +1215,7 @@ def dup_span_profile(
     hash_family: str = "xxhash64",
     with_stripped: bool = True,
     impl: str = "arrow",
+    strip_impl: str = "native",
 ) -> DataFrame:
     """``(id, n_grams, n_dup, dup_frac[, stripped])`` — per-document
     profile of EXACT duplicated token spans: a position is duplicated if
@@ -1224,11 +1256,22 @@ def dup_span_profile(
     GCLocker allocation-stall warnings even at test scale. Streaming
     rows through a hash probe has no degenerate key, so the semi-join
     form is the default on robustness, not speed.)
-    Token-level coverage is a native
-    ``filter`` with an ``exists`` probe over the doc's dup positions —
-    O(tokens x doc-dup-positions) per document, degenerate only when a
-    document is mostly duplicated spans; clean documents skip the probe
-    entirely (their stripped stream IS the normalized text)."""
+    Token-level coverage-removal
+    (``strip_impl``) offers two value-identical forms (pinned by
+    ``test_dup_span_strip_impls_agree``): the default ``'native'`` is a
+    ``filter`` + ``exists`` probe over MERGED dup intervals —
+    O(tokens x merged-intervals) interpreted, but zero Python and tiny M
+    on real web boilerplate, where dup positions coalesce into a few
+    long runs (measured 2x faster than arrow at 320k docs on the
+    template bench corpus, where most docs are dirty and arrow pays
+    token-array Arrow transfer for each); ``'arrow'`` is one numpy
+    difference-array pass per DIRTY document — O(tokens + dup-positions)
+    with no degenerate shape, measured 2-3x faster than native on an
+    interval-FRAGMENTED corpus (~40 separate dup intervals per doc,
+    native's worst case; numbers in BENCH.md). Clean documents skip
+    either probe entirely (their stripped stream IS the normalized
+    text, and the arrow form gates their token input NULL so they never
+    cross into Python)."""
     if impl == "arrow":
         gh_rel = gram_hashes_arrow(
             df, n=n, text_col=text_col, id_col=id_col, hash_family=hash_family
@@ -1269,7 +1312,25 @@ def dup_span_profile(
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     ]
-    if with_stripped:
+    if with_stripped and strip_impl == "arrow":
+        # Vectorized coverage-removal: one Arrow pass per dup-bearing
+        # document, O(T + D) via a numpy difference array (each dup gram
+        # start p adds +1 at p and -1 at p+n; cumsum > 0 is coverage) —
+        # the bounded-worst-case alternative to the interpreted
+        # merged-interval default below (trade measured in BENCH.md;
+        # docstring has the regime analysis). Clean documents
+        # (n_dup == 0) never reach Python: the token-array input is
+        # gated NULL for them, so the extracted Python projection
+        # Arrow-transfers a null, and the outer CASE takes the native
+        # normalized string.
+        tokens = _words_col(text_col)
+        strip_udf = _strip_covered_udf(n)
+        cols.append(
+            F.when(n_dup == 0, _normalize_col(text_col))
+            .otherwise(strip_udf(F.when(n_dup > 0, tokens), ps))
+            .alias("stripped")
+        )
+    elif with_stripped:
         from llm_aided_ocr_spark.operators.util import let_
 
         tokens = _words_col(text_col)

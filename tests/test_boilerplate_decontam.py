@@ -279,6 +279,43 @@ def test_dup_span_profile_stats_only_mode(spark, span_corpus):
     assert cols == ["id", "n_grams", "n_dup", "dup_frac"]
 
 
+def test_dup_span_strip_impls_agree(spark):
+    """The Arrow difference-array strip (default) and the interpreted
+    merged-interval HOF strip must be byte-identical on a randomized
+    corpus engineered to hit every coverage shape: clean docs, full
+    coverage, adjacent/overlapping spans, spans touching both document
+    edges, and sub-n docs."""
+    import random
+
+    from llm_aided_ocr_spark.operators.dedup import dup_span_profile
+
+    rng = random.Random(7)
+    shared_runs = [
+        " ".join(f"s{k}_{i}" for i in range(rng.randint(6, 14)))
+        for k in range(5)
+    ]
+    rows = []
+    for i in range(60):
+        parts = []
+        for _ in range(rng.randint(1, 5)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(shared_runs))
+            else:
+                parts.append(
+                    " ".join(f"u{i}_{j}" for j in range(rng.randint(0, 12)))
+                )
+        rows.append((i, " ".join(parts)))
+    rows += [(100, "tiny"), (101, ""), (102, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    key = lambda out: sorted(
+        (r.id, r.n_grams, r.n_dup, r.stripped) for r in out.collect()
+    )
+    a = key(dup_span_profile(df, n=6, strip_impl="arrow"))
+    b = key(dup_span_profile(df, n=6, strip_impl="native"))
+    assert a == b
+    assert any(r[2] > 0 and r[3] != "" for r in a)  # partial coverage hit
+
+
 def test_gram_hashes_arrow_matches_native_expression(spark):
     """gram_hashes_arrow must reproduce shingle_array_col VALUES exactly,
     for both hash families, at the shingle family's n=3 and ExactSubstr's

@@ -344,6 +344,89 @@ SELECT doc_id, stream, bin_ix, t AS n_tokens FROM walk
 """
 
 
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-shard release manifest: hash_split → per-(split,
+    stream) greedy packing → md5-52 shard routing → per-(split, shard)
+    rollup, the ENTIRE document→sequence→shard derivation of
+    plans.shards as ONE composed DuckDB replay (split thresholds, the
+    pack recurrence as a recursive CTE, the portable shard hash, both
+    aggregation levels)."""
+    from llm_aided_ocr_spark.operators.sampling import hash_split
+    from llm_aided_ocr_spark.plans.shards import shard_assignments, shard_manifest
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    split = hash_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=1)
+    asg = shard_assignments(
+        split, budget=512, num_shards=4, text_col="text",
+        id_col="doc_id", num_streams=8, shard_seed=7,
+    )
+    return shard_manifest(asg)
+
+
+def _build_shard_manifest_sql(
+    weights: dict,
+    budget: int = 512,
+    num_streams: int = 8,
+    num_shards: int = 4,
+    seed_split: int = 1,
+    shard_seed: int = 7,
+) -> str:
+    """DuckDB mirror of _q_shard_manifest. Split thresholds accumulate
+    with the operator's own float additions (repr round-trips doubles
+    exactly, same rationale as _build_hash_split_sql); the pack walk is
+    the _build_pack_sequences_sql recurrence partitioned by (split,
+    stream); the shard hash replays _shard_col's md5-52 over the
+    ``seed:split:stream:bin`` key."""
+    token_expr = (
+        "CAST(trunc(coalesce(list_sum(" + _TOKEN_COST_SQL + "), 0) * 1.1) AS INTEGER)"
+    )
+    names = list(weights)
+    acc = 0.0
+    cases = []
+    for name in names[:-1]:
+        acc += weights[name]
+        cases.append(f"WHEN u1 < {acc!r} THEN '{name}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    shard_key = (
+        f"'{shard_seed}:' || split || ':' || CAST(stream AS VARCHAR) "
+        "|| ':' || CAST(bin_ix AS VARCHAR)"
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('{seed_split}:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+           / CAST({1 << 52} AS DOUBLE) AS u1,
+         {token_expr} AS t
+  FROM documents),
+d AS (
+  SELECT doc_id, {case_sql} AS split,
+         CAST(doc_id % {num_streams} AS INTEGER) AS stream, t,
+         row_number() OVER (PARTITION BY {case_sql}, doc_id % {num_streams}
+                            ORDER BY doc_id) AS rn
+  FROM base),
+walk(split, stream, rn, doc_id, t, bin_ix, fill) AS (
+  SELECT split, stream, rn, doc_id, t, CAST(0 AS BIGINT), t FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.split, d.stream, d.rn, d.doc_id, d.t,
+         CASE WHEN w.fill + d.t > {budget} THEN w.bin_ix + 1 ELSE w.bin_ix END,
+         CASE WHEN w.fill + d.t > {budget} THEN d.t ELSE w.fill + d.t END
+  FROM walk w JOIN d ON d.split = w.split AND d.stream = w.stream AND d.rn = w.rn + 1),
+sharded AS (
+  SELECT split, stream, bin_ix, t,
+         CAST(CAST('0x' || substr(md5({shard_key}), 1, 13) AS BIGINT)
+              % {num_shards} AS INTEGER) AS shard
+  FROM walk),
+seq AS (
+  SELECT split, shard, stream, bin_ix,
+         COUNT(*) AS n_docs, SUM(t) AS seq_tokens
+  FROM sharded GROUP BY split, shard, stream, bin_ix)
+SELECT split, shard, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens
+FROM seq GROUP BY split, shard
+"""
+
+
 def _q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition metrics. The driver corpus is single-line, so the
     adapter constructs multi-line text ('. ' → newline) and, for every 3rd
@@ -2571,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_raw_parity": _q_pipeline_raw_parity,
         "dedup_clusters": _q_dedup_clusters,
         "pack_sequences": _q_pack_sequences,
+        "shard_manifest": _q_shard_manifest,
         "domain_stats": _q_domain_stats,
         "repetition_metrics": _q_repetition_metrics,
         "canonical_urls": _q_canonical_urls,
@@ -3188,6 +3272,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _build_ann_lsh_sql(k=10, num_planes=4, seed=7),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "pack_sequences": _build_pack_sequences_sql(budget=512, num_streams=8),
+        "shard_manifest": _build_shard_manifest_sql(
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+            budget=512, num_streams=8, num_shards=4,
+            seed_split=1, shard_seed=7,
+        ),
         "domain_stats": _DOMAIN_STATS_SQL,
         "repetition_metrics": _REPETITION_SQL,
         "canonical_urls": _CANONICAL_URLS_SQL,

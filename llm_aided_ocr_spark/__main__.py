@@ -74,6 +74,16 @@ def build_parser() -> argparse.ArgumentParser:
              "Run per arriving batch; the corpus itself is never re-read.",
     )
     p.add_argument("--near-dup-threshold", type=float, default=0.8)
+    # --- training-shard sink (composes with --curate) ---
+    p.add_argument(
+        "--write-shards", action="store_true",
+        help="after --curate: pack the curated corpus into fixed-token "
+             "sequences and write OUTPUT/shards/split=*/shard=*/ plus a "
+             "manifest (plans.shards.write_training_shards)",
+    )
+    p.add_argument("--shard-budget", type=int, default=2048,
+                   help="tokens per packed training sequence")
+    p.add_argument("--num-shards", type=int, default=64)
     return p
 
 
@@ -84,6 +94,10 @@ def main(argv=None) -> int:
     from llm_aided_ocr_spark.plans.checkpoint import CheckpointStore
     from llm_aided_ocr_spark.plans.pipeline import run_pipeline
     from llm_aided_ocr_spark.session import get_spark
+
+    if args.write_shards and not args.curate:
+        print("warning: --write-shards only applies with --curate; ignored",
+              file=sys.stderr)
 
     if args.max_pages or args.skip_first_n_pages:
         print(
@@ -166,6 +180,20 @@ def main(argv=None) -> int:
             )
         print(f"wrote {back.count()} curated documents to "
               f"{args.output}/curated_docs")
+        if args.write_shards:
+            from llm_aided_ocr_spark.plans.shards import write_training_shards
+
+            manifest = write_training_shards(
+                back, args.output + "/shards",
+                budget=args.shard_budget, num_shards=args.num_shards,
+            )
+            for r in manifest.orderBy("split", "shard").collect():
+                print(
+                    f"shard split={r['split']} shard={r['shard']} "
+                    f"docs={r['n_docs']} seqs={r['n_seqs']} "
+                    f"tokens={r['total_tokens']}"
+                )
+            print(f"wrote training shards to {args.output}/shards")
         spark.stop()
         return 0
 

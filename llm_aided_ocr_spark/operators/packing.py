@@ -31,8 +31,13 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_streams: int = 8,
+    split_col: str | None = None,
 ) -> DataFrame:
     """``(doc_id, stream, bin_ix, n_tokens)`` — greedy in-order packing.
+    With ``split_col`` (e.g. the ``hash_split`` output) the packing
+    groups are ``(split, stream)`` instead of ``stream`` — documents of
+    different splits never share a training sequence — and the output
+    carries the split column through.
 
     Semantics (exactly mirrored by the driver's recursive-CTE oracle):
     within a stream, docs are visited in ascending id (numeric order for
@@ -66,11 +71,26 @@ def pack_sequences(
             F.xxhash64(F.col(id_col)), F.lit(num_streams)
         ).cast("int")
 
-    prepped = df.select(
+    sel = [
         F.col(id_col).alias("doc_id"),
         stream_expr.alias("stream"),
         token_col.cast("int").alias("n_tokens"),
+    ]
+    group = ["stream"]
+    out_cols = ["doc_id", "stream", "bin_ix", "n_tokens"]
+    out_schema = (
+        f"doc_id {id_type.simpleString()}, stream int, bin_ix bigint, n_tokens int"
     )
+    if split_col is not None:
+        sel.append(F.col(split_col).alias("split"))
+        group = ["split", "stream"]
+        out_cols = ["doc_id", "split", "stream", "bin_ix", "n_tokens"]
+        split_type = df.schema[split_col].dataType.simpleString()
+        out_schema = (
+            f"doc_id {id_type.simpleString()}, split {split_type}, "
+            "stream int, bin_ix bigint, n_tokens int"
+        )
+    prepped = df.select(*sel)
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -88,12 +108,9 @@ def pack_sequences(
                 fill += int(x)
             bins[i] = b
         pdf["bin_ix"] = bins
-        return pdf[["doc_id", "stream", "bin_ix", "n_tokens"]]
+        return pdf[out_cols]
 
-    out_schema = (
-        f"doc_id {id_type.simpleString()}, stream int, bin_ix bigint, n_tokens int"
-    )
-    return prepped.groupBy("stream").applyInPandas(_pack, schema=out_schema)
+    return prepped.groupBy(*group).applyInPandas(_pack, schema=out_schema)
 
 
 def packing_stats(packed: DataFrame, budget: int) -> DataFrame:

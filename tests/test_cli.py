@@ -79,6 +79,43 @@ def test_cli_curate_mode(spark):
         assert {"split", "quality_score"} <= set(curated.columns)
 
 
+def test_cli_curate_write_shards(spark):
+    """--curate --write-shards: training shards land under OUTPUT/shards
+    with a manifest that accounts for every curated document."""
+    from llm_aided_ocr_spark.sources.synthetic import pages_dataframe
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as tmp:
+        inp = os.path.join(tmp, "pages.parquet")
+        out = os.path.join(tmp, "out")
+        pages_dataframe(spark, n_rows=8, include_golden=False).write.parquet(inp)
+
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "llm_aided_ocr_spark",
+                "--input", inp, "--output", out,
+                "--provider", "heuristic", "--curate", "--no-near-dedup",
+                "--write-shards", "--shard-budget", "256",
+                "--num-shards", "2", "--master", "local[2]",
+            ],
+            capture_output=True, text=True, timeout=300,
+            cwd=repo, env=dict(os.environ, PYTHONPATH=repo),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "wrote training shards" in proc.stdout
+
+        curated = spark.read.parquet(os.path.join(out, "curated_docs"))
+        shards = spark.read.parquet(os.path.join(out, "shards"))
+        assert shards.count() == curated.count()
+        assert {"split", "shard", "stream", "bin_ix", "n_tokens"} <= set(
+            shards.columns
+        )
+        manifest = spark.read.parquet(os.path.join(out, "shards", "_manifest"))
+        assert (
+            sum(r["n_docs"] for r in manifest.collect()) == curated.count()
+        )
+
+
 def test_cli_incremental_dedup_mode(spark):
     """Two CLI invocations sharing one index dir: batch 2's copy of a
     batch-1 document is dropped against the index, unique docs append."""

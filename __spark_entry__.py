@@ -2591,6 +2591,61 @@ WHERE d.id IS NULL
 """
 
 
+def _q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture resampling over the 37-domain
+    synthetic url map: site0 up-samples at 2.5 (2 copies + a hash-gated
+    3rd), site1 down-samples at 0.3, site2 drops entirely, everything
+    else passes at 1.0. The oracle replays rate lookup, the md5-52
+    fractional-copy gate, and the copy explosion row-for-row."""
+    from llm_aided_ocr_spark.operators.sampling import mixture_resample
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example.org/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    out = mixture_resample(
+        d.withColumn("url", url),
+        {
+            "site0.example.org": 2.5,
+            "site1.example.org": 0.3,
+            "site2.example.org": 0.0,
+        },
+        default_rate=1.0,
+        seed=5,
+    )
+    return out.select("doc_id", "copy_ix")
+
+
+_MIXTURE_RESAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 37 AS VARCHAR)
+           || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.org' AS dom
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         CASE dom WHEN 'site0.example.org' THEN 2.5
+                  WHEN 'site1.example.org' THEN 0.3
+                  WHEN 'site2.example.org' THEN 0.0
+                  ELSE 1.0 END AS rate,
+         CAST('0x' || substr(md5('5:' || url), 1, 13) AS BIGINT)
+           / CAST({1 << 52} AS DOUBLE) AS u
+  FROM d),
+c AS (
+  SELECT doc_id,
+         CAST(floor(rate) +
+              (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END)
+              AS INTEGER) AS copies
+  FROM r)
+SELECT doc_id, CAST(t.x AS INTEGER) AS copy_ix
+FROM c, UNNEST(range(copies)) AS t(x)
+"""
+
+
 def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain cap on a deliberately skewed synthetic url map: docs
     with doc_id%10==0 get a unique solo domain (always under cap, must
@@ -2702,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": _q_bm25_scores,
         "lm_score": _q_lm_score,
         "domain_cap": _q_domain_cap,
+        "mixture_resample": _q_mixture_resample,
         "incremental_dedup": _q_incremental_dedup,
         "media_dimensions": _q_media_dimensions,
         "blocklist_gate": _q_blocklist_gate,
@@ -3323,6 +3379,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _build_bm25_sql(),
         "lm_score": _build_lm_score_sql(),
         "domain_cap": _DOMAIN_CAP_SQL,
+        "mixture_resample": _MIXTURE_RESAMPLE_SQL,
         "incremental_dedup": _build_incremental_dedup_sql(),
         "media_dimensions": _MEDIA_DIMENSIONS_SQL,
         "blocklist_gate": _build_blocklist_sql(),

@@ -297,3 +297,62 @@ def domain_cap(
         .drop("_dc_h", "_dc_rn")
     )
     return under.unionByName(ranked).drop("_dc_domain")
+
+
+def mixture_resample(
+    df: DataFrame,
+    domain_rates: Dict[str, float],
+    default_rate: float = 1.0,
+    url_col: str = "url",
+    seed: int = 1,
+    copy_col: str = "copy_ix",
+) -> DataFrame:
+    """Deterministic per-domain mixture resampling — the data-mixing
+    step that tunes a crawl toward target domain weights (the
+    Pile/DoReMi-style reweighting pass): every document is emitted
+    ``floor(r)`` times plus one more iff ``unit_hash(seed, url) <
+    frac(r)``, where ``r`` is its domain's rate. One operator covers
+    both directions: ``r < 1`` down-samples (0-or-1 copies, exactly
+    :func:`deterministic_sample` per domain), ``r > 1`` up-samples
+    (epoch repetition with a deterministic fractional epoch), ``r = 0``
+    drops the domain. Output rows carry ``copy_col`` (0-based copy
+    index) so downstream stages — packing streams, shard routing — can
+    key on ``(url, copy_ix)`` and keep copies distinct.
+
+    Determinism: copies are a pure function of (seed, url, rates) —
+    layout-independent, engine-reproducible (driver-oracled), no RNG
+    state. Expected corpus share of domain d converges to
+    ``rate_d x count_d / Σ rate x count``; rates are per-DOCUMENT
+    multipliers, not normalized target proportions — derive them as
+    ``target_share / current_share`` from a :func:`domain_stats`
+    readout.
+
+    Scale shape: rates enter as ONE literal map expression (no join, no
+    broadcast variable; lookup is a per-row map probe of a
+    tens-to-hundreds-entry literal — for a corpus-scale rates TABLE,
+    join it on :func:`~llm_aided_ocr_spark.operators.textstats.domain_col`
+    and feed this operator's arithmetic instead), and the explode is a
+    narrow per-row generate — the whole operator is shuffle-free and
+    pushdown-transparent above the generate."""
+    if any(r < 0 for r in domain_rates.values()) or default_rate < 0:
+        raise ValueError("mixture rates must be non-negative")
+    from llm_aided_ocr_spark.operators.textstats import domain_col
+
+    if domain_rates:
+        entries = []
+        for k, v in domain_rates.items():
+            entries.extend([F.lit(k), F.lit(float(v))])
+        rate = F.coalesce(
+            F.element_at(F.create_map(*entries), domain_col(F.col(url_col))),
+            F.lit(float(default_rate)),
+        )
+    else:
+        rate = F.lit(float(default_rate))
+    whole = F.floor(rate).cast("int")
+    frac = rate - F.floor(rate)
+    extra = (_unit_hash_col(F.col(url_col), seed) < frac).cast("int")
+    copies = whole + extra
+    idx = F.when(
+        copies > 0, F.sequence(F.lit(0), copies - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(idx))

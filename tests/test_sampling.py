@@ -123,3 +123,63 @@ def test_dsir_scoring_join_broadcasts_the_ratio_table(spark, dsir_corpus):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_resample_semantics(spark):
+    """Rate 0 drops the domain, integer rate 2 copies every doc exactly
+    twice (no hash gate), fractional rates land between floor and ceil
+    with deterministic membership, and copy_ix enumerates copies."""
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.sampling import mixture_resample
+
+    rows = [
+        (f"https://{d}/p{i}",) for d in ("a.com", "b.com", "c.com", "d.com")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    out = mixture_resample(
+        df, {"a.com": 0.0, "b.com": 2.0, "c.com": 0.4}, default_rate=1.0,
+        seed=3,
+    )
+    per = {
+        r["d"]: (r["n"], r["max_ix"])
+        for r in out.groupBy(
+            F.regexp_extract("url", r"https://([^/]+)/", 1).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.max("copy_ix").alias("max_ix"))
+        .collect()
+    }
+    assert "a.com" not in per
+    assert per["b.com"] == (100, 1)
+    assert per["d.com"] == (50, 0)
+    n_c, max_c = per["c.com"]
+    assert 0 < n_c < 50 and max_c == 0
+    # deterministic: same seed reproduces exactly; different seed redraws
+    again = mixture_resample(
+        df, {"a.com": 0.0, "b.com": 2.0, "c.com": 0.4}, default_rate=1.0,
+        seed=3,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    other = mixture_resample(df, {"c.com": 0.4}, default_rate=1.0, seed=4)
+    kept3 = {r.url for r in out.filter(F.col("url").contains("c.com")).collect()}
+    kept4 = {r.url for r in other.filter(F.col("url").contains("c.com")).collect()}
+    assert kept3 != kept4
+
+
+def test_mixture_resample_fractional_upsample_and_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.sampling import mixture_resample
+
+    rows = [(f"https://up.com/p{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "url string")
+    out = mixture_resample(df, {"up.com": 2.3}, seed=1)
+    n = out.count()
+    # every doc appears 2 or 3 times; expected share of 3s ~ 0.3
+    assert 400 < n < 600
+    per_url = out.groupBy("url").count().select("count").distinct().collect()
+    assert {r["count"] for r in per_url} <= {2, 3}
+    with pytest.raises(ValueError):
+        mixture_resample(df, {"up.com": -0.1})

@@ -2591,6 +2591,64 @@ WHERE d.id IS NULL
 """
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning (Sennrich-style, over the
+    word-frequency table): the first 6 learned merges with their
+    frequencies. The oracle replays every round — pair counting weighted
+    by word count, the (freq DESC, lhs, rhs) argmax, and the
+    left-to-right non-overlapping merge application as a per-word
+    recursive-CTE walk (the chunker/pack technique, applied per round
+    via generated CTE chains)."""
+    from llm_aided_ocr_spark.operators.bpe import bpe_merges_df
+
+    return bpe_merges_df(_docs(spark, sf_dir), num_merges=6)
+
+
+def _build_bpe_sql(k: int) -> str:
+    parts = [
+        """
+WITH RECURSIVE wc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(list_filter(string_split_regex(
+          lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w),
+v0 AS MATERIALIZED (SELECT w, n, string_split(w, '') AS syms FROM wc)"""
+    ]
+    # MATERIALIZED hints are load-bearing: each v{t} is consumed twice
+    # (pair counting and the merge walk); DuckDB's default CTE inlining
+    # would re-evaluate the whole prefix chain per reference — measured
+    # as a >7-minute blowup at k=6 vs 0.1 s materialized.
+    for t in range(k):
+        parts.append(f""",
+p{t} AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS freq
+  FROM v{t}, UNNEST(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2),
+m{t} AS MATERIALIZED (
+  SELECT a, b, freq FROM p{t} ORDER BY freq DESC, a, b LIMIT 1),
+wk{t} AS (
+  SELECT w, n, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM v{t}
+  UNION ALL
+  SELECT s.w, s.n, s.syms,
+         CASE WHEN s.i < len(s.syms) AND s.syms[s.i] = m.a
+                   AND s.syms[s.i + 1] = m.b
+              THEN s.i + 2 ELSE s.i + 1 END,
+         CASE WHEN s.i < len(s.syms) AND s.syms[s.i] = m.a
+                   AND s.syms[s.i + 1] = m.b
+              THEN list_append(s.acc, m.a || m.b)
+              ELSE list_append(s.acc, s.syms[s.i]) END
+  FROM wk{t} s, m{t} m WHERE s.i <= len(s.syms)),
+v{t + 1} AS MATERIALIZED (
+  SELECT w, n, acc AS syms FROM wk{t} WHERE i = len(syms) + 1)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT {t} AS merge_ix, a AS lhs, b AS rhs, freq FROM m{t}"
+        for t in range(k)
+    )
+    parts.append("\n" + unions + "\n")
+    return "".join(parts)
+
+
 def _q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-mixture resampling over the 37-domain
     synthetic url map: site0 up-samples at 2.5 (2 copies + a hash-gated
@@ -2758,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "domain_cap": _q_domain_cap,
         "mixture_resample": _q_mixture_resample,
+        "bpe_merges": _q_bpe_merges,
         "incremental_dedup": _q_incremental_dedup,
         "media_dimensions": _q_media_dimensions,
         "blocklist_gate": _q_blocklist_gate,
@@ -3380,6 +3439,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _build_lm_score_sql(),
         "domain_cap": _DOMAIN_CAP_SQL,
         "mixture_resample": _MIXTURE_RESAMPLE_SQL,
+        "bpe_merges": _build_bpe_sql(k=6),
         "incremental_dedup": _build_incremental_dedup_sql(),
         "media_dimensions": _MEDIA_DIMENSIONS_SQL,
         "blocklist_gate": _build_blocklist_sql(),

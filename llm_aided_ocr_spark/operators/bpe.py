@@ -1,0 +1,192 @@
+"""Distributed BPE vocabulary learning — byte-pair-encoding merge
+induction over a corpus, the tokenizer-training step of a pretraining
+pipeline (Sennrich et al. 2016, arXiv:1508.07909 — learn merges from the
+WORD-FREQUENCY table, not the raw corpus).
+
+Scale shape (the reason BPE fits Spark at 10^12 documents): the corpus
+is touched exactly once, by the word-count aggregation (map-side-combined
+``(word, n)`` — the same exchange `word_commonness` bounds); every merge
+round after that runs on the VOCAB-sized relation (distinct words —
+10^6..10^9 rows at web scale, independent of corpus row count). Per
+round: one pair-frequency aggregation (pairs explode document-locally
+from each word's current symbol array, weighted by the word's count) and
+one bounded argmax (``orderBy(...).limit(1)`` — TakeOrdered, one row to
+the driver; the SAME bounded-collect discipline as dedup_clusters'
+convergence checks — the merge choice is inherently a global sequential
+decision, which is why no engine trains BPE without a driver loop). The
+merge application is a vocab-sized Arrow pass; each round ends in an
+eager ``localCheckpoint`` so round k+1's lineage doesn't replay rounds
+1..k (the dedup_clusters pattern, including releasing superseded
+checkpoints).
+
+Simplifications vs a production tokenizer (documented, deliberate):
+symbols start as the word's characters with NO end-of-word marker, and
+words come from the repo's shared token family (lowercased ``[a-z0-9]+``
+runs), so merges never cross word boundaries. No reference analogue
+(the reference estimates token COUNTS, llm_aided_ocr.py:185-203; it
+never trains a vocabulary).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _merge_word(syms: List[str], a: str, b: str) -> List[str]:
+    """Left-to-right non-overlapping application of merge (a, b) -> ab —
+    the exact semantics the DuckDB oracle replays as a per-word
+    recursive-CTE walk (``'a a a'`` under merge (a, a) becomes
+    ``['aa', 'a']``, not ``['aa', 'aa']``)."""
+    out: List[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_learn(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_word_freq: int = 1,
+) -> List[Tuple[int, str, str, int]]:
+    """Learn ``num_merges`` BPE merges from a document corpus; returns
+    ``[(merge_ix, left, right, freq)]`` in learned order (may be shorter
+    than ``num_merges`` if the vocabulary exhausts — every word collapsed
+    to one symbol).
+
+    Pair counting counts EVERY adjacent position (``'aaa'`` contributes
+    (a, a) twice); merge application is left-to-right non-overlapping;
+    ties break deterministically by (freq DESC, left ASC, right ASC) so
+    the learned table is reproducible across cluster layouts and in the
+    driver's DuckDB oracle. ``min_word_freq`` drops the long singleton
+    tail of the word table before iterating (hapaxes shift BPE counts
+    negligibly at corpus scale but dominate the vocab relation's row
+    count — the standard practical cut)."""
+    from llm_aided_ocr_spark.operators.dedup import _words_col
+    from llm_aided_ocr_spark.operators.util import release_local_checkpoint
+
+    words = (
+        df.select(F.explode(_words_col(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_word_freq > 1:
+        words = words.filter(F.col("n") >= min_word_freq)
+    vocab = words.select(
+        "n", F.split(F.col("w"), "").alias("syms")
+    ).localCheckpoint(eager=True)
+
+    merges: List[Tuple[int, str, str, int]] = []
+    for t in range(num_merges):
+        sz = F.size("syms")
+        pairs = (
+            vocab.filter(sz >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, sz - 1).alias("a"),
+                        F.slice("syms", 2, sz - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("freq"))
+        )
+        top = pairs.orderBy(
+            F.desc("freq"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
+        merges.append((t, a, b, freq))
+
+        def _apply(batches, a=a, b=b):
+            for pdf in batches:
+                pdf["syms"] = [
+                    _merge_word(list(s), a, b) for s in pdf["syms"]
+                ]
+                yield pdf
+
+        new_vocab = vocab.mapInPandas(
+            _apply, schema="n bigint, syms array<string>"
+        ).localCheckpoint(eager=True)
+        release_local_checkpoint(vocab)
+        vocab = new_vocab
+    release_local_checkpoint(vocab)
+    return merges
+
+
+def bpe_merges_df(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_word_freq: int = 1,
+) -> DataFrame:
+    """:func:`bpe_learn` as a DataFrame ``(merge_ix, lhs, rhs, freq)`` —
+    the driver-contract surface (``lhs``/``rhs`` because left/right are
+    SQL keywords on both engines)."""
+    merges = bpe_learn(
+        df, num_merges, text_col=text_col, min_word_freq=min_word_freq
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges or [], "merge_ix int, lhs string, rhs string, freq bigint"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: List[Tuple[int, str, str, int]] | List[Tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge list to tokenize documents:
+    ``out_col array<string>`` of subword symbols (word-local, merges in
+    learned order — the standard BPE encoder loop). One Arrow pass over
+    the corpus; the merge table rides in the task closure (vocab-sized
+    merge lists belong in a broadcast, same mechanics)."""
+    from llm_aided_ocr_spark.operators.dedup import _words_col
+
+    pairs = [
+        (m[1], m[2]) if len(m) >= 3 else (m[0], m[1]) for m in merges
+    ]
+    prepared = df.withColumn("_bpe_words", _words_col(text_col))
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in prepared.schema.fields
+    )
+
+    def _enc(batches, pairs=pairs):
+        for pdf in batches:
+            col = []
+            for ws in pdf["_bpe_words"]:
+                toks: List[str] = []
+                for w in ws:
+                    syms = list(w)
+                    for a, b in pairs:
+                        if len(syms) < 2:
+                            break
+                        syms = _merge_word(syms, a, b)
+                    toks.extend(syms)
+                col.append(toks)
+            pdf[out_col] = col
+            yield pdf
+
+    return (
+        prepared.mapInPandas(
+            _enc, schema=f"{out_fields}, {out_col} array<string>"
+        )
+        .drop("_bpe_words")
+    )

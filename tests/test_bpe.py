@@ -1,0 +1,134 @@
+"""BPE vocabulary learning — parity with an independent pure-Python
+reference implementation, tie-break determinism, exhaustion, and the
+encoder round-trip."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+
+
+def _ref_words(text: str):
+    return [w for w in re.split(r"[^a-z0-9]+", (text or "").lower()) if w]
+
+
+def _ref_bpe(word_counts: dict, k: int):
+    """Independent reference: Sennrich-style BPE over a word-frequency
+    dict. Counts every adjacent position; merges left-to-right
+    non-overlapping; ties (freq DESC, lhs ASC, rhs ASC)."""
+    vocab = [(list(w), n) for w, n in sorted(word_counts.items())]
+    merges = []
+    for t in range(k):
+        counts = {}
+        for syms, n in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (a, b), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((t, a, b, freq))
+        new_vocab = []
+        for syms, n in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((out, n))
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_learn_matches_reference_on_random_corpus(spark):
+    from llm_aided_ocr_spark.operators.bpe import bpe_learn
+
+    rng = random.Random(11)
+    base = ["lower", "lowest", "newer", "newest", "wider", "low", "new",
+            "abba", "aaaa", "x1y2", "banana", "bandana"]
+    docs = [
+        (" ".join(rng.choice(base) for _ in range(rng.randint(3, 30))),)
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    wc = {}
+    for (t,) in docs:
+        for w in _ref_words(t):
+            wc[w] = wc.get(w, 0) + 1
+    expect = _ref_bpe(wc, 10)
+    got = bpe_learn(df, 10)
+    assert got == expect
+
+
+def test_bpe_overlapping_run_merges_left_to_right(spark):
+    """'aaaa' under merge (a,a): pair count is 3 (every adjacent
+    position) but application yields [aa, aa] — and the second round's
+    (aa, aa) count must reflect the applied, non-overlapping form."""
+    from llm_aided_ocr_spark.operators.bpe import bpe_learn
+
+    df = spark.createDataFrame([("aaaa aaaa aaa",)], "text string")
+    merges = bpe_learn(df, 2)
+    assert merges[0][1:] == ("a", "a", 2 * 3 + 2)  # 3 per 'aaaa', 2 in 'aaa'
+    # after applying: aaaa->[aa,aa], aaa->[aa,a]; pairs: (aa,aa)x2, (aa,a)x1
+    assert merges[1][1:] == ("aa", "aa", 2)
+
+
+def test_bpe_exhaustion_returns_short_list(spark):
+    from llm_aided_ocr_spark.operators.bpe import bpe_learn
+
+    df = spark.createDataFrame([("ab ab ab",)], "text string")
+    merges = bpe_learn(df, 10)
+    # one merge collapses the whole vocab to single symbols
+    assert [m[1:3] for m in merges] == [("a", "b")]
+
+
+def test_bpe_min_word_freq_drops_hapaxes(spark):
+    from llm_aided_ocr_spark.operators.bpe import bpe_learn
+
+    df = spark.createDataFrame(
+        [("zz zz zz qqqq",)], "text string"
+    )
+    all_words = bpe_learn(df, 1)
+    assert all_words[0][1:3] == ("q", "q")  # qqqq contributes 3 (q,q)
+    cut = bpe_learn(df, 1, min_word_freq=2)
+    assert cut[0][1:3] == ("z", "z")  # hapax qqqq gone
+
+
+def test_bpe_encode_round_trip_and_merge_order(spark):
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.bpe import bpe_encode, bpe_learn
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat the cat",), ("a cathedral that mattered",)],
+        "text string",
+    )
+    merges = bpe_learn(df, 6)
+    enc = bpe_encode(df, merges)
+    rows = enc.select("text", "bpe_tokens").collect()
+    for r in rows:
+        # concatenation restores the normalized character stream
+        assert "".join(r["bpe_tokens"]) == "".join(_ref_words(r["text"]))
+    # learned symbols appear: the corpus's dominant pair merged somewhere
+    toks = {t for r in rows for t in r["bpe_tokens"]}
+    assert any(len(t) > 1 for t in toks)
+    # bare (lhs, rhs) pair lists are accepted too
+    enc2 = bpe_encode(df, [(m[1], m[2]) for m in merges])
+    assert [tuple(r) for r in enc2.collect()] == [tuple(r) for r in enc.collect()]
+
+
+def test_bpe_merges_df_schema(spark):
+    from llm_aided_ocr_spark.operators.bpe import bpe_merges_df
+
+    out = bpe_merges_df(
+        spark.createDataFrame([("ab ab",)], "text string"), 3
+    )
+    assert out.columns == ["merge_ix", "lhs", "rhs", "freq"]
+    assert out.count() == 1

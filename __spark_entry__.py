@@ -2604,7 +2604,23 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(_docs(spark, sf_dir), num_merges=6)
 
 
-def _build_bpe_sql(k: int) -> str:
+def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token counts under the learned 6-merge BPE table — learn
+    (driver loop over vocab-sized rounds), tokenize each DISTINCT word
+    once (vocab-sized Arrow pass), then count per document via the
+    pre-aggregated ``(id, w, n)`` join (word_commonness's linearity
+    trick). The oracle extends the merge-learning CTE chain: the final
+    vocab relation v6 already holds every word's post-merge symbol
+    array, so per-word counts are ``len(syms)`` and per-doc counts are
+    the same distinct-word join + ``sum(n * n_syms)``."""
+    from llm_aided_ocr_spark.operators.bpe import bpe_learn, bpe_token_counts
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_learn(docs, num_merges=6)
+    return bpe_token_counts(docs, merges)
+
+
+def _bpe_cte_prefix(k: int) -> str:
     parts = [
         """
 WITH RECURSIVE wc AS (
@@ -2641,12 +2657,35 @@ wk{t} AS (
   FROM wk{t} s, m{t} m WHERE s.i <= len(s.syms)),
 v{t + 1} AS MATERIALIZED (
   SELECT w, n, acc AS syms FROM wk{t} WHERE i = len(syms) + 1)""")
+    return "".join(parts)
+
+
+def _build_bpe_sql(k: int) -> str:
     unions = "\nUNION ALL ".join(
         f"SELECT {t} AS merge_ix, a AS lhs, b AS rhs, freq FROM m{t}"
         for t in range(k)
     )
-    parts.append("\n" + unions + "\n")
-    return "".join(parts)
+    return _bpe_cte_prefix(k) + "\n" + unions + "\n"
+
+
+def _build_bpe_counts_sql(k: int) -> str:
+    return _bpe_cte_prefix(k) + f""",
+docw AS (
+  SELECT id, w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT doc_id AS id, unnest(list_filter(string_split_regex(
+          lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY id, w),
+perdoc AS (
+  SELECT id, CAST(SUM(docw.n) AS BIGINT) AS n_words,
+         CAST(SUM(docw.n * len(syms)) AS BIGINT) AS n_bpe_tokens
+  FROM docw JOIN v{k} USING (w)
+  GROUP BY id)
+SELECT d.doc_id AS id,
+       coalesce(p.n_words, 0) AS n_words,
+       coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.id
+"""
 
 
 def _q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2817,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "mixture_resample": _q_mixture_resample,
         "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
         "incremental_dedup": _q_incremental_dedup,
         "media_dimensions": _q_media_dimensions,
         "blocklist_gate": _q_blocklist_gate,
@@ -3440,6 +3480,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _DOMAIN_CAP_SQL,
         "mixture_resample": _MIXTURE_RESAMPLE_SQL,
         "bpe_merges": _build_bpe_sql(k=6),
+        "bpe_token_counts": _build_bpe_counts_sql(k=6),
         "incremental_dedup": _build_incremental_dedup_sql(),
         "media_dimensions": _MEDIA_DIMENSIONS_SQL,
         "blocklist_gate": _build_blocklist_sql(),

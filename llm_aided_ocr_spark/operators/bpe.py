@@ -147,6 +147,85 @@ def bpe_merges_df(
     )
 
 
+def bpe_token_counts(
+    df: DataFrame,
+    merges: List[Tuple[int, str, str, int]] | List[Tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, n_words, n_bpe_tokens)`` — every document's token count
+    under a learned merge table: the sizing pass a pretraining pipeline
+    runs corpus-wide before packing (sequence budgets are counted in
+    TOKENIZER tokens, not the whitespace estimate).
+
+    Scale shape (why this is not ``bpe_encode`` + ``size``): merges are
+    word-local, so the corpus never needs to be re-encoded per
+    occurrence — the merge walk runs once per DISTINCT word (a
+    vocab-sized Arrow pass, independent of corpus row count) and the
+    per-document count is the pre-aggregated ``(id, w, n)`` relation
+    joined to ``(w, n_syms)`` and summed: ``sum(n * n_syms)`` — the
+    identical-by-linearity trick and shuffle diet of
+    ``textstats.word_commonness`` (the join carries
+    distinct-words-per-doc rows, never per-occurrence rows). Empty
+    documents count 0; the all-ids rejoin is pinned shuffle-hash
+    (``corpus_scaled`` — per-doc counts are O(corpus), never a
+    broadcast build side)."""
+    from llm_aided_ocr_spark.operators.dedup import _words_col
+    from llm_aided_ocr_spark.operators.util import (
+        corpus_scaled,
+        ensure_min_parallelism,
+        pin,
+    )
+
+    pairs = [
+        (m[1], m[2]) if len(m) >= 3 else (m[0], m[1]) for m in merges
+    ]
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), _words_col(text_col).alias("ws")
+    )
+    occ = (
+        base.select("id", F.explode("ws").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()  # feeds the vocab distinct AND the join side; pinned
+    )
+    vocab = occ.select("w").distinct()
+
+    def _tokenize(batches, pairs=pairs):
+        for pdf in batches:
+            counts = []
+            for w in pdf["w"]:
+                syms = list(w)
+                for a, b in pairs:
+                    if len(syms) < 2:
+                        break
+                    syms = _merge_word(syms, a, b)
+                counts.append(len(syms))
+            yield pd.DataFrame({"w": pdf["w"], "n_syms": counts})
+
+    vocab_tok = vocab.mapInPandas(_tokenize, schema="w string, n_syms int")
+    per_doc = (
+        occ.join(vocab_tok, "w")
+        .groupBy("id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_syms")).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return pin(
+        all_ids.join(corpus_scaled(per_doc), "id", "left").select(
+            "id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+        ),
+        occ,
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: List[Tuple[int, str, str, int]] | List[Tuple[str, str]],

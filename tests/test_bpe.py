@@ -124,6 +124,41 @@ def test_bpe_encode_round_trip_and_merge_order(spark):
     assert [tuple(r) for r in enc2.collect()] == [tuple(r) for r in enc.collect()]
 
 
+def test_bpe_token_counts_matches_per_doc_encode(spark):
+    """The vocab-join counting path equals len(bpe_encode(doc)) for every
+    document (linearity over distinct words), empty docs count 0, and the
+    id column follows the input id type."""
+    from llm_aided_ocr_spark.operators.bpe import (
+        bpe_encode,
+        bpe_learn,
+        bpe_token_counts,
+    )
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "the cat sat on the mat the cat"),
+            ("u2", "a cathedral that mattered"),
+            ("u3", ""),
+            ("u4", None),
+            ("u5", "aaaa aaa the the"),
+        ],
+        "url string, text string",
+    )
+    merges = bpe_learn(df, 5)
+    out = bpe_token_counts(df, merges, id_col="url")
+    got = {r["id"]: (r["n_words"], r["n_bpe_tokens"]) for r in out.collect()}
+    release_pinned(out, blocking=True)
+    enc = bpe_encode(df, merges)
+    for r in enc.collect():
+        url, toks = r["url"], r["bpe_tokens"]
+        n_words = len(_ref_words(r["text"] or ""))
+        assert got[url] == (n_words, len(toks)), url
+    assert got["u3"] == (0, 0)
+    assert got["u4"] == (0, 0)
+    assert dict(out.dtypes)["id"] == "string"
+
+
 def test_bpe_merges_df_schema(spark):
     from llm_aided_ocr_spark.operators.bpe import bpe_merges_df
 

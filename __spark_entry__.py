@@ -2342,6 +2342,49 @@ FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id, stats
 """
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split: per language, rank by the
+    reference-LM score and cut into thirds of cumulative BYTE mass
+    (Wenzek et al. 2020 §4.4). Same model/reference-slice setup as
+    ``lm_score``; the oracle nests the lm_score replay as a CTE and
+    re-derives the integer-exact cut."""
+    from llm_aided_ocr_spark.operators.lm import ccnet_buckets
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
+    d = _docs(spark, sf_dir, spread=True)
+    ref = d.filter(F.col("doc_id") % 10 == 0)
+    out = ccnet_buckets(d, ref_df=ref)
+    return carry_pins(out, out.withColumnRenamed("id", "doc_id"))
+
+
+def _build_ccnet_buckets_sql(lam: float = _LM_SCORE_LAM) -> str:
+    return f"""
+WITH scored AS ({_build_lm_score_sql(lam)}),
+docrel AS (
+  SELECT d.doc_id, d.lang,
+         CAST(strlen(coalesce(d.text, '')) AS BIGINT) AS doc_bytes,
+         s.lm_score_r
+  FROM documents d JOIN scored s USING (doc_id)),
+mass AS (
+  SELECT lang, lm_score_r, CAST(SUM(doc_bytes) AS BIGINT) AS m
+  FROM docrel GROUP BY ALL),
+cut AS (
+  SELECT lang, lm_score_r,
+    CASE WHEN 3 * cumb < tot THEN 'head'
+         WHEN 3 * cumb < 2 * tot THEN 'middle'
+         ELSE 'tail' END AS bucket
+  FROM (SELECT lang, lm_score_r,
+          coalesce(CAST(SUM(m) OVER (
+            PARTITION BY lang ORDER BY lm_score_r DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+            0) AS cumb,
+          CAST(SUM(m) OVER (PARTITION BY lang) AS BIGINT) AS tot
+        FROM mass))
+SELECT dr.doc_id, dr.lang, dr.lm_score_r, dr.doc_bytes, c.bucket
+FROM docrel dr JOIN cut c USING (lang, lm_score_r)
+"""
+
+
 _BLOCKLIST_DEMO = ("vector", "fast", "zqxv")  # demo list; real C4 uses LDNOOBW
 
 
@@ -2853,6 +2896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "bm25_scores": _q_bm25_scores,
         "lm_score": _q_lm_score,
+        "ccnet_buckets": _q_ccnet_buckets,
         "domain_cap": _q_domain_cap,
         "mixture_resample": _q_mixture_resample,
         "bpe_merges": _q_bpe_merges,
@@ -3477,6 +3521,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _build_quality_classifier_sql(dim=1 << 16, seed=1),
         "bm25_scores": _build_bm25_sql(),
         "lm_score": _build_lm_score_sql(),
+        "ccnet_buckets": _build_ccnet_buckets_sql(),
         "domain_cap": _DOMAIN_CAP_SQL,
         "mixture_resample": _MIXTURE_RESAMPLE_SQL,
         "bpe_merges": _build_bpe_sql(k=6),

@@ -213,3 +213,86 @@ def lm_score(
         ),
         F.coalesce("lm_score_r", F.lit(0.0)).alias("lm_score_r"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    ref_df: DataFrame | None = None,
+    model: dict | None = None,
+    lam: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    hash_family: str = "xxhash64",
+    hashed: bool = True,
+) -> DataFrame:
+    """``(id, lang, lm_score_r, doc_bytes, bucket)`` — CCNet's
+    head/middle/tail corpus split (Wenzek et al. 2020 §4.4): per
+    language, rank documents by LM quality and cut into thirds by
+    cumulative SIZE, so each bucket holds ~1/3 of the language's bytes,
+    not 1/3 of its documents. ``head`` is the highest-:func:`lm_score`
+    (lowest-perplexity-proxy) mass; downstream pipelines train on head,
+    sample middle, and drop or re-mine tail.
+
+    Determinism/exactness: mass is UTF-8 byte length (integer, identical
+    in Spark ``octet_length`` and DuckDB ``strlen``); bucket thresholds
+    compare ``3 * cum_before < total`` and ``3 * cum_before < 2 * total``
+    in bigint space, where ``cum_before`` is the byte mass of strictly
+    BETTER-scoring docs in the language. All documents sharing one score
+    share one bucket (the boundary-straddling score group lands whole in
+    the better bucket) — so the split is a pure function of
+    ``(lang, score)``, independent of row order and partitioning, and
+    the driver's DuckDB oracle replays it exactly.
+
+    Scale shape: one corpus-to-corpus id join (scored ← metadata; both
+    sides shuffle on the id once), then the cut runs entirely on the
+    aggregated ``(lang, score) → mass`` relation — the window sort
+    orders DISTINCT scores per language (scores are 9-dp-rounded
+    ratios; far below corpus cardinality), never documents. The bucket
+    assignment joins back on ``(lang, score)`` with the corpus side
+    streaming; the tiny cut relation is left to AQE to broadcast. The
+    doc relation is cached (it feeds the mass aggregation and the final
+    join) and pinned on the result for deterministic release."""
+    from llm_aided_ocr_spark.operators.util import corpus_scaled, pin
+
+    scored = lm_score(
+        df, ref_df=ref_df, model=model, lam=lam, text_col=text_col,
+        id_col=id_col, hash_family=hash_family, hashed=hashed,
+    ).select("id", "lm_score_r")
+    meta = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).cast(
+            "bigint"
+        ).alias("doc_bytes"),
+    )
+    doc_rel = meta.join(corpus_scaled(scored), "id").cache()
+    mass = doc_rel.groupBy("lang", "lm_score_r").agg(
+        F.sum("doc_bytes").alias("m")
+    )
+    from pyspark.sql import Window
+
+    by_lang = Window.partitionBy("lang")
+    better = (
+        by_lang.orderBy(F.desc("lm_score_r"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cut = mass.select(
+        "lang",
+        "lm_score_r",
+        F.coalesce(F.sum("m").over(better), F.lit(0)).alias("cumb"),
+        F.sum("m").over(by_lang).alias("tot"),
+    ).select(
+        "lang",
+        "lm_score_r",
+        F.when(3 * F.col("cumb") < F.col("tot"), F.lit("head"))
+        .when(3 * F.col("cumb") < 2 * F.col("tot"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return pin(
+        doc_rel.join(cut, ["lang", "lm_score_r"]).select(
+            "id", "lang", "lm_score_r", "doc_bytes", "bucket"
+        ),
+        doc_rel,
+    )

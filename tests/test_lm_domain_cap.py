@@ -182,3 +182,78 @@ def test_domain_cap_salted_two_phase_identical(spark, skewed_corpus):
                 ).collect()
             )
             assert salted == plain, (k, s)
+
+
+# ---------------------------------------------------------------------------
+# ccnet_buckets — head/middle/tail cut by cumulative byte mass
+# ---------------------------------------------------------------------------
+
+def _replay_cut(rows):
+    """Independent Python replay of the CCNet cut: per lang, order
+    distinct scores DESC, bucket by integer-exact cumulative-mass
+    thirds."""
+    from collections import defaultdict
+
+    mass = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        mass[r.lang][r.lm_score_r] += r.doc_bytes
+    cut = {}
+    for lang, by_score in mass.items():
+        tot = sum(by_score.values())
+        cumb = 0
+        for s in sorted(by_score, reverse=True):
+            if 3 * cumb < tot:
+                cut[(lang, s)] = "head"
+            elif 3 * cumb < 2 * tot:
+                cut[(lang, s)] = "middle"
+            else:
+                cut[(lang, s)] = "tail"
+            cumb += by_score[s]
+    return cut
+
+
+def test_ccnet_buckets_matches_python_replay(spark):
+    from llm_aided_ocr_spark.operators.lm import ccnet_buckets
+
+    docs = []
+    for i in range(60):
+        lang = "en" if i % 3 else "fr"
+        # graded reference-likeness: more repetitions of the in-model
+        # phrase -> higher score; pad with OOV gibberish
+        good = "the cat sat on the mat " * (i % 7)
+        bad = f"zx{i} qv{i} " * (i % 5)
+        docs.append((i, good + bad, lang))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, lang string")
+    ref = df.filter(F.col("doc_id") % 10 == 0)
+    out = ccnet_buckets(df, ref_df=ref)
+    rows = out.collect()
+    release_pinned(out, blocking=True)
+    assert len(rows) == 60  # every doc bucketed exactly once
+    cut = _replay_cut(rows)
+    for r in rows:
+        assert r.bucket == cut[(r.lang, r.lm_score_r)], r
+    # each lang has some spread across buckets on this graded corpus
+    for lang in ("en", "fr"):
+        assert len({r.bucket for r in rows if r.lang == lang}) == 3
+    # head out-scores tail within every language
+    for lang in ("en", "fr"):
+        head = [r.lm_score_r for r in rows if r.lang == lang and r.bucket == "head"]
+        tail = [r.lm_score_r for r in rows if r.lang == lang and r.bucket == "tail"]
+        assert min(head) > max(tail)
+
+
+def test_ccnet_buckets_ties_share_bucket_and_mass_is_thirds(spark):
+    """All docs with one (lang, score) land in one bucket, and the head
+    bucket's byte mass crosses the 1/3 threshold only via the boundary
+    group."""
+    from llm_aided_ocr_spark.operators.lm import ccnet_buckets
+
+    # 9 identical docs -> one score group -> everything is head
+    df = spark.createDataFrame(
+        [(i, "the cat sat on the mat", "en") for i in range(9)],
+        "doc_id bigint, text string, lang string",
+    )
+    out = ccnet_buckets(df, ref_df=df)
+    rows = out.collect()
+    release_pinned(out, blocking=True)
+    assert {r.bucket for r in rows} == {"head"}

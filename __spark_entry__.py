@@ -518,6 +518,108 @@ LEFT JOIN tstats ts USING (doc_id)
 """
 
 
+_GOPHER_NGRAM_TOP = (2, 3, 4)
+_GOPHER_NGRAM_DUP = (5, 6, 7, 8, 9, 10)
+
+
+def _q_gopher_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of Gopher's repetition table: top-{2,3,4}-gram char
+    fraction and duplicate-{5..10}-gram char coverage (overlap counted
+    once). The driver corpus has little natural long-range repetition,
+    so the adapter appends self-overlap — full doubling every 7th doc
+    (dup fractions near 1), a prefix echo every 3rd (partial coverage) —
+    via ONE expression string evaluated by both engines. The Python
+    Counter/bitmap pass is value-checked against DuckDB's independent
+    relational derivation (per-position gram explode, HAVING c>1,
+    DISTINCT covered positions)."""
+    from llm_aided_ocr_spark.operators.textstats import gopher_ngram_metrics
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0"
+            " THEN coalesce(text,'') || ' ' || coalesce(text,'')"
+            " WHEN doc_id % 3 = 0"
+            " THEN coalesce(text,'') || ' ' || substr(coalesce(text,''), 1, 80)"
+            " ELSE coalesce(text,'') END"
+        ).alias("text"),
+    )
+    out = gopher_ngram_metrics(
+        d, top_ns=_GOPHER_NGRAM_TOP, dup_ns=_GOPHER_NGRAM_DUP
+    )
+    cols = [
+        f"top_{n}gram_char_frac" for n in _GOPHER_NGRAM_TOP
+    ] + [f"dup_{n}gram_char_frac" for n in _GOPHER_NGRAM_DUP]
+    return out.select(
+        "doc_id", *[F.round(c, 6).alias(f"{c}_r") for c in cols]
+    )
+
+
+def _build_gopher_ngram_sql(
+    top_ns: tuple = _GOPHER_NGRAM_TOP, dup_ns: tuple = _GOPHER_NGRAM_DUP
+) -> str:
+    parts = ["""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN t || ' ' || t
+              WHEN doc_id % 3 = 0 THEN t || ' ' || substr(t, 1, 80)
+              ELSE t END AS t
+  FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)),
+wl AS (
+  SELECT doc_id,
+         [w for w in string_split_regex(lower(t), '[^a-z0-9]+') if w != ''] AS ws
+  FROM base),
+st AS (
+  SELECT doc_id, ws, len(ws) AS nw,
+         coalesce(list_sum([length(w) for w in ws]), 0) AS total
+  FROM wl)"""]
+    for n in top_ns:
+        parts.append(f""",
+t{n} AS (
+  SELECT q.doc_id,
+         q.c * (length(q.gram) - {n - 1}) / CAST(s.total AS DOUBLE) AS frac
+  FROM (SELECT doc_id, gram, COUNT(*) AS c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, gram ASC) AS rn
+        FROM (SELECT doc_id, array_to_string(ws[i:i + {n - 1}], ' ') AS gram
+              FROM st, unnest(range(1, nw - {n} + 2)) AS u(i))
+        GROUP BY doc_id, gram) q
+  JOIN st s USING (doc_id)
+  WHERE q.rn = 1 AND s.total > 0)""")
+    for n in dup_ns:
+        parts.append(f""",
+o{n} AS (
+  SELECT doc_id, i, array_to_string(ws[i:i + {n - 1}], ' ') AS gram
+  FROM st, unnest(range(1, nw - {n} + 2)) AS u(i)),
+c{n} AS (
+  SELECT DISTINCT o.doc_id, r.p
+  FROM o{n} o
+  JOIN (SELECT doc_id, gram FROM o{n}
+        GROUP BY doc_id, gram HAVING COUNT(*) > 1) d
+    USING (doc_id, gram),
+  unnest(range(o.i, o.i + {n})) AS r(p)),
+d{n} AS (
+  SELECT c.doc_id,
+         SUM(length(s.ws[c.p])) / CAST(any_value(s.total) AS DOUBLE) AS frac
+  FROM c{n} c JOIN st s USING (doc_id)
+  GROUP BY c.doc_id)""")
+    sel = ["\nSELECT d.doc_id"]
+    for n in top_ns:
+        sel.append(
+            f",\n  round(coalesce(t{n}.frac, 0.0), 6) AS top_{n}gram_char_frac_r"
+        )
+    for n in dup_ns:
+        sel.append(
+            f",\n  round(coalesce(d{n}.frac, 0.0), 6) AS dup_{n}gram_char_frac_r"
+        )
+    sel.append("\nFROM documents d")
+    for n in top_ns:
+        sel.append(f"\nLEFT JOIN t{n} ON t{n}.doc_id = d.doc_id")
+    for n in dup_ns:
+        sel.append(f"\nLEFT JOIN d{n} ON d{n}.doc_id = d.doc_id")
+    return "".join(parts) + "".join(sel) + "\n"
+
+
 def _q_word_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level word-commonness scores — the two-pass global operator
     (corpus word counts joined back per occurrence); exact integer-sum +
@@ -2852,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": _q_shard_manifest,
         "domain_stats": _q_domain_stats,
         "repetition_metrics": _q_repetition_metrics,
+        "gopher_ngram_repetition": _q_gopher_ngram_repetition,
         "canonical_urls": _q_canonical_urls,
         "hash_split": _q_hash_split,
         "curation_e2e": _q_curation_e2e,
@@ -3478,6 +3581,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "domain_stats": _DOMAIN_STATS_SQL,
         "repetition_metrics": _REPETITION_SQL,
+        "gopher_ngram_repetition": _build_gopher_ngram_sql(),
         "canonical_urls": _CANONICAL_URLS_SQL,
         "hash_split": _build_hash_split_sql({"train": 0.9, "val": 0.05, "test": 0.05}, rate=0.1),
         "curation_e2e": _build_curation_sql(quality_min=40, threshold=0.5),

@@ -698,6 +698,100 @@ def repetition_metrics(
     )
 
 
+def gopher_ngram_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The rest of Gopher's repetition table (Rae et al. 2021 §A1.1):
+    per document, ``top_{n}gram_char_frac`` for n in ``top_ns`` (chars
+    covered by the single most frequent word n-gram / chars of all
+    words) and ``dup_{n}gram_char_frac`` for n in ``dup_ns`` (chars at
+    word positions covered by ANY n-gram that occurs more than once —
+    positions counted once even under overlapping duplicate grams,
+    Gopher's stated no-double-count rule). ``repetition_metrics`` covers
+    the line-level signals and the 2-gram; this completes the published
+    filter family.
+
+    Conventions (shared with ``top_bigram_char_frac``): words are the
+    repo tokenizer's ``[a-z0-9]+`` runs; char mass counts word chars
+    only (no separators); top-gram ties break on the lexicographically
+    smallest space-joined gram — the join separator sorts below every
+    token byte, so string order equals word-tuple order and the DuckDB
+    oracle's ``ORDER BY gram`` reproduces the pick exactly. Documents
+    with fewer than n words (or no words) score 0.0 for that n.
+
+    One Arrow pass, O(words × |ns|) per document with Counter hashing
+    and a position-coverage bitmap — never the O(n²) per-distinct-gram
+    rescan. Raw doubles out; callers round (HALF_UP ``F.round``) for
+    cross-engine comparison."""
+    import re
+    from collections import Counter
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    word_re = re.compile(r"[^a-z0-9]+")
+    top_cols = [f"top_{n}gram_char_frac" for n in top_ns]
+    dup_cols = [f"dup_{n}gram_char_frac" for n in dup_ns]
+
+    def _metrics(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": batch["id"]}
+            cols = {c: [] for c in top_cols + dup_cols}
+            for text in batch["t"]:
+                words = [w for w in word_re.split((text or "").lower()) if w]
+                lens = np.fromiter(
+                    (len(w) for w in words), dtype=np.int64, count=len(words)
+                )
+                total = int(lens.sum())
+                for n, col in zip(top_ns, top_cols):
+                    if len(words) < n or not total:
+                        cols[col].append(0.0)
+                        continue
+                    grams = Counter(
+                        " ".join(words[i : i + n])
+                        for i in range(len(words) - n + 1)
+                    )
+                    top_c = max(grams.values())
+                    top = min(g for g, c in grams.items() if c == top_c)
+                    gram_chars = len(top) - (n - 1)
+                    cols[col].append(top_c * gram_chars / total)
+                for n, col in zip(dup_ns, dup_cols):
+                    if len(words) < n or not total:
+                        cols[col].append(0.0)
+                        continue
+                    grams = [
+                        tuple(words[i : i + n])
+                        for i in range(len(words) - n + 1)
+                    ]
+                    cnt = Counter(grams)
+                    covered = np.zeros(len(words), dtype=bool)
+                    for i, g in enumerate(grams):
+                        if cnt[g] > 1:
+                            covered[i : i + n] = True
+                    cols[col].append(float(lens[covered].sum()) / total)
+            out.update(cols)
+            yield pd.DataFrame(out)
+
+    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
+
+    prepped = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    id_type = dict(prepped.dtypes)["id"]
+    fields = ", ".join(
+        f"{c} double" for c in top_cols + dup_cols
+    )
+    return prepped.mapInPandas(
+        _metrics, schema=f"doc_id {id_type}, {fields}"
+    )
+
+
 def canonical_url_col(url_col: Column) -> Column:
     """URL canonicalization for crawl dedup keys, fully native:
 

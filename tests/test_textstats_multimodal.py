@@ -485,3 +485,81 @@ def test_image_header_info_dataframe(spark):
         "u5": ("unknown", None, None),
         "u6": ("unknown", None, None),
     }
+
+
+def test_gopher_ngram_metrics_hand_computed(spark):
+    """Hand-worked Gopher n-gram fractions: top-gram mass, duplicate
+    coverage with the no-double-count overlap rule, and short-doc
+    zeros."""
+    from llm_aided_ocr_spark.operators.textstats import gopher_ngram_metrics
+
+    df = spark.createDataFrame(
+        [
+            # words: a b c a b c a b  (8 words, 8 chars)
+            # 2-grams: (a b)x3 (b c)x2 (c a)x2 -> top2 = 3*2/8
+            # 5-grams: (a b c a b) at i=0 and i=3 -> covers pos 0..7 -> 1.0
+            (1, "a b c a b c a b"),
+            # no repeated 2-gram: top2 count 1 -> 1*(len)/total
+            # ab bb: gram "ab bb" chars 4, total 4 -> 1.0
+            (2, "ab bb"),
+            # 4 words, no dup 5-gram possible -> 0.0; top2 ties broken by
+            # smallest gram: (x y) and (y x) and (x z)? grams: "x y","y x","x z"
+            # all count 1 -> pick "x y"? no: smallest is "x y" vs "x z" vs "y x"
+            # -> "x y", chars 2, total 4 -> 0.5
+            (3, "x y x z"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in gopher_ngram_metrics(df, top_ns=(2,), dup_ns=(5,)).collect()
+    }
+    assert abs(got[1]["top_2gram_char_frac"] - 3 * 2 / 8) < 1e-12
+    assert got[1]["dup_5gram_char_frac"] == 1.0
+    assert got[2]["top_2gram_char_frac"] == 1.0
+    assert got[2]["dup_5gram_char_frac"] == 0.0  # only 2 words
+    assert abs(got[3]["top_2gram_char_frac"] - 0.5) < 1e-12
+    assert got[3]["dup_5gram_char_frac"] == 0.0
+    for k in (4, 5):
+        assert got[k]["top_2gram_char_frac"] == 0.0
+        assert got[k]["dup_5gram_char_frac"] == 0.0
+
+
+def test_gopher_ngram_dup_coverage_counts_overlap_once(spark):
+    """'a a a a a a' under n=5: every position duplicated -> 1.0, not >1
+    (overlapping duplicate grams share positions). Partial case: dup
+    5-gram coverage over a 10-word doc with one repeated 5-run covers
+    exactly those positions."""
+    from llm_aided_ocr_spark.operators.textstats import gopher_ngram_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a a a"),
+            # words: p q r s t  x y z w v  p q r s t  (15 words)
+            # dup 5-gram: (p q r s t) at i=0 and i=10 -> covers 10 of 15
+            # positions; all words 1 char -> 10/15
+            (2, "p q r s t x y z w v p q r s t"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in gopher_ngram_metrics(df, top_ns=(2,), dup_ns=(5,)).collect()
+    }
+    assert got[1]["dup_5gram_char_frac"] == 1.0
+    assert abs(got[2]["dup_5gram_char_frac"] - 10 / 15) < 1e-12
+
+
+def test_gopher_ngram_metrics_follows_id_type(spark):
+    from llm_aided_ocr_spark.operators.textstats import gopher_ngram_metrics
+
+    df = spark.createDataFrame(
+        [("u1", "a b a b")], "url string, text string"
+    )
+    out = gopher_ngram_metrics(df, id_col="url", top_ns=(3,), dup_ns=(6,))
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert out.columns == [
+        "doc_id", "top_3gram_char_frac", "dup_6gram_char_frac"
+    ]

@@ -823,7 +823,35 @@ def _q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CANONICAL_URLS_SQL = """
+# Canonicalization derivation shared by every canonical-url oracle: takes
+# a CTE `u(doc_id, url)` and yields `canon(doc_id, url, canon_url)`.
+_CANON_DERIVE_CTES = """
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
+  FROM u),
+q AS (
+  SELECT *, array_to_string(
+    list_sort([p for p in string_split(query, '&') if p != '']), '&') AS sq
+  FROM parts),
+canon AS (
+  SELECT doc_id, url,
+    CASE WHEN scheme = '' THEN url ELSE
+      scheme || '://' ||
+      CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+             THEN substr(hostport, 1, length(hostport) - 3)
+           WHEN scheme = 'https' AND hostport LIKE '%:443'
+             THEN substr(hostport, 1, length(hostport) - 4)
+           ELSE hostport END ||
+      CASE WHEN path = '/' THEN '' ELSE path END ||
+      CASE WHEN sq != '' THEN '?' || sq ELSE '' END
+    END AS canon_url
+  FROM q)"""
+
+_CANONICAL_URLS_SQL = f"""
 WITH u AS (
   SELECT doc_id,
     CASE doc_id % 5
@@ -836,30 +864,58 @@ WITH u AS (
       WHEN 3 THEN 'relative/no-scheme/' || CAST(doc_id AS VARCHAR)
       ELSE 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/x?z=1&y=2&'
     END AS url
-  FROM documents),
-parts AS (
-  SELECT doc_id, url,
-    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
-    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
-    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
-  FROM u),
-q AS (
-  SELECT *, array_to_string(
-    list_sort([p for p in string_split(query, '&') if p != '']), '&') AS sq
-  FROM parts)
-SELECT doc_id,
-  CASE WHEN scheme = '' THEN url ELSE
-    scheme || '://' ||
-    CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
-           THEN substr(hostport, 1, length(hostport) - 3)
-         WHEN scheme = 'https' AND hostport LIKE '%:443'
-           THEN substr(hostport, 1, length(hostport) - 4)
-         ELSE hostport END ||
-    CASE WHEN path = '/' THEN '' ELSE path END ||
-    CASE WHEN sq != '' THEN '?' || sq ELSE '' END
-  END AS canon_url
-FROM q
+  FROM documents),{_CANON_DERIVE_CTES}
+SELECT doc_id, canon_url FROM canon
+"""
+
+
+def _q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (the crawl's same-page-refetched pass): the
+    adapter maps every doc to one of 50 canonical pages through 4 mess
+    variants (plain / uppercase-host:80 / fragment / empty query) that
+    all canonicalize identically, so each group holds ~10 contenders and
+    exactly one keeper — the longest text, smallest doc_id on ties —
+    survives. The oracle re-derives canonicalization independently and
+    replays the keeper pick as a window rank."""
+    from llm_aided_ocr_spark.operators.dedup import canonical_url_keepers
+
+    b = (F.col("doc_id") % 50).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("http://site"), b, F.lit(".example.org/p")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("HTTP://Site"), b, F.lit(".Example.org:80/p")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("http://site"), b, F.lit(".example.org/p#frag")))
+        .otherwise(
+            F.concat(F.lit("http://site"), b, F.lit(".example.org/p?")))
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"), "text"
+    )
+    out = canonical_url_keepers(d)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+_CANONICAL_DEDUP_SQL = f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/p'
+      WHEN 1 THEN 'HTTP://Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.org:80/p'
+      WHEN 2 THEN 'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/p#frag'
+      ELSE 'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/p?'
+    END AS url
+  FROM documents),{_CANON_DERIVE_CTES},
+sz AS (
+  SELECT c.doc_id, c.canon_url, strlen(coalesce(d.text, '')) AS sz
+  FROM canon c JOIN documents d USING (doc_id)),
+rk AS (
+  SELECT doc_id, canon_url,
+         row_number() OVER (PARTITION BY canon_url
+                            ORDER BY sz DESC, doc_id ASC) AS rn
+  FROM sz)
+SELECT doc_id, canon_url, (rn = 1) AS keep FROM rk
 """
 
 
@@ -2956,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": _q_repetition_metrics,
         "gopher_ngram_repetition": _q_gopher_ngram_repetition,
         "canonical_urls": _q_canonical_urls,
+        "canonical_url_dedup": _q_canonical_url_dedup,
         "hash_split": _q_hash_split,
         "curation_e2e": _q_curation_e2e,
         "word_commonness": _q_word_commonness,
@@ -3583,6 +3640,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_metrics": _REPETITION_SQL,
         "gopher_ngram_repetition": _build_gopher_ngram_sql(),
         "canonical_urls": _CANONICAL_URLS_SQL,
+        "canonical_url_dedup": _CANONICAL_DEDUP_SQL,
         "hash_split": _build_hash_split_sql({"train": 0.9, "val": 0.05, "test": 0.05}, rate=0.1),
         "curation_e2e": _build_curation_sql(quality_min=40, threshold=0.5),
         "word_commonness": _build_word_commonness_sql(),

@@ -72,6 +72,57 @@ def exact_keeper_ids(
     )
 
 
+def canonical_url_keepers(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, canon_url, keep)`` — URL-level dedup, the standard first
+    pass of a Common-Crawl curation run BEFORE content dedup: the same
+    page refetched under http/https, default ports, reordered query
+    params, or fragments collapses to one canonical key
+    (:func:`~llm_aided_ocr_spark.operators.textstats.canonical_url_col`)
+    and exactly one fetch survives per key — the LONGEST text (byte
+    length; refetches routinely truncate), ties broken by the smallest
+    id, so the keeper is a pure function of the group, independent of
+    row order and partitioning.
+
+    Scale shape: the one exchange is keyed on the canonical url and
+    carries ``(id, canon, sz)`` — never document text. The keeper
+    relation (one row per distinct canonical url) joins back on the SAME
+    key the aggregation shuffled on, and is ``corpus_scaled`` (near-
+    unique urls make it O(corpus) — never a broadcast build side).
+    Materialize survivors with a left-semi join on the kept ids against
+    an id-bucketed table, exactly like :func:`exact_keeper_ids`."""
+    from llm_aided_ocr_spark.operators.textstats import canonical_url_col
+    from llm_aided_ocr_spark.operators.util import corpus_scaled
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        canonical_url_col(F.col(url_col)).alias("canon_url"),
+        F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("bigint")
+        .alias("sz"),
+    )
+    # min over (-sz, id): longest text first, then smallest id — one
+    # struct-min aggregate instead of a row_number window (no per-group
+    # sort buffer; plain map-side-combinable min)
+    keep_key = F.struct(
+        (-F.col("sz")).alias("nsz"), F.col("id").alias("id")
+    )
+    keepers = (
+        base.groupBy("canon_url")
+        .agg(F.min(keep_key).alias("k"))
+        .select("canon_url", F.col("k.id").alias("_keeper_id"))
+    )
+    return base.join(corpus_scaled(keepers), "canon_url").select(
+        "id",
+        "canon_url",
+        (F.col("id") == F.col("_keeper_id")).alias("keep"),
+    )
+
+
 def exact_dup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -605,3 +605,46 @@ def test_apply_incremental_dedup_corrupt_index_raises(spark, inc_corpus, tmp_pat
     )
     assert n > 0
     assert os.path.exists(str(tmp_path / "fresh_index"))
+
+
+# ---------------------------------------------------------------------------
+# canonical_url_keepers — URL-level dedup before content dedup
+# ---------------------------------------------------------------------------
+
+def test_canonical_url_keepers_picks_longest_then_smallest_id(spark):
+    from llm_aided_ocr_spark.operators.dedup import canonical_url_keepers
+
+    df = spark.createDataFrame(
+        [
+            # one canonical group, four spellings
+            (1, "http://a.example.org/p", "short"),
+            (2, "HTTP://A.Example.org:80/p", "the longest fetch wins"),
+            (3, "http://a.example.org/p#frag", "middle len"),
+            (4, "http://a.example.org/p?", "the longest fetch wins"),  # tie: id 2 < 4
+            # a singleton group keeps itself
+            (5, "https://b.example.org/x", "z"),
+            # non-url strings canonicalize to themselves -> own group
+            (6, "not a url", "y"),
+        ],
+        "doc_id bigint, url string, text string",
+    )
+    out = canonical_url_keepers(df)
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 6
+    assert {i for i, r in rows.items() if r["keep"]} == {2, 5, 6}
+    assert len({rows[i]["canon_url"] for i in (1, 2, 3, 4)}) == 1
+
+
+def test_canonical_url_keepers_deterministic_under_layout(spark):
+    from llm_aided_ocr_spark.operators.dedup import canonical_url_keepers
+
+    docs = [
+        (i, f"http://s{i % 5}.example.org/p{'#f' if i % 2 else ''}",
+         "x" * (i % 7))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, url string, text string")
+    a = sorted(map(tuple, canonical_url_keepers(df).collect()))
+    b = sorted(map(tuple, canonical_url_keepers(df.repartition(13)).collect()))
+    assert a == b
+    assert sum(1 for r in a if r[2]) == 5  # fragments strip: one group per host

@@ -937,6 +937,47 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(d)
 
 
+def _q_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature-sampling rates over the 37-domain
+    synthetic url map — the rate-derivation half of the data-mixing
+    story (``mixture_resample`` applies them). Integer-exact:
+    ``floor(sqrt(count))`` + bigint sums + one fixed-order division
+    pair, so the oracle reproduces every bit."""
+    from llm_aided_ocr_spark.operators.sampling import temperature_rates
+
+    d = _docs(spark, sf_dir).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return temperature_rates(d)
+
+
+_TEMPERATURE_RATES_SQL = """
+WITH d AS (
+  SELECT 'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.example.org/doc/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+c AS (
+  SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+           AS domain,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM d GROUP BY 1),
+s AS (SELECT domain, n_docs,
+             CAST(floor(sqrt(n_docs)) AS BIGINT) AS s FROM c),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+             CAST(SUM(s) AS BIGINT) AS s_total FROM s)
+SELECT domain, n_docs,
+       round(CAST(n_total AS DOUBLE) / CAST(s * s_total AS DOUBLE), 9)
+         AS rate_r
+FROM s, t
+"""
+
+
 _DOMAIN_STATS_SQL = """
 WITH d AS (
   SELECT 'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.example.org/doc/'
@@ -3059,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "domain_cap": _q_domain_cap,
         "mixture_resample": _q_mixture_resample,
+        "temperature_rates": _q_temperature_rates,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
         "incremental_dedup": _q_incremental_dedup,
@@ -3686,6 +3728,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": _build_ccnet_buckets_sql(),
         "domain_cap": _DOMAIN_CAP_SQL,
         "mixture_resample": _MIXTURE_RESAMPLE_SQL,
+        "temperature_rates": _TEMPERATURE_RATES_SQL,
         "bpe_merges": _build_bpe_sql(k=6),
         "bpe_token_counts": _build_bpe_counts_sql(k=6),
         "incremental_dedup": _build_incremental_dedup_sql(),

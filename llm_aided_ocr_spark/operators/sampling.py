@@ -299,6 +299,62 @@ def domain_cap(
     return under.unionByName(ranked).drop("_dc_domain")
 
 
+def temperature_rates(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """``(domain, n_docs, rate_r)`` — square-root temperature sampling
+    rates (the α=0.5 of multilingual-pretraining temperature mixing,
+    mBERT/mT5 family): target share of domain d ∝ ``sqrt(count_d)``, so
+    the per-document multiplier to feed :func:`mixture_resample` is
+    ``rate_d = target_share / current_share = N / (isqrt(c_d) · Σ_e
+    isqrt(c_e))``. Over-represented domains get rates < 1 (down-sample),
+    the tail gets rates > 1 (epoch repetition) — flattening the domain
+    distribution halfway toward uniform.
+
+    Why exactly α = 0.5 and not a general-α knob: ``pow(x, α)`` is a
+    transcendental whose last-bit rounding differs across libms — a
+    general α would break the repo's bit-exact cross-engine oracle bar.
+    ``sqrt`` is IEEE-754 correctly rounded on every engine, and the
+    floor to integer makes the whole derivation integer-exact:
+    ``floor(sqrt(c))`` is bit-identical in Spark and DuckDB for any
+    ``c < 2^52`` (beyond that, 0.5-ulp rounding near perfect squares
+    could flip the floor — far above any per-domain document count),
+    the sums are bigint, and the single division pair is fixed-order
+    IEEE. For other temperatures, compute rates off-engine and pass
+    them to :func:`mixture_resample` directly.
+
+    Scale shape: one map-side-combinable count aggregation on the
+    domain key; the totals row arrives by broadcast; output is
+    domain-cardinality-sized (collect it into
+    :func:`mixture_resample`'s literal map when it is small, join it on
+    ``domain_col`` when it is not)."""
+    from llm_aided_ocr_spark.operators.textstats import domain_col
+
+    counts = (
+        df.select(domain_col(F.col(url_col)).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    with_s = counts.select(
+        "domain",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs"))).cast("bigint").alias("s"),
+    )
+    tot = with_s.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum("s").cast("bigint").alias("s_total"),
+    )
+    return with_s.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        F.round(
+            F.col("n_total").cast("double")
+            / (F.col("s") * F.col("s_total")).cast("double"),
+            9,
+        ).alias("rate_r"),
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     domain_rates: Dict[str, float],

@@ -183,3 +183,48 @@ def test_mixture_resample_fractional_upsample_and_validation(spark):
     assert {r["count"] for r in per_url} <= {2, 3}
     with pytest.raises(ValueError):
         mixture_resample(df, {"up.com": -0.1})
+
+
+# ---------------------------------------------------------------------------
+# temperature_rates — sqrt temperature mixing rates
+# ---------------------------------------------------------------------------
+
+def test_temperature_rates_flattens_toward_uniform(spark):
+    """A 90/9/1 domain split: rates order inversely with counts, and the
+    implied post-resample shares (rate*count, normalized) sit strictly
+    between the raw shares and uniform."""
+    from llm_aided_ocr_spark.operators.sampling import temperature_rates
+
+    docs = (
+        [(i, "https://big.example.org/a") for i in range(90)]
+        + [(i + 90, "https://mid.example.org/a") for i in range(9)]
+        + [(99, "https://tiny.example.org/a")]
+    )
+    df = spark.createDataFrame(docs, "doc_id bigint, url string")
+    rows = {r["domain"]: r for r in temperature_rates(df).collect()}
+    assert rows["big.example.org"]["n_docs"] == 90
+    r_big = rows["big.example.org"]["rate_r"]
+    r_mid = rows["mid.example.org"]["rate_r"]
+    r_tiny = rows["tiny.example.org"]["rate_r"]
+    assert r_big < r_mid < r_tiny
+    assert r_big < 1.0 < r_tiny  # head down-samples, tail up-samples
+    # implied shares: rate*count / sum -> between raw share and 1/3
+    tot = r_big * 90 + r_mid * 9 + r_tiny * 1
+    share_big = r_big * 90 / tot
+    assert 1 / 3 < share_big < 0.9
+    share_tiny = r_tiny * 1 / tot
+    assert 0.01 < share_tiny < 1 / 3
+
+
+def test_temperature_rates_exact_integer_derivation(spark):
+    """Hand-check: counts 9 and 4 -> isqrt 3 and 2, S=5, N=13;
+    rate = N/(s*S)."""
+    from llm_aided_ocr_spark.operators.sampling import temperature_rates
+
+    docs = [(i, "https://a.example.org/x") for i in range(9)] + [
+        (i + 9, "https://b.example.org/x") for i in range(4)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, url string")
+    rows = {r["domain"]: r["rate_r"] for r in temperature_rates(df).collect()}
+    assert rows["a.example.org"] == round(13 / (3 * 5), 9)
+    assert rows["b.example.org"] == round(13 / (2 * 5), 9)

@@ -301,7 +301,13 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
         deterministic_sample,
         dsir_log_weights,
     )
-    from llm_aided_ocr_spark.operators.textstats import word_commonness
+    from llm_aided_ocr_spark.operators.bpe import bpe_learn, bpe_token_counts
+    from llm_aided_ocr_spark.operators.dedup import canonical_url_keepers
+    from llm_aided_ocr_spark.operators.lm import ccnet_buckets
+    from llm_aided_ocr_spark.operators.textstats import (
+        gopher_ngram_metrics,
+        word_commonness,
+    )
     from llm_aided_ocr_spark.operators.util import release_pinned
     from llm_aided_ocr_spark.plans.curate import CurationConfig, curate
 
@@ -366,6 +372,37 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
                 deterministic_sample(docs, 0.1, id_col="url", seed=13),
                 spark.read.parquet(_stress_index(spark, docs, rows)),
                 threshold=0.8, text_col="text", id_col="url",
+            ),
+            # session-late additions: the CCNet cut (corpus id-join +
+            # window over the aggregated (lang, score) relation — 4
+            # synthetic langs so the per-lang partitions are corpus/4
+            # distinct scores), URL dedup at its worst case (all urls
+            # unique -> the keeper relation is corpus-sized, exercising
+            # the corpus_scaled join discipline), the 9-column Gopher
+            # n-gram Arrow pass, and BPE learn(3 rounds)+count (one
+            # corpus word-count exchange + vocab-sized rounds + the
+            # distinct-word count join)
+            "ccnet_buckets": lambda: ccnet_buckets(
+                docs.withColumn(
+                    "lang",
+                    F.concat(
+                        F.lit("l"),
+                        F.pmod(F.xxhash64("url"), F.lit(4)).cast("string"),
+                    ),
+                ),
+                ref_df=deterministic_sample(docs, 0.01, id_col="url", seed=14),
+                text_col="text", id_col="url",
+            ),
+            "canonical_dedup": lambda: canonical_url_keepers(
+                docs, url_col="url", text_col="text", id_col="url"
+            ),
+            "gopher_ngrams": lambda: gopher_ngram_metrics(
+                docs, text_col="text", id_col="url"
+            ),
+            "bpe": lambda: bpe_token_counts(
+                docs,
+                bpe_learn(docs, 3, text_col="text", min_word_freq=2),
+                text_col="text", id_col="url",
             ),
         }
 

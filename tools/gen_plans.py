@@ -310,6 +310,49 @@ def main() -> None:
         "relation; scoring is a pure projection.",
         plan_of(q["bm25_scores"](spark, SF)),
     ))
+    sections.append((
+        "ccnet_buckets — the cut runs on the aggregated (lang, score) relation",
+        "one corpus id-join (both sides SortMergeJoin/shuffle-hash on "
+        "the id, never a corpus broadcast), then Window(partitionBy "
+        "lang, orderBy score) consumes the OUTPUT of a HashAggregate — "
+        "distinct scores per language, not documents; the bucket "
+        "assignment joins back on (lang, score) with the corpus side "
+        "streaming.",
+        plan_of(q["ccnet_buckets"](spark, SF)),
+    ))
+    spark.catalog.clearCache()
+
+    sections.append((
+        "canonical_url_dedup — one narrow exchange, struct-min keeper (no window)",
+        "the keeper per canonical url is a plain map-side-combinable "
+        "min over struct(-sz, id) — HashAggregate partial/final, NO "
+        "per-group sort buffer; the exchange and the keeper join key on "
+        "the same canon_url, and the keeper relation is pinned to the "
+        "shuffle-hash build side (corpus_scaled: near-unique urls make "
+        "it O(corpus), never a broadcast).",
+        plan_of(q["canonical_url_dedup"](spark, SF)),
+    ))
+
+    sections.append((
+        "temperature_rates — two tiny aggregations, totals by broadcast",
+        "domain counts reduce map-side; the 1-row totals relation rides "
+        "a BroadcastNestedLoopJoin; output is domain-cardinality-sized. "
+        "Integer-exact (floor(sqrt)+bigint sums) so the oracle "
+        "reproduces every bit.",
+        plan_of(q["temperature_rates"](spark, SF)),
+    ))
+
+    sections.append((
+        "bpe_token_counts — vocab-sized Arrow pass + distinct-word count join",
+        "the merge walk (MapInPandas) runs over DISTINCT words, not the "
+        "corpus; per-document counts come from the pre-aggregated "
+        "(id, w, n) relation joined to (w, n_syms) and summed — the "
+        "word_commonness linearity trick, so the join never carries "
+        "per-occurrence rows; the all-ids rejoin is pinned shuffle-hash.",
+        plan_of(__import__("llm_aided_ocr_spark.operators.bpe", fromlist=["x"]).bpe_token_counts(
+            docs, [(0, "e", "r", 1), (1, "i", "n", 1)]
+        )),
+    ))
     spark.catalog.clearCache()
 
     out = [

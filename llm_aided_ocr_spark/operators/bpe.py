@@ -169,7 +169,13 @@ def bpe_token_counts(
     distinct-words-per-doc rows, never per-occurrence rows). Empty
     documents count 0; the all-ids rejoin is pinned shuffle-hash
     (``corpus_scaled`` — per-doc counts are O(corpus), never a
-    broadcast build side)."""
+    broadcast build side).
+
+    Composes into the shard story: join the counts back by id and pass
+    ``token_col=F.col("n_bpe_tokens")`` to
+    :func:`~llm_aided_ocr_spark.operators.packing.pack_sequences` so
+    training bins fill against the TOKENIZER budget instead of the
+    whitespace estimate (tested in tests/test_bpe.py)."""
     from llm_aided_ocr_spark.operators.dedup import _words_col
     from llm_aided_ocr_spark.operators.util import (
         corpus_scaled,

@@ -167,3 +167,43 @@ def test_bpe_merges_df_schema(spark):
     )
     assert out.columns == ["merge_ix", "lhs", "rhs", "freq"]
     assert out.count() == 1
+
+
+def test_bpe_counts_feed_packing(spark):
+    """The sizing pass composes into the shard story: pack_sequences
+    with token_col = the learned-BPE token count builds bins whose fill
+    respects the TOKENIZER budget, not the whitespace estimate."""
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.bpe import bpe_learn, bpe_token_counts
+    from llm_aided_ocr_spark.operators.packing import pack_sequences
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    df = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * (1 + i % 4)) for i in range(24)],
+        "doc_id bigint, text string",
+    )
+    merges = bpe_learn(df, 4)
+    counts = bpe_token_counts(df, merges)
+    with_counts = df.join(
+        counts.withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    packed = pack_sequences(
+        with_counts, budget=40, token_col=F.col("n_bpe_tokens"),
+        num_streams=2,
+    )
+    rows = packed.collect()
+    release_pinned(counts, blocking=True)
+    assert len(rows) == 24
+    # per (stream, bin): fill <= budget unless a single oversized doc
+    from collections import defaultdict
+
+    fills = defaultdict(list)
+    for r in rows:
+        fills[(r["stream"], r["bin_ix"])].append(r["n_tokens"])
+    for (s, b), toks in fills.items():
+        assert sum(toks) <= 40 or len(toks) == 1, (s, b, toks)
+    # and n_tokens really is the BPE count (merges shrink whitespace counts)
+    cnt = {r["id"]: r["n_bpe_tokens"] for r in counts.collect()}
+    for r in rows:
+        assert r["n_tokens"] == cnt[r["doc_id"]]

@@ -496,3 +496,58 @@ def test_auto_strategy_cache_released_after_action(spark):
     # idempotent no-op on second call and on unpinned DataFrames
     assert release_pipeline_cache(result) == 0
     assert release_pipeline_cache(pages) == 0
+
+
+def test_ccnet_cut_windows_the_aggregated_relation(spark):
+    """The Window's input must be the (lang, score) HashAggregate, never
+    document rows: in the plan tree the Window node appears ABOVE a
+    HashAggregate keyed on (lang, lm_score_r), and the corpus-metadata
+    join never broadcasts an O(corpus) side."""
+    import __spark_entry__ as e
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    df = e.queries()["ccnet_buckets"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    release_pinned(df)
+    assert "Window" in plan
+    win_ix = plan.index("Window")
+    below_window = plan[win_ix:]
+    agg_ix = below_window.find("HashAggregate(keys=[lang")
+    assert agg_ix != -1, "window input is not the (lang, score) aggregate"
+    # the id-join of scored x metadata is pinned shuffle-hash
+    assert "ShuffledHashJoin [id" in plan
+
+
+def test_canonical_dedup_uses_struct_min_not_window(spark):
+    """The keeper pick is a map-side-combinable min aggregate — the plan
+    has NO Window node, carries partial_min through a HashAggregate, and
+    the keeper join is pinned to ShuffledHashJoin (corpus_scaled: the
+    keeper relation is O(corpus) for near-unique urls)."""
+    import __spark_entry__ as e
+
+    plan = _plan(
+        e.queries()["canonical_url_dedup"](spark, "/root/testdata/sf0.001")
+    )
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "ShuffledHashJoin [canon_url" in plan
+
+
+def test_bpe_counts_tokenize_distinct_words_only(spark):
+    """The merge-walk MapInPandas consumes the output of a distinct-word
+    aggregate (schema (w)), never the corpus rows, and the per-doc sum
+    joins pre-aggregated (id, w, n) — no per-occurrence join input."""
+    from llm_aided_ocr_spark.operators.bpe import bpe_token_counts
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = bpe_token_counts(docs, [(0, "e", "r", 1)])
+    plan = _plan(df)
+    release_pinned(df)
+    mp_ix = plan.index("MapInPandas")
+    # the MapInPandas block's immediate input chain contains the
+    # distinct-word HashAggregate before any corpus scan reappears
+    below = plan[mp_ix:]
+    agg = below.find("HashAggregate(keys=[w")
+    scan = below.find("FileScan")
+    assert agg != -1 and agg < scan, "merge walk is not vocab-sized"

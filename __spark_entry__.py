@@ -937,6 +937,72 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(d)
 
 
+_URL_FILTER_DOMAINS = ("spam.example.net",)
+_URL_FILTER_KEYWORDS = ("casino", "poker")
+
+
+def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb stage-1 URL filtering. The adapter cycles 6 url
+    shapes: blocked domain, blocked SUBdomain, the dot-boundary
+    near-miss (notspam.example.net must pass), two keyword hits (fails
+    threshold 2), one hit (passes), clean."""
+    from llm_aided_ocr_spark.operators.textstats import url_filter
+
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("https://spam.example.net/a"), i))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("https://ads.spam.example.net/b"), i))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("https://notspam.example.net/c"), i))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("https://ok.example.org/casino/poker"), i))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("https://ok.example.org/casino-night/"), i))
+        .otherwise(F.concat(F.lit("https://ok.example.org/clean/"), i))
+    )
+    d = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    out = url_filter(
+        d,
+        blocked_domains=_URL_FILTER_DOMAINS,
+        blocked_keywords=_URL_FILTER_KEYWORDS,
+        keyword_threshold=2,
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
+_URL_FILTER_SQL = """
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN 'https://spam.example.net/a' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN 'https://ads.spam.example.net/b' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://notspam.example.net/c' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN 'https://ok.example.org/casino/poker' || CAST(doc_id AS VARCHAR)
+      WHEN 4 THEN 'https://ok.example.org/casino-night/' || CAST(doc_id AS VARCHAR)
+      ELSE 'https://ok.example.org/clean/' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS dom,
+    lower(url) AS lu
+  FROM u),
+g AS (
+  SELECT doc_id,
+    (dom = 'spam.example.net'
+     OR ends_with(dom, '.spam.example.net')) AS domain_blocked,
+    CAST((CASE WHEN contains(lu, 'casino') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(lu, 'poker') THEN 1 ELSE 0 END) AS INTEGER)
+      AS keyword_hits
+  FROM f)
+SELECT doc_id, domain_blocked, keyword_hits,
+       (NOT domain_blocked AND keyword_hits < 2) AS keep
+FROM g
+"""
+
+
 def _q_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Square-root temperature-sampling rates over the 37-domain
     synthetic url map — the rate-derivation half of the data-mixing
@@ -3101,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "mixture_resample": _q_mixture_resample,
         "temperature_rates": _q_temperature_rates,
+        "url_filter": _q_url_filter,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
         "incremental_dedup": _q_incremental_dedup,
@@ -3729,6 +3796,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _DOMAIN_CAP_SQL,
         "mixture_resample": _MIXTURE_RESAMPLE_SQL,
         "temperature_rates": _TEMPERATURE_RATES_SQL,
+        "url_filter": _URL_FILTER_SQL,
         "bpe_merges": _build_bpe_sql(k=6),
         "bpe_token_counts": _build_bpe_counts_sql(k=6),
         "incremental_dedup": _build_incremental_dedup_sql(),

@@ -556,6 +556,66 @@ def domain_col(url_col: Column) -> Column:
     return F.lower(host)
 
 
+def url_filter(
+    df: DataFrame,
+    blocked_domains: tuple = (),
+    blocked_keywords: tuple = (),
+    keyword_threshold: int = 2,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, domain_blocked, keyword_hits, keep)`` — RefinedWeb-style
+    stage-1 URL filtering (Penedo et al. 2023 §3.1), the cheapest gate
+    in a crawl pipeline because it never touches document text:
+
+    * ``domain_blocked`` — the url's registrable host matches a blocked
+      domain exactly or as a subdomain (``ads.x.com`` matches blocked
+      ``x.com``; ``notx.com`` does not — the suffix match requires the
+      dot boundary);
+    * ``keyword_hits`` — how many blocked keywords occur as substrings
+      of the lowercased url (RefinedWeb's soft URL-keyword score,
+      simplified to unit weights);
+    * ``keep`` — not domain-blocked AND hits < ``keyword_threshold``.
+
+    Zero shuffle, zero Python: both checks are literal-array ``exists``/
+    ``filter`` expressions over the native ``domain_col`` extraction, so
+    the gate fuses into the scan's codegen stage and composes with
+    predicate pushdown on anything upstream. The literal-array form fits
+    the tens-to-thousands-entry curated lists this filter uses in
+    practice (UT1-style category lists); for a corpus-scale blocklist
+    RELATION, broadcast-join it on ``domain_col`` instead and reuse the
+    same boolean algebra."""
+    from llm_aided_ocr_spark.operators.util import let_
+
+    u = F.lower(F.coalesce(F.col(url_col), F.lit("")))
+    doms = F.array(*[F.lit(d.lower()) for d in blocked_domains])
+    kws = F.array(*[F.lit(k.lower()) for k in blocked_keywords])
+    dom_blocked = (
+        let_(
+            domain_col(F.coalesce(F.col(url_col), F.lit(""))),
+            lambda h: F.exists(
+                doms,
+                lambda b: (h == b) | h.endswith(F.concat(F.lit("."), b)),
+            ),
+        )
+        if blocked_domains
+        else F.lit(False)
+    )
+    hits = (
+        let_(u, lambda lu: F.size(F.filter(kws, lambda k: lu.contains(k))))
+        if blocked_keywords
+        else F.lit(0)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        dom_blocked.alias("domain_blocked"),
+        hits.cast("int").alias("keyword_hits"),
+        (
+            ~dom_blocked & (hits < F.lit(keyword_threshold))
+        ).alias("keep"),
+    )
+
+
 def domain_stats(
     df: DataFrame,
     url_col: str = "url",

@@ -563,3 +563,55 @@ def test_gopher_ngram_metrics_follows_id_type(spark):
     assert out.columns == [
         "doc_id", "top_3gram_char_frac", "dup_6gram_char_frac"
     ]
+
+
+def test_url_filter_domain_boundary_and_keywords(spark):
+    from llm_aided_ocr_spark.operators.textstats import url_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.example.net/x"),        # exact domain
+            (2, "https://ads.spam.example.net/x"),    # subdomain
+            (3, "https://notspam.example.net/x"),     # dot boundary: pass
+            (4, "https://ok.org/casino/poker"),       # 2 hits: fail
+            (5, "https://ok.org/CASINO-night"),       # 1 hit (case-blind): pass
+            (6, "https://ok.org/clean"),
+            (7, None),                                 # null url: keep
+        ],
+        "doc_id bigint, url string",
+    )
+    out = url_filter(
+        df,
+        blocked_domains=("spam.example.net",),
+        blocked_keywords=("casino", "poker"),
+        keyword_threshold=2,
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert [rows[i]["domain_blocked"] for i in range(1, 8)] == [
+        True, True, False, False, False, False, False
+    ]
+    assert [rows[i]["keyword_hits"] for i in range(1, 8)] == [0, 0, 0, 2, 1, 0, 0]
+    assert {i for i, r in rows.items() if r["keep"]} == {3, 5, 6, 7}
+
+
+def test_url_filter_empty_lists_keep_all_and_stay_native(spark):
+    from llm_aided_ocr_spark.operators.textstats import url_filter
+
+    df = spark.createDataFrame(
+        [(1, "https://anything.org/x")], "doc_id bigint, url string"
+    )
+    out = url_filter(df)
+    r = out.collect()[0]
+    assert (r["domain_blocked"], r["keyword_hits"], r["keep"]) == (False, 0, True)
+    # the gate must fuse into codegen: no Python stage of any kind
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        url_filter(
+            df, blocked_domains=("a.b",), blocked_keywords=("k",)
+        ).explain("simple")
+    plan = buf.getvalue()
+    for marker in ("EvalPython", "PythonUDF", "MapInPandas"):
+        assert marker not in plan

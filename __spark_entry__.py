@@ -937,6 +937,69 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(d)
 
 
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source parsing, verified as a round trip: build real WARC
+    segment bytes from the documents table IN-ENGINE (response records
+    with HTTP envelopes + a warcinfo record per segment, 10 segments),
+    run the parser, and let the oracle derive the expected (url,
+    warc_ts_unix, html) closed-form from the same table — the epoch
+    check is independent of the parser's date math."""
+    from llm_aided_ocr_spark.sources.warc import parse_warc
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+    )
+    date = F.concat(
+        F.lit("2017-01-"),
+        F.lpad((1 + F.col("doc_id") % 28).cast("string"), 2, "0"),
+        F.lit("T"),
+        F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0"),
+        F.lit(":00:00Z"),
+    )
+    body = F.concat(
+        F.lit("<html><body><p>"), F.coalesce("text", F.lit("")),
+        F.lit("</p></body></html>"),
+    )
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), body
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: "), date,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"),
+    )
+    info = "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo"
+    segments = (
+        d.select((F.col("doc_id") % 10).alias("seg"), record.alias("rec"))
+        .groupBy("seg")
+        .agg(
+            F.concat(
+                F.lit(info), F.concat_ws("", F.collect_list("rec"))
+            ).cast("binary").alias("content")
+        )
+    )
+    pages = parse_warc(segments)
+    return pages.select(
+        "url", "warc_ts_unix", F.col("html").cast("string").alias("html_str")
+    )
+
+
+_WARC_ROUNDTRIP_SQL = """
+SELECT 'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.example.org/doc/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CAST(1483228800 + (doc_id % 28) * 86400 + (doc_id % 24) * 3600
+            AS BIGINT) AS warc_ts_unix,
+       '<html><body><p>' || coalesce(text, '') || '</p></body></html>'
+         AS html_str
+FROM documents
+"""
+
+
 _URL_FILTER_DOMAINS = ("spam.example.net",)
 _URL_FILTER_KEYWORDS = ("casino", "poker")
 
@@ -3168,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": _q_mixture_resample,
         "temperature_rates": _q_temperature_rates,
         "url_filter": _q_url_filter,
+        "warc_roundtrip": _q_warc_roundtrip,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
         "incremental_dedup": _q_incremental_dedup,
@@ -3797,6 +3861,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_resample": _MIXTURE_RESAMPLE_SQL,
         "temperature_rates": _TEMPERATURE_RATES_SQL,
         "url_filter": _URL_FILTER_SQL,
+        "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "bpe_merges": _build_bpe_sql(k=6),
         "bpe_token_counts": _build_bpe_counts_sql(k=6),
         "incremental_dedup": _build_incremental_dedup_sql(),

@@ -1,0 +1,111 @@
+"""WARC source parser — record framing, gzip members, record-type
+skipping, HTTP envelope stripping, torn-record tolerance, timestamp
+tz-independence."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+
+def _record(
+    rtype: str = "response",
+    url: str | None = "http://a.org/x",
+    date: str = "2017-01-03T04:00:00Z",
+    payload: bytes = b"HTTP/1.1 200 OK\r\nX: y\r\n\r\n<html>hi</html>",
+) -> bytes:
+    hdrs = [b"WARC/1.0", b"WARC-Type: " + rtype.encode()]
+    if url:
+        hdrs.append(b"WARC-Target-URI: " + url.encode())
+    hdrs.append(b"WARC-Date: " + date.encode())
+    hdrs.append(b"Content-Length: " + str(len(payload)).encode())
+    return b"\r\n".join(hdrs) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def test_iter_records_and_response_extraction():
+    from llm_aided_ocr_spark.sources.warc import (
+        _http_body,
+        _parse_date_unix,
+        iter_warc_records,
+    )
+
+    blob = (
+        _record(rtype="warcinfo", url=None, payload=b"software: test")
+        + _record(url="http://a.org/1", payload=b"HTTP/1.1 200 OK\r\n\r\nAAA")
+        + _record(url="http://a.org/2", payload=b"raw-no-envelope")
+    )
+    recs = list(iter_warc_records(blob))
+    assert [h["warc-type"] for h, _ in recs] == ["warcinfo", "response", "response"]
+    assert _http_body(recs[1][1]) == b"AAA"
+    assert _http_body(recs[2][1]) == b"raw-no-envelope"
+    # 2017-01-03T04:00:00Z = 1483228800 + 2*86400 + 4*3600
+    assert _parse_date_unix("2017-01-03T04:00:00Z") == 1483228800 + 2 * 86400 + 4 * 3600
+    assert _parse_date_unix("2017-01-03T04:00:00.123Z") == _parse_date_unix(
+        "2017-01-03T04:00:00Z"
+    )
+    assert _parse_date_unix("not a date") is None
+
+
+def test_payload_containing_warc_magic_is_not_resplit():
+    from llm_aided_ocr_spark.sources.warc import iter_warc_records
+
+    tricky = b"HTTP/1.1 200 OK\r\n\r\nWARC/1.0\r\nfake"
+    blob = _record(payload=tricky) + _record(url="http://a.org/2")
+    recs = list(iter_warc_records(blob))
+    assert len(recs) == 2  # Content-Length framing jumps the fake magic
+    assert recs[0][1] == tricky
+
+
+def test_torn_tail_and_bad_length_stop_cleanly():
+    from llm_aided_ocr_spark.sources.warc import iter_warc_records
+
+    good = _record(url="http://a.org/1")
+    torn = good + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999\r\n\r\nshort"
+    assert len(list(iter_warc_records(torn))) == 1
+    unframed = good + b"WARC/1.0\r\nWARC-Type: response\r\n\r\nnope"
+    assert len(list(iter_warc_records(unframed))) == 1
+
+
+def test_multi_member_gzip():
+    from llm_aided_ocr_spark.sources.warc import iter_warc_records
+
+    blob = gzip.compress(_record(url="http://a.org/1")) + gzip.compress(
+        _record(url="http://a.org/2")
+    )
+    recs = list(iter_warc_records(blob))
+    assert [h["warc-target-uri"] for h, _ in recs] == [
+        "http://a.org/1", "http://a.org/2",
+    ]
+
+
+def test_parse_warc_dataframe_roundtrip(spark):
+    from llm_aided_ocr_spark.sources.warc import parse_warc, with_warc_ts
+
+    seg1 = (
+        _record(rtype="warcinfo", url=None, payload=b"info")
+        + _record(url="http://a.org/1", payload=b"HTTP/1.1 200 OK\r\n\r\nBODY1")
+        + _record(url="http://a.org/2", date="2017-01-01T00:00:00Z",
+                  payload=b"HTTP/1.1 404 Not Found\r\n\r\nBODY2")
+    )
+    seg2 = gzip.compress(_record(url="http://b.org/3", payload=b"raw"))
+    df = spark.createDataFrame(
+        [("s1", bytearray(seg1)), ("s2", bytearray(seg2)), ("s3", None)],
+        "name string, content binary",
+    )
+    out = parse_warc(df, segment_col="name")
+    rows = sorted(
+        (r["segment"], r["url"], bytes(r["html"]), r["warc_ts_unix"])
+        for r in out.collect()
+    )
+    assert rows == [
+        ("s1", "http://a.org/1", b"BODY1", 1483228800 + 2 * 86400 + 4 * 3600),
+        ("s1", "http://a.org/2", b"BODY2", 1483228800),
+        ("s2", "http://b.org/3", b"raw", 1483228800 + 2 * 86400 + 4 * 3600),
+    ]
+    # timestamp derivation is epoch-based: the session timezone cannot move it
+    ts = with_warc_ts(out)
+    got = {r["url"]: r["warc_ts"] for r in ts.collect()}
+    import datetime as dt
+
+    assert got["http://a.org/2"].replace(tzinfo=None) is not None

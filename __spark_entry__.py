@@ -555,16 +555,20 @@ def _q_gopher_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_gopher_ngram_sql(
-    top_ns: tuple = _GOPHER_NGRAM_TOP, dup_ns: tuple = _GOPHER_NGRAM_DUP
-) -> str:
-    parts = ["""
+_GOPHER_NGRAM_BASE = """
 WITH base AS (
   SELECT doc_id,
          CASE WHEN doc_id % 7 = 0 THEN t || ' ' || t
               WHEN doc_id % 3 = 0 THEN t || ' ' || substr(t, 1, 80)
               ELSE t END AS t
-  FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)),
+  FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents))"""
+
+
+def _gopher_ngram_ctes(top_ns: tuple, dup_ns: tuple) -> str:
+    """The per-n gram CTE chain over an existing ``base(doc_id, t)``
+    CTE: wl/st plus t{n} (top-gram fraction) and d{n} (duplicate-gram
+    coverage fraction) relations."""
+    parts = [""",
 wl AS (
   SELECT doc_id,
          [w for w in string_split_regex(lower(t), '[^a-z0-9]+') if w != ''] AS ws
@@ -603,6 +607,12 @@ d{n} AS (
          SUM(length(s.ws[c.p])) / CAST(any_value(s.total) AS DOUBLE) AS frac
   FROM c{n} c JOIN st s USING (doc_id)
   GROUP BY c.doc_id)""")
+    return "".join(parts)
+
+
+def _build_gopher_ngram_sql(
+    top_ns: tuple = _GOPHER_NGRAM_TOP, dup_ns: tuple = _GOPHER_NGRAM_DUP
+) -> str:
     sel = ["\nSELECT d.doc_id"]
     for n in top_ns:
         sel.append(
@@ -617,7 +627,139 @@ d{n} AS (
         sel.append(f"\nLEFT JOIN t{n} ON t{n}.doc_id = d.doc_id")
     for n in dup_ns:
         sel.append(f"\nLEFT JOIN d{n} ON d{n}.doc_id = d.doc_id")
-    return "".join(parts) + "".join(sel) + "\n"
+    return (
+        _GOPHER_NGRAM_BASE
+        + _gopher_ngram_ctes(top_ns, dup_ns)
+        + "".join(sel)
+        + "\n"
+    )
+
+
+def _q_gopher_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Gopher repetition rule set as one gate (13 published
+    thresholds, Rae et al. 2021 Table A1). The adapter layers three
+    deterministic repetition injectors over the corpus text — dup line
+    (every 3rd), dup paragraph via whole-doc doubling (every 4th),
+    n-gram prefix echo (every 7th) — via ONE construction evaluated by
+    both engines."""
+    from llm_aided_ocr_spark.operators.textstats import gopher_repetition_gate
+    from llm_aided_ocr_spark.operators.util import let_
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ml = F.replace(F.coalesce("text", F.lit("")), F.lit(". "), F.lit("\n"))
+    t1 = let_(
+        ml,
+        lambda m: F.when(
+            did % 3 == 0,
+            F.concat(m, F.lit("\n"), F.get(F.split(m, "\n"), 0)),
+        ).otherwise(m),
+    )
+    t2 = let_(
+        t1,
+        lambda m: F.when(
+            did % 4 == 0, F.concat(m, F.lit("\n\n"), m)
+        ).otherwise(m),
+    )
+    t3 = let_(
+        t2,
+        lambda m: F.when(
+            did % 7 == 0, F.concat(m, F.lit(" "), F.substring(m, 1, 80))
+        ).otherwise(m),
+    )
+    return gopher_repetition_gate(d.select("doc_id", t3.alias("text")))
+
+
+def _build_gopher_gate_sql() -> str:
+    from llm_aided_ocr_spark.operators.textstats import (
+        GOPHER_REPETITION_THRESHOLDS,
+    )
+
+    ws_class = "' ' || chr(9) || chr(13) || chr(10) || chr(12) || chr(11)"
+    base = """
+WITH base0 AS (
+  SELECT doc_id, replace(coalesce(text, ''), '. ', chr(10)) AS ml
+  FROM documents),
+base1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN ml || chr(10) || string_split(ml, chr(10))[1]
+              ELSE ml END AS t
+  FROM base0),
+base2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN t || chr(10) || chr(10) || t ELSE t END AS t
+  FROM base1),
+base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN t || ' ' || substr(t, 1, 80) ELSE t END AS t
+  FROM base2)"""
+    line_para = f""",
+lines AS (
+  SELECT doc_id, trim(u.l, {ws_class}) AS line
+  FROM base, unnest(string_split(t, chr(10))) AS u(l)
+  WHERE trim(u.l, {ws_class}) != ''),
+lc AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY 1, 2),
+lstats AS (
+  SELECT doc_id,
+         1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE) AS dlf,
+         CASE WHEN SUM(length(line) * c) > 0
+              THEN SUM(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END)
+                   / CAST(SUM(length(line) * c) AS DOUBLE)
+              ELSE 0.0 END AS dlcf
+  FROM lc GROUP BY doc_id),
+paras AS (
+  SELECT doc_id, trim(u.p, {ws_class}) AS para
+  FROM base,
+       unnest(regexp_split_to_array(t, '\\n[ \\t\\r\\f\\v]*\\n')) AS u(p)
+  WHERE trim(u.p, {ws_class}) != ''),
+pc AS (SELECT doc_id, para, COUNT(*) AS c FROM paras GROUP BY 1, 2),
+pstats AS (
+  SELECT doc_id,
+         1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE) AS dpf,
+         CASE WHEN SUM(length(para) * c) > 0
+              THEN SUM(CASE WHEN c > 1 THEN length(para) * c ELSE 0 END)
+                   / CAST(SUM(length(para) * c) AS DOUBLE)
+              ELSE 0.0 END AS dpcf
+  FROM pc GROUP BY doc_id)"""
+    cols = {
+        "dup_line_frac": "round(coalesce(l.dlf, 0.0), 6)",
+        "dup_line_char_frac": "round(coalesce(l.dlcf, 0.0), 6)",
+        "top_2gram_char_frac": "round(coalesce(t2.frac, 0.0), 6)",
+        "dup_para_frac": "round(coalesce(p.dpf, 0.0), 6)",
+        "dup_para_char_frac": "round(coalesce(p.dpcf, 0.0), 6)",
+        "top_3gram_char_frac": "round(coalesce(t3.frac, 0.0), 6)",
+        "top_4gram_char_frac": "round(coalesce(t4.frac, 0.0), 6)",
+    }
+    for n in range(5, 11):
+        cols[f"dup_{n}gram_char_frac"] = (
+            f"round(coalesce(d{n}.frac, 0.0), 6)"
+        )
+    sel = ["\nSELECT d.doc_id"]
+    for name, expr in cols.items():
+        sel.append(f",\n  {expr} AS {name}")
+    pass_terms = " AND ".join(
+        f"{cols[name]} <= {cut!r}"
+        for name, cut in GOPHER_REPETITION_THRESHOLDS.items()
+    )
+    sel.append(f",\n  ({pass_terms}) AS repetition_pass")
+    sel.append("""
+FROM documents d
+LEFT JOIN lstats l ON l.doc_id = d.doc_id
+LEFT JOIN pstats p ON p.doc_id = d.doc_id""")
+    for n in (2, 3, 4):
+        sel.append(f"\nLEFT JOIN t{n} ON t{n}.doc_id = d.doc_id")
+    for n in range(5, 11):
+        sel.append(f"\nLEFT JOIN d{n} ON d{n}.doc_id = d.doc_id")
+    return (
+        base
+        + _gopher_ngram_ctes((2, 3, 4), (5, 6, 7, 8, 9, 10))
+        + line_para
+        + "".join(sel)
+        + "\n"
+    )
 
 
 def _q_word_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3181,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "repetition_metrics": _q_repetition_metrics,
         "gopher_ngram_repetition": _q_gopher_ngram_repetition,
+        "gopher_repetition_gate": _q_gopher_repetition_gate,
         "canonical_urls": _q_canonical_urls,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "hash_split": _q_hash_split,
@@ -3812,6 +3955,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _DOMAIN_STATS_SQL,
         "repetition_metrics": _REPETITION_SQL,
         "gopher_ngram_repetition": _build_gopher_ngram_sql(),
+        "gopher_repetition_gate": _build_gopher_gate_sql(),
         "canonical_urls": _CANONICAL_URLS_SQL,
         "canonical_url_dedup": _CANONICAL_DEDUP_SQL,
         "hash_split": _build_hash_split_sql({"train": 0.9, "val": 0.05, "test": 0.05}, rate=0.1),

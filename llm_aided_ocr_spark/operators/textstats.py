@@ -758,6 +758,143 @@ def repetition_metrics(
     )
 
 
+# Published removal thresholds, Rae et al. 2021 Table A1 ("remove the
+# document if metric > threshold").
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def paragraph_repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(doc_id, dup_para_frac, dup_para_char_frac)`` — the paragraph
+    rows of Gopher's repetition table (same Counter pass as the line
+    metrics in :func:`repetition_metrics`, over ``\\n\\n``-separated
+    blocks with blank/whitespace-only blocks dropped). The separator's
+    inner whitespace class is the explicit ASCII set — Python's ``\\s``
+    also eats unicode whitespace, which RE2 (the oracle's engine) does
+    not, so the class is spelled out on both sides. Raw doubles out;
+    callers round."""
+    import re
+    from collections import Counter
+    from typing import Iterator
+
+    import pandas as pd
+
+    para_re = re.compile(r"\n[ \t\r\f\v]*\n")
+
+    def _metrics(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            dpf, dpcf = [], []
+            for text in batch["t"]:
+                paras = [
+                    p.strip(" \t\r\n\f\v")
+                    for p in para_re.split(text or "")
+                ]
+                paras = [p for p in paras if p]
+                if paras:
+                    pc = Counter(paras)
+                    dpf.append(1.0 - len(pc) / len(paras))
+                    total = sum(len(p) * c for p, c in pc.items())
+                    dup = sum(len(p) * c for p, c in pc.items() if c > 1)
+                    dpcf.append(dup / total if total else 0.0)
+                else:
+                    dpf.append(0.0)
+                    dpcf.append(0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["id"],
+                    "dup_para_frac": dpf,
+                    "dup_para_char_frac": dpcf,
+                }
+            )
+
+    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
+
+    prepped = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    id_type = dict(prepped.dtypes)["id"]
+    return prepped.mapInPandas(
+        _metrics,
+        schema=(
+            f"doc_id {id_type}, dup_para_frac double, "
+            "dup_para_char_frac double"
+        ),
+    )
+
+
+def gopher_repetition_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """``(doc_id, <13 fraction columns>, repetition_pass)`` — the FULL
+    Gopher repetition rule set (Rae et al. 2021 Table A1) as one gate:
+    line/paragraph duplicate fractions (count and char mass), top-
+    {2,3,4}-gram char fractions, duplicate-{5..10}-gram char coverage,
+    and a document passes iff EVERY metric sits at or under its
+    published threshold (:data:`GOPHER_REPETITION_THRESHOLDS`; override
+    per-key with ``thresholds``).
+
+    Scale shape: three Arrow passes over the same corpus partitioning
+    (line+paragraph Counters, n-gram Counter/bitmap) joined on the id —
+    at 100 TB prefer id-bucketed storage so these are zero-Exchange
+    merges; the pass column itself is a native comparison chain, so
+    downstream filters on ``repetition_pass`` stay in codegen. The
+    fraction columns come through ROUNDED to 6 dp (HALF_UP, the repo's
+    cross-engine contract) and the thresholds compare the rounded
+    values — deterministic on every engine."""
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown threshold keys: {sorted(unknown)}")
+        th.update(thresholds)
+
+    lines = repetition_metrics(df, text_col=text_col, id_col=id_col).select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_bigram_char_frac", 6).alias("top_2gram_char_frac"),
+    )
+    paras = paragraph_repetition_metrics(
+        df, text_col=text_col, id_col=id_col
+    ).select(
+        "doc_id",
+        F.round("dup_para_frac", 6).alias("dup_para_frac"),
+        F.round("dup_para_char_frac", 6).alias("dup_para_char_frac"),
+    )
+    grams = gopher_ngram_metrics(
+        df, text_col=text_col, id_col=id_col, top_ns=(3, 4)
+    )
+    gram_cols = [c for c in grams.columns if c != "doc_id"]
+    grams = grams.select(
+        "doc_id", *[F.round(c, 6).alias(c) for c in gram_cols]
+    )
+    joined = lines.join(paras, "doc_id").join(grams, "doc_id")
+    passes = None
+    for col, cut in th.items():
+        cond = F.col(col) <= F.lit(cut)
+        passes = cond if passes is None else (passes & cond)
+    return joined.withColumn("repetition_pass", passes)
+
+
 def gopher_ngram_metrics(
     df: DataFrame,
     text_col: str = "text",

@@ -615,3 +615,64 @@ def test_url_filter_empty_lists_keep_all_and_stay_native(spark):
     plan = buf.getvalue()
     for marker in ("EvalPython", "PythonUDF", "MapInPandas"):
         assert marker not in plan
+
+
+def test_paragraph_repetition_metrics_hand_computed(spark):
+    from llm_aided_ocr_spark.operators.textstats import (
+        paragraph_repetition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # paras: A, B, A -> dup_para_frac = 1 - 2/3; chars: A=2 B=3
+            # dup chars = 2*2=4 of total 2+3+2=7
+            (1, "aa\n\nbbb\n\naa"),
+            (2, "only one paragraph\nwith two lines"),
+            (3, "x\n \t\nx"),   # whitespace-bearing separator still splits
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in paragraph_repetition_metrics(df).collect()}
+    assert abs(got[1]["dup_para_frac"] - (1 - 2 / 3)) < 1e-12
+    assert abs(got[1]["dup_para_char_frac"] - 4 / 7) < 1e-12
+    assert got[2]["dup_para_frac"] == 0.0
+    assert got[3]["dup_para_frac"] == 0.5  # two 'x' paras, one distinct
+    assert got[3]["dup_para_char_frac"] == 1.0
+    for k in (4, 5):
+        assert got[k]["dup_para_frac"] == 0.0
+        assert got[k]["dup_para_char_frac"] == 0.0
+
+
+def test_gopher_repetition_gate_thresholds(spark):
+    """A clean doc passes all 13 rules; a paragraph-doubled doc fails
+    (dup_para_frac 0.5 > 0.30 and every dup-ngram rule); overriding one
+    threshold flips only that rule's contribution."""
+    from llm_aided_ocr_spark.operators.textstats import (
+        GOPHER_REPETITION_THRESHOLDS,
+        gopher_repetition_gate,
+    )
+
+    clean = "the quick brown fox jumps over the lazy dog near a river bank today"
+    df = spark.createDataFrame(
+        [(1, clean), (2, clean + "\n\n" + clean)],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition_gate(df).collect()}
+    assert rows[1]["repetition_pass"] is True
+    assert rows[2]["repetition_pass"] is False
+    assert rows[2]["dup_para_frac"] == 0.5
+    assert rows[2]["dup_10gram_char_frac"] == 1.0
+    assert len(rows[1].asDict()) == 15  # id + 13 metrics + pass
+    # loosened thresholds admit the doubled doc
+    loose = {k: 1.0 for k in GOPHER_REPETITION_THRESHOLDS}
+    rows2 = {
+        r["doc_id"]: r
+        for r in gopher_repetition_gate(df, thresholds=loose).collect()
+    }
+    assert rows2[2]["repetition_pass"] is True
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gopher_repetition_gate(df, thresholds={"nope": 0.1})

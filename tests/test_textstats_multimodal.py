@@ -654,7 +654,10 @@ def test_gopher_repetition_gate_thresholds(spark):
         gopher_repetition_gate,
     )
 
-    clean = "the quick brown fox jumps over the lazy dog near a river bank today"
+    # long enough that no single n-gram dominates the char mass — the
+    # published top-gram thresholds assume web-document lengths (a
+    # 14-word doc fails top-4gram at 0.28 > 0.16 by construction)
+    clean = " ".join(f"word{i} item{i * 7 % 101}" for i in range(60))
     df = spark.createDataFrame(
         [(1, clean), (2, clean + "\n\n" + clean)],
         "doc_id bigint, text string",

@@ -343,6 +343,34 @@ def main() -> None:
     ))
 
     sections.append((
+        "url_filter — the whole gate fuses into the scan's codegen stage",
+        "domain blocklist (dot-boundary suffix match) + keyword scoring "
+        "are literal-array exists/filter expressions over the native "
+        "host extraction: no exchange, no Python, one WholeStageCodegen "
+        "span above the FileScan.",
+        plan_of(q["url_filter"](spark, SF)),
+    ))
+
+    sections.append((
+        "gopher_repetition_gate — three Arrow passes, native threshold chain",
+        "line/paragraph Counter passes and the n-gram Counter/bitmap "
+        "pass join on the id; the 13-threshold pass column is a plain "
+        "comparison conjunction (codegen), so filtering on "
+        "repetition_pass costs no Python.",
+        plan_of(q["gopher_repetition_gate"](spark, SF)),
+    ))
+
+    sections.append((
+        "warc_roundtrip — segment→pages is one MapInPandas flatMap",
+        "WARC record iteration (Content-Length framing, gzip members, "
+        "envelope strip) runs document-local per segment blob; the only "
+        "exchange in this plan belongs to the ADAPTER's segment "
+        "assembly (grouping synthetic records into blobs) — a real "
+        "crawl read starts from segment files and has none.",
+        plan_of(q["warc_roundtrip"](spark, SF)),
+    ))
+
+    sections.append((
         "bpe_token_counts — vocab-sized Arrow pass + distinct-word count join",
         "the merge walk (MapInPandas) runs over DISTINCT words, not the "
         "corpus; per-document counts come from the pre-aggregated "

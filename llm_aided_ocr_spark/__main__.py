@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-raw", action="store_true",
                    help="skip the raw_pages table (reference writes both "
                         "raw and corrected outputs; default mirrors that)")
+    p.add_argument("--from-warc", action="store_true",
+                   help="treat --input as a directory of WARC segment "
+                        "files (read via binaryFile, parsed by "
+                        "sources.warc) instead of a pages parquet table; "
+                        "implies --from-html")
     p.add_argument("--from-html", action="store_true",
                    help="extract text from the html column (DOM strip)")
     p.add_argument("--resume", action="store_true",
@@ -129,7 +134,25 @@ def main(argv=None) -> int:
     )
     store = CheckpointStore(args.warehouse, run_id=args.run_id) if args.resume else None
 
-    pages = spark.read.parquet(args.input)
+    if args.from_warc:
+        from pyspark.sql import functions as F
+
+        from llm_aided_ocr_spark.sources.warc import parse_warc, with_warc_ts
+
+        segments = spark.read.format("binaryFile").load(args.input).select(
+            F.col("path").alias("segment_path"), "content"
+        )
+        parsed = with_warc_ts(
+            parse_warc(segments, segment_col="segment_path")
+        )
+        pages = parsed.select(
+            "url", "warc_ts", "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+        args.from_html = True
+    else:
+        pages = spark.read.parquet(args.input)
 
     if args.dedup_incremental:
         from llm_aided_ocr_spark.operators.dedup import apply_incremental_dedup

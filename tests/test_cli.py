@@ -169,3 +169,55 @@ def test_cli_incremental_dedup_mode(spark):
         assert len(urls) == 5  # 4 from batch 1 + the fresh doc
         sigs = spark.read.parquet(idx)
         assert sigs.count() == 5
+
+
+def test_cli_from_warc_mode(spark):
+    """--from-warc: a directory of real WARC segment files (one gzip, one
+    plain) drives the full html pipeline; raw_pages carries the
+    DOM-stripped text per url."""
+    import gzip
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def record(url, body):
+        payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " + url
+            + b"\r\nWARC-Date: 2017-01-02T03:00:00Z\r\nContent-Length: "
+            + str(len(payload)).encode() + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        seg_dir = os.path.join(tmp, "segments")
+        os.makedirs(seg_dir)
+        seg1 = record(b"http://a.org/1", b"<html><body><p>alpha beta</p></body></html>")
+        seg1 += record(b"http://a.org/2", b"<html><body><p>gamma delta</p></body></html>")
+        with open(os.path.join(seg_dir, "seg1.warc"), "wb") as f:
+            f.write(seg1)
+        with open(os.path.join(seg_dir, "seg2.warc.gz"), "wb") as f:
+            f.write(gzip.compress(record(
+                b"http://b.org/3", b"<html><body><p>epsilon zeta</p></body></html>"
+            )))
+        out = os.path.join(tmp, "out")
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "llm_aided_ocr_spark",
+                "--input", seg_dir, "--output", out,
+                "--from-warc", "--provider", "heuristic",
+                "--master", "local[2]",
+            ],
+            capture_output=True, text=True, timeout=300,
+            cwd=repo, env=dict(os.environ, PYTHONPATH=repo),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        raw = {
+            r["url"]: r["raw_text"]
+            for r in spark.read.parquet(os.path.join(out, "raw_pages")).collect()
+        }
+        assert raw == {
+            "http://a.org/1": "alpha beta",
+            "http://a.org/2": "gamma delta",
+            "http://b.org/3": "epsilon zeta",
+        }
+        corrected = spark.read.parquet(os.path.join(out, "corrected_docs"))
+        assert corrected.count() == 3

@@ -1079,6 +1079,43 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(d)
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delta labeling across two snapshots derived from the same
+    corpus: old = docs with id%13!=0, new = docs with id%11!=0 and the
+    text revised (' v2' suffix) for id%7==0 — yielding all four
+    statuses plus the in-neither edge (id%143==0 absent entirely).
+    Spark compares 64-bit fingerprints (16-byte shuffle rows); the
+    oracle compares the text itself."""
+    from llm_aided_ocr_spark.operators.snapshots import snapshot_diff
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    old = d.filter(F.col("doc_id") % 13 != 0)
+    new = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_diff(old, new, id_col="doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+SELECT doc_id,
+  CASE
+    WHEN doc_id % 13 = 0 THEN 'added'
+    WHEN doc_id % 11 = 0 THEN 'removed'
+    WHEN doc_id % 7 = 0 THEN 'changed'
+    ELSE 'unchanged'
+  END AS status
+FROM documents
+WHERE NOT (doc_id % 13 = 0 AND doc_id % 11 = 0)
+"""
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source parsing, verified as a round trip: build real WARC
     segment bytes from the documents table IN-ENGINE (response records
@@ -3375,6 +3412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_rates": _q_temperature_rates,
         "url_filter": _q_url_filter,
         "warc_roundtrip": _q_warc_roundtrip,
+        "snapshot_diff": _q_snapshot_diff,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
         "incremental_dedup": _q_incremental_dedup,
@@ -4006,6 +4044,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_rates": _TEMPERATURE_RATES_SQL,
         "url_filter": _URL_FILTER_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "bpe_merges": _build_bpe_sql(k=6),
         "bpe_token_counts": _build_bpe_counts_sql(k=6),
         "incremental_dedup": _build_incremental_dedup_sql(),

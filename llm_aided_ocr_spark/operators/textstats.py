@@ -556,6 +556,54 @@ def domain_col(url_col: Column) -> Column:
     return F.lower(host)
 
 
+def _url_gate_cols(
+    url_col: Column,
+    blocked_domains: tuple,
+    blocked_keywords: tuple,
+) -> tuple:
+    """``(domain_blocked, keyword_hits)`` expressions — shared by the
+    relation-shaped :func:`url_filter` and the inline
+    :func:`url_keep_col` predicate."""
+    from llm_aided_ocr_spark.operators.util import let_
+
+    u = F.lower(F.coalesce(url_col, F.lit("")))
+    doms = F.array(*[F.lit(d.lower()) for d in blocked_domains])
+    kws = F.array(*[F.lit(k.lower()) for k in blocked_keywords])
+    dom_blocked = (
+        let_(
+            domain_col(F.coalesce(url_col, F.lit(""))),
+            lambda h: F.exists(
+                doms,
+                lambda b: (h == b) | h.endswith(F.concat(F.lit("."), b)),
+            ),
+        )
+        if blocked_domains
+        else F.lit(False)
+    )
+    hits = (
+        let_(u, lambda lu: F.size(F.filter(kws, lambda k: lu.contains(k))))
+        if blocked_keywords
+        else F.lit(0)
+    )
+    return dom_blocked, hits
+
+
+def url_keep_col(
+    url_col: Column,
+    blocked_domains: tuple = (),
+    blocked_keywords: tuple = (),
+    keyword_threshold: int = 2,
+) -> Column:
+    """Inline boolean form of :func:`url_filter`'s ``keep`` — a pure
+    per-row expression, so pipelines filter with it directly
+    (``df.filter(url_keep_col(...))``) and pay no join, no Python, and
+    keep predicate pushdown above it intact."""
+    dom_blocked, hits = _url_gate_cols(
+        url_col, blocked_domains, blocked_keywords
+    )
+    return ~dom_blocked & (hits < F.lit(keyword_threshold))
+
+
 def url_filter(
     df: DataFrame,
     blocked_domains: tuple = (),
@@ -585,26 +633,8 @@ def url_filter(
     practice (UT1-style category lists); for a corpus-scale blocklist
     RELATION, broadcast-join it on ``domain_col`` instead and reuse the
     same boolean algebra."""
-    from llm_aided_ocr_spark.operators.util import let_
-
-    u = F.lower(F.coalesce(F.col(url_col), F.lit("")))
-    doms = F.array(*[F.lit(d.lower()) for d in blocked_domains])
-    kws = F.array(*[F.lit(k.lower()) for k in blocked_keywords])
-    dom_blocked = (
-        let_(
-            domain_col(F.coalesce(F.col(url_col), F.lit(""))),
-            lambda h: F.exists(
-                doms,
-                lambda b: (h == b) | h.endswith(F.concat(F.lit("."), b)),
-            ),
-        )
-        if blocked_domains
-        else F.lit(False)
-    )
-    hits = (
-        let_(u, lambda lu: F.size(F.filter(kws, lambda k: lu.contains(k))))
-        if blocked_keywords
-        else F.lit(0)
+    dom_blocked, hits = _url_gate_cols(
+        F.col(url_col), blocked_domains, blocked_keywords
     )
     return df.select(
         F.col(id_col).alias("id"),

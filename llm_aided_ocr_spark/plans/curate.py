@@ -38,6 +38,10 @@ class CurationConfig:
     paragraph_dedup: bool = False         # keep-first exact paragraph dedup
     min_quality_score: int = 0            # 0 = no quality gate
     use_gopher_gate: bool = False         # AND of the Gopher rules
+    repetition_gate: bool = False         # full 13-threshold Gopher repetition gate
+    url_blocked_domains: tuple = ()       # RefinedWeb stage-1 URL gate
+    url_blocked_keywords: tuple = ()      # (both empty = off)
+    url_keyword_threshold: int = 2
     exact_dedup: bool = True
     near_dedup: bool = True
     near_dup_threshold: float = 0.8
@@ -70,6 +74,21 @@ def curate(
     from llm_aided_ocr_spark.operators.textstats import quality_score_col
     from llm_aided_ocr_spark.operators.util import carry_pins, pin
     from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+
+    if cfg.url_blocked_domains or cfg.url_blocked_keywords:
+        # stage-1 URL gate runs BEFORE correction — its whole point is
+        # shedding documents without ever touching their text, and it is
+        # a pure per-row codegen predicate (no join, pushdown survives)
+        from llm_aided_ocr_spark.operators.textstats import url_keep_col
+
+        pages_df = pages_df.filter(
+            url_keep_col(
+                F.col("url"),
+                cfg.url_blocked_domains,
+                cfg.url_blocked_keywords,
+                cfg.url_keyword_threshold,
+            )
+        )
 
     corrected = run_pipeline(pages_df, cfg.pipeline, store=store, strategy="auto")
     docs = corrected.select("url", "corrected_text", "n_chunks")
@@ -141,6 +160,24 @@ def curate(
         from llm_aided_ocr_spark.operators.textstats import gopher_pass_col
 
         docs = docs.filter(gopher_pass_col(F.col("corrected_text")))
+    if cfg.repetition_gate:
+        # the 13-threshold repetition gate needs the Arrow metric passes,
+        # so unlike the word/line flags it is relation-shaped: keep ids
+        # via a left-semi whose build side is pinned shuffle-hash (the
+        # keep list is O(corpus) — never a broadcast build)
+        from llm_aided_ocr_spark.operators.textstats import (
+            gopher_repetition_gate,
+        )
+        from llm_aided_ocr_spark.operators.util import corpus_scaled
+
+        keep = (
+            gopher_repetition_gate(
+                docs, text_col="corrected_text", id_col="url"
+            )
+            .filter(F.col("repetition_pass"))
+            .select(F.col("doc_id").alias("url"))
+        )
+        docs = docs.join(corpus_scaled(keep), "url", "left_semi")
     if cfg.min_quality_score > 0:
         docs = docs.filter(F.col("quality_score") >= cfg.min_quality_score)
     if cfg.blocklist:

@@ -238,3 +238,68 @@ def test_curate_blocklist_gate(spark):
         word not in r.corrected_text.lower() for r in rows
     )
     assert all(word not in r.corrected_text.lower() for r in rows)
+
+
+def test_curate_url_gate_runs_before_correction(spark):
+    """URL-gated pages never reach the pipeline: blocked-domain and
+    keyword-heavy urls are absent from the output, and the gate is an
+    inline predicate (no extra join for it in the plan)."""
+    base = pages_dataframe(spark, n_rows=12, include_golden=False)
+    pages = base.withColumn(
+        "url",
+        F.when(F.col("url").contains("0"),
+               F.concat(F.lit("https://spam.bad.net/"), "url"))
+        .when(F.col("url").contains("1"),
+              F.concat(F.lit("https://ok.org/casino/poker/"), "url"))
+        .otherwise(F.concat(F.lit("https://ok.org/"), "url")),
+    )
+    cfg = CurationConfig(
+        near_dedup=False, exact_dedup=False,
+        url_blocked_domains=("spam.bad.net",),
+        url_blocked_keywords=("casino", "poker"),
+    )
+    out = curate(pages, cfg)
+    urls = [r["url"] for r in out.collect()]
+    assert urls  # something survives
+    assert all("spam.bad.net" not in u and "casino" not in u for u in urls)
+    expected = pages.filter(
+        ~F.col("url").contains("spam.bad.net")
+        & ~F.col("url").contains("casino")
+    ).count()
+    assert len(urls) == expected
+
+
+def test_curate_repetition_gate_matches_operator_verdicts(spark):
+    """The gate stage keeps exactly the urls whose CORRECTED text passes
+    gopher_repetition_gate — and it is non-vacuous on the synthetic
+    corpus (template-heavy docs fail the published thresholds). Note a
+    naively doubled input paragraph does NOT reach the gate: the
+    heuristic corrector's duplicate-paragraph removal runs first, which
+    is exactly the stage-order contract (gates see final bytes)."""
+    from llm_aided_ocr_spark.operators.textstats import gopher_repetition_gate
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    pages = pages_dataframe(spark, n_rows=10, include_golden=False)
+    cfg_on = CurationConfig(
+        near_dedup=False, exact_dedup=False, repetition_gate=True
+    )
+    cfg_off = CurationConfig(near_dedup=False, exact_dedup=False)
+    on = curate(pages, cfg_on)
+    off = curate(pages, cfg_off)
+    on_urls = {r["url"] for r in on.collect()}
+    off_rows = off.select("url", "corrected_text").collect()
+    release_pinned(on, blocking=True)
+    verdicts = {
+        r["doc_id"]: r["repetition_pass"]
+        for r in gopher_repetition_gate(
+            spark.createDataFrame(
+                [(r["url"], r["corrected_text"]) for r in off_rows],
+                "url string, text string",
+            ),
+            id_col="url",
+        ).collect()
+    }
+    release_pinned(off, blocking=True)
+    expected = {u for u, ok in verdicts.items() if ok}
+    assert on_urls == expected
+    assert expected and expected != set(verdicts)  # both classes present

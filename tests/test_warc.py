@@ -109,3 +109,66 @@ def test_parse_warc_dataframe_roundtrip(spark):
     import datetime as dt
 
     assert got["http://a.org/2"].replace(tzinfo=None) is not None
+
+
+# ---------------------------------------------------------------------------
+# Property: serialize → parse round-trips arbitrary record sets
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _url = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1, max_size=40,
+    ).map(lambda s: "http://h.org/" + s)
+    # payload bytes may contain CRLFCRLF, WARC magic, gzip magic —
+    # Content-Length framing must not care
+    _body = st.binary(min_size=0, max_size=300)
+    _rec = st.tuples(_url, _body, st.booleans())
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_rec, min_size=0, max_size=8), st.booleans())
+    def test_warc_roundtrip_property(recs, compress):
+        import gzip as _gzip
+
+        from llm_aided_ocr_spark.sources.warc import (
+            _http_body,
+            iter_warc_records,
+        )
+
+        blob = b""
+        recs = [
+            # a RAW payload that happens to start with the HTTP magic
+            # would legitimately be envelope-stripped — out of scope for
+            # the round-trip property (real raw payloads are not HTTP)
+            (u, (b"x" + b) if (not h and b.startswith(b"HTTP/")) else b, h)
+            for u, b, h in recs
+        ]
+        for url, body, with_http in recs:
+            payload = (
+                b"HTTP/1.1 200 OK\r\nA: b\r\n\r\n" + body
+                if with_http
+                else body
+            )
+            rec = (
+                b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+                + url.encode()
+                + b"\r\nWARC-Date: 2017-01-02T03:04:05Z\r\nContent-Length: "
+                + str(len(payload)).encode()
+                + b"\r\n\r\n" + payload + b"\r\n\r\n"
+            )
+            blob += _gzip.compress(rec) if compress else rec
+        got = [
+            (h["warc-target-uri"], _http_body(p))
+            for h, p in iter_warc_records(blob)
+        ]
+        want = []
+        for url, body, with_http in recs:
+            want.append((url, body))
+        assert got == want

@@ -391,6 +391,30 @@ def _build_shard_manifest_sql(
         f"'{shard_seed}:' || split || ':' || CAST(stream AS VARCHAR) "
         "|| ':' || CAST(bin_ix AS VARCHAR)"
     )
+    return _shard_walk_prefix(
+        case_sql, token_expr, budget, num_streams, num_shards,
+        seed_split, shard_key,
+    ) + """,
+seq AS (
+  SELECT split, shard, stream, bin_ix,
+         COUNT(*) AS n_docs, SUM(t) AS seq_tokens
+  FROM sharded GROUP BY split, shard, stream, bin_ix)
+SELECT split, shard, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens
+FROM seq GROUP BY split, shard
+"""
+
+
+def _shard_walk_prefix(
+    case_sql: str,
+    token_expr: str,
+    budget: int,
+    num_streams: int,
+    num_shards: int,
+    seed_split: int,
+    shard_key: str,
+) -> str:
     return f"""
 WITH RECURSIVE base AS (
   SELECT doc_id,
@@ -415,16 +439,63 @@ sharded AS (
   SELECT split, stream, bin_ix, t,
          CAST(CAST('0x' || substr(md5({shard_key}), 1, 13) AS BIGINT)
               % {num_shards} AS INTEGER) AS shard
-  FROM walk),
-seq AS (
-  SELECT split, shard, stream, bin_ix,
-         COUNT(*) AS n_docs, SUM(t) AS seq_tokens
-  FROM sharded GROUP BY split, shard, stream, bin_ix)
-SELECT split, shard, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
-       CAST(COUNT(*) AS BIGINT) AS n_seqs,
-       CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens
-FROM seq GROUP BY split, shard
+  FROM walk)"""
+
+
+def _build_epoch_order_sql(epoch: int, split: str = "train") -> str:
+    """Epoch permutation over the SAME composed shard derivation: the
+    distinct train sequences ranked by the md5-52 of
+    ``epoch:split:stream:bin_ix``."""
+    token_expr = (
+        "CAST(trunc(coalesce(list_sum(" + _TOKEN_COST_SQL + "), 0) * 1.1) AS INTEGER)"
+    )
+    weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(weights)
+    acc = 0.0
+    cases = []
+    for name in names[:-1]:
+        acc += weights[name]
+        cases.append(f"WHEN u1 < {acc!r} THEN '{name}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    shard_key = (
+        "'7:' || split || ':' || CAST(stream AS VARCHAR) "
+        "|| ':' || CAST(bin_ix AS VARCHAR)"
+    )
+    epoch_key = (
+        f"'{epoch}:' || split || ':' || CAST(stream AS VARCHAR) "
+        "|| ':' || CAST(bin_ix AS VARCHAR)"
+    )
+    return _shard_walk_prefix(
+        case_sql, token_expr, 512, 8, 4, 1, shard_key
+    ) + f""",
+seqs AS (
+  SELECT DISTINCT split, stream, bin_ix, shard
+  FROM sharded WHERE split = '{split}'),
+keyed AS (
+  SELECT *, CAST('0x' || substr(md5({epoch_key}), 1, 13) AS BIGINT) AS k
+  FROM seqs)
+SELECT split, stream, bin_ix, shard,
+       CAST(row_number() OVER (ORDER BY k ASC, stream ASC, bin_ix ASC) - 1
+            AS BIGINT) AS epoch_pos
+FROM keyed
 """
+
+
+def _q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-3 permutation of the train split's packed
+    sequences — the training loader's shuffle, a pure function of
+    (epoch, sequence identity), replayed by the oracle over the same
+    composed split→pack→shard derivation as shard_manifest."""
+    from llm_aided_ocr_spark.operators.sampling import hash_split
+    from llm_aided_ocr_spark.plans.shards import epoch_order, shard_assignments
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    split = hash_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=1)
+    asg = shard_assignments(
+        split, budget=512, num_shards=4, text_col="text",
+        id_col="doc_id", num_streams=8, shard_seed=7,
+    )
+    return epoch_order(asg, epoch=3, split="train")
 
 
 def _q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3413,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": _q_url_filter,
         "warc_roundtrip": _q_warc_roundtrip,
         "snapshot_diff": _q_snapshot_diff,
+        "epoch_order": _q_epoch_order,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
         "incremental_dedup": _q_incremental_dedup,
@@ -4045,6 +4117,7 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _URL_FILTER_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "epoch_order": _build_epoch_order_sql(epoch=3),
         "bpe_merges": _build_bpe_sql(k=6),
         "bpe_token_counts": _build_bpe_counts_sql(k=6),
         "incremental_dedup": _build_incremental_dedup_sql(),

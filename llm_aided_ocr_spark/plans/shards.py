@@ -91,6 +91,47 @@ def shard_manifest(assignments: DataFrame) -> DataFrame:
     )
 
 
+def epoch_order(
+    assignments: DataFrame, epoch: int, split: str = "train"
+) -> DataFrame:
+    """``(split, stream, bin_ix, shard, epoch_pos)`` — a deterministic
+    per-epoch permutation of one split's training SEQUENCES: position =
+    rank of the md5-52 portable hash of ``epoch:split:stream:bin_ix``
+    (the shard-routing hash family, so the driver's DuckDB oracle
+    replays the permutation exactly). Every
+    epoch visits every sequence exactly once in an order that is a pure
+    function of (epoch, sequence identity) — reproducible across
+    cluster layouts, resumable mid-epoch from a position checkpoint, and
+    different every epoch (the shuffle a training loader needs without
+    materializing a permuted copy of the corpus).
+
+    Scale shape: operates on the SEQUENCE relation (one row per packed
+    bin — corpus/budget rows, ~40 bytes each), never documents. The
+    global rank is a sort of that narrow relation; a loader that only
+    needs a per-shard order can window by shard instead and skip the
+    global exchange."""
+    from pyspark.sql import Window
+
+    seqs = (
+        assignments.filter(F.col("split") == split)
+        .select("split", "stream", "bin_ix", "shard")
+        .distinct()
+    )
+    from llm_aided_ocr_spark.operators.dedup import _word_hash_col
+
+    key = _word_hash_col(
+        F.concat_ws(
+            ":", F.lit(str(epoch)), F.col("split"),
+            F.col("stream").cast("string"), F.col("bin_ix").cast("string"),
+        ),
+        "md5_52",
+    )
+    w = Window.orderBy(key.asc(), F.col("stream").asc(), F.col("bin_ix").asc())
+    return seqs.withColumn(
+        "epoch_pos", (F.row_number().over(w) - 1).cast("bigint")
+    )
+
+
 def write_training_shards(
     curated: DataFrame,
     out_dir: str,

@@ -188,3 +188,36 @@ def test_shard_routing_join_never_broadcasts_assignments(spark):
     )
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_epoch_order_is_a_deterministic_permutation_per_epoch(spark):
+    """Every epoch visits each train sequence exactly once; positions
+    are a contiguous 0..n-1 range; different epochs give different
+    orders; the same epoch is layout-independent."""
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.sampling import hash_split
+    from llm_aided_ocr_spark.plans.shards import epoch_order, shard_assignments
+
+    df = spark.createDataFrame(
+        [(i, "word " * (5 + i % 37)) for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    asg = shard_assignments(
+        hash_split(df), budget=64, num_shards=4, text_col="text",
+        id_col="doc_id",
+    )
+    e1 = epoch_order(asg, epoch=1)
+    rows1 = {(r["stream"], r["bin_ix"]): r["epoch_pos"] for r in e1.collect()}
+    assert sorted(rows1.values()) == list(range(len(rows1)))
+    # layout independence
+    e1b = epoch_order(asg.repartition(7), epoch=1)
+    rows1b = {(r["stream"], r["bin_ix"]): r["epoch_pos"] for r in e1b.collect()}
+    assert rows1 == rows1b
+    # a different epoch permutes differently over the same sequences
+    e2 = epoch_order(asg, epoch=2)
+    rows2 = {(r["stream"], r["bin_ix"]): r["epoch_pos"] for r in e2.collect()}
+    assert set(rows2) == set(rows1)
+    assert rows2 != rows1
+    # only the requested split's sequences appear
+    assert e1.select("split").distinct().collect()[0]["split"] == "train"

@@ -143,9 +143,13 @@ def write_training_shards(
     num_streams: int = 8,
     shard_seed: int = 7,
     compression: str = "zstd",
+    output_format: str = "parquet",
 ) -> DataFrame:
     """Write the curated corpus as training shards and return the
     manifest (also persisted under ``<out_dir>/_manifest``).
+    ``output_format="json"`` writes gzip JSONL shards instead — the
+    interchange layout most training readers ingest directly (one JSON
+    object per line; same directory structure and in-file ordering).
 
     Layout: ``<out_dir>/split=<s>/shard=<k>/*.parquet`` with rows sorted
     by ``(stream, bin_ix, doc id)`` inside each task, so a reader streams
@@ -172,14 +176,22 @@ def write_training_shards(
         F.col(id_col), "split", "shard", "stream", "bin_ix", "n_tokens",
         F.col(text_col),
     )
-    (
+    if output_format not in ("parquet", "json"):
+        raise ValueError(f"unknown output_format: {output_format!r}")
+    writer = (
         shard_out.repartition("split", "shard")
         .sortWithinPartitions("split", "shard", "stream", "bin_ix", id_col)
         .write.mode("overwrite")
-        .option("compression", compression)
+        .option(
+            "compression",
+            "gzip" if output_format == "json" else compression,
+        )
         .partitionBy("split", "shard")
-        .parquet(out_dir)
     )
+    if output_format == "json":
+        writer.json(out_dir)
+    else:
+        writer.parquet(out_dir)
     manifest = shard_manifest(asg)
     (
         manifest.coalesce(1)

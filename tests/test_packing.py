@@ -221,3 +221,37 @@ def test_epoch_order_is_a_deterministic_permutation_per_epoch(spark):
     assert rows2 != rows1
     # only the requested split's sequences appear
     assert e1.select("split").distinct().collect()[0]["split"] == "train"
+
+
+def test_write_training_shards_jsonl_format(spark, tmp_path):
+    """output_format='json' writes gzip JSONL shards with the same
+    routing and rows as the parquet layout."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.sampling import hash_split
+    from llm_aided_ocr_spark.plans.shards import write_training_shards
+
+    df = hash_split(
+        spark.createDataFrame(
+            [(f"u{i}", "tok " * (4 + i % 9)) for i in range(40)],
+            "url string, corrected_text string",
+        ),
+        id_col="url",
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        df, out, budget=32, num_shards=2, output_format="json"
+    )
+    total = sum(r["n_docs"] for r in manifest.collect())
+    assert total == 40
+    back = spark.read.json(out)
+    assert back.count() == 40
+    assert {"url", "stream", "bin_ix", "n_tokens", "corrected_text"} <= set(
+        back.columns
+    )
+    import glob
+
+    assert glob.glob(f"{out}/split=*/shard=*/*.json.gz")
+    with pytest.raises(ValueError):
+        write_training_shards(df, out, output_format="xml")

@@ -706,6 +706,36 @@ def _build_gopher_ngram_sql(
     )
 
 
+def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-15 trigram profile (boilerplate/contamination
+    discovery). Deterministic top-k: ties at the boundary break on the
+    lexicographically smallest gram in BOTH engines, so the k-set is
+    unique."""
+    from llm_aided_ocr_spark.operators.textstats import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=3, k=15)
+
+
+_TOP_NGRAMS_SQL = """
+WITH wl AS (
+  SELECT doc_id,
+         [w for w in string_split_regex(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+') if w != ''] AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(ws[i:i + 2], ' ') AS gram
+  FROM (SELECT doc_id, ws, len(ws) AS nw FROM wl),
+       unnest(range(1, nw - 1)) AS u(i)),
+pd AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY ALL),
+c AS (
+  SELECT gram, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pd GROUP BY gram HAVING SUM(c) >= 2)
+SELECT gram, n_occurrences, n_docs
+FROM c ORDER BY n_occurrences DESC, gram ASC LIMIT 15
+"""
+
+
 def _q_gopher_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL Gopher repetition rule set as one gate (13 published
     thresholds, Rae et al. 2021 Table A1). The adapter layers three
@@ -3485,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "snapshot_diff": _q_snapshot_diff,
         "epoch_order": _q_epoch_order,
+        "top_ngrams": _q_top_ngrams,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
         "incremental_dedup": _q_incremental_dedup,
@@ -4118,6 +4149,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "epoch_order": _build_epoch_order_sql(epoch=3),
+        "top_ngrams": _TOP_NGRAMS_SQL,
         "bpe_merges": _build_bpe_sql(k=6),
         "bpe_token_counts": _build_bpe_counts_sql(k=6),
         "incremental_dedup": _build_incremental_dedup_sql(),

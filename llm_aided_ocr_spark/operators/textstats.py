@@ -646,6 +646,62 @@ def url_filter(
     )
 
 
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """``(gram, n_occurrences, n_docs)`` — the corpus's ``k`` most
+    frequent word n-grams, the profiling query that surfaces shared
+    boilerplate ("all rights reserved …"), template chrome, and
+    benchmark contamination candidates before any dedup runs.
+
+    Scale shape: per-document pre-aggregation first (``(doc, gram) →
+    c`` combines map-side where the text lives), then one gram-keyed
+    exchange carrying distinct-grams-per-doc rows, then
+    ``TakeOrdered(k)`` — never a global sort. Ties break on the
+    lexicographically smallest gram (deterministic, engine-portable).
+    ``min_count`` drops the hapax tail before the final aggregation's
+    shuffle read. The gram key shuffles as a STRING here because the
+    output must be human-readable; at 10^12 docs swap the key for
+    xxhash64 and join the display strings back for the k winners only
+    (the word_commonness hashed-path precedent)."""
+    from llm_aided_ocr_spark.operators.dedup import _words_col
+    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
+
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be >= 1")
+    ws = F.filter(_words_col(text_col), lambda w: w != "")
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        ensure_min_parallelism(df)
+        .select(F.monotonically_increasing_id().alias("_d"), grams.alias("gs"))
+        .select("_d", F.explode("gs").alias("gram"))
+        .groupBy("_d", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    counts = (
+        per_doc.groupBy("gram")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    # TakeOrderedAndProject: k rows to the driver, no full sort
+    return counts.orderBy(
+        F.desc("n_occurrences"), F.asc("gram")
+    ).limit(k)
+
+
 def domain_stats(
     df: DataFrame,
     url_col: str = "url",

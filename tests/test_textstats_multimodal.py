@@ -679,3 +679,28 @@ def test_gopher_repetition_gate_thresholds(spark):
 
     with _pytest.raises(ValueError):
         gopher_repetition_gate(df, thresholds={"nope": 0.1})
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    from llm_aided_ocr_spark.operators.textstats import top_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),     # (a b c)x2? grams: ab c,b ca... positions
+            (2, "a b c x y z"),
+            (3, "z z z z"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = [tuple(r) for r in top_ngrams(df, n=3, k=3, min_count=2).collect()]
+    # 'a b c' occurs at doc1 pos0,pos3 and doc2 pos0 -> 3 occ, 2 docs
+    # 'z z z' occurs twice within doc3 -> 2 occ, 1 doc
+    assert rows[0] == ("a b c", 3, 2)
+    assert ("z z z", 2, 1) in rows
+    # ordering: count desc then gram asc; k limits
+    assert len(rows) <= 3
+    assert rows == sorted(rows, key=lambda r: (-r[1], r[0]))
+    import pytest
+
+    with pytest.raises(ValueError):
+        top_ngrams(df, n=0)

@@ -551,3 +551,11 @@ def test_bpe_counts_tokenize_distinct_words_only(spark):
     agg = below.find("HashAggregate(keys=[w")
     scan = below.find("FileScan")
     assert agg != -1 and agg < scan, "merge walk is not vocab-sized"
+
+
+def test_top_ngrams_uses_take_ordered_not_global_sort(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["top_ngrams"](spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort of the gram relation

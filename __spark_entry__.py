@@ -1180,6 +1180,40 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(d)
 
 
+def _q_pooled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document embedding mean-pool (50 synthetic docs of ~10
+    chunk vectors each via vec_id%50), exploded to scalar rows for the
+    driver compare. Quantized-integer sums make the means bit-identical
+    across engines and layouts."""
+    from llm_aided_ocr_spark.operators.similarity import mean_pool_embeddings
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select((F.col("vec_id") % 50).alias("g"), "embedding")
+    pooled = mean_pool_embeddings(emb, group_col="g", vec_col="embedding")
+    return pooled.select(
+        F.col("g").alias("group_id"),
+        F.posexplode("pooled").alias("pos", "val_r"),
+    )
+
+
+_POOLED_EMBEDDINGS_SQL = """
+WITH e AS (
+  SELECT vec_id % 50 AS g, embedding FROM embeddings),
+x AS (
+  SELECT g, CAST(i - 1 AS INTEGER) AS pos,
+         CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM e, unnest(range(1, len(embedding) + 1)) AS u(i)),
+a AS (
+  SELECT g, pos, CAST(SUM(qv) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM x GROUP BY g, pos)
+SELECT g AS group_id, pos,
+       CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS val_r
+FROM a
+"""
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-delta labeling across two snapshots derived from the same
     corpus: old = docs with id%13!=0, new = docs with id%11!=0 and the
@@ -3516,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "epoch_order": _q_epoch_order,
         "top_ngrams": _q_top_ngrams,
+        "pooled_embeddings": _q_pooled_embeddings,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
         "incremental_dedup": _q_incremental_dedup,
@@ -4150,6 +4185,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "epoch_order": _build_epoch_order_sql(epoch=3),
         "top_ngrams": _TOP_NGRAMS_SQL,
+        "pooled_embeddings": _POOLED_EMBEDDINGS_SQL,
         "bpe_merges": _build_bpe_sql(k=6),
         "bpe_token_counts": _build_bpe_counts_sql(k=6),
         "incremental_dedup": _build_incremental_dedup_sql(),

@@ -204,6 +204,63 @@ def quantized_sketch(
     return df.mapInPandas(_sketch, schema=schema)
 
 
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(group, pooled array<double>)`` — element-wise mean of each
+    group's vectors: the chunk→document pooling step of an embedding
+    pipeline (chunk embeddings come back from the encoder per chunk;
+    retrieval and SemDeDup want one vector per document).
+
+    Exactness discipline: float summation order is not reproducible
+    across engines or layouts, so values are truncation-quantized to
+    ``x * 1e6`` int64 (the repo's QUANT_SCALE sketch convention), summed
+    in INTEGER space (order-free), and divided ONCE: ``s / (n * 1e6)``
+    with both operands exact in double — a single correctly-rounded IEEE
+    division, so the result is bit-identical in Spark and the DuckDB
+    oracle and layout-independent by construction. Deliberately NOT
+    re-rounded to fixed decimals: ``s/10^7`` produces exact half-ties at
+    6 dp, where Spark's BigDecimal HALF_UP and DuckDB's float rounding
+    disagree by one ulp — the raw quotient has no such ambiguity. The
+    ~1e-6 absolute quantization error is far below encoder noise.
+
+    Scale shape: ``posexplode`` → one ``(group, pos)``-keyed
+    aggregation whose map-side combine runs where the vectors live
+    (rows are 24-byte integer triples, never float arrays), then a
+    group-keyed reassembly of the dim-sized result. Groups with ragged
+    dimensions pool each position over the vectors that HAVE it."""
+    g = F.col(group_col).alias("g")
+    base = df.select(
+        g, F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    qv = (F.col("v").cast("double") * QUANT_SCALE).cast("long")
+    agg = base.groupBy("g", "pos").agg(
+        F.sum(qv).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    vals = agg.select(
+        "g",
+        "pos",
+        (
+            F.col("s").cast("double")
+            / (F.col("n") * F.lit(QUANT_SCALE)).cast("double")
+        ).alias("val"),
+    )
+    return (
+        vals.groupBy("g")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "val"))
+                ),
+                lambda x: x["val"],
+            ).alias("pooled")
+        )
+        .withColumnRenamed("g", group_col)
+    )
+
+
 def quantized_sketch_col(
     vec_col: F.Column, planes: "np.ndarray"
 ) -> F.Column:

@@ -302,3 +302,29 @@ def test_semantic_dedup_tau_one_keeps_everything(spark, semdedup_corpus):
     from llm_aided_ocr_spark.operators.similarity import semantic_dedup
 
     assert semantic_dedup(semdedup_corpus, SEM_CENTS, tau=1.000001).count() == 8
+
+
+def test_mean_pool_embeddings_exact_and_layout_independent(spark):
+    """Element-wise means via quantized integer sums: hand-checked
+    values, layout independence, ragged-dimension behavior."""
+    from llm_aided_ocr_spark.operators.similarity import mean_pool_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (1, [3.0, 4.0]),
+            (2, [10.0]),            # singleton group
+            (3, [1.0, 1.0, 9.0]),   # ragged: pos 2 pooled over 1 vector
+            (3, [3.0, 3.0]),
+        ],
+        "doc_id bigint, embedding array<float>",
+    )
+    out = {r["doc_id"]: r["pooled"] for r in mean_pool_embeddings(df).collect()}
+    assert out[1] == [2.0, 3.0]
+    assert out[2] == [10.0]
+    assert out[3] == [2.0, 2.0, 9.0]
+    out2 = {
+        r["doc_id"]: r["pooled"]
+        for r in mean_pool_embeddings(df.repartition(5)).collect()
+    }
+    assert out == out2

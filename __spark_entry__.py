@@ -3305,6 +3305,24 @@ def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, merges)
 
 
+def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-export artifact: every subword symbol under the
+    learned 6-merge table with its corpus occurrence count. Oracle reads
+    the final vocab relation of the merge-learning CTE chain."""
+    from llm_aided_ocr_spark.operators.bpe import bpe_learn, bpe_vocabulary
+
+    docs = _docs(spark, sf_dir)
+    return bpe_vocabulary(docs, bpe_learn(docs, num_merges=6))
+
+
+def _build_bpe_vocab_sql(k: int) -> str:
+    return _bpe_cte_prefix(k) + f"""
+SELECT u.sym AS symbol, CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM v{k}, unnest(syms) AS u(sym)
+GROUP BY u.sym
+"""
+
+
 def _bpe_cte_prefix(k: int) -> str:
     parts = [
         """
@@ -3553,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pooled_embeddings": _q_pooled_embeddings,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
+        "bpe_vocab": _q_bpe_vocab,
         "incremental_dedup": _q_incremental_dedup,
         "media_dimensions": _q_media_dimensions,
         "blocklist_gate": _q_blocklist_gate,
@@ -4188,6 +4207,7 @@ def oracle_sql() -> dict[str, str]:
         "pooled_embeddings": _POOLED_EMBEDDINGS_SQL,
         "bpe_merges": _build_bpe_sql(k=6),
         "bpe_token_counts": _build_bpe_counts_sql(k=6),
+        "bpe_vocab": _build_bpe_vocab_sql(k=6),
         "incremental_dedup": _build_incremental_dedup_sql(),
         "media_dimensions": _MEDIA_DIMENSIONS_SQL,
         "blocklist_gate": _build_blocklist_sql(),

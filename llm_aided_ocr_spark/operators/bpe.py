@@ -232,6 +232,55 @@ def bpe_token_counts(
     )
 
 
+def bpe_vocabulary(
+    df: DataFrame,
+    merges: List[Tuple[int, str, str, int]] | List[Tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """``(symbol, n_tokens)`` — the corpus's subword vocabulary under a
+    learned merge table: every symbol the tokenizer will emit with its
+    total corpus occurrence count. This is the artifact a tokenizer
+    EXPORT ships (symbol table + merge list = the tokenizer), and the
+    frequency column is what vocabulary-truncation decisions read.
+
+    Same scale shape as :func:`bpe_token_counts`: one corpus word-count
+    aggregation, then everything runs on the vocab-sized relation (the
+    merge walk per DISTINCT word, symbol explode weighted by word
+    count, a symbol-keyed combine-heavy aggregation)."""
+    from llm_aided_ocr_spark.operators.dedup import _words_col
+    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
+
+    pairs = [
+        (m[1], m[2]) if len(m) >= 3 else (m[0], m[1]) for m in merges
+    ]
+    words = (
+        ensure_min_parallelism(df)
+        .select(F.explode(_words_col(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def _tok(batches, pairs=pairs):
+        for pdf in batches:
+            syms_col = []
+            for w in pdf["w"]:
+                syms = list(w)
+                for a, b in pairs:
+                    if len(syms) < 2:
+                        break
+                    syms = _merge_word(syms, a, b)
+                syms_col.append(syms)
+            yield pd.DataFrame({"n": pdf["n"], "syms": syms_col})
+
+    return (
+        words.mapInPandas(_tok, schema="n bigint, syms array<string>")
+        .select(F.explode("syms").alias("symbol"), "n")
+        .groupBy("symbol")
+        .agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: List[Tuple[int, str, str, int]] | List[Tuple[str, str]],

@@ -207,3 +207,32 @@ def test_bpe_counts_feed_packing(spark):
     cnt = {r["id"]: r["n_bpe_tokens"] for r in counts.collect()}
     for r in rows:
         assert r["n_tokens"] == cnt[r["doc_id"]]
+
+
+def test_bpe_vocabulary_counts_symbols(spark):
+    """Symbol totals equal the flattened bpe_encode token stream's
+    Counter — and merged symbols appear with multi-char entries."""
+    from collections import Counter
+
+    from llm_aided_ocr_spark.operators.bpe import (
+        bpe_encode,
+        bpe_learn,
+        bpe_vocabulary,
+    )
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("a cathedral that mattered",),
+         ("the the the cat cat",)],
+        "text string",
+    )
+    merges = bpe_learn(df, 5)
+    vocab = {
+        r["symbol"]: r["n_tokens"]
+        for r in bpe_vocabulary(df, merges).collect()
+    }
+    enc = bpe_encode(df, merges)
+    expect = Counter(
+        t for r in enc.collect() for t in r["bpe_tokens"]
+    )
+    assert vocab == dict(expect)
+    assert any(len(s) > 1 for s in vocab)

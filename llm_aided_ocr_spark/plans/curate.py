@@ -219,6 +219,52 @@ def curate(
     return carry_pins(corrected, out)
 
 
+def annotate(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    id_col: str = "url",
+    blocked_domains: tuple = (),
+    blocked_keywords: tuple = (),
+) -> DataFrame:
+    """``(id, domain, detected_lang, doc_bytes, approx_tokens,
+    quality_score, gopher_pass, url_keep)`` — the Dolma-style per-doc
+    attribute table: every cheap tagger this repo ships that is a PURE
+    per-row expression, emitted as ONE wide native projection. Zero
+    joins, zero Python, zero shuffle — the whole annotation fuses into
+    the scan's codegen stage, so tagging a 100 TB corpus costs exactly
+    one read. Downstream "mixer" rules are plain filters over the
+    attribute columns (each signal is individually driver-oracled via
+    its own contract query; this compose adds no arithmetic of its own).
+
+    Relation-shaped signals (lm_score, word_commonness, the repetition
+    gate, near-dup flags) deliberately stay OUT of this projection —
+    they carry aggregations/joins and belong in :func:`curate`'s staged
+    composition, not a per-row tagger."""
+    from llm_aided_ocr_spark.functions.tokens import approx_tokens_col
+    from llm_aided_ocr_spark.operators.textstats import (
+        domain_col,
+        gopher_pass_col,
+        lang_id_col,
+        quality_score_col,
+        url_keep_col,
+    )
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(id_col).alias("id"),
+        domain_col(F.coalesce(F.col(url_col), F.lit(""))).alias("domain"),
+        lang_id_col(F.col(text_col)).alias("detected_lang"),
+        F.octet_length(text).cast("bigint").alias("doc_bytes"),
+        approx_tokens_col(text).alias("approx_tokens"),
+        quality_score_col(F.col(text_col)).alias("quality_score"),
+        gopher_pass_col(F.col(text_col)).alias("gopher_pass"),
+        url_keep_col(
+            F.col(url_col), blocked_domains, blocked_keywords
+        ).alias("url_keep"),
+    )
+
+
 def curation_report(curated: DataFrame) -> DataFrame:
     """Per-split corpus profile of a :func:`curate` result — the release
     readout (doc counts, char totals, quality distribution)."""

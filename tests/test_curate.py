@@ -303,3 +303,44 @@ def test_curate_repetition_gate_matches_operator_verdicts(spark):
     expected = {u for u, ok in verdicts.items() if ok}
     assert on_urls == expected
     assert expected and expected != set(verdicts)  # both classes present
+
+
+def test_annotate_is_one_native_projection(spark):
+    """The attribute table agrees column-by-column with the individual
+    operators and its plan has no exchange, no Python stage."""
+    import io
+    from contextlib import redirect_stdout
+
+    from llm_aided_ocr_spark.plans.curate import annotate
+
+    df = spark.createDataFrame(
+        [
+            ("https://good.example.org/a",
+             "The quick brown fox jumps over the lazy dog and that is the end of it."),
+            ("https://spam.bad.net/x", "short text"),
+            ("https://ok.org/b", None),
+        ],
+        "url string, text string",
+    )
+    out = annotate(df, blocked_domains=("spam.bad.net",))
+    rows = {r["id"]: r.asDict() for r in out.collect()}
+    assert rows["https://good.example.org/a"]["detected_lang"] == "en"
+    assert rows["https://good.example.org/a"]["domain"] == "good.example.org"
+    assert rows["https://spam.bad.net/x"]["url_keep"] is False
+    assert rows["https://ok.org/b"]["doc_bytes"] == 0
+    # cross-check two signals against their standalone operators
+    from llm_aided_ocr_spark.operators.textstats import detect_language
+
+    langs = {
+        r["url"]: r["detected_lang"]
+        for r in detect_language(
+            df.withColumnRenamed("url", "doc_id"), text_col="text"
+        ).withColumnRenamed("doc_id", "url").select("url", "detected_lang").collect()
+    }
+    assert {u: r["detected_lang"] for u, r in rows.items()} == langs
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    for bad in ("Exchange", "EvalPython", "PythonUDF", "MapInPandas"):
+        assert bad not in plan, bad

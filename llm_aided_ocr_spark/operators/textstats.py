@@ -924,11 +924,91 @@ def paragraph_repetition_metrics(
     )
 
 
+_GATE_COLS = (
+    "dup_line_frac", "dup_line_char_frac", "top_2gram_char_frac",
+    "dup_para_frac", "dup_para_char_frac",
+    "top_3gram_char_frac", "top_4gram_char_frac",
+    "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+    "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac",
+)
+
+
+def _fused_gate_metrics(text: str) -> list:
+    """All 13 repetition fractions for one document, in ``_GATE_COLS``
+    order — the single-pass kernel behind ``impl='fused'``. Must agree
+    value-for-value with the three standalone operators (pinned by
+    ``test_gate_fused_matches_composed``); the oracle validates it
+    end-to-end independently."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+
+    text = text or ""
+    out = {}
+    # --- line metrics (repetition_metrics semantics) ---
+    lines = [ln.strip(" \t\r\n\f\v") for ln in text.split("\n")]
+    lines = [ln for ln in lines if ln]
+    if lines:
+        lc = Counter(lines)
+        out["dup_line_frac"] = 1.0 - len(lc) / len(lines)
+        total_lc = sum(len(ln) * c for ln, c in lc.items())
+        dup_lc = sum(len(ln) * c for ln, c in lc.items() if c > 1)
+        out["dup_line_char_frac"] = dup_lc / total_lc if total_lc else 0.0
+    else:
+        out["dup_line_frac"] = out["dup_line_char_frac"] = 0.0
+    # --- paragraph metrics ---
+    paras = [
+        p.strip(" \t\r\n\f\v")
+        for p in re.split(r"\n[ \t\r\f\v]*\n", text)
+    ]
+    paras = [p for p in paras if p]
+    if paras:
+        pc = Counter(paras)
+        out["dup_para_frac"] = 1.0 - len(pc) / len(paras)
+        total_pc = sum(len(p) * c for p, c in pc.items())
+        dup_pc = sum(len(p) * c for p, c in pc.items() if c > 1)
+        out["dup_para_char_frac"] = dup_pc / total_pc if total_pc else 0.0
+    else:
+        out["dup_para_frac"] = out["dup_para_char_frac"] = 0.0
+    # --- n-gram metrics (gopher_ngram_metrics semantics) ---
+    words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+    lens = np.fromiter(
+        (len(w) for w in words), dtype=np.int64, count=len(words)
+    )
+    total = int(lens.sum())
+    for n in (2, 3, 4):
+        col = f"top_{n}gram_char_frac"
+        if len(words) < n or not total:
+            out[col] = 0.0
+            continue
+        grams = Counter(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        top_c = max(grams.values())
+        top = min(g for g, c in grams.items() if c == top_c)
+        out[col] = top_c * (len(top) - (n - 1)) / total
+    for n in (5, 6, 7, 8, 9, 10):
+        col = f"dup_{n}gram_char_frac"
+        if len(words) < n or not total:
+            out[col] = 0.0
+            continue
+        grams = [tuple(words[i : i + n]) for i in range(len(words) - n + 1)]
+        cnt = Counter(grams)
+        covered = np.zeros(len(words), dtype=bool)
+        for i, g in enumerate(grams):
+            if cnt[g] > 1:
+                covered[i : i + n] = True
+        out[col] = float(lens[covered].sum()) / total
+    return [out[c] for c in _GATE_COLS]
+
+
 def gopher_repetition_gate(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     thresholds: dict | None = None,
+    impl: str = "fused",
 ) -> DataFrame:
     """``(doc_id, <13 fraction columns>, repetition_pass)`` — the FULL
     Gopher repetition rule set (Rae et al. 2021 Table A1) as one gate:
@@ -938,45 +1018,77 @@ def gopher_repetition_gate(
     published threshold (:data:`GOPHER_REPETITION_THRESHOLDS`; override
     per-key with ``thresholds``).
 
-    Scale shape: three Arrow passes over the same corpus partitioning
-    (line+paragraph Counters, n-gram Counter/bitmap) joined on the id —
-    at 100 TB prefer id-bucketed storage so these are zero-Exchange
-    merges; the pass column itself is a native comparison chain, so
-    downstream filters on ``repetition_pass`` stay in codegen. The
-    fraction columns come through ROUNDED to 6 dp (HALF_UP, the repo's
-    cross-engine contract) and the thresholds compare the rounded
-    values — deterministic on every engine."""
+    Scale shape: the default ``impl='fused'`` computes all 13 metrics in
+    ONE Arrow pass per document — the corpus text is read once and no
+    join exists at all (the composed form pays three text passes plus
+    two id-joins; kept as ``impl='composed'`` for the parity test and
+    for callers who already have the component relations). The pass
+    column is a native comparison chain, so downstream filters on
+    ``repetition_pass`` stay in codegen. Fractions come through ROUNDED
+    to 6 dp (HALF_UP, the repo's cross-engine contract) and thresholds
+    compare the rounded values — deterministic on every engine."""
     th = dict(GOPHER_REPETITION_THRESHOLDS)
     if thresholds:
         unknown = set(thresholds) - set(th)
         if unknown:
             raise ValueError(f"unknown threshold keys: {sorted(unknown)}")
         th.update(thresholds)
+    if impl not in ("fused", "composed"):
+        raise ValueError(f"unknown impl: {impl!r}")
 
-    lines = repetition_metrics(df, text_col=text_col, id_col=id_col).select(
-        "doc_id",
-        F.round("dup_line_frac", 6).alias("dup_line_frac"),
-        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
-        F.round("top_bigram_char_frac", 6).alias("top_2gram_char_frac"),
-    )
-    paras = paragraph_repetition_metrics(
-        df, text_col=text_col, id_col=id_col
-    ).select(
-        "doc_id",
-        F.round("dup_para_frac", 6).alias("dup_para_frac"),
-        F.round("dup_para_char_frac", 6).alias("dup_para_char_frac"),
-    )
-    grams = gopher_ngram_metrics(
-        df, text_col=text_col, id_col=id_col, top_ns=(3, 4)
-    )
-    gram_cols = [c for c in grams.columns if c != "doc_id"]
-    grams = grams.select(
-        "doc_id", *[F.round(c, 6).alias(c) for c in gram_cols]
-    )
-    joined = lines.join(paras, "doc_id").join(grams, "doc_id")
+    if impl == "fused":
+        from typing import Iterator
+
+        import pandas as pd
+
+        from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
+
+        def _metrics(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for batch in batches:
+                vals = [_fused_gate_metrics(t) for t in batch["t"]]
+                out = {"doc_id": batch["id"]}
+                for j, c in enumerate(_GATE_COLS):
+                    out[c] = [v[j] for v in vals]
+                yield pd.DataFrame(out)
+
+        prepped = ensure_min_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        )
+        id_type = dict(prepped.dtypes)["id"]
+        fields = ", ".join(f"{c} double" for c in _GATE_COLS)
+        raw = prepped.mapInPandas(
+            _metrics, schema=f"doc_id {id_type}, {fields}"
+        )
+        joined = raw.select(
+            "doc_id", *[F.round(c, 6).alias(c) for c in _GATE_COLS]
+        )
+    else:
+        lines = repetition_metrics(df, text_col=text_col, id_col=id_col).select(
+            "doc_id",
+            F.round("dup_line_frac", 6).alias("dup_line_frac"),
+            F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+            F.round("top_bigram_char_frac", 6).alias("top_2gram_char_frac"),
+        )
+        paras = paragraph_repetition_metrics(
+            df, text_col=text_col, id_col=id_col
+        ).select(
+            "doc_id",
+            F.round("dup_para_frac", 6).alias("dup_para_frac"),
+            F.round("dup_para_char_frac", 6).alias("dup_para_char_frac"),
+        )
+        grams = gopher_ngram_metrics(
+            df, text_col=text_col, id_col=id_col, top_ns=(3, 4)
+        )
+        gram_cols = [c for c in grams.columns if c != "doc_id"]
+        grams = grams.select(
+            "doc_id", *[F.round(c, 6).alias(c) for c in gram_cols]
+        )
+        joined = lines.join(paras, "doc_id").join(grams, "doc_id")
+        joined = joined.select("doc_id", *_GATE_COLS)
     passes = None
-    for col, cut in th.items():
-        cond = F.col(col) <= F.lit(cut)
+    for col in _GATE_COLS:
+        cond = F.col(col) <= F.lit(th[col])
         passes = cond if passes is None else (passes & cond)
     return joined.withColumn("repetition_pass", passes)
 

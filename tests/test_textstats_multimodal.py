@@ -704,3 +704,28 @@ def test_top_ngrams_counts_and_ties(spark):
 
     with pytest.raises(ValueError):
         top_ngrams(df, n=0)
+
+
+def test_gate_fused_matches_composed(spark):
+    """impl='fused' (one Arrow pass, zero joins) must equal
+    impl='composed' (the three standalone operators) row-for-row on a
+    corpus that exercises every metric family."""
+    from llm_aided_ocr_spark.operators.textstats import gopher_repetition_gate
+
+    clean = " ".join(f"word{i} item{i * 7 % 101}" for i in range(60))
+    docs = [
+        (1, clean),
+        (2, clean + "\n\n" + clean),                 # dup paragraph + grams
+        (3, "line one\nline one\nline two"),          # dup lines
+        (4, "a b c a b c a b c a b"),                # gram repetition
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    fused = sorted(map(tuple, gopher_repetition_gate(df, impl="fused").collect()))
+    comp = sorted(map(tuple, gopher_repetition_gate(df, impl="composed").collect()))
+    assert fused == comp
+    import pytest
+
+    with pytest.raises(ValueError):
+        gopher_repetition_gate(df, impl="nope")

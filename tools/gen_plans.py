@@ -343,6 +343,42 @@ def main() -> None:
     ))
 
     sections.append((
+        "snapshot_diff — the full-outer join moves 16-byte rows, never text",
+        "both snapshots project to (id, xxhash64(text)) BEFORE the "
+        "join; the text column appears only inside the scans. Statuses "
+        "are a native CASE over the fingerprint pair.",
+        plan_of(q["snapshot_diff"](spark, SF)),
+    ))
+
+    sections.append((
+        "pooled_embeddings — integer mean-pool, map-side combinable",
+        "posexplode → (group, pos)-keyed sum of quantized int64 values "
+        "(partial_sum runs where the vectors live), one exact-integer "
+        "IEEE division, dim-sized reassembly. No float summation order "
+        "anywhere — the oracle matches bit-exactly.",
+        plan_of(q["pooled_embeddings"](spark, SF)),
+    ))
+
+    sections.append((
+        "annotate() — the whole attribute table is one codegen projection",
+        "domain, lang id, bytes, token estimate, quality score, Gopher "
+        "pass, URL gate: zero Exchange, zero Python — tagging costs "
+        "exactly one corpus read.",
+        plan_of(__import__("llm_aided_ocr_spark.plans.curate", fromlist=["x"]).annotate(
+            docs.selectExpr("cast(doc_id as string) as url", "text")
+        )),
+    ))
+
+    sections.append((
+        "gopher_repetition_gate — fused: one Arrow pass, no joins",
+        "all 13 repetition fractions come out of a single MapInPandas "
+        "over the corpus (composed impl pays three passes + two joins; "
+        "parity-tested equal). The threshold chain is a native "
+        "comparison conjunction above it.",
+        plan_of(q["gopher_repetition_gate"](spark, SF)),
+    ))
+
+    sections.append((
         "url_filter — the whole gate fuses into the scan's codegen stage",
         "domain blocklist (dot-boundary suffix match) + keyword scoring "
         "are literal-array exists/filter expressions over the native "

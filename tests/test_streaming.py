@@ -241,3 +241,30 @@ def test_streaming_near_dedup_accumulates_index(spark):
         assert kept == ["a1", "a2", "b2"], kept
         # index: one signature per kept doc
         assert sorted(r.id for r in spark.read.parquet(idx).collect()) == kept
+
+
+def test_streaming_annotate_matches_batch(spark):
+    """annotate() is a pure native projection, so the SAME call works
+    unchanged on a stream — per-doc attributes from availableNow equal
+    the batch result row-for-row (the tag-as-you-ingest path)."""
+    from llm_aided_ocr_spark.plans.curate import annotate
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        pages = pages_dataframe(spark, n_rows=10, include_golden=False).cache()
+        pages.write.parquet(src)
+
+        tagged = annotate(
+            read_pages_stream(spark, src),
+            blocked_domains=("example-3.test",),
+        )
+        assert tagged.isStreaming
+        _await(write_stream_parquet(tagged, out, ckpt))
+
+        got = sorted(map(tuple, spark.read.parquet(out).collect()))
+        want = sorted(
+            map(tuple, annotate(pages, blocked_domains=("example-3.test",)).collect())
+        )
+        assert got == want and got

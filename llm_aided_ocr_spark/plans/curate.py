@@ -42,6 +42,7 @@ class CurationConfig:
     url_blocked_domains: tuple = ()       # RefinedWeb stage-1 URL gate
     url_blocked_keywords: tuple = ()      # (both empty = off)
     url_keyword_threshold: int = 2
+    canonical_url_dedup: bool = False     # same-page-refetched collapse
     exact_dedup: bool = True
     near_dedup: bool = True
     near_dup_threshold: float = 0.8
@@ -89,6 +90,23 @@ def curate(
                 cfg.url_keyword_threshold,
             )
         )
+
+    if cfg.canonical_url_dedup:
+        # collapse same-page refetches (http/https, ports, params,
+        # fragments) BEFORE correction — the second-cheapest shed after
+        # the URL gate: the keeper pick reads only (id, canon, byte
+        # length), and every dropped refetch is a correction the
+        # pipeline never runs. Keeps the LONGEST raw fetch per
+        # canonical url (canonical_url_keepers' contract).
+        from llm_aided_ocr_spark.operators.dedup import canonical_url_keepers
+        from llm_aided_ocr_spark.operators.util import corpus_scaled
+
+        keep = (
+            canonical_url_keepers(pages_df, id_col="url")
+            .filter(F.col("keep"))
+            .select(F.col("id").alias("url"))
+        )
+        pages_df = pages_df.join(corpus_scaled(keep), "url", "left_semi")
 
     corrected = run_pipeline(pages_df, cfg.pipeline, store=store, strategy="auto")
     docs = corrected.select("url", "corrected_text", "n_chunks")

@@ -344,3 +344,31 @@ def test_annotate_is_one_native_projection(spark):
     plan = buf.getvalue()
     for bad in ("Exchange", "EvalPython", "PythonUDF", "MapInPandas"):
         assert bad not in plan, bad
+
+
+def test_curate_canonical_url_dedup_collapses_refetches(spark):
+    """Refetch spellings of one page (case/port/fragment variants)
+    collapse to one survivor BEFORE correction, keeping the longest
+    fetch."""
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    base = pages_dataframe(spark, n_rows=6, include_golden=False)
+    rows = base.collect()
+    refetch = spark.createDataFrame(
+        [
+            # same canonical page as rows[0]'s url? construct controlled
+            # urls instead: two spellings of one page + one standalone
+            ("http://a.org/p", None, None, "short fetch", "en"),
+            ("HTTP://A.org:80/p#frag", None, None,
+             "the longer fetch body of the page", "en"),
+            ("https://b.org/q", None, None, "standalone page text", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = CurationConfig(
+        near_dedup=False, exact_dedup=False, canonical_url_dedup=True
+    )
+    out = curate(refetch, cfg)
+    urls = {r["url"] for r in out.collect()}
+    release_pinned(out, blocking=True)
+    assert urls == {"HTTP://A.org:80/p#frag", "https://b.org/q"}

@@ -71,6 +71,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-near-dedup", action="store_true",
                    help="curate: skip minhash near-dedup (exact only)")
     p.add_argument("--split-seed", type=int, default=1)
+    p.add_argument("--canonical-dedup", action="store_true",
+                   help="curate: collapse same-page URL refetches before "
+                        "correction (longest fetch kept)")
+    p.add_argument("--repetition-gate", action="store_true",
+                   help="curate: apply the 13-threshold Gopher repetition "
+                        "gate to the corrected text")
+    p.add_argument("--url-block-domain", action="append", default=[],
+                   metavar="DOMAIN",
+                   help="curate: drop pages on DOMAIN (and subdomains) "
+                        "before correction; repeatable")
+    p.add_argument("--url-block-keyword", action="append", default=[],
+                   metavar="WORD",
+                   help="curate: drop pages whose url contains >= 2 "
+                        "blocked keywords; repeatable")
     p.add_argument(
         "--dedup-incremental", metavar="INDEX_DIR", default=None,
         help="near-dedup the input batch against the minhash signature "
@@ -190,6 +204,10 @@ def main(argv=None) -> int:
                 min_quality_score=args.min_quality,
                 near_dedup=not args.no_near_dedup,
                 split_seed=args.split_seed,
+                canonical_url_dedup=args.canonical_dedup,
+                repetition_gate=args.repetition_gate,
+                url_blocked_domains=tuple(args.url_block_domain),
+                url_blocked_keywords=tuple(args.url_block_keyword),
             ),
             store=store,
         )

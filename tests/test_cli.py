@@ -221,3 +221,48 @@ def test_cli_from_warc_mode(spark):
         }
         corrected = spark.read.parquet(os.path.join(out, "corrected_docs"))
         assert corrected.count() == 3
+
+
+def test_cli_curate_new_gate_flags(spark):
+    """--canonical-dedup / --url-block-domain flow through to curate():
+    blocked-domain pages and refetch spellings never reach the output."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as tmp:
+        inp = os.path.join(tmp, "pages.parquet")
+        out = os.path.join(tmp, "out")
+        body = "A full sentence of body text for the page lives here now."
+        rows = [
+            ("http://keep.org/p1", None, None, body + " one", "en"),
+            ("http://keep.org/p2", None, None, body + " two", "en"),
+            # refetch pair: longest survives
+            ("http://dup.org/x", None, None, "short", "en"),
+            ("HTTP://Dup.org:80/x#f", None, None, body + " longest", "en"),
+            # blocked domain
+            ("http://spam.bad.net/z", None, None, body + " spam", "en"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ).write.parquet(inp)
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "llm_aided_ocr_spark",
+                "--input", inp, "--output", out,
+                "--curate", "--no-near-dedup",
+                "--canonical-dedup",
+                "--url-block-domain", "spam.bad.net",
+                "--provider", "heuristic", "--master", "local[2]",
+            ],
+            capture_output=True, text=True, timeout=300,
+            cwd=repo, env=dict(os.environ, PYTHONPATH=repo),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        urls = {
+            r["url"]
+            for r in spark.read.parquet(
+                os.path.join(out, "curated_docs")
+            ).collect()
+        }
+        assert urls == {
+            "http://keep.org/p1", "http://keep.org/p2", "HTTP://Dup.org:80/x#f",
+        }

@@ -3495,7 +3495,48 @@ SELECT doc_id, url, n_chars FROM r WHERE rn <= 40
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry of contract queries.
+
+    ORDER MATTERS: the driver's per-round CORRECTNESS check covers the first
+    50 entries in insertion order.  Rounds 1-4 verified the long-standing
+    queries (page_filter .. tpch_q5); the entries registered later (tpch_q14
+    .. blocklist_gate) never got a driver-side row.  So the 29
+    never-driver-checked queries are registered FIRST this round; the 50
+    already-driver-green ones follow.  tests/test_driver_contract.py pins
+    this order so it cannot silently revert.
+    """
     return {
+        # --- 29 queries with no driver-side CORRECTNESS row yet (r5 front) ---
+        "tpch_q14": _q_tpch_q14,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "line_dedup": _q_line_dedup,
+        "decontaminate": _q_decontaminate,
+        "semantic_dedup": _q_semantic_dedup,
+        "dsir_weights": _q_dsir_weights,
+        "dup_spans": _q_dup_spans,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "c4_clean": _q_c4_clean,
+        "pii_redact": _q_pii_redact,
+        "quality_classifier": _q_quality_classifier,
+        "bm25_scores": _q_bm25_scores,
+        "lm_score": _q_lm_score,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "domain_cap": _q_domain_cap,
+        "mixture_resample": _q_mixture_resample,
+        "temperature_rates": _q_temperature_rates,
+        "url_filter": _q_url_filter,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "snapshot_diff": _q_snapshot_diff,
+        "epoch_order": _q_epoch_order,
+        "top_ngrams": _q_top_ngrams,
+        "pooled_embeddings": _q_pooled_embeddings,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "bpe_vocab": _q_bpe_vocab,
+        "incremental_dedup": _q_incremental_dedup,
+        "media_dimensions": _q_media_dimensions,
+        "blocklist_gate": _q_blocklist_gate,
+        # --- driver-green in CORRECTNESS_r04 (rows+schema+hash) ---
         "page_filter": _q_page_filter,
         "lang_gate_counts": _q_lang_gate_counts,
         "token_estimates": _q_token_estimates,
@@ -3546,35 +3587,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
-        "tpch_q14": _q_tpch_q14,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "line_dedup": _q_line_dedup,
-        "decontaminate": _q_decontaminate,
-        "semantic_dedup": _q_semantic_dedup,
-        "dsir_weights": _q_dsir_weights,
-        "dup_spans": _q_dup_spans,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "c4_clean": _q_c4_clean,
-        "pii_redact": _q_pii_redact,
-        "quality_classifier": _q_quality_classifier,
-        "bm25_scores": _q_bm25_scores,
-        "lm_score": _q_lm_score,
-        "ccnet_buckets": _q_ccnet_buckets,
-        "domain_cap": _q_domain_cap,
-        "mixture_resample": _q_mixture_resample,
-        "temperature_rates": _q_temperature_rates,
-        "url_filter": _q_url_filter,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "snapshot_diff": _q_snapshot_diff,
-        "epoch_order": _q_epoch_order,
-        "top_ngrams": _q_top_ngrams,
-        "pooled_embeddings": _q_pooled_embeddings,
-        "bpe_merges": _q_bpe_merges,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "bpe_vocab": _q_bpe_vocab,
-        "incremental_dedup": _q_incremental_dedup,
-        "media_dimensions": _q_media_dimensions,
-        "blocklist_gate": _q_blocklist_gate,
     }
 
 

@@ -207,6 +207,8 @@ def test_epoch_order_is_a_deterministic_permutation_per_epoch(spark):
         hash_split(df), budget=64, num_shards=4, text_col="text",
         id_col="doc_id",
     )
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
     e1 = epoch_order(asg, epoch=1)
     rows1 = {(r["stream"], r["bin_ix"]): r["epoch_pos"] for r in e1.collect()}
     assert sorted(rows1.values()) == list(range(len(rows1)))
@@ -221,6 +223,58 @@ def test_epoch_order_is_a_deterministic_permutation_per_epoch(spark):
     assert rows2 != rows1
     # only the requested split's sequences appear
     assert e1.select("split").distinct().collect()[0]["split"] == "train"
+    for e in (e1, e1b, e2):
+        release_pinned(e)
+
+
+def test_epoch_order_two_phase_rank_matches_global_window_and_plan(spark):
+    """The two-phase rank (range partition + local row index + broadcast
+    offsets) must (a) equal a reference global-window row_number exactly
+    and (b) contain NO SinglePartition exchange — the r4 verdict's one
+    remaining single-point-of-serialization."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.dedup import _word_hash_col
+    from llm_aided_ocr_spark.operators.sampling import hash_split
+    from llm_aided_ocr_spark.operators.util import release_pinned
+    from llm_aided_ocr_spark.plans.shards import epoch_order, shard_assignments
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (3 + (i * 7) % 53)) for i in range(500)],
+        "doc_id bigint, text string",
+    )
+    asg = shard_assignments(
+        hash_split(df), budget=48, num_shards=8, text_col="text",
+        id_col="doc_id",
+    )
+    got = epoch_order(asg, epoch=5)
+    # (b) plan shape: every exchange is parallel
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "simple"
+    )
+    assert "SinglePartition" not in plan
+    got_rows = {(r["stream"], r["bin_ix"]): r["epoch_pos"] for r in got.collect()}
+    release_pinned(got)
+    # (a) value parity vs the naive global window on the same key
+    seqs = (
+        asg.filter(F.col("split") == "train")
+        .select("split", "stream", "bin_ix", "shard").distinct()
+    )
+    key = _word_hash_col(
+        F.concat_ws(
+            ":", F.lit("5"), F.col("split"),
+            F.col("stream").cast("string"), F.col("bin_ix").cast("string"),
+        ),
+        "md5_52",
+    )
+    w = Window.orderBy(key.asc(), F.col("stream").asc(), F.col("bin_ix").asc())
+    want = seqs.withColumn(
+        "epoch_pos", (F.row_number().over(w) - 1).cast("bigint")
+    )
+    want_rows = {(r["stream"], r["bin_ix"]): r["epoch_pos"] for r in want.collect()}
+    assert got_rows == want_rows
+    assert len(got_rows) > 32  # more sequences than shuffle partitions
 
 
 def test_write_training_shards_jsonl_format(spark, tmp_path):

@@ -283,6 +283,100 @@ def _stress_corpus(spark, rows: int) -> str:
     return path
 
 
+def _stress_warc(spark, docs, rows: int) -> str:
+    """Materialize the stress corpus as multi-member ``.warc.gz``
+    segments (one gzip member per record — the Common-Crawl layout; one
+    segment file per task, ~rows/5000 segments) so the WARC read path
+    can be stressed at real scale. Built once per scale point, OUTSIDE
+    the timed region (a crawl reads warc.gz it did not itself write)."""
+    import glob
+
+    path = f"/tmp/ocr_spark_stress_warc_v1_r{rows}_s{BENCH_SEED}"
+    if glob.glob(os.path.join(path, "seg-*.warc.gz")):
+        return path
+    os.makedirs(path, exist_ok=True)
+    n_segs = max(32, rows // 5000)
+
+    def _write_seg(batches):
+        import gzip
+        import html as _html
+        import uuid
+
+        import pandas as pd
+
+        members = []
+        for pdf in batches:
+            for url, text in zip(pdf["url"], pdf["text"]):
+                esc = _html.escape(text or "").replace("\n", "<br/>")
+                body = (
+                    "<html><head><title>p</title></head><body><main><p>"
+                    f"{esc}</p></main></body></html>"
+                ).encode()
+                payload = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + body
+                )
+                hdr = (
+                    "WARC/1.0\r\nWARC-Type: response\r\n"
+                    f"WARC-Target-URI: {url}\r\n"
+                    "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                    f"Content-Length: {len(payload)}\r\n\r\n"
+                ).encode()
+                members.append(
+                    gzip.compress(hdr + payload + b"\r\n\r\n", compresslevel=1)
+                )
+        out = os.path.join(path, f"seg-{uuid.uuid4().hex}.warc.gz")
+        with open(out, "wb") as f:
+            f.write(b"".join(members))
+        yield pd.DataFrame({"path": [out]})
+
+    (
+        docs.select("url", "text")
+        .repartition(n_segs)
+        .mapInPandas(_write_seg, schema="path string")
+        .write.mode("overwrite").format("noop").save()
+    )
+    return path
+
+
+def _warc_ops(spark, warc_dir: str) -> dict:
+    """The two WARC-read-path stress ops: segment-parallel parse+extract
+    (binaryFile scan → record split → HTTP body strip), and the full
+    CLI ``--from-warc`` shape: parse → pages(null text) → curate."""
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.plans.curate import CurationConfig, curate
+    from llm_aided_ocr_spark.sources.warc import parse_warc, with_warc_ts
+
+    def _segments():
+        return spark.read.format("binaryFile").load(warc_dir).select(
+            F.col("path").alias("segment_path"), "content"
+        )
+
+    def _pages():
+        return with_warc_ts(
+            parse_warc(_segments(), segment_col="segment_path")
+        ).select(
+            "url", "warc_ts", "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+
+    return {
+        "warc_parse": lambda: parse_warc(
+            _segments(), segment_col="segment_path"
+        ).agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.octet_length("html")).alias("html_bytes"),
+        ),
+        "warc_curate": lambda: curate(
+            _pages(),
+            CurationConfig(pipeline=PipelineConfig(provider="heuristic")),
+        ),
+    }
+
+
 def bench_stress(spark, scale_ratio: int = 10) -> dict:
     """Second scale point for the shuffle-bearing suite (the 100 TB design
     claims' empirical backing): run minhash/simhash/ngram/commonness/
@@ -431,7 +525,10 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
         # production incremental run reads from a persisted table — to
         # the incremental path and flag a phantom super-linearity)
         _stress_index(spark, docs, rows)
-        for name, build in _ops(docs, rows).items():
+        warc_dir = _stress_warc(spark, docs, rows)
+        ops = dict(_ops(docs, rows))
+        ops.update(_warc_ops(spark, warc_dir))
+        for name, build in ops.items():
             # time build + sink together: near_dedup/curate run their
             # component rounds EAGERLY at build time — timing only the
             # sink would exclude most of their work
@@ -440,7 +537,7 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
             _noop_sink(df)
             dt = time.time() - t0
             release_pinned(df)
-            if name == "curate":
+            if name in ("curate", "warc_curate"):
                 from llm_aided_ocr_spark.plans.pipeline import release_pipeline_cache
 
                 release_pipeline_cache(df)
@@ -458,11 +555,44 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
     return report
 
 
+def bench_bpe_ab(spark, merge_counts=(50, 200)) -> dict:
+    """A/B the BPE trainer paths at production-shaped merge counts on
+    the 1x stress corpus: the driver-local heap trainer (one corpus
+    word-count job + local loop) vs the per-merge Spark round loop
+    (``num_merges`` serial jobs). Outputs are asserted identical."""
+    import time as _time
+
+    from llm_aided_ocr_spark.operators.bpe import bpe_learn
+
+    docs = spark.read.parquet(_stress_corpus(spark, BENCH_ROWS))
+    _noop_sink(docs)
+    out = {}
+    for k in merge_counts:
+        t0 = _time.time()
+        local = bpe_learn(docs, k, strategy="local", min_word_freq=2)
+        t_local = _time.time() - t0
+        t0 = _time.time()
+        dist = bpe_learn(docs, k, strategy="distributed", min_word_freq=2)
+        t_dist = _time.time() - t0
+        assert local == dist, f"strategy outputs diverge at k={k}"
+        out[f"merges_{k}"] = {
+            "local_sec": round(t_local, 2),
+            "distributed_sec": round(t_dist, 2),
+            "speedup": round(t_dist / max(t_local, 1e-9), 1),
+            "n_merges": len(local),
+        }
+        print(f"[bpe-ab] k={k}: local {t_local:.1f}s vs distributed "
+              f"{t_dist:.1f}s", file=sys.stderr, flush=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--stress", action="store_true",
                     help="two-scale-point stress tier for the shuffle-bearing suite")
+    ap.add_argument("--bpe-ab", action="store_true",
+                    help="A/B the local vs distributed BPE trainer")
     ap.add_argument("--child", type=int, default=0, help="internal: run one parallelism level")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -501,14 +631,20 @@ def main() -> None:
     }
     if args.scaling:
         payload["scaling"] = run_scaling(args.sf_dir)
-    if args.stress:
+    if args.stress or args.bpe_ab:
         spark = _get_spark(cores)
         try:
-            stress = bench_stress(spark)
+            if args.bpe_ab:
+                bpe_ab = bench_bpe_ab(spark)
+                print(json.dumps({"detail": "bpe_ab", "bpe_ab": bpe_ab}),
+                      flush=True)
+            if args.stress:
+                stress = bench_stress(spark)
+                print(json.dumps({"detail": "stress", "stress": stress}),
+                      flush=True)
+                payload["stress_superlinear_ops"] = stress["superlinear_ops"]
         finally:
             spark.stop()
-        print(json.dumps({"detail": "stress", "stress": stress}), flush=True)
-        payload["stress_superlinear_ops"] = stress["superlinear_ops"]
     print(json.dumps(payload))
 
 

@@ -299,6 +299,44 @@ def c4_clean_stats(
 # Blocklist gate (C4's "bad words" document filter)
 # ---------------------------------------------------------------------------
 
+def _normalize_blocklist(blocklist: list) -> tuple:
+    """Split a raw blocklist into (single tokens, multi-token phrases),
+    each entry normalized through the corpus tokenizer (lowercase
+    ``[a-z0-9]+`` runs, joined by single spaces for phrases). The real
+    C4 "bad words" list contains multi-word and punctuated entries —
+    passing those into a single-token matcher silently no-ops, so an
+    entry that normalizes to nothing raises instead."""
+    import re
+
+    tokens, phrases, seen = [], [], set()
+    for raw in blocklist:
+        toks = re.findall(r"[a-z0-9]+", str(raw).lower())
+        if not toks:
+            raise ValueError(
+                f"blocklist entry {raw!r} normalizes to no tokens under "
+                "the corpus tokenizer (lowercase [a-z0-9]+ runs)"
+            )
+        key = " ".join(toks)
+        if key in seen:
+            continue
+        seen.add(key)
+        (tokens if len(toks) == 1 else phrases).append(key)
+    return tokens, phrases
+
+
+def _phrase_stream_col(text_col: str):
+    """The document's normalized token stream, space-joined and
+    space-padded, so a phrase match is ``contains(' a b ')`` — token
+    boundaries preserved, still one native projection."""
+    from llm_aided_ocr_spark.operators.dedup import _words_col
+
+    return F.concat(
+        F.lit(" "),
+        F.array_join(F.filter(_words_col(text_col), lambda w: w != ""), " "),
+        F.lit(" "),
+    )
+
+
 def blocklist_flags(
     df: DataFrame,
     blocklist: list,
@@ -312,24 +350,43 @@ def blocklist_flags(
     token space (lowercased ``[a-z0-9]+`` runs), so ``bad-word!`` and
     ``Bad Word`` match their tokens but substrings never do (``class``
     does not match ``ass`` — token-boundary semantics, the documented
-    C4 behavior).
+    C4 behavior). Multi-token entries (the real list has them) match as
+    PHRASES on the normalized token stream; an entry that normalizes to
+    nothing raises rather than silently never matching.
 
     Fully native and shuffle-free: the document's distinct token set
     intersects a LITERAL array (blocklists are hundreds of words — they
     ride the serialized plan; a corpus-side join would shuffle tokens
-    for nothing). ``n_blocked`` counts distinct blocked token TYPES, the
-    audit signal for threshold tuning."""
+    for nothing), and each phrase is one ``contains`` probe of the
+    space-joined token stream. ``n_blocked`` counts distinct blocked
+    ENTRIES matched (token types + phrases), the audit signal for
+    threshold tuning."""
+    tokens, phrases = _normalize_blocklist(blocklist)
+    if not tokens and not phrases:
+        raise ValueError("blocklist must be a non-empty list of words")
     from llm_aided_ocr_spark.operators.dedup import _words_col
 
-    if not blocklist:
-        raise ValueError("blocklist must be a non-empty list of words")
-    bl = F.array(*[F.lit(str(w).lower()) for w in blocklist])
-    toks = F.array_distinct(_words_col(text_col))
-    hits = F.array_intersect(toks, bl)
+    n_hits = F.lit(0)
+    if tokens:
+        bl = F.array(*[F.lit(w) for w in tokens])
+        toks = F.array_distinct(_words_col(text_col))
+        n_hits = n_hits + F.size(F.array_intersect(toks, bl))
+    if phrases:
+        stream = _phrase_stream_col(text_col)
+        from llm_aided_ocr_spark.operators.util import let_
+
+        n_hits = n_hits + let_(
+            stream,
+            lambda s: F.aggregate(
+                F.array(*[F.lit(f" {p} ") for p in phrases]),
+                F.lit(0),
+                lambda acc, p: acc + F.contains(s, p).cast("int"),
+            ),
+        )
     return df.select(
         F.col(id_col).alias("id"),
-        F.size(hits).cast("int").alias("n_blocked"),
-        (F.size(hits) > 0).alias("blocked"),
+        n_hits.cast("int").alias("n_blocked"),
+        (n_hits > 0).alias("blocked"),
     )
 
 
@@ -339,15 +396,29 @@ def blocklist_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Rows of ``df`` whose text contains NO blocklisted token — the
-    enforcement form of :func:`blocklist_flags`, inlined as a narrow
-    native filter (no join, no shuffle; survives any scale the scan
-    does)."""
+    """Rows of ``df`` whose text contains NO blocklisted token or phrase
+    — the enforcement form of :func:`blocklist_flags`, inlined as a
+    narrow native filter (no join, no shuffle; survives any scale the
+    scan does)."""
     from llm_aided_ocr_spark.operators.dedup import _words_col
 
-    if not blocklist:
+    tokens, phrases = _normalize_blocklist(blocklist)
+    if not tokens and not phrases:
         raise ValueError("blocklist must be a non-empty list of words")
-    bl = F.array(*[F.lit(str(w).lower()) for w in blocklist])
-    return df.filter(
-        ~F.arrays_overlap(F.array_distinct(_words_col(text_col)), bl)
-    )
+    cond = F.lit(False)
+    if tokens:
+        bl = F.array(*[F.lit(w) for w in tokens])
+        cond = cond | F.arrays_overlap(
+            F.array_distinct(_words_col(text_col)), bl
+        )
+    if phrases:
+        from llm_aided_ocr_spark.operators.util import let_
+
+        cond = cond | let_(
+            _phrase_stream_col(text_col),
+            lambda s: F.exists(
+                F.array(*[F.lit(f" {p} ") for p in phrases]),
+                lambda p: F.contains(s, p),
+            ),
+        )
+    return df.filter(~cond)

@@ -959,6 +959,7 @@ def near_dedup_incremental(
     bands: int = 16,
     rows_per_band: int = 4,
     n: int = 3,
+    seed: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = 200,
@@ -1002,8 +1003,8 @@ def near_dedup_incremental(
     from llm_aided_ocr_spark.operators.util import carry_pins, pin
 
     new_sigs = minhash_signatures(
-        new_df, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col,
-        hash_family=hash_family,
+        new_df, num_perm=num_perm, n=n, seed=seed, text_col=text_col,
+        id_col=id_col, hash_family=hash_family,
     ).filter(F.get(F.col("sig"), 0) != F.lit(MINHASH_P)).cache()
     idx_sigs = index_sig_df.filter(F.get(F.col("sig"), 0) != F.lit(MINHASH_P))
 
@@ -1095,7 +1096,13 @@ def apply_incremental_dedup(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    **minhash_kwargs,
+    num_perm: int = 64,
+    n: int = 3,
+    seed: int = 1,
+    hash_family: str = "md5_52",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 200,
 ) -> int:
     """One incremental-dedup step against persisted state: run
     :func:`near_dedup_incremental` for ``batch_df`` against the
@@ -1104,11 +1111,24 @@ def apply_incremental_dedup(
     the number of surviving rows. Shared by the CLI batch mode and the
     streaming ``foreachBatch`` writer — output is appended BEFORE the
     index on purpose (see ``streaming.ingest.write_stream_near_dedup``
-    for the replay-semantics rationale)."""
+    for the replay-semantics rationale).
+
+    Parameters are EXPLICIT rather than ``**kwargs`` on purpose: the
+    signature parameters (``num_perm``/``n``/``seed``/``hash_family``)
+    route to both :func:`minhash_signatures` calls and to the dedup,
+    while the LSH parameters (``bands``/``rows_per_band``/
+    ``max_bucket_size``) route only to :func:`near_dedup_incremental` —
+    a blind ``**kwargs`` forward raised ``TypeError`` on a valid key
+    AFTER the output append but before the index append, leaving the two
+    sinks inconsistent until replay. An unknown key now fails at call
+    time, before anything is written."""
     from llm_aided_ocr_spark.operators.util import release_pinned
 
     from pyspark.errors import AnalysisException
 
+    sig_kwargs = dict(
+        num_perm=num_perm, n=n, seed=seed, hash_family=hash_family
+    )
     spark = batch_df.sparkSession
     try:
         idx = spark.read.parquet(index_path)
@@ -1119,18 +1139,20 @@ def apply_incremental_dedup(
         if "PATH_NOT_FOUND" not in str(ex) and "Path does not exist" not in str(ex):
             raise
         sigs = minhash_signatures(
-            batch_df, text_col=text_col, id_col=id_col, **minhash_kwargs
+            batch_df, text_col=text_col, id_col=id_col, **sig_kwargs
         )
         idx = spark.createDataFrame([], sigs.schema)
     kept = near_dedup_incremental(
         batch_df, idx, threshold=threshold,
-        text_col=text_col, id_col=id_col, **minhash_kwargs,
+        text_col=text_col, id_col=id_col,
+        bands=bands, rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size, **sig_kwargs,
     )
     kept = kept.persist()
     try:
         kept.write.mode("append").parquet(out_path)
         minhash_signatures(
-            kept, text_col=text_col, id_col=id_col, **minhash_kwargs
+            kept, text_col=text_col, id_col=id_col, **sig_kwargs
         ).write.mode("append").parquet(index_path)
         return kept.count()
     finally:

@@ -290,9 +290,22 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+    # null-SAFE equality on the join back: a NULL lang (e.g. the CLI
+    # --from-warc path before language ID) forms its own group in the
+    # mass/cut aggregations, and a null-unsafe join would silently drop
+    # those documents from the output
+    d, c = doc_rel.alias("d"), cut.alias("c")
     return pin(
-        doc_rel.join(cut, ["lang", "lm_score_r"]).select(
-            "id", "lang", "lm_score_r", "doc_bytes", "bucket"
+        d.join(
+            c,
+            F.col("d.lang").eqNullSafe(F.col("c.lang"))
+            & F.col("d.lm_score_r").eqNullSafe(F.col("c.lm_score_r")),
+        ).select(
+            F.col("d.id").alias("id"),
+            F.col("d.lang").alias("lang"),
+            F.col("d.lm_score_r").alias("lm_score_r"),
+            F.col("d.doc_bytes").alias("doc_bytes"),
+            F.col("c.bucket").alias("bucket"),
         ),
         doc_rel,
     )

@@ -49,14 +49,30 @@ def bm25_scores(
     repo's cross-engine float contract). ``dl`` is the document token
     length, ``n_matched`` how many distinct query terms occur.
 
-    Duplicate query terms are deduplicated (BM25 is defined over the
-    query's term SET; Lucene does the same); term order is irrelevant.
-    Empty documents score 0. ``k1``/``b`` are the standard Okapi
-    defaults."""
+    Query terms pass through the SAME tokenizer as documents (lowercase,
+    split on non-alphanumerics) before the tf columns are built — a
+    verbatim ``'Hello'`` or ``'state-of-the-art'`` would otherwise never
+    match the normalized token space and silently score 0; a multi-word
+    term contributes each of its tokens as a query term, and a term that
+    normalizes to nothing raises. Duplicate query terms (after
+    normalization) are deduplicated (BM25 is defined over the query's
+    term SET; Lucene does the same); term order is irrelevant. Empty
+    documents score 0. ``k1``/``b`` are the standard Okapi defaults."""
+    import re
+
     from llm_aided_ocr_spark.operators.dedup import _words_col
     from llm_aided_ocr_spark.operators.util import pin
 
-    terms = list(dict.fromkeys(query_terms))
+    norm_terms = []
+    for raw in query_terms:
+        toks = re.findall(r"[a-z0-9]+", (raw or "").lower())
+        if not toks:
+            raise ValueError(
+                f"query term {raw!r} normalizes to no tokens under the "
+                "corpus tokenizer (lowercase [a-z0-9]+ runs)"
+            )
+        norm_terms.extend(toks)
+    terms = list(dict.fromkeys(norm_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
     k1 = float(k1)

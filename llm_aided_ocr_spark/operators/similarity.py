@@ -615,24 +615,103 @@ def semantic_dedup(
     tau: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: str = "min_id",
 ) -> DataFrame:
     """Surviving rows after SemDeDup: within-cell cosine-``tau`` pairs →
-    connected components → keep each component's min-id representative.
-    (The paper keeps the member FARTHEST from its centroid; min-id is the
-    pipeline-wide deterministic keep policy — same trade as
-    :func:`llm_aided_ocr_spark.operators.dedup.near_dedup`, documented
-    here because it is a deliberate deviation.) The drop list is a tiny
-    ``(id)`` relation — broadcast-eligible anti-join, document vectors
-    move at most once."""
-    from llm_aided_ocr_spark.operators.dedup import dedup_keep_list
+    connected components → one representative kept per component.
+
+    ``keep`` policies:
+
+    * ``"min_id"`` (default) — the pipeline-wide deterministic keep
+      policy, same trade as
+      :func:`llm_aided_ocr_spark.operators.dedup.near_dedup`; the
+      driver-contract ``semantic_dedup`` query stays on this policy.
+    * ``"farthest"`` — the paper's representative (Abbas et al. 2023
+      §3: keep the member with the LOWEST cosine to its cluster
+      centroid, i.e. farthest from the cell center), ties broken by min
+      id. Selection is a per-cluster min-struct aggregation over the
+      16-byte label relation joined to per-member centroid distances —
+      no window, no extra pass over the vectors (the distance reuses
+      the already-assigned cell).
+
+    The drop list is a tiny ``(id)`` relation — broadcast-eligible
+    anti-join, document vectors move at most once."""
+    from llm_aided_ocr_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_keep_list,
+    )
     from llm_aided_ocr_spark.operators.util import carry_pins, release_pinned
+
+    if keep not in ("min_id", "farthest"):
+        raise ValueError(f"unknown keep policy: {keep!r}")
 
     pairs = semantic_dedup_pairs(
         vectors, centroids, tau=tau, id_col=id_col, vec_col=vec_col
     )
-    keep = dedup_keep_list(pairs)
-    drops = keep.filter(~F.col("keep")).select(F.col("id").alias(id_col))
-    # dedup_clusters materialized eagerly (localCheckpoint rounds): the
-    # sketch/cell cache pinned inside semantic_dedup_pairs is dead here
+    if keep == "min_id":
+        keep_df = dedup_keep_list(pairs)
+        drops = keep_df.filter(~F.col("keep")).select(
+            F.col("id").alias(id_col)
+        )
+        # dedup_clusters materialized eagerly (localCheckpoint rounds):
+        # the sketch/cell cache pinned inside semantic_dedup_pairs is
+        # dead here
+        release_pinned(pairs)
+        return carry_pins(
+            keep_df, vectors.join(drops, on=id_col, how="left_anti")
+        )
+
+    clusters = dedup_clusters(pairs)
     release_pinned(pairs)
-    return carry_pins(keep, vectors.join(drops, on=id_col, how="left_anti"))
+    # cosine of each clustered member to ITS centroid (cells reuse the
+    # same literal-centroid assignment; only cluster members pay)
+    cents = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in centroids
+        ]
+    )
+    cvec = F.get(cents, F.col("cell"))
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), cvec, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+    def _norm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x * x),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    denom = _norm(F.col(vec_col)) * _norm(cvec)
+    cos = F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+    members = (
+        ivf_assign(
+            vectors.join(
+                clusters.withColumnRenamed("id", id_col), on=id_col
+            ),
+            centroids,
+            vec_col,
+        )
+        .select(id_col, "cluster_id", cos.alias("_cos"))
+    )
+    keepers = (
+        members.groupBy("cluster_id")
+        .agg(
+            F.min(F.struct(F.col("_cos"), F.col(id_col))).alias("_k")
+        )
+        .select(F.col("_k")[id_col].alias("_keep_id"))
+    )
+    drops = (
+        members.join(
+            keepers, members[id_col] == keepers["_keep_id"], "left_anti"
+        )
+        .select(F.col(id_col))
+    )
+    return carry_pins(
+        clusters, vectors.join(drops, on=id_col, how="left_anti")
+    )

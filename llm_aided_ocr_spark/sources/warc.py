@@ -48,12 +48,19 @@ _DATE_RE = re.compile(
 
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress concatenated gzip members (the .warc.gz layout —
-    ``gzip.decompress`` reads only the first member)."""
+    ``gzip.decompress`` reads only the first member). A corrupt member
+    ends decompression and returns the bytes decoded so far — mirroring
+    the torn-record early-return in :func:`iter_warc_records` — instead
+    of raising out of the Spark task (and, after retries, failing the
+    whole job for one bad segment)."""
     out: List[bytes] = []
     pos = 0
     while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data[pos:]))
+        try:
+            out.append(d.decompress(data[pos:]))
+        except zlib.error:
+            break
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             break

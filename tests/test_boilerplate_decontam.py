@@ -448,3 +448,44 @@ def test_blocklist_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_blocklist_multi_word_and_punctuated_entries_phrase_match(spark):
+    """Real C4 blocklist entries include multi-word phrases: they must
+    match on the normalized token stream with token boundaries, and
+    entries that normalize to nothing must raise instead of silently
+    never matching."""
+    import pytest as _pytest
+
+    from llm_aided_ocr_spark.operators.boilerplate import (
+        blocklist_filter,
+        blocklist_flags,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a perfectly clean page"),
+            (2, "contains the Bad Word here"),          # phrase, punct-insensitive
+            (3, "bad things and a word apart"),          # tokens present, not adjacent
+            (4, "hyphenated bad-word also matches"),     # punctuation splits to tokens
+            (5, "embeddedbadword is not a token match"),
+        ],
+        "doc_id bigint, text string",
+    )
+    flags = {r.id: r for r in blocklist_flags(df, ["bad word"]).collect()}
+    assert flags[2].blocked and flags[2].n_blocked == 1
+    assert flags[4].blocked  # 'bad-word' normalizes to 'bad word'
+    assert not flags[1].blocked and not flags[3].blocked and not flags[5].blocked
+    kept = sorted(r.doc_id for r in blocklist_filter(df, ["bad word"]).collect())
+    assert kept == [1, 3, 5]
+    # mixed single-token + phrase list, duplicates collapse
+    flags2 = {
+        r.id: r
+        for r in blocklist_flags(
+            df, ["Bad Word", "bad-word", "clean"]
+        ).collect()
+    }
+    assert flags2[1].n_blocked == 1      # 'clean' token
+    assert flags2[2].n_blocked == 1      # phrase (deduped across spellings)
+    with _pytest.raises(ValueError):
+        blocklist_flags(df, ["ok", "!!!"])

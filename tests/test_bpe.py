@@ -236,3 +236,59 @@ def test_bpe_vocabulary_counts_symbols(spark):
     )
     assert vocab == dict(expect)
     assert any(len(s) > 1 for s in vocab)
+
+
+def test_bpe_local_trainer_matches_reference_exhaustively():
+    """The driver-local heap trainer must be byte-identical to the naive
+    reference on many random word tables, including deep merge counts
+    (heap lazy-invalidation + tie-break are the risky parts)."""
+    import random
+
+    from llm_aided_ocr_spark.operators.bpe import _bpe_learn_local
+
+    rng = random.Random(7)
+    alphabet = "abc"
+    for trial in range(40):
+        wc = {}
+        for _ in range(rng.randint(1, 25)):
+            w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+            wc[w] = wc.get(w, 0) + rng.randint(1, 5)
+        k = rng.randint(1, 40)
+        expect = _ref_bpe(wc, k)
+        got = _bpe_learn_local(sorted(wc.items()), k)
+        assert got == expect, (trial, wc, k)
+
+
+def test_bpe_learn_strategies_agree(spark):
+    """strategy='local' (heap trainer), 'distributed' (Spark round
+    loop), and 'auto' all learn the identical merge table."""
+    import random
+
+    from llm_aided_ocr_spark.operators.bpe import bpe_learn
+
+    rng = random.Random(23)
+    base = ["alpha", "beta", "gamma", "aa", "aab", "abab", "banana",
+            "low", "lower", "lowest"]
+    docs = [
+        (" ".join(rng.choice(base) for _ in range(rng.randint(2, 20))),)
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    local = bpe_learn(df, 12, strategy="local")
+    dist = bpe_learn(df, 12, strategy="distributed")
+    auto = bpe_learn(df, 12)
+    assert local == dist == auto
+    assert len(local) == 12
+
+
+def test_bpe_auto_falls_back_to_distributed_above_cap(spark):
+    """auto with a tiny local_vocab_cap must take the distributed path
+    and still match."""
+    from llm_aided_ocr_spark.operators.bpe import bpe_learn
+
+    df = spark.createDataFrame(
+        [("banana bandana banana",), ("low lower lowest",)], "text string"
+    )
+    assert bpe_learn(df, 5, local_vocab_cap=1) == bpe_learn(
+        df, 5, strategy="distributed"
+    )

@@ -342,3 +342,28 @@ def test_bm25_single_corpus_exchange(bm25_df):
     # no hash-partitioned exchange on the scoring path (the agg's
     # single-partition exchange is the 1-row stats reduction)
     assert "hashpartitioning(id" not in plan
+
+
+def test_bm25_query_terms_are_normalized_like_documents(bm25_df):
+    """'Hello'/'state-of-the-art'-style raw terms must tokenize through
+    the corpus tokenizer instead of silently scoring 0; zero-token terms
+    raise."""
+    import pytest as _pytest
+
+    from llm_aided_ocr_spark.operators.search import bm25_scores
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    a = bm25_scores(bm25_df, ["spark", "window"])
+    ra = {r["id"]: tuple(r)[1:] for r in a.collect()}
+    release_pinned(a)
+    b = bm25_scores(bm25_df, ["Spark!", "WINDOW"])
+    rb = {r["id"]: tuple(r)[1:] for r in b.collect()}
+    release_pinned(b)
+    assert ra == rb
+    # a multi-word term contributes each token
+    c = bm25_scores(bm25_df, ["spark-window"])
+    rc = {r["id"]: tuple(r)[1:] for r in c.collect()}
+    release_pinned(c)
+    assert rc == ra
+    with _pytest.raises(ValueError):
+        bm25_scores(bm25_df, ["spark", "!!!"])

@@ -607,6 +607,47 @@ def test_apply_incremental_dedup_corrupt_index_raises(spark, inc_corpus, tmp_pat
     assert os.path.exists(str(tmp_path / "fresh_index"))
 
 
+def test_apply_incremental_dedup_routes_custom_params_to_both_sinks(
+    spark, inc_corpus, tmp_path
+):
+    """seed/bands/rows_per_band/max_bucket_size are now explicit params:
+    a custom seed must produce a consistent output+index pair (the old
+    **kwargs forward raised TypeError between the two appends), and the
+    persisted index must carry the custom-seed signatures (round 2
+    against it drops the same docs)."""
+    import os
+
+    from llm_aided_ocr_spark.operators.dedup import apply_incremental_dedup
+
+    _, new = inc_corpus
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    n1 = apply_incremental_dedup(
+        new, out, idx, threshold=0.5, id_col="doc_id",
+        seed=5, bands=8, rows_per_band=8, max_bucket_size=100,
+    )
+    assert n1 > 0
+    assert os.path.exists(idx)
+    n_idx = spark.read.parquet(idx).count()
+    assert n_idx == n1  # one signature row per surviving doc
+    # replaying the SAME batch against the index drops every signed doc;
+    # only the shingle-less 'short' doc (no signature by design) survives
+    n2 = apply_incremental_dedup(
+        new.withColumn("doc_id", F.col("doc_id") + 10_000),
+        out, idx, threshold=0.5, id_col="doc_id",
+        seed=5, bands=8, rows_per_band=8, max_bucket_size=100,
+    )
+    assert n2 == 1
+    # an actually-unknown key still fails fast, BEFORE any write
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        apply_incremental_dedup(
+            new, str(tmp_path / "out3"), str(tmp_path / "idx3"),
+            id_col="doc_id", not_a_param=1,
+        )
+    assert not os.path.exists(str(tmp_path / "out3"))
+
+
 # ---------------------------------------------------------------------------
 # canonical_url_keepers — URL-level dedup before content dedup
 # ---------------------------------------------------------------------------

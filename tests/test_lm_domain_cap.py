@@ -257,3 +257,26 @@ def test_ccnet_buckets_ties_share_bucket_and_mass_is_thirds(spark):
     rows = out.collect()
     release_pinned(out, blocking=True)
     assert {r.bucket for r in rows} == {"head"}
+
+
+def test_ccnet_buckets_null_lang_documents_survive(spark):
+    """NULL lang (the CLI --from-warc path before language ID) must form
+    its own bucket group, not vanish in a null-unsafe join."""
+    from llm_aided_ocr_spark.operators.lm import ccnet_buckets
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    docs = [
+        (i, "the cat sat on the mat " * (1 + i % 5), None if i % 2 else "en")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, lang string")
+    out = ccnet_buckets(df, ref_df=df.filter(F.col("doc_id") < 3))
+    rows = out.collect()
+    release_pinned(out, blocking=True)
+    assert len(rows) == 20  # nothing dropped
+    null_rows = [r for r in rows if r.lang is None]
+    assert len(null_rows) == 10
+    # the NULL group is cut like any language: replay agrees
+    cut = _replay_cut(rows)
+    for r in rows:
+        assert r.bucket == cut[(r.lang, r.lm_score_r)], r

@@ -298,6 +298,27 @@ def test_semantic_dedup_max_cell_size_drops_oversized_cells(spark, semdedup_corp
     assert pairs == {(4, 5)}
 
 
+def test_semantic_dedup_keep_farthest_matches_paper_policy(spark, semdedup_corpus):
+    """keep='farthest' keeps the component member with the LOWEST cosine
+    to its cell centroid (the SemDeDup paper's representative): vid 3 in
+    the {1,2,3} component, vid 4 in {4,5} (computed offline from the
+    fixture's rng); min_id stays the default and unchanged."""
+    from llm_aided_ocr_spark.operators.similarity import semantic_dedup
+
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            semdedup_corpus, SEM_CENTS, tau=0.999, keep="farthest"
+        ).collect()
+    )
+    assert kept == [3, 4, 6, 7, 8]
+    # unknown policy raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        semantic_dedup(semdedup_corpus, SEM_CENTS, keep="nope")
+
+
 def test_semantic_dedup_tau_one_keeps_everything(spark, semdedup_corpus):
     from llm_aided_ocr_spark.operators.similarity import semantic_dedup
 

@@ -172,3 +172,19 @@ if _HYP:
         for url, body, with_http in recs:
             want.append((url, body))
         assert got == want
+
+
+def test_corrupt_gzip_member_skips_remainder_not_task():
+    """A corrupt middle member must not raise out of the decompress loop
+    (which would fail the whole Spark task after retries) — the records
+    decoded before the corruption still parse, mirroring the torn-record
+    early-return."""
+    from llm_aided_ocr_spark.sources.warc import iter_warc_records
+
+    good = gzip.compress(_record(url="http://a.org/1"))
+    corrupt = bytearray(gzip.compress(_record(url="http://a.org/2")))
+    corrupt[12] ^= 0xFF  # flip a byte inside the deflate stream
+    tail = gzip.compress(_record(url="http://a.org/3"))
+    blob = good + bytes(corrupt) + tail
+    recs = list(iter_warc_records(blob))  # must not raise
+    assert [h["warc-target-uri"] for h, _ in recs] == ["http://a.org/1"]

@@ -3062,6 +3062,83 @@ FROM hits
 """
 
 
+def _q_html_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-extraction HTML page signals (lang attr, title, meta-robots
+    noindex, link count) over pages CONSTRUCTED natively from the
+    documents table with doc_id-derived variation: lang cycles
+    en/FR/de/absent (case-folding exercised), the noindex meta appears
+    for doc_id%5==0 with its attribute order flipped for %10==0, and
+    doc_id%7 anchor tags precede the entity-escaped body. The oracle
+    rebuilds the identical page string and states every expected signal
+    independently from the same arithmetic — the operator's regex walk
+    must recover exactly what the constructor put in (the
+    media_dimensions round-trip-proof pattern)."""
+    from llm_aided_ocr_spark.operators.extract import html_page_signals
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    esc = F.coalesce("text", F.lit(""))
+    esc = F.replace(esc, F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    m4 = did % 4
+    lang_src = (
+        F.when(m4 == 0, F.lit("en"))
+        .when(m4 == 1, F.lit("FR"))
+        .when(m4 == 2, F.lit("de"))
+    )
+    open_tag = F.when(
+        lang_src.isNotNull(),
+        F.concat(F.lit('<html lang="'), lang_src, F.lit('">')),
+    ).otherwise(F.lit("<html>"))
+    meta = (
+        F.when(did % 10 == 0, F.lit('<meta content="noindex" name="robots">'))
+        .when(did % 5 == 0, F.lit('<meta name="robots" content="noindex">'))
+        .otherwise(F.lit(""))
+    )
+    links = F.repeat(F.lit('<a href="#">l</a> '), (did % 7).cast("int"))
+    html = F.concat(
+        open_tag,
+        F.lit("<head><title>  Doc "), did.cast("string"), F.lit("  </title>"),
+        meta, F.lit("</head><body>"), links, esc, F.lit("</body></html>"),
+    ).cast("binary")
+    pages = d.select("doc_id", html.alias("html"))
+    return html_page_signals(pages, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "lang_attr", "title", "noindex",
+        "n_links", "html_bytes",
+    )
+
+
+_HTML_SIGNALS_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN 'en' WHEN doc_id % 4 = 1 THEN 'FR'
+         WHEN doc_id % 4 = 2 THEN 'de' END AS lang_src,
+    CASE WHEN doc_id % 10 = 0 THEN '<meta content="noindex" name="robots">'
+         WHEN doc_id % 5 = 0 THEN '<meta name="robots" content="noindex">'
+         ELSE '' END AS meta,
+    CAST(doc_id % 7 AS INTEGER) AS nl,
+    replace(replace(replace(coalesce(text,''),
+      '&','&amp;'),'<','&lt;'),'>','&gt;') AS esc
+  FROM documents),
+b AS (
+  SELECT doc_id, lang_src, nl,
+    (CASE WHEN lang_src IS NULL THEN '<html>'
+          ELSE '<html lang="' || lang_src || '">' END)
+    || '<head><title>  Doc ' || CAST(doc_id AS VARCHAR) || '  </title>'
+    || meta || '</head><body>' || repeat('<a href="#">l</a> ', nl)
+    || esc || '</body></html>' AS html
+  FROM h)
+SELECT doc_id,
+  lower(lang_src) AS lang_attr,
+  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+  (doc_id % 5 = 0) AS noindex,
+  nl AS n_links,
+  CAST(strlen(html) AS BIGINT) AS html_bytes
+FROM b
+"""
+
+
 def _q_media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image-header parsing over binary media: the adapter
     SYNTHESIZES valid PNG/GIF/JPEG/BMP headers with doc_id-derived
@@ -3536,6 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "media_dimensions": _q_media_dimensions,
         "blocklist_gate": _q_blocklist_gate,
+        "html_signals": _q_html_signals,
         # --- driver-green in CORRECTNESS_r04 (rows+schema+hash) ---
         "page_filter": _q_page_filter,
         "lang_gate_counts": _q_lang_gate_counts,
@@ -4223,4 +4301,5 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _build_incremental_dedup_sql(),
         "media_dimensions": _MEDIA_DIMENSIONS_SQL,
         "blocklist_gate": _build_blocklist_sql(),
+        "html_signals": _HTML_SIGNALS_SQL,
     }

@@ -141,3 +141,95 @@ def extract_pdf_pages(
     return pdf_df.select("url", "pdf").mapInPandas(
         _render, schema="url string, page_no int, page_text string"
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML page signals — pre-extraction metadata gates
+# ---------------------------------------------------------------------------
+
+def html_page_signals(
+    pages_df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+) -> DataFrame:
+    """``(id, lang_attr, title, noindex, n_links, html_bytes,
+    links_per_kb)`` — the cheap page-level signals an extraction
+    pipeline reads BEFORE committing to a full DOM strip:
+
+    * ``lang_attr`` — the ``<html lang=...>`` declaration (lowercased;
+      NULL when absent), the zero-cost prior a language-ID stage seeds
+      from;
+    * ``title`` — the first ``<title>`` element, whitespace-collapsed
+      (entities left as-is; the DOM strip owns unescaping);
+    * ``noindex`` — true when a ``<meta ... robots ... noindex ...>``
+      tag is present in either attribute order: pages the crawler was
+      asked not to index are dropped by most curation pipelines;
+    * ``n_links`` / ``links_per_kb`` — anchor-tag count and density
+      (links per KB of raw html), the classic boilerplate/navigation-
+      page signal (link farms and nav hubs score high);
+    * ``canonical_href`` — the ``<link rel="canonical" href=...>``
+      target in either attribute order (NULL when absent): the
+      publisher-declared canonical URL, a stronger key for
+      ``canonical_url_dedup`` than URL normalization alone.
+
+    One native projection over the decoded html — zero shuffle, zero
+    Python, fuses into the scan; every regex is RE2-compatible (inline
+    ``(?i)``/``(?is)`` flags, lazy quantifiers) so the driver's DuckDB
+    oracle evaluates the IDENTICAL patterns. No reference analogue (the
+    reference ingests PDFs, llm_aided_ocr.py:411-426); the gate set
+    follows public curation practice (C4/RefinedWeb drop noindex and
+    high-link-density pages)."""
+    from llm_aided_ocr_spark.operators.util import let_
+
+    raw = F.coalesce(F.col(html_col), F.lit(b""))  # NULL html = empty page
+    h = F.decode(raw, "UTF-8")
+    lang = F.regexp_extract(
+        h, r'(?is)<html\b[^>]*\blang\s*=\s*["\']?([A-Za-z-]+)', 1
+    )
+    title = F.regexp_extract(h, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    noindex = h.rlike(
+        r"(?is)<meta\b[^>]*(robots[^>]*noindex|noindex[^>]*robots)[^>]*>"
+    )
+    n_links = F.regexp_count(h, F.lit(r"(?is)<a[\s>]"))
+    canon_fwd = F.regexp_extract(
+        h,
+        r'(?is)<link\b[^>]*\brel\s*=\s*["\']?canonical["\']?[^>]*'
+        r'\bhref\s*=\s*["\']?([^"\'\s>]+)',
+        1,
+    )
+    canon_rev = F.regexp_extract(
+        h,
+        r'(?is)<link\b[^>]*\bhref\s*=\s*["\']?([^"\'\s>]+)["\']?[^>]*'
+        r'\brel\s*=\s*["\']?canonical',
+        1,
+    )
+    canonical = F.when(canon_fwd != "", canon_fwd).when(
+        canon_rev != "", canon_rev
+    )
+    return pages_df.select(
+        F.col(id_col).alias("id"),
+        F.when(lang != "", F.lower(lang)).alias("lang_attr"),
+        F.when(
+            title != "",
+            F.trim(F.regexp_replace(title, r"\s+", " ")),
+        ).alias("title"),
+        noindex.alias("noindex"),
+        n_links.cast("int").alias("n_links"),
+        let_(
+            F.octet_length(raw).cast("bigint"),
+            lambda b: F.struct(
+                b.alias("html_bytes"),
+                F.round(
+                    n_links.cast("double") * 1000.0
+                    / F.greatest(b, F.lit(1)).cast("double"),
+                    6,
+                ).alias("links_per_kb"),
+            ),
+        ).alias("_s"),
+        canonical.alias("canonical_href"),
+    ).select(
+        "id", "lang_attr", "title", "noindex", "n_links",
+        F.col("_s.html_bytes").alias("html_bytes"),
+        F.col("_s.links_per_kb").alias("links_per_kb"),
+        "canonical_href",
+    )

@@ -166,12 +166,12 @@ _R5_FRONT = [
     "temperature_rates", "url_filter", "warc_roundtrip", "snapshot_diff",
     "epoch_order", "top_ngrams", "pooled_embeddings", "bpe_merges",
     "bpe_token_counts", "bpe_vocab", "incremental_dedup",
-    "media_dimensions", "blocklist_gate",
+    "media_dimensions", "blocklist_gate", "html_signals",
 ]
 
 
 def test_registration_order_fronts_driver_unchecked_queries(entry_mod):
     keys = list(entry_mod.queries())
     assert keys[: len(_R5_FRONT)] == _R5_FRONT
-    assert len(keys) == 79
-    assert len(set(keys)) == 79
+    assert len(keys) == 80
+    assert len(set(keys)) == 80

@@ -144,3 +144,56 @@ def test_page_range_slice(spark):
     out = extract_pdf_pages(df, max_pages=3, skip_first_n_pages=2, renderer=renderer)
     rows = sorted((r["page_no"], r["page_text"]) for r in out.collect())
     assert rows == [(3, "p3"), (4, "p4"), (5, "p5")]
+
+
+def test_html_page_signals_native_and_correct(spark):
+    """lang attr, title, meta-robots noindex (both attribute orders),
+    link count/density — one native projection (no Python stage in the
+    plan), NULL-html-safe."""
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.extract import html_page_signals
+
+    pages = [
+        ("u1", "<html lang=\"en-US\"><head><title> A   Title\n here "
+               "</title><meta name=\"robots\" content=\"noindex,nofollow\">"
+               "</head><body><a href=x>1</a><A HREF=y>2</A></body></html>"),
+        ("u2", "<html><head><meta content=\"noindex\" name=\"robots\"/>"
+               "</head><body>plain</body></html>"),
+        ("u3", "<html LANG='fr'><head></head><body>"
+               "<meta name=\"viewport\"></body></html>"),
+        ("u4", None),
+    ]
+    df = spark.createDataFrame(pages, "url string, h string").select(
+        "url", F.col("h").cast("binary").alias("html")
+    )
+    rows = {r["id"]: r for r in html_page_signals(df).collect()}
+    assert rows["u1"].lang_attr == "en-us"
+    assert rows["u1"].title == "A Title here"
+    assert rows["u1"].noindex is True
+    assert rows["u1"].n_links == 2
+    assert rows["u1"].links_per_kb > 0
+    assert rows["u2"].noindex is True  # flipped attribute order
+    assert rows["u2"].lang_attr is None and rows["u2"].title is None
+    assert rows["u3"].lang_attr == "fr"
+    assert rows["u3"].noindex is False
+    assert rows["u4"].noindex is False and rows["u4"].n_links == 0
+    assert rows["u4"].html_bytes == 0
+    assert all(rows[u].canonical_href is None for u in ("u1", "u2", "u3", "u4"))
+    # rel=canonical in both attribute orders
+    canon = spark.createDataFrame(
+        [
+            ("c1", '<link rel="canonical" href="https://x.org/a">'),
+            ("c2", "<link href='https://x.org/b' rel='canonical'>"),
+            ("c3", '<link rel="stylesheet" href="https://x.org/c.css">'),
+        ],
+        "url string, h string",
+    ).select("url", F.col("h").cast("binary").alias("html"))
+    crows = {r["id"]: r for r in html_page_signals(canon).collect()}
+    assert crows["c1"].canonical_href == "https://x.org/a"
+    assert crows["c2"].canonical_href == "https://x.org/b"
+    assert crows["c3"].canonical_href is None
+    # plan: pure projection — no exchange, no Python eval
+    plan = html_page_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

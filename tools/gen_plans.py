@@ -417,6 +417,32 @@ def main() -> None:
             docs, [(0, "e", "r", 1), (1, "i", "n", 1)]
         )),
     ))
+    sections.append((
+        "epoch_order — two-phase rank, no SinglePartition exchange",
+        "round-5 fix for the last single-reducer stage in the suite: the "
+        "global permutation rank is a RANGE repartition + per-partition "
+        "sort + monotonic-id row index + broadcast per-partition offsets "
+        "— identical output to a global row_number window (pinned by "
+        "test), but every exchange below is parallel; 'SinglePartition' "
+        "appears nowhere (asserted in tests/test_packing.py).",
+        plan_of(q["epoch_order"](spark, SF)),
+    ))
+
+    sections.append((
+        "html_page_signals — pre-extraction gates fuse into the scan",
+        "lang attr, title, noindex, rel=canonical, link density: one "
+        "native projection over the decoded html — no exchange, no "
+        "Python operator; at a 100 TB crawl these gates shed pages at "
+        "scan cost before the (Arrow) DOM strip ever runs.",
+        plan_of(__import__(
+            "llm_aided_ocr_spark.operators.extract", fromlist=["x"]
+        ).html_page_signals(
+            docs.select(
+                "doc_id", F.col("text").cast("binary").alias("html")
+            ),
+            id_col="doc_id",
+        )),
+    ))
     spark.catalog.clearCache()
 
     out = [

@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-near-dedup", action="store_true",
                    help="curate: skip minhash near-dedup (exact only)")
     p.add_argument("--split-seed", type=int, default=1)
+    p.add_argument("--drop-noindex", action="store_true",
+                   help="drop pages whose html declares meta-robots "
+                        "noindex (pure codegen gate, runs before "
+                        "correction)")
     p.add_argument("--canonical-dedup", action="store_true",
                    help="curate: collapse same-page URL refetches before "
                         "correction (longest fetch kept)")
@@ -205,6 +209,7 @@ def main(argv=None) -> int:
                 near_dedup=not args.no_near_dedup,
                 split_seed=args.split_seed,
                 canonical_url_dedup=args.canonical_dedup,
+                drop_noindex=args.drop_noindex,
                 repetition_gate=args.repetition_gate,
                 url_blocked_domains=tuple(args.url_block_domain),
                 url_blocked_keywords=tuple(args.url_block_keyword),

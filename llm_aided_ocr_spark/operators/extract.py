@@ -147,6 +147,17 @@ def extract_pdf_pages(
 # HTML page signals — pre-extraction metadata gates
 # ---------------------------------------------------------------------------
 
+def noindex_col(html_col: str = "html") -> F.Column:
+    """Boolean column: the page declares ``<meta ... robots ...
+    noindex ...>`` in either attribute order. NULL html → false. A pure
+    codegen predicate (no join/shuffle/Python), shared by
+    :func:`html_page_signals` and the ``drop_noindex`` curation gate."""
+    h = F.decode(F.coalesce(F.col(html_col), F.lit(b"")), "UTF-8")
+    return h.rlike(
+        r"(?is)<meta\b[^>]*(robots[^>]*noindex|noindex[^>]*robots)[^>]*>"
+    )
+
+
 def html_page_signals(
     pages_df: DataFrame,
     html_col: str = "html",
@@ -187,9 +198,7 @@ def html_page_signals(
         h, r'(?is)<html\b[^>]*\blang\s*=\s*["\']?([A-Za-z-]+)', 1
     )
     title = F.regexp_extract(h, r"(?is)<title[^>]*>(.*?)</title>", 1)
-    noindex = h.rlike(
-        r"(?is)<meta\b[^>]*(robots[^>]*noindex|noindex[^>]*robots)[^>]*>"
-    )
+    noindex = noindex_col(html_col)
     n_links = F.regexp_count(h, F.lit(r"(?is)<a[\s>]"))
     canon_fwd = F.regexp_extract(
         h,

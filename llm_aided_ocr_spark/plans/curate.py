@@ -43,6 +43,7 @@ class CurationConfig:
     url_blocked_keywords: tuple = ()      # (both empty = off)
     url_keyword_threshold: int = 2
     canonical_url_dedup: bool = False     # same-page-refetched collapse
+    drop_noindex: bool = False            # drop meta-robots-noindex pages
     exact_dedup: bool = True
     near_dedup: bool = True
     near_dup_threshold: float = 0.8
@@ -90,6 +91,15 @@ def curate(
                 cfg.url_keyword_threshold,
             )
         )
+
+    if cfg.drop_noindex and "html" in pages_df.columns:
+        # meta-robots noindex pages are excluded by most public curation
+        # recipes; the predicate is pure codegen over the raw html, so
+        # like the URL gate it sheds documents BEFORE correction ever
+        # touches them (pages with NULL html pass — nothing to declare)
+        from llm_aided_ocr_spark.operators.extract import noindex_col
+
+        pages_df = pages_df.filter(~noindex_col("html"))
 
     if cfg.canonical_url_dedup:
         # collapse same-page refetches (http/https, ports, params,
@@ -269,7 +279,7 @@ def annotate(
     )
 
     text = F.coalesce(F.col(text_col), F.lit(""))
-    return df.select(
+    cols = [
         F.col(id_col).alias("id"),
         domain_col(F.coalesce(F.col(url_col), F.lit(""))).alias("domain"),
         lang_id_col(F.col(text_col)).alias("detected_lang"),
@@ -280,7 +290,14 @@ def annotate(
         url_keep_col(
             F.col(url_col), blocked_domains, blocked_keywords
         ).alias("url_keep"),
-    )
+    ]
+    if "html" in df.columns:
+        # raw html present → the meta-robots signal is free in the same
+        # projection (still pure codegen; absent-column inputs skip it)
+        from llm_aided_ocr_spark.operators.extract import noindex_col
+
+        cols.append(noindex_col("html").alias("noindex"))
+    return df.select(*cols)
 
 
 def curation_report(curated: DataFrame) -> DataFrame:

@@ -372,3 +372,35 @@ def test_curate_canonical_url_dedup_collapses_refetches(spark):
     urls = {r["url"] for r in out.collect()}
     release_pinned(out, blocking=True)
     assert urls == {"HTTP://A.org:80/p#frag", "https://b.org/q"}
+
+
+def test_curate_drop_noindex_gate(spark):
+    """drop_noindex sheds meta-robots-noindex pages before correction;
+    NULL-html pages pass; the gate is a pure inline predicate."""
+    base = pages_dataframe(spark, n_rows=10, include_golden=False)
+    noindex_html = (
+        '<html><head><meta name="robots" content="noindex"></head>'
+        "<body>x</body></html>"
+    )
+    plain_html = "<html><head></head><body>x</body></html>"
+    pages = base.withColumn(
+        "html",
+        F.when(F.col("url").contains("1"), F.lit(noindex_html).cast("binary"))
+        .when(F.col("url").contains("2"), F.lit(plain_html).cast("binary"))
+        .otherwise(F.lit(None).cast("binary")),
+    )
+    cfg = CurationConfig(near_dedup=False, exact_dedup=False, drop_noindex=True)
+    out = curate(pages, cfg)
+    urls = [r["url"] for r in out.collect()]
+    assert urls
+    assert all("1" not in u for u in urls)
+    expected = pages.filter(~F.col("url").contains("1")).count()
+    assert len(urls) == expected
+    # default off: nothing shed
+    out_off = curate(pages, CurationConfig(near_dedup=False, exact_dedup=False))
+    assert out_off.count() == pages.count()
+    # annotate() picks the signal up for free when html is present
+    from llm_aided_ocr_spark.plans.curate import annotate
+
+    tags = {r["id"]: r["noindex"] for r in annotate(pages).collect()}
+    assert all(v == ("1" in u) for u, v in tags.items())

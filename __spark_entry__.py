@@ -3139,6 +3139,119 @@ FROM b
 """
 
 
+def _normalize_sql(col: str) -> str:
+    """DuckDB replay of operators.normalize.normalize_text_col's default
+    chain, built from the SAME module constants so the two engines can
+    never drift: control strip → expansions + punct translate → lower →
+    accent translate → digit zeroing → whitespace collapse + trim.
+    Regex character classes are explicit (no \\s) so Java and RE2 agree;
+    DuckDB regexp_replace needs the 'g' flag Spark applies implicitly."""
+    from llm_aided_ocr_spark.operators.normalize import (
+        ACCENT_FOLD,
+        MULTI_CHAR,
+        UNICODE_PUNCT,
+        _table,
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = f"coalesce({col}, '')"
+    expr = (
+        f"regexp_replace({expr}, "
+        "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')"
+    )
+    for k, v in sorted(MULTI_CHAR.items()):
+        expr = f"replace({expr}, '{esc(k)}', '{esc(v)}')"
+    pf, pt = _table(UNICODE_PUNCT)
+    expr = f"translate({expr}, '{esc(pf)}', '{esc(pt)}')"
+    expr = f"lower({expr})"
+    af, at = _table(ACCENT_FOLD)
+    expr = f"translate({expr}, '{esc(af)}', '{esc(at)}')"
+    expr = f"regexp_replace({expr}, '[0-9]', '0', 'g')"
+    expr = (
+        f"trim(regexp_replace({expr}, '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g'))"
+    )
+    return expr
+
+
+# doc_id-derived unicode suffix so the ASCII test tables still exercise
+# the accent/punct/expansion paths end-to-end in BOTH engines
+_NORM_SUFFIX = " «Déjà» … 42% Łódź\tß"
+
+
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style normalization as a pure projection: documents text
+    plus a unicode suffix (accents, guillemets, ellipsis expansion,
+    sharp-s, tab) normalized by the native column chain; the oracle
+    replays the byte-identical recipe from the same module constants."""
+    from llm_aided_ocr_spark.operators.normalize import normalize_text
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.lit(_NORM_SUFFIX),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    return normalize_text(d).select("doc_id", "norm_text")
+
+
+def _build_text_normalize_sql() -> str:
+    suffix = _NORM_SUFFIX.replace("'", "''").replace("\t", "' || chr(9) || '")
+    src = (
+        f"coalesce(text,'') || '{suffix}' || CAST(doc_id % 7 AS VARCHAR)"
+    )
+    return (
+        f"SELECT doc_id, {_normalize_sql(src)} AS norm_text FROM documents"
+    )
+
+
+def _q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the NORMALIZED key: the corpus unioned with a
+    re-cased, whitespace-padded, unicode-suffixed copy of itself
+    (doc_id + 100000) — every copy must collapse onto its original
+    (keep=false) while all originals survive, and the keeper is the
+    group min id regardless of partitioning."""
+    from llm_aided_ocr_spark.operators.normalize import normalized_keepers
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    variant = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.upper(F.coalesce("text", F.lit(""))), F.lit("  \t «» ")
+        ).alias("text"),
+    )
+    base = d.select(
+        "doc_id",
+        F.concat(F.coalesce("text", F.lit("")), F.lit(' "" ')).alias("text"),
+    )
+    return (
+        normalized_keepers(base.unionAll(variant), id_col="doc_id")
+        .select(F.col("id").alias("doc_id"), "keep")
+    )
+
+
+def _build_normalized_dedup_sql() -> str:
+    # the original carries ASCII '""'; the copy carries «» which the
+    # punct translate maps onto the same quotes — the keys collide only
+    # if the full recipe (case fold + ws collapse + translate) is right
+    norm = _normalize_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text,'') || ' "" ' AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         upper(coalesce(text,'')) || '  ' || chr(9) || ' «» ' AS text
+  FROM documents),
+norm AS (SELECT doc_id, {norm} AS nk FROM base),
+keep AS (SELECT nk, min(doc_id) AS k FROM norm GROUP BY nk)
+SELECT n.doc_id AS doc_id, n.doc_id = k.k AS keep
+FROM norm n JOIN keep k ON n.nk = k.nk
+"""
+
+
 def _q_media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image-header parsing over binary media: the adapter
     SYNTHESIZES valid PNG/GIF/JPEG/BMP headers with doc_id-derived
@@ -3614,6 +3727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dimensions": _q_media_dimensions,
         "blocklist_gate": _q_blocklist_gate,
         "html_signals": _q_html_signals,
+        "text_normalize": _q_text_normalize,
+        "normalized_dedup": _q_normalized_dedup,
         # --- driver-green in CORRECTNESS_r04 (rows+schema+hash) ---
         "page_filter": _q_page_filter,
         "lang_gate_counts": _q_lang_gate_counts,
@@ -4302,4 +4417,6 @@ def oracle_sql() -> dict[str, str]:
         "media_dimensions": _MEDIA_DIMENSIONS_SQL,
         "blocklist_gate": _build_blocklist_sql(),
         "html_signals": _HTML_SIGNALS_SQL,
+        "text_normalize": _build_text_normalize_sql(),
+        "normalized_dedup": _build_normalized_dedup_sql(),
     }

@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--canonical-dedup", action="store_true",
                    help="curate: collapse same-page URL refetches before "
                         "correction (longest fetch kept)")
+    p.add_argument("--normalized-dedup", action="store_true",
+                   help="curate: also dedup on the CCNet-normalized text "
+                        "key (case/accent/digit/punct/whitespace variants "
+                        "collapse; smallest url survives)")
     p.add_argument("--repetition-gate", action="store_true",
                    help="curate: apply the 13-threshold Gopher repetition "
                         "gate to the corrected text")
@@ -209,6 +213,7 @@ def main(argv=None) -> int:
                 near_dedup=not args.no_near_dedup,
                 split_seed=args.split_seed,
                 canonical_url_dedup=args.canonical_dedup,
+                normalized_dedup=args.normalized_dedup,
                 drop_noindex=args.drop_noindex,
                 repetition_gate=args.repetition_gate,
                 url_blocked_domains=tuple(args.url_block_domain),

@@ -45,6 +45,7 @@ class CurationConfig:
     canonical_url_dedup: bool = False     # same-page-refetched collapse
     drop_noindex: bool = False            # drop meta-robots-noindex pages
     exact_dedup: bool = True
+    normalized_dedup: bool = False        # dedup on the CCNet-normalized key
     near_dedup: bool = True
     near_dup_threshold: float = 0.8
     max_per_domain: Optional[int] = None  # cap docs per registrable host
@@ -227,6 +228,19 @@ def curate(
         )
     if cfg.exact_dedup:
         docs = exact_dedup(docs, text_col="corrected_text", id_col="url")
+    if cfg.normalized_dedup:
+        # CCNet-normalized exact dedup sits BETWEEN byte-exact and near:
+        # it collapses case/accent/digit/punct/whitespace variants byte
+        # dedup misses, shrinking the LSH candidate space like exact
+        # dedup does, at exact-dedup cost (one hash-keyed min agg — the
+        # production 8-byte key, text never enters the exchange)
+        from llm_aided_ocr_spark.operators.normalize import (
+            normalized_dedup as _normalized_dedup,
+        )
+
+        docs = _normalized_dedup(
+            docs, text_col="corrected_text", id_col="url", key="xxhash64"
+        )
     if cfg.near_dedup:
         docs = near_dedup(
             docs,

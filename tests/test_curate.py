@@ -404,3 +404,37 @@ def test_curate_drop_noindex_gate(spark):
 
     tags = {r["id"]: r["noindex"] for r in annotate(pages).collect()}
     assert all(v == ("1" in u) for u, v in tags.items())
+
+
+def test_curate_normalized_dedup_collapses_variants(spark):
+    """normalized_dedup collapses docs whose corrected text differs only
+    under the CCNet normalization (digits, case of identical bytes,
+    whitespace layout); byte-exact dedup alone would keep both."""
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    body = (
+        "The quick brown fox jumps over the lazy dog. "
+        "It was seen on page 123 of the report. The end."
+    )
+    rows = [
+        ("https://a.org/1", None, None, body, "en"),
+        # digits differ -> same normalized key (digits zero out)
+        ("https://a.org/2", None, None, body.replace("123", "456"), "en"),
+        ("https://a.org/3", None, None, "A completely different text.", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = CurationConfig(
+        near_dedup=False, exact_dedup=False, normalized_dedup=True
+    )
+    out = curate(pages, cfg)
+    urls = sorted(r["url"] for r in out.collect())
+    release_pinned(out, blocking=True)
+    assert urls == ["https://a.org/1", "https://a.org/3"]
+    # default off: all three survive (texts are byte-distinct)
+    off = curate(pages, CurationConfig(near_dedup=False, exact_dedup=False))
+    n_off = off.count()
+    release_pinned(off, blocking=True)
+    assert n_off == 3

@@ -409,6 +409,7 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
     from llm_aided_ocr_spark.operators.bpe import bpe_learn, bpe_token_counts
     from llm_aided_ocr_spark.operators.dedup import canonical_url_keepers
     from llm_aided_ocr_spark.operators.lm import ccnet_buckets
+    from llm_aided_ocr_spark.operators.normalize import normalized_keeper_ids
     from llm_aided_ocr_spark.operators.textstats import (
         gopher_ngram_metrics,
         word_commonness,
@@ -500,6 +501,12 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
             ),
             "canonical_dedup": lambda: canonical_url_keepers(
                 docs, url_col="url", text_col="text", id_col="url"
+            ),
+            # CCNet-normalized exact dedup at its production shape: the
+            # whole normalize chain is scan-fused codegen (ONE pass) and
+            # the one exchange carries 16-byte (id, hash) rows
+            "normalized_dedup": lambda: normalized_keeper_ids(
+                docs, text_col="text", id_col="url", key="xxhash64"
             ),
             "gopher_ngrams": lambda: gopher_ngram_metrics(
                 docs, text_col="text", id_col="url"

@@ -126,43 +126,64 @@ def normalize_text(
     return df.withColumn(out_col, normalize_text_col(F.col(text_col), **flags))
 
 
+def _norm_key_col(text_col: str, key: str) -> Column:
+    if key not in ("text", "xxhash64"):
+        raise ValueError(f"key must be 'text' or 'xxhash64', got {key!r}")
+    norm = normalize_text_col(F.col(text_col))
+    return F.xxhash64(norm) if key == "xxhash64" else norm
+
+
+def normalized_keeper_ids(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: str = "xxhash64",
+) -> DataFrame:
+    """``(keeper_id)`` — the min-id representative of every
+    normalized-text group (the :func:`exact_keeper_ids` shape, on the
+    CCNet-normalized key): documents identical up to case / accents /
+    digits / unicode punctuation / whitespace layout collapse to one
+    group and the smallest id survives (keeper is a pure function of
+    the group — order- and partitioning-independent).
+
+    The 100 TB path: ONE corpus scan, the normalize chain runs ONCE
+    (fused into that scan), and under the default ``key='xxhash64'``
+    the one exchange carries 16-byte ``(id, hash)`` rows with a
+    map-side-combinable min (~2^-64 false-merge per pair).
+    ``key='text'`` groups on the normalized string itself — the
+    engine-portable form the driver oracle replays."""
+    base = df.select(
+        F.col(id_col).alias("_id"), _norm_key_col(text_col, key).alias("_nk")
+    )
+    return (
+        base.groupBy("_nk")
+        .agg(F.min("_id").alias("keeper_id"))
+        .select("keeper_id")
+    )
+
+
 def normalized_keepers(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     key: str = "text",
 ) -> DataFrame:
-    """``(id, keep)`` — exact dedup on the NORMALIZED text: documents
-    identical up to case / accents / digits / unicode punctuation /
-    whitespace layout collapse to one group, and the smallest id
-    survives (keeper is a pure function of the group — order- and
-    partitioning-independent).
+    """``(id, keep)`` — the per-document verdict table (every id, with
+    its keep flag), for audits and the driver oracle.
 
-    ``key='text'`` groups on the normalized string itself (the
-    oracle-parity default); ``key='xxhash64'`` is the production flag —
-    the exchange then carries 8-byte keys instead of document-sized
-    strings (~2^-64 false-merge per pair), same discipline as the
-    ``hash_family`` flags in the dedup family.
-
-    Scale shape: one map-side-combinable min aggregation keyed on the
-    normalized key; the keeper relation is corpus-scaled (never a
-    broadcast build side) and joins back on the SAME key the aggregation
-    shuffled on, so AQE plans the join without a second full exchange of
-    the left side. Document text enters the exchange only under
-    ``key='text'``.
-    """
-    if key not in ("text", "xxhash64"):
-        raise ValueError(f"key must be 'text' or 'xxhash64', got {key!r}")
+    Unlike :func:`normalized_keeper_ids`, producing a flag for EVERY
+    row inherently consumes the ``(id, key)`` relation twice (group
+    mins AND row verdicts), so this form scans + normalizes the corpus
+    twice — both passes narrow, the join keyed on the same key the
+    aggregation shuffled on, text never in an exchange under
+    ``key='xxhash64'``. For bulk dedup prefer keeper_ids + an id-keyed
+    semi-join (:func:`normalized_dedup` does exactly that)."""
     from llm_aided_ocr_spark.operators.util import corpus_scaled
 
-    norm = normalize_text_col(F.col(text_col))
-    if key == "xxhash64":
-        norm = F.xxhash64(norm)
-    base = df.select(F.col(id_col).alias("id"), norm.alias("_nk"))
-    keepers = (
-        base.groupBy("_nk")
-        .agg(F.min("id").alias("_keeper_id"))
+    base = df.select(
+        F.col(id_col).alias("id"), _norm_key_col(text_col, key).alias("_nk")
     )
+    keepers = base.groupBy("_nk").agg(F.min("id").alias("_keeper_id"))
     return base.join(corpus_scaled(keepers), "_nk").select(
         "id", (F.col("id") == F.col("_keeper_id")).alias("keep")
     )
@@ -172,14 +193,14 @@ def normalized_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    key: str = "text",
+    key: str = "xxhash64",
 ) -> DataFrame:
-    """The surviving rows of ``df`` under normalized exact dedup — a
-    left-semi join of the input against the keeper ids (document text
-    never re-shuffles; the semi-join is keyed on id)."""
-    kept = (
-        normalized_keepers(df, text_col=text_col, id_col=id_col, key=key)
-        .filter("keep")
-        .select(F.col("id").alias(id_col))
-    )
+    """The surviving rows of ``df`` under normalized exact dedup: ONE
+    keeper-id pass (single scan, single normalize, 16-byte exchange)
+    plus a left-semi join of the input on the id — document text never
+    enters an exchange, and against an id-bucketed table the semi-join
+    needs no exchange at all."""
+    kept = normalized_keeper_ids(
+        df, text_col=text_col, id_col=id_col, key=key
+    ).withColumnRenamed("keeper_id", id_col)
     return df.join(kept, id_col, "left_semi")

@@ -15,6 +15,7 @@ from llm_aided_ocr_spark.operators.normalize import (
     normalize_text,
     normalize_text_col,
     normalized_dedup,
+    normalized_keeper_ids,
     normalized_keepers,
 )
 
@@ -117,6 +118,13 @@ def test_normalized_keepers_and_dedup(spark):
         r["doc_id"] for r in normalized_dedup(df, key="xxhash64").collect()
     )
     assert kept_h == kept_ids
+    # keeper_ids (the one-scan bulk path) agrees with the flags table
+    # under both key families
+    for k in ("text", "xxhash64"):
+        ids = sorted(
+            r["keeper_id"] for r in normalized_keeper_ids(df, key=k).collect()
+        )
+        assert ids == [i for i, v in sorted(keep.items()) if v]
     with pytest.raises(ValueError):
         normalized_keepers(df, key="md5")
 
@@ -143,6 +151,21 @@ def test_hash_key_exchange_carries_no_text(spark):
         .toString()
     )
     assert "xxhash64" in plan
+
+
+def test_normalized_dedup_normalizes_once(spark, tmp_path):
+    """The bulk path runs the normalize chain exactly ONCE (fused into
+    the keeper-id scan); the materialization side re-reads the corpus
+    but never re-normalizes, and text appears in no exchange."""
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "A b"), (2, "a B"), (3, "c")], "doc_id int, text string"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = normalized_dedup(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("translate(lower(translate(") == 1
+    got = sorted(r["doc_id"] for r in normalized_dedup(df).collect())
+    assert got == [1, 3]
 
 
 def test_normalize_works_on_stream(spark, tmp_path):

@@ -443,6 +443,18 @@ def main() -> None:
             id_col="doc_id",
         )),
     ))
+
+    sections.append((
+        "normalized dedup — scan-fused normalize chain, 8-byte-key exchange",
+        "the whole CCNet normalization (control strip, punct translate, "
+        "case/accent fold, digit zeroing, ws collapse) is one codegen "
+        "projection fused with the scan; under key='xxhash64' the min "
+        "aggregation exchanges 8-byte hashes and the keeper join reuses "
+        "the SAME key — document text never enters an exchange.",
+        plan_of(__import__(
+            "llm_aided_ocr_spark.operators.normalize", fromlist=["x"]
+        ).normalized_keepers(docs, key="xxhash64")),
+    ))
     spark.catalog.clearCache()
 
     out = [

@@ -372,7 +372,9 @@ def _warc_ops(spark, warc_dir: str) -> dict:
         ),
         "warc_curate": lambda: curate(
             _pages(),
-            CurationConfig(pipeline=PipelineConfig(provider="heuristic")),
+            CurationConfig(
+                pipeline=PipelineConfig(provider="heuristic"), use_html=True
+            ),
         ),
     }
 

@@ -209,6 +209,7 @@ def main(argv=None) -> int:
             pages,
             CurationConfig(
                 pipeline=cfg,
+                use_html=args.from_html,
                 min_quality_score=args.min_quality,
                 near_dedup=not args.no_near_dedup,
                 split_seed=args.split_seed,

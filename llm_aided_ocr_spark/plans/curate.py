@@ -32,6 +32,7 @@ from llm_aided_ocr_spark.config import PipelineConfig
 @dataclass(frozen=True)
 class CurationConfig:
     pipeline: PipelineConfig = field(default_factory=lambda: PipelineConfig(provider="heuristic"))
+    use_html: bool = False                # correct the DOM-stripped html, not `text`
     redact_pii: bool = False              # email/IPv4/phone → placeholder tokens
     c4_gate: bool = False                 # C4 line cleaning + page gate
     line_dedup_min_df: Optional[int] = None  # strip corpus-frequent lines
@@ -119,7 +120,10 @@ def curate(
         )
         pages_df = pages_df.join(corpus_scaled(keep), "url", "left_semi")
 
-    corrected = run_pipeline(pages_df, cfg.pipeline, store=store, strategy="auto")
+    corrected = run_pipeline(
+        pages_df, cfg.pipeline, store=store,
+        use_html=cfg.use_html, strategy="auto",
+    )
     docs = corrected.select("url", "corrected_text", "n_chunks")
     # correction is the expensive stage (potentially real LLM calls) and
     # the curation graph consumes it from several branches (quality join,

@@ -222,6 +222,33 @@ def test_cli_from_warc_mode(spark):
         corrected = spark.read.parquet(os.path.join(out, "corrected_docs"))
         assert corrected.count() == 3
 
+        # --from-warc --curate: the curation path must correct the
+        # DOM-stripped html, not the (NULL) text column — round-5
+        # regression: without use_html plumbing every doc normalized to
+        # '' and exact dedup collapsed the corpus to one empty survivor
+        out2 = os.path.join(tmp, "out_curated")
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "llm_aided_ocr_spark",
+                "--input", seg_dir, "--output", out2,
+                "--from-warc", "--curate", "--no-near-dedup",
+                "--provider", "heuristic", "--master", "local[2]",
+            ],
+            capture_output=True, text=True, timeout=300,
+            cwd=repo, env=dict(os.environ, PYTHONPATH=repo),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        curated = {
+            r["url"]: r["corrected_text"]
+            for r in spark.read.parquet(
+                os.path.join(out2, "curated_docs")
+            ).collect()
+        }
+        assert set(curated) == {
+            "http://a.org/1", "http://a.org/2", "http://b.org/3"
+        }
+        assert all(t for t in curated.values())
+
 
 def test_cli_curate_new_gate_flags(spark):
     """--canonical-dedup / --url-block-domain flow through to curate():

@@ -438,3 +438,47 @@ def test_curate_normalized_dedup_collapses_variants(spark):
     n_off = off.count()
     release_pinned(off, blocking=True)
     assert n_off == 3
+
+
+def test_curate_use_html_extracts_before_correction(spark):
+    """The --from-warc shape: pages carry html, text is NULL. With
+    use_html=True curate corrects the DOM-stripped html; without it the
+    NULL text would normalize every doc to '' and exact dedup would
+    collapse the corpus — the round-5 regression this pins."""
+    import html as _html
+
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    texts = [
+        f"Document number {i} body text. It has several words in it. "
+        f"Unique tail {i}."
+        for i in range(6)
+    ]
+    rows = [
+        (
+            f"https://w.org/{i}",
+            None,
+            (
+                "<html><head><title>p</title></head><body><main><p>"
+                f"{_html.escape(t)}</p></main></body></html>"
+            ).encode(),
+            None,
+            None,
+        )
+        for i, t in enumerate(texts)
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = CurationConfig(near_dedup=False, use_html=True)
+    out = curate(pages, cfg)
+    got = {r["url"]: r["corrected_text"] for r in out.collect()}
+    release_pinned(out, blocking=True)
+    assert len(got) == 6
+    assert all(f"number {u.rsplit('/', 1)[1]}" in t for u, t in got.items())
+    # without use_html the same input degenerates to ONE empty survivor
+    deg = curate(pages, CurationConfig(near_dedup=False))
+    n_deg = deg.count()
+    release_pinned(deg, blocking=True)
+    assert n_deg == 1

@@ -179,6 +179,16 @@ def main(argv=None) -> int:
     if args.dedup_incremental:
         from llm_aided_ocr_spark.operators.dedup import apply_incremental_dedup
 
+        if args.from_html:
+            # WARC/html inputs carry NULL text — signatures over the raw
+            # text column would hash every page to the same empty
+            # shingle set; extract first (same fix class as curate's
+            # use_html)
+            from llm_aided_ocr_spark.operators.extract import extract_text
+
+            pages = extract_text(pages, use_html=True).withColumnRenamed(
+                "extracted_text", "text"
+            )
         n_in = pages.count()
         n_kept = apply_incremental_dedup(
             pages,

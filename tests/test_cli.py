@@ -293,3 +293,59 @@ def test_cli_curate_new_gate_flags(spark):
         assert urls == {
             "http://keep.org/p1", "http://keep.org/p2", "HTTP://Dup.org:80/x#f",
         }
+
+
+def test_cli_dedup_incremental_from_warc(spark):
+    """--from-warc --dedup-incremental signatures must be computed over
+    the EXTRACTED text (WARC pages carry NULL text); under the round-5
+    bug every page hashed to the same empty shingle set."""
+    import gzip
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def record(url, words):
+        body = ("<html><body><p>" + words + "</p></body></html>").encode()
+        payload = b"HTTP/1.1 200 OK\r\n\r\n" + body
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+            + url.encode()
+            + b"\r\nWARC-Date: 2017-01-02T03:00:00Z\r\nContent-Length: "
+            + str(len(payload)).encode() + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    fresh = ("entirely different vocabulary with no overlap whatsoever "
+             "spanning many unique tokens of its very own making here")
+    with tempfile.TemporaryDirectory() as tmp:
+        seg1 = os.path.join(tmp, "b1")
+        seg2 = os.path.join(tmp, "b2")
+        os.makedirs(seg1); os.makedirs(seg2)
+        with open(os.path.join(seg1, "s.warc.gz"), "wb") as f:
+            f.write(gzip.compress(record("http://a.org/1", base)))
+        with open(os.path.join(seg2, "s.warc.gz"), "wb") as f:
+            f.write(
+                gzip.compress(record("http://a.org/copy", base + " tail"))
+                + gzip.compress(record("http://b.org/fresh", fresh))
+            )
+        out = os.path.join(tmp, "out")
+        idx = os.path.join(tmp, "idx")
+        env = dict(os.environ, PYTHONPATH=repo)
+        for seg in (seg1, seg2):
+            proc = subprocess.run(
+                [
+                    sys.executable, "-m", "llm_aided_ocr_spark",
+                    "--input", seg, "--output", out,
+                    "--from-warc", "--dedup-incremental", idx,
+                    "--near-dup-threshold", "0.5",
+                    "--master", "local[2]",
+                ],
+                capture_output=True, text=True, cwd=repo, env=env,
+                timeout=600,
+            )
+            assert proc.returncode == 0, proc.stderr[-2000:]
+        kept = spark.read.parquet(os.path.join(out, "kept_docs"))
+        urls = sorted(r.url for r in kept.collect())
+        assert urls == ["http://a.org/1", "http://b.org/fresh"]
+        texts = {r.url: r.text for r in kept.collect()}
+        assert all(t for t in texts.values())

@@ -3252,6 +3252,91 @@ FROM norm n JOIN keep k ON n.nk = k.nk
 """
 
 
+def _q_annotate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Dolma-style ``annotate()`` attribute table, fully oracled:
+    urls cycle the 6 gate shapes of ``url_filter`` (blocked domain /
+    subdomain / dot-boundary near-miss / 2 keyword hits / 1 hit /
+    clean) so domain extraction AND the URL gate are exercised, while
+    lang-id, byte count, token estimate, quality score, and the Gopher
+    pass run over the real documents text. The oracle composes the SAME
+    per-signal derivations the standalone queries use (lang-id CTE
+    chain, qs CTEs, the Gopher flags statement as a subquery), joined
+    on doc_id — so the one-projection compose is value-verified
+    end-to-end, not just per signal."""
+    from llm_aided_ocr_spark.plans.curate import annotate
+
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("https://spam.example.net/a"), i))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("https://ads.spam.example.net/b"), i))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("https://notspam.example.net/c"), i))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("https://ok.example.org/casino/poker"), i))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("https://ok.example.org/casino-night/"), i))
+        .otherwise(F.concat(F.lit("https://ok.example.org/clean/"), i))
+    )
+    d = _docs(spark, sf_dir).select("doc_id", url.alias("url"), "text")
+    return annotate(
+        d,
+        text_col="text",
+        url_col="url",
+        id_col="doc_id",
+        blocked_domains=_URL_FILTER_DOMAINS,
+        blocked_keywords=_URL_FILTER_KEYWORDS,
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _build_annotate_sql() -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN 'https://spam.example.net/a' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN 'https://ads.spam.example.net/b' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://notspam.example.net/c' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN 'https://ok.example.org/casino/poker' || CAST(doc_id AS VARCHAR)
+      WHEN 4 THEN 'https://ok.example.org/casino-night/' || CAST(doc_id AS VARCHAR)
+      ELSE 'https://ok.example.org/clean/' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS domain,
+    (NOT (lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+            = 'spam.example.net'
+          OR ends_with(
+               lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)),
+               '.spam.example.net'))
+     AND ((CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END)
+        + (CASE WHEN contains(lower(url), 'poker') THEN 1 ELSE 0 END)) < 2)
+      AS url_keep
+  FROM u),
+b AS (
+  SELECT doc_id,
+    CAST(strlen(coalesce(text,'')) AS BIGINT) AS doc_bytes,
+    CAST(trunc(coalesce(list_sum({_TOKEN_COST_SQL}), 0) * 1.1) AS INTEGER)
+      AS approx_tokens
+  FROM documents),
+lang AS ({_build_lang_id_sql(per_doc=True)}),
+{_quality_score_ctes("documents")},
+gop AS (SELECT doc_id, gopher_pass FROM ({_GOPHER_SQL}))
+SELECT g.doc_id AS doc_id, g.domain AS domain,
+       lang.detected_lang AS detected_lang,
+       b.doc_bytes AS doc_bytes, b.approx_tokens AS approx_tokens,
+       qs1.qscore AS quality_score, gop.gopher_pass AS gopher_pass,
+       g.url_keep AS url_keep
+FROM g
+JOIN b USING (doc_id)
+JOIN lang USING (doc_id)
+JOIN qs1 USING (doc_id)
+JOIN gop USING (doc_id)
+"""
+
+
 def _q_media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image-header parsing over binary media: the adapter
     SYNTHESIZES valid PNG/GIF/JPEG/BMP headers with doc_id-derived
@@ -3729,6 +3814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_signals": _q_html_signals,
         "text_normalize": _q_text_normalize,
         "normalized_dedup": _q_normalized_dedup,
+        "annotate_table": _q_annotate_table,
         # --- driver-green in CORRECTNESS_r04 (rows+schema+hash) ---
         "page_filter": _q_page_filter,
         "lang_gate_counts": _q_lang_gate_counts,
@@ -3851,7 +3937,7 @@ def _in_list(markers) -> str:
     return ", ".join(f"'{m}'" for m in markers)
 
 
-def _build_lang_id_sql() -> str:
+def _build_lang_id_sql(per_doc: bool = False) -> str:
     m = _lang_markers()
     hit_cols = ", ".join(
         f"len(list_filter(words, t -> t IN ({_in_list(words)}))) AS h_{lang}"
@@ -3863,13 +3949,17 @@ def _build_lang_id_sql() -> str:
         others = [f"h_{lang} >= h_{o}" for o in langs[i + 1:]]
         cond = " AND ".join(others) if others else "TRUE"
         case += f"WHEN {cond} THEN '{lang}' " if others else f"ELSE '{lang}' END"
+    final = (
+        "SELECT doc_id, detected_lang FROM d" if per_doc
+        else "SELECT detected_lang, COUNT(*) AS n_docs FROM d GROUP BY detected_lang"
+    )
     return (
         "WITH w AS (SELECT doc_id, string_split_regex(regexp_replace(lower("
         "coalesce(text,'')), '[^a-zà-ÿäöüßñ\\s]', ' ', 'g'), '\\s+') AS words "
         "FROM documents), "
         f"h AS (SELECT doc_id, {hit_cols} FROM w), "
         f"d AS (SELECT doc_id, {case} AS detected_lang FROM h) "
-        "SELECT detected_lang, COUNT(*) AS n_docs FROM d GROUP BY detected_lang"
+        + final
     )
 
 
@@ -4419,4 +4509,5 @@ def oracle_sql() -> dict[str, str]:
         "html_signals": _HTML_SIGNALS_SQL,
         "text_normalize": _build_text_normalize_sql(),
         "normalized_dedup": _build_normalized_dedup_sql(),
+        "annotate_table": _build_annotate_sql(),
     }

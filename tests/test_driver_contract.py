@@ -167,12 +167,12 @@ _R5_FRONT = [
     "epoch_order", "top_ngrams", "pooled_embeddings", "bpe_merges",
     "bpe_token_counts", "bpe_vocab", "incremental_dedup",
     "media_dimensions", "blocklist_gate", "html_signals",
-    "text_normalize", "normalized_dedup",
+    "text_normalize", "normalized_dedup", "annotate_table",
 ]
 
 
 def test_registration_order_fronts_driver_unchecked_queries(entry_mod):
     keys = list(entry_mod.queries())
     assert keys[: len(_R5_FRONT)] == _R5_FRONT
-    assert len(keys) == 82
-    assert len(set(keys)) == 82
+    assert len(keys) == 83
+    assert len(set(keys)) == 83

@@ -189,3 +189,31 @@ def test_normalize_works_on_stream(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, normalize_text(df).collect()))
     assert got == want and got
+
+
+def test_normalize_engine_parity_fuzz():
+    """Property fuzz: on random strings drawn from the mapped alphabets
+    plus assorted unicode, the DuckDB oracle SQL and the Python replay
+    agree byte-for-byte (the Spark chain is pinned to the same replay by
+    test_spark_matches_python_replay — transitively all three agree).
+    Driver-side (no Spark session) so hypothesis can run many examples."""
+    from hypothesis import given, settings, strategies as st
+
+    import __spark_entry__ as e
+
+    alphabet = (
+        "".join(UNICODE_PUNCT) + "".join(ACCENT_FOLD) + "".join(MULTI_CHAR)
+        + "abcXYZ 019\t\n\r\x0b\x0c\x01\x7f'\"\\%_…ß漢字éÉ"
+    )
+    con = duckdb.connect()
+    sql = e._normalize_sql("s")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=60))
+    def prop(s):
+        got = con.execute(
+            f"SELECT {sql} FROM (SELECT ?::VARCHAR AS s)", [s]
+        ).fetchone()[0]
+        assert got == py_normalize(s), repr(s)
+
+    prop()

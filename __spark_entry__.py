@@ -3769,6 +3769,143 @@ SELECT doc_id, url, n_chars FROM r WHERE rn <= 40
 """
 
 
+def _linkgraph_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages with doc_id-derived anchors exercising every resolver path:
+    an absolute href, a protocol-relative one (single-quoted), a
+    root-relative one, a bare-quoted ``../`` relative one, plus a
+    fragment-only and a ``mailto:`` anchor that must be dropped. The
+    base url carries a two-level directory so relative resolution and
+    dot-segment collapse are both on the hot path."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/a/b/p"), i, F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="http://ext'),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example/x"), (F.col("doc_id") % 3).cast("string"),
+        F.lit('">t</a><a href=\'//cdn'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.net/l.js'>c</a><a href=\"/r/"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit('">r</a><a href=../u'),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit('.html>u</a><a href="#s">s</a>'),
+        F.lit('<a href="mailto:a@b.c">m</a></body></html>'),
+    ).cast("binary")
+    return d.select("doc_id", base.alias("url"), html.alias("html"))
+
+
+def _q_outlinks_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + URL resolution over constructed pages: the
+    oracle states the four surviving resolved targets per page
+    CLOSED-FORM from the same doc_id arithmetic (the html_signals
+    round-trip-proof pattern), so the whole native extract→resolve
+    chain must recover exactly what the constructor encoded — including
+    the dot-segment collapse and the fragment/mailto drops."""
+    from llm_aided_ocr_spark.operators.linkgraph import outlinks
+
+    pages = _linkgraph_pages(spark, sf_dir)
+    return outlinks(pages).select("id", "href", "dst_url")
+
+
+_LINKGRAPH_EDGES_CTE = """
+docs AS (
+  SELECT doc_id,
+         CAST(doc_id % 7 AS VARCHAR) AS k,
+         CAST(doc_id % 13 AS VARCHAR) AS j,
+         CAST(doc_id % 5 AS VARCHAR) AS c,
+         CAST(doc_id % 3 AS VARCHAR) AS x,
+         CAST(doc_id % 4 AS VARCHAR) AS r,
+         CAST(doc_id % 2 AS VARCHAR) AS u
+  FROM documents),
+links AS (
+  SELECT doc_id,
+         'http://ext' || j || '.example/x' || x AS href,
+         'http://ext' || j || '.example/x' || x AS dst_url
+  FROM docs
+  UNION ALL
+  SELECT doc_id, '//cdn' || c || '.example.net/l.js',
+         'https://cdn' || c || '.example.net/l.js' FROM docs
+  UNION ALL
+  SELECT doc_id, '/r/' || r,
+         'https://site' || k || '.example.org/r/' || r FROM docs
+  UNION ALL
+  SELECT doc_id, '../u' || u || '.html',
+         'https://site' || k || '.example.org/a/u' || u || '.html' FROM docs)
+"""
+
+_OUTLINKS_SQL = f"""
+WITH {_LINKGRAPH_EDGES_CTE}
+SELECT doc_id AS id, href, dst_url FROM links
+"""
+
+
+def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level edge relation over the constructed pages (self-host
+    edges — the root-relative and relative links — dropped by default,
+    exactly as the oracle's closed-form edge list drops them)."""
+    from llm_aided_ocr_spark.operators.linkgraph import host_graph, outlinks
+
+    pages = _linkgraph_pages(spark, sf_dir)
+    return host_graph(outlinks(pages))
+
+
+_HOST_GRAPH_EDGES_CTE = f"""
+{_LINKGRAPH_EDGES_CTE},
+edges AS (
+  SELECT 'site' || k || '.example.org' AS src_host,
+         'ext' || j || '.example' AS dst_host
+  FROM docs
+  UNION ALL
+  SELECT 'site' || k || '.example.org',
+         'cdn' || c || '.example.net' FROM docs)
+"""
+
+_HOST_GRAPH_SQL = f"""
+WITH {_HOST_GRAPH_EDGES_CTE}
+SELECT src_host, dst_host, COUNT(*) AS n_links
+FROM edges GROUP BY src_host, dst_host
+"""
+
+
+def _q_host_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host degree profile (distinct neighbors + link mass, both
+    directions) over the same constructed graph."""
+    from llm_aided_ocr_spark.operators.linkgraph import (
+        host_degrees,
+        host_graph,
+        outlinks,
+    )
+
+    pages = _linkgraph_pages(spark, sf_dir)
+    return host_degrees(host_graph(outlinks(pages)))
+
+
+_HOST_DEGREES_SQL = f"""
+WITH {_HOST_GRAPH_EDGES_CTE},
+g AS (
+  SELECT src_host, dst_host, COUNT(*) AS n_links
+  FROM edges GROUP BY src_host, dst_host),
+o AS (
+  SELECT src_host AS host, COUNT(*) AS out_hosts,
+         CAST(SUM(n_links) AS BIGINT) AS out_links
+  FROM g GROUP BY src_host),
+i AS (
+  SELECT dst_host AS host, COUNT(*) AS in_hosts,
+         CAST(SUM(n_links) AS BIGINT) AS in_links
+  FROM g GROUP BY dst_host)
+SELECT coalesce(o.host, i.host) AS host,
+       coalesce(out_hosts, 0) AS out_hosts,
+       coalesce(out_links, 0) AS out_links,
+       coalesce(in_hosts, 0) AS in_hosts,
+       coalesce(in_links, 0) AS in_links
+FROM o FULL OUTER JOIN i ON o.host = i.host
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of contract queries.
 
@@ -3815,6 +3952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _q_text_normalize,
         "normalized_dedup": _q_normalized_dedup,
         "annotate_table": _q_annotate_table,
+        "outlinks_resolved": _q_outlinks_resolved,
+        "host_graph": _q_host_graph,
+        "host_degrees": _q_host_degrees,
         # --- driver-green in CORRECTNESS_r04 (rows+schema+hash) ---
         "page_filter": _q_page_filter,
         "lang_gate_counts": _q_lang_gate_counts,
@@ -4510,4 +4650,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": _build_text_normalize_sql(),
         "normalized_dedup": _build_normalized_dedup_sql(),
         "annotate_table": _build_annotate_sql(),
+        "outlinks_resolved": _OUTLINKS_SQL,
+        "host_graph": _HOST_GRAPH_SQL,
+        "host_degrees": _HOST_DEGREES_SQL,
     }

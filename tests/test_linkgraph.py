@@ -1,0 +1,170 @@
+"""Outlink extraction, URL resolution, host graph, degrees."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_aided_ocr_spark.operators.linkgraph import (
+    anchor_texts,
+    host_degrees,
+    host_graph,
+    outlinks,
+    resolve_href_col,
+)
+
+
+def _resolve(spark, base: str, href: str) -> str | None:
+    row = (
+        spark.range(1)
+        .select(resolve_href_col(F.lit(base), F.lit(href)).alias("r"))
+        .first()
+    )
+    return row["r"]
+
+
+BASE = "https://www.example.com/a/b/page.html?x=1"
+
+RESOLUTION_CASES = [
+    # absolute passthrough (fragment stripped)
+    ("http://other.org/p#frag", "http://other.org/p"),
+    # protocol-relative gets the base scheme
+    ("//cdn.example.net/lib.js", "https://cdn.example.net/lib.js"),
+    # root-relative
+    ("/top/index.html", "https://www.example.com/top/index.html"),
+    # relative joins the base DIRECTORY (page.html dropped)
+    ("next.html", "https://www.example.com/a/b/next.html"),
+    ("sub/deep.html", "https://www.example.com/a/b/sub/deep.html"),
+    # query-only keeps the base path
+    ("?y=2", "https://www.example.com/a/b/page.html?y=2"),
+    # fragment-only and empty are self-references → NULL
+    ("#sec", None),
+    ("", None),
+    # dot segments
+    ("./here.html", "https://www.example.com/a/b/here.html"),
+    ("../up.html", "https://www.example.com/a/up.html"),
+    ("../../root.html", "https://www.example.com/root.html"),
+    # above-root .. clamps to root
+    ("../../../over.html", "https://www.example.com/over.html"),
+    # entity-encoded ampersand decoded
+    ("p?a=1&amp;b=2", "https://www.example.com/a/b/p?a=1&b=2"),
+    # whitespace-padded href trimmed
+    ("  x.html ", "https://www.example.com/a/b/x.html"),
+    # non-http scheme kept verbatim by the resolver (filtered by
+    # outlinks' http_only, not here)
+    ("mailto:a@b.c", "mailto:a@b.c"),
+]
+
+
+@pytest.mark.parametrize("href,expected", RESOLUTION_CASES)
+def test_resolve_href(spark, href, expected):
+    assert _resolve(spark, BASE, href) == expected
+
+
+def test_resolve_against_bare_host(spark):
+    # base with empty path: relative + query-only resolve against "/"
+    assert _resolve(spark, "http://h.io", "p.html") == "http://h.io/p.html"
+    assert _resolve(spark, "http://h.io", "?q=1") == "http://h.io/?q=1"
+    assert _resolve(spark, "http://h.io", "/abs") == "http://h.io/abs"
+
+
+def test_resolve_unparseable_base_is_null(spark):
+    assert _resolve(spark, "not a url", "x.html") is None
+    assert _resolve(spark, "not a url", "/x") is None
+    # ... but an absolute href needs no base
+    assert _resolve(spark, "not a url", "http://a.b/c") == "http://a.b/c"
+
+
+def _pages(spark):
+    rows = [
+        (
+            1,
+            "https://src1.example/a/p.html",
+            '<html><body><a href="http://dst1.example/x">one</a>'
+            "<a href='/rooted'>two</a>"
+            '<a href=bare.html>three</a>'
+            '<a href="#self">skip</a>'
+            '<a href="mailto:x@y.z">mail</a></body></html>',
+        ),
+        (
+            2,
+            "https://src2.example/",
+            '<A HREF="//src1.example/up">caps</A><a name="noref">x</a>',
+        ),
+        (3, "https://src3.example/none", "<html><body>no links</body></html>"),
+    ]
+    return spark.createDataFrame(
+        [(i, u, h.encode()) for i, u, h in rows], "doc_id long, url string, html binary"
+    )
+
+
+def test_outlinks(spark):
+    got = {
+        (r["id"], r["dst_url"])
+        for r in outlinks(_pages(spark)).collect()
+    }
+    assert got == {
+        (1, "http://dst1.example/x"),
+        (1, "https://src1.example/rooted"),
+        (1, "https://src1.example/a/bare.html"),
+        (2, "https://src1.example/up"),
+    }
+
+
+def test_outlinks_cap(spark):
+    html = ("".join(f'<a href="/p{i}">x</a>' for i in range(10))).encode()
+    df = spark.createDataFrame(
+        [(1, "http://h.io/", html)], "doc_id long, url string, html binary"
+    )
+    assert outlinks(df, max_links=3).count() == 3
+
+
+def test_anchor_texts(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "http://h.io/",
+                b'<a href="/a"> Hello <b>World</b> </a><a href="/b"></a>'
+                b'<a href="/torn">no close',
+            )
+        ],
+        "doc_id long, url string, html binary",
+    )
+    rows = {(r["href"], r["anchor"]) for r in anchor_texts(df).collect()}
+    # torn element is absent; empty anchor comes back as ''
+    assert rows == {("/a", "Hello World"), ("/b", "")}
+
+
+def test_host_graph_and_degrees(spark):
+    links = outlinks(_pages(spark))
+    g = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_graph(links).collect()
+    }
+    # src1 self-links (rooted, bare) dropped by drop_self
+    assert g == {("src1.example", "dst1.example"): 1, ("src2.example", "src1.example"): 1}
+    d = {r["host"]: r for r in host_degrees(host_graph(links)).collect()}
+    assert d["src1.example"]["out_hosts"] == 1
+    assert d["src1.example"]["in_hosts"] == 1
+    assert d["dst1.example"]["out_hosts"] == 0
+    assert d["dst1.example"]["in_links"] == 1
+    assert d["src2.example"]["in_links"] == 0
+
+
+def test_host_graph_keep_self(spark):
+    links = outlinks(_pages(spark))
+    g = host_graph(links, drop_self=False)
+    assert (
+        g.filter(
+            (F.col("src_host") == "src1.example")
+            & (F.col("dst_host") == "src1.example")
+        ).first()["n_links"]
+        == 2
+    )
+
+
+def test_outlinks_plan_has_no_exchange(spark):
+    plan = outlinks(_pages(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no Python UDFs anywhere in the op

@@ -3906,6 +3906,96 @@ FROM o FULL OUTER JOIN i ON o.host = i.host
 """
 
 
+def _q_url_trap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap URL heuristics over five constructed url shapes
+    (calendar self-link loop, facet param bomb, session-id digit path,
+    a clean page, a >256-char repeated-segment chain). Every signal is
+    stated CLOSED-FORM by the oracle from the branch arithmetic — the
+    native split/lambda/regex derivation must land exactly there."""
+    from llm_aided_ocr_spark.operators.textstats import url_trap_flags
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did, i = F.col("doc_id"), F.col("doc_id").cast("string")
+    host = F.concat(F.lit("https://h"), (did % 7).cast("string"), F.lit(".example"))
+    m5 = did % 5
+    url = (
+        F.when(m5 == 0, F.concat(host, F.lit("/cal/2024/01/02/2024/01/02/2024/01/02/x")))
+        .when(m5 == 1, F.concat(host, F.lit("/p?a=1&b=2&c=3&d=4&e=5&f=6")))
+        .when(m5 == 2, F.concat(host, F.lit("/123456789012/9876543210")))
+        .when(m5 == 3, F.concat(host, F.lit("/a/b/page.html?id="), i))
+        .otherwise(
+            F.concat(
+                host, F.lit("/"),
+                F.repeat(F.concat(F.lit("seglong"), (did % 3).cast("string"), F.lit("/")), 32),
+            )
+        )
+    )
+    return url_trap_flags(d.select("doc_id", url.alias("url")))
+
+
+_URL_TRAP_SQL = """
+SELECT doc_id AS id,
+  CAST(CASE doc_id % 5 WHEN 0 THEN 11 WHEN 1 THEN 1 WHEN 2 THEN 2
+       WHEN 3 THEN 3 ELSE 32 END AS INTEGER) AS depth,
+  CAST(CASE doc_id % 5 WHEN 1 THEN 6 WHEN 3 THEN 1 ELSE 0 END AS INTEGER)
+    AS n_params,
+  CAST(CASE doc_id % 5 WHEN 0 THEN 39 WHEN 1 THEN 2 WHEN 2 THEN 24
+       WHEN 3 THEN 14 ELSE 289 END AS INTEGER) AS path_len,
+  CASE doc_id % 5 WHEN 0 THEN round(24 / 39.0, 6)
+       WHEN 2 THEN round(22 / 24.0, 6)
+       WHEN 4 THEN round(32 / 289.0, 6) ELSE 0.0 END AS digit_frac_r,
+  (doc_id % 5 = 0 OR doc_id % 5 = 4) AS repeated_seg,
+  (doc_id % 5 <> 3) AS is_trap
+FROM documents
+"""
+
+
+def _q_bloom_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter 'seen url' membership: build the filter over the
+    even-doc_id urls, probe with EVERY url. The oracle replays the
+    identical md5-52 word/bit arithmetic, so even the (deterministic)
+    false positives must match bit for bit."""
+    from llm_aided_ocr_spark.operators.bloom import bloom_build, bloom_probe
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    bloom = bloom_build(u.filter(F.col("doc_id") % 2 == 0), m_words=1024, k=4, seed=1)
+    return bloom_probe(u, bloom, m_words=1024, k=4, seed=1)
+
+
+_BLOOM_URLS_SQL = """
+WITH u AS (
+  SELECT doc_id,
+    'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/doc/'
+      || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+probes AS (SELECT unnest([0, 1, 2, 3]) AS j),
+bits AS (
+  SELECT CAST('0x' || substr(md5('1:w' || CAST(j AS VARCHAR) || ':' || url), 1, 13)
+              AS BIGINT) % 1024 AS wix,
+         CAST('0x' || substr(md5('1:b' || CAST(j AS VARCHAR) || ':' || url), 1, 13)
+              AS BIGINT) % 62 AS b
+  FROM u CROSS JOIN probes WHERE doc_id % 2 = 0),
+words AS (
+  SELECT wix, bit_or(1::BIGINT << CAST(b AS INTEGER)) AS w
+  FROM bits GROUP BY wix),
+pp AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('1:w' || CAST(j AS VARCHAR) || ':' || url), 1, 13)
+              AS BIGINT) % 1024 AS wix,
+         1::BIGINT << CAST(CAST('0x' || substr(md5('1:b' || CAST(j AS VARCHAR) || ':' || url), 1, 13)
+              AS BIGINT) % 62 AS INTEGER) AS mask
+  FROM u CROSS JOIN probes)
+SELECT doc_id AS id,
+       bool_and(coalesce((w & mask) = mask, FALSE)) AS maybe_present
+FROM pp LEFT JOIN words USING (wix) GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of contract queries.
 
@@ -3955,6 +4045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks_resolved": _q_outlinks_resolved,
         "host_graph": _q_host_graph,
         "host_degrees": _q_host_degrees,
+        "url_trap_flags": _q_url_trap_flags,
+        "bloom_urls": _q_bloom_urls,
         # --- driver-green in CORRECTNESS_r04 (rows+schema+hash) ---
         "page_filter": _q_page_filter,
         "lang_gate_counts": _q_lang_gate_counts,
@@ -4653,4 +4745,6 @@ def oracle_sql() -> dict[str, str]:
         "outlinks_resolved": _OUTLINKS_SQL,
         "host_graph": _HOST_GRAPH_SQL,
         "host_degrees": _HOST_DEGREES_SQL,
+        "url_trap_flags": _URL_TRAP_SQL,
+        "bloom_urls": _BLOOM_URLS_SQL,
     }

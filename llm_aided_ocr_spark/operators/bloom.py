@@ -1,0 +1,150 @@
+"""Bloom-filter membership for URL/key sets (the crawl "seen" filter).
+
+A recurring crawl at the 10^12-page tier cannot afford an exact
+anti-join against every url it has ever fetched just to decide "have I
+seen this?" — the index side of that join is the whole crawl history.
+The standard answer (Heritrix's already-seen module, every production
+frontier) is a Bloom filter: a fixed-size bit array that answers
+"definitely new" / "probably seen" with a tunable false-positive rate
+and ZERO per-probe shuffle. The reference repo
+(/root/reference/llm_aided_ocr.py) is a single-document OCR CLI with no
+frontier; this module supplies the curation-suite version, shaped so
+the driver's DuckDB oracle reproduces every bit exactly.
+
+Design — blocked-bloom, division-free:
+
+* the filter is ``m_words`` 62-bit words (bit 62/63 never set, so the
+  words stay positive BIGINTs in every engine — DuckDB raises on
+  ``1 << 63``, and a negative word would hash differently across
+  engines);
+* each of the ``k`` probes picks its word and its bit with two
+  independent md5-52 hashes (``seed:wJ:key`` → word, ``seed:bJ:key`` →
+  bit) — pure ``%`` arithmetic, no integer division anywhere, so the
+  Spark expression and the oracle SQL are the same formula;
+* **build** is one narrow projection (k (word_ix, mask) structs per
+  key) → explode → ``groupBy(word_ix).agg(bit_or(mask))``: map-side
+  partial bit_or means each task emits at most ``m_words`` rows no
+  matter how many keys it saw — the exchange is bounded by the filter
+  size, not the corpus;
+* **probe** (default ``strategy='map'``) folds the whole filter into
+  ONE broadcast map row and evaluates all k bit-tests as a per-row
+  native expression: zero shuffle, zero Python on the probe side. A
+  62-bit-word filter of 2^20 words ≈ 8 MiB — comfortably broadcast-able
+  (that's ~10^7 keys at 1% FP). ``strategy='join'`` keeps the filter as
+  a relation (explode k probe rows, left join, bool_and) for filters
+  too big to broadcast.
+
+False positives are deterministic (same hashes → same collisions), so
+the oracle matches them bit for bit; false negatives are impossible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BITS_PER_WORD = 62
+
+
+def _h52(s: Column) -> Column:
+    return F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("bigint")
+
+
+def _probe_cols(key: Column, k: int, m_words: int, seed: int) -> list:
+    """k (word_ix, mask) column pairs for ``key``."""
+    out = []
+    for j in range(k):
+        w = _h52(F.concat(F.lit(f"{seed}:w{j}:"), key)) % m_words
+        b = _h52(F.concat(F.lit(f"{seed}:b{j}:"), key)) % BITS_PER_WORD
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), b.cast("int")
+        )
+        out.append((w, mask))
+    return out
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str = "url",
+    m_words: int = 1024,
+    k: int = 4,
+    seed: int = 1,
+) -> DataFrame:
+    """``(word_ix, word)`` — the filter as a relation of at most
+    ``m_words`` rows (absent word_ix ⇒ word 0). Persist this next to
+    the corpus snapshot and feed it to :func:`bloom_probe` on the next
+    crawl increment; rebuilding is one pass over the key column."""
+    key = F.coalesce(F.col(key_col), F.lit(""))
+    entries = F.array(
+        *[
+            F.struct(w.alias("word_ix"), m.alias("mask"))
+            for w, m in _probe_cols(key, k, m_words, seed)
+        ]
+    )
+    return (
+        df.select(F.explode(entries).alias("_e"))
+        .select(F.col("_e.word_ix").alias("word_ix"), F.col("_e.mask").alias("mask"))
+        .groupBy("word_ix")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "url",
+    id_col: str = "doc_id",
+    m_words: int = 1024,
+    k: int = 4,
+    seed: int = 1,
+    strategy: str = "map",
+) -> DataFrame:
+    """``(id, maybe_present)`` — True iff all k probed bits are set
+    (possible false positive, never a false negative). ``m_words`` /
+    ``k`` / ``seed`` must match the build call.
+
+    ``strategy='map'`` (default): the filter collapses to ONE broadcast
+    map row; the probe is a pure per-row expression — no exchange
+    touches the probe side at all. ``strategy='join'``: explode k probe
+    rows per key and left-join the filter relation on ``word_ix`` —
+    for filters past broadcast size (the join key is an 8-byte word
+    index; the probe side shuffles k rows of ~24 bytes per key)."""
+    key = F.coalesce(F.col(key_col), F.lit(""))
+    probes = _probe_cols(key, k, m_words, seed)
+    if strategy == "map":
+        bloom_map = bloom.groupBy().agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word_ix", "word"))
+            ).alias("_bloom")
+        )
+        hit = None
+        for w, mask in probes:
+            one = (
+                F.coalesce(
+                    F.try_element_at(F.col("_bloom"), w).bitwiseAND(mask)
+                    == mask,
+                    F.lit(False),
+                )
+            )
+            hit = one if hit is None else (hit & one)
+        return (
+            df.crossJoin(F.broadcast(bloom_map))
+            .select(F.col(id_col).alias("id"), hit.alias("maybe_present"))
+        )
+    if strategy != "join":
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    entries = F.array(
+        *[F.struct(w.alias("word_ix"), m.alias("mask")) for w, m in probes]
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(entries).alias("_e")
+    ).select("id", F.col("_e.word_ix").alias("word_ix"), F.col("_e.mask").alias("mask"))
+    joined = exploded.join(bloom, "word_ix", "left")
+    return joined.groupBy("id").agg(
+        F.bool_and(
+            F.coalesce(
+                F.col("word").bitwiseAND(F.col("mask")) == F.col("mask"),
+                F.lit(False),
+            )
+        ).alias("maybe_present")
+    )

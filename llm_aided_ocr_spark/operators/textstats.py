@@ -646,6 +646,84 @@ def url_filter(
     )
 
 
+def url_trap_flags(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_depth: int = 8,
+    max_params: int = 5,
+    max_path_len: int = 256,
+    seg_repeat: int = 3,
+    digit_frac_max: float = 0.5,
+) -> DataFrame:
+    """``(id, depth, n_params, path_len, digit_frac_r, repeated_seg,
+    is_trap)`` — crawler-trap heuristics over the URL alone (IRLbot /
+    Heritrix frontier rules: calendar pages, session-id echoes and
+    faceted-search explosions produce unbounded URL spaces whose pages
+    are worthless; a frontier must shed them BEFORE fetching). Signals:
+
+    * ``depth`` — non-empty path segments (calendar/facet traps nest);
+    * ``n_params`` — query parameters (facet explosions multiply them);
+    * ``path_len`` — raw path length;
+    * ``digit_frac_r`` — digit share of the path, rounded 6 (session
+      ids and timestamps are digit-heavy);
+    * ``repeated_seg`` — some path segment occurs ≥ ``seg_repeat``
+      times (the classic ``/cal/2024/01/2024/01/...`` self-link loop);
+    * ``is_trap`` — any threshold tripped.
+
+    Pure per-row native expressions (split + nested array lambdas in
+    the Java-regex ∩ RE2 subset) — zero shuffle, zero Python, fuses
+    into the scan like :func:`url_filter`, and the whole derivation is
+    replayed verbatim by the DuckDB oracle."""
+    from llm_aided_ocr_spark.operators.util import let_
+
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+    def _cols(p: Column) -> Column:
+        segs = F.filter(F.split(p, "/"), lambda s: s != "")
+        depth = F.size(segs)
+        repeated = F.exists(
+            segs,
+            lambda s: F.size(F.filter(segs, lambda t: t == s))
+            >= F.lit(seg_repeat),
+        )
+        path_len = F.length(p)
+        digits = F.length(F.regexp_replace(p, r"[^0-9]", ""))
+        digit_frac = F.round(
+            digits.cast("double") / F.greatest(path_len, F.lit(1)).cast("double"),
+            6,
+        )
+        return F.struct(
+            depth.alias("depth"),
+            path_len.alias("path_len"),
+            digit_frac.alias("digit_frac_r"),
+            repeated.alias("repeated_seg"),
+        )
+
+    n_params = F.size(F.regexp_extract_all(u, F.lit(r"[?&][^&#=]+="), 0))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_params.alias("n_params"),
+        let_(path, _cols).alias("_s"),
+    )
+    return base.select(
+        "id",
+        F.col("_s.depth").alias("depth"),
+        "n_params",
+        F.col("_s.path_len").alias("path_len"),
+        F.col("_s.digit_frac_r").alias("digit_frac_r"),
+        F.col("_s.repeated_seg").alias("repeated_seg"),
+        (
+            (F.col("_s.depth") > F.lit(max_depth))
+            | (F.col("n_params") > F.lit(max_params))
+            | (F.col("_s.path_len") > F.lit(max_path_len))
+            | F.col("_s.repeated_seg")
+            | (F.col("_s.digit_frac_r") > F.lit(digit_frac_max))
+        ).alias("is_trap"),
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 3,

@@ -1,0 +1,122 @@
+"""Bloom-filter membership + URL crawler-trap heuristics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_aided_ocr_spark.operators.bloom import bloom_build, bloom_probe
+from llm_aided_ocr_spark.operators.textstats import url_trap_flags
+
+
+def _keys(spark, n, prefix="https://h.example/p"):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("url"),
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    present = _keys(spark, 200)
+    bloom = bloom_build(present, m_words=256, k=4)
+    got = {
+        r["id"]: r["maybe_present"]
+        for r in bloom_probe(present, bloom, m_words=256, k=4).collect()
+    }
+    assert all(got.values()) and len(got) == 200
+
+
+def test_bloom_absent_mostly_rejected(spark):
+    present = _keys(spark, 200)
+    bloom = bloom_build(present, m_words=1024, k=4)
+    absent = _keys(spark, 200, prefix="https://other.example/q")
+    hits = (
+        bloom_probe(absent, bloom, m_words=1024, k=4)
+        .filter("maybe_present")
+        .count()
+    )
+    # 200*4 bits in 63488 → fill ~1.3%, FP ≈ (0.013)^4 ~ 0: expect none,
+    # tolerate a couple (deterministic, so this never flakes once green)
+    assert hits <= 2
+
+
+def test_bloom_strategies_agree(spark):
+    present = _keys(spark, 150)
+    bloom = bloom_build(present, m_words=64, k=3)  # dense → some FPs
+    probe = _keys(spark, 300)
+    a = {
+        r["id"]: r["maybe_present"]
+        for r in bloom_probe(probe, bloom, m_words=64, k=3, strategy="map").collect()
+    }
+    b = {
+        r["id"]: r["maybe_present"]
+        for r in bloom_probe(probe, bloom, m_words=64, k=3, strategy="join").collect()
+    }
+    assert a == b
+    assert all(a[i] for i in range(150))  # no false negatives even dense
+
+
+def test_bloom_words_positive(spark):
+    bloom = bloom_build(_keys(spark, 500), m_words=32, k=4)
+    rows = bloom.collect()
+    assert all(r["word"] > 0 for r in rows)  # bit 62/63 never set
+    assert all(0 <= r["word_ix"] < 32 for r in rows)
+
+
+def test_bloom_probe_map_plan_shuffle_free(spark):
+    present = _keys(spark, 50)
+    bloom = bloom_build(present, m_words=64, k=2)
+    plan = (
+        bloom_probe(_keys(spark, 50), bloom, m_words=64, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the probe side must reach the broadcast without its own Exchange:
+    # the only exchanges allowed are the filter build's agg + broadcast
+    assert plan.count("Exchange hashpartitioning") <= 1  # build agg only
+    assert "BroadcastExchange" in plan
+
+
+def test_bloom_seed_must_match(spark):
+    present = _keys(spark, 100)
+    bloom = bloom_build(present, m_words=512, k=4, seed=1)
+    wrong = bloom_probe(present, bloom, m_words=512, k=4, seed=2)
+    assert wrong.filter("maybe_present").count() < 100
+
+
+TRAP_CASES = [
+    ("https://h.io/a/b/page.html", dict(depth=3, n_params=0, repeated_seg=False, is_trap=False)),
+    ("https://h.io/cal/2024/01/02/2024/01/02/2024/01/02/x",
+     dict(depth=11, repeated_seg=True, is_trap=True)),
+    ("https://h.io/p?a=1&b=2&c=3&d=4&e=5&f=6",
+     dict(depth=1, n_params=6, is_trap=True)),
+    ("https://h.io/123456789012/9876543210",
+     dict(depth=2, repeated_seg=False, is_trap=True)),  # digit_frac
+    ("https://h.io/", dict(depth=0, path_len=1, is_trap=False)),
+    ("not a url", dict(depth=0, path_len=0, n_params=0, is_trap=False)),
+]
+
+
+@pytest.mark.parametrize("url,expect", TRAP_CASES)
+def test_url_trap_flags(spark, url, expect):
+    df = spark.createDataFrame([(1, url)], "doc_id long, url string")
+    row = url_trap_flags(df).first().asDict()
+    for k, v in expect.items():
+        assert row[k] == v, (url, k, row)
+
+
+def test_url_trap_digit_frac_value(spark):
+    df = spark.createDataFrame(
+        [(1, "https://h.io/123456789012/9876543210")], "doc_id long, url string"
+    )
+    row = url_trap_flags(df).first()
+    # path '/123456789012/9876543210': 22 digits / 24 chars
+    assert row["digit_frac_r"] == round(22 / 24, 6)
+    assert row["is_trap"]
+
+
+def test_url_trap_plan_no_exchange(spark):
+    df = spark.createDataFrame([(1, "https://h.io/a")], "doc_id long, url string")
+    plan = url_trap_flags(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

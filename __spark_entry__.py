@@ -3906,6 +3906,47 @@ FROM o FULL OUTER JOIN i ON o.host = i.host
 """
 
 
+def _q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET (Common Crawl extracted-text) export + parse, verified as a
+    round trip: serialize the documents table into WET segment blobs
+    IN-ENGINE (``pages_to_wet``: warcinfo + conversion records, octet
+    Content-Length framing, 10 segments), parse them back with
+    ``parse_wet``, and let the oracle state the expected (url,
+    warc_ts_unix, text) closed-form — covering both directions of the
+    format at once."""
+    from llm_aided_ocr_spark.sources.warc import pages_to_wet, parse_wet
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+    )
+    date = F.concat(
+        F.lit("2019-03-"),
+        F.lpad((1 + F.col("doc_id") % 28).cast("string"), 2, "0"),
+        F.lit("T"),
+        F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0"),
+        F.lit(":00:00Z"),
+    )
+    pages = d.select(
+        (F.col("doc_id") % 10).alias("seg"),
+        url.alias("url"),
+        date.alias("warc_date"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    return parse_wet(pages_to_wet(pages)).select("url", "warc_ts_unix", "text")
+
+
+_WET_ROUNDTRIP_SQL = """
+SELECT 'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.example.org/doc/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CAST(1551398400 + (doc_id % 28) * 86400 + (doc_id % 24) * 3600
+            AS BIGINT) AS warc_ts_unix,
+       coalesce(text, '') AS text
+FROM documents
+"""
+
+
 def _q_url_trap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap URL heuristics over five constructed url shapes
     (calendar self-link loop, facet param bomb, session-id digit path,
@@ -4047,6 +4088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_degrees": _q_host_degrees,
         "url_trap_flags": _q_url_trap_flags,
         "bloom_urls": _q_bloom_urls,
+        "wet_roundtrip": _q_wet_roundtrip,
         # --- driver-green in CORRECTNESS_r04 (rows+schema+hash) ---
         "page_filter": _q_page_filter,
         "lang_gate_counts": _q_lang_gate_counts,
@@ -4747,4 +4789,5 @@ def oracle_sql() -> dict[str, str]:
         "host_degrees": _HOST_DEGREES_SQL,
         "url_trap_flags": _URL_TRAP_SQL,
         "bloom_urls": _BLOOM_URLS_SQL,
+        "wet_roundtrip": _WET_ROUNDTRIP_SQL,
     }

@@ -179,6 +179,115 @@ def parse_warc(
     )
 
 
+def parse_wet(
+    segments: DataFrame,
+    content_col: str = "content",
+    segment_col: str | None = None,
+) -> DataFrame:
+    """``(segment, url, warc_date, warc_ts_unix, text)`` — one row per
+    WET *conversion* record. WET is Common Crawl's derived
+    extracted-text exchange format: the same WARC (ISO 28500) framing
+    as the raw crawl, but each record is ``WARC-Type: conversion`` with
+    a ``text/plain`` payload (the extracted page text) and NO HTTP
+    envelope. Reading WET instead of raw WARC skips the html-strip
+    stage entirely — the cheapest possible ingest when someone else
+    already paid for extraction.
+
+    Same scale shape as :func:`parse_warc`: segment blob → rows is a
+    document-local ``mapInPandas`` flatMap, zero shuffle; torn records
+    end the blob's iteration instead of failing the task. Payload bytes
+    are decoded UTF-8 with replacement (WET is specified UTF-8)."""
+    import pandas as pd
+
+    seg = segment_col
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            segs, urls, dates, units, texts = [], [], [], [], []
+            names = batch[seg] if seg else [None] * len(batch)
+            for name, blob in zip(names, batch[content_col]):
+                if blob is None:
+                    continue
+                for headers, payload in iter_warc_records(bytes(blob)):
+                    if headers.get("warc-type") != "conversion":
+                        continue
+                    url = headers.get("warc-target-uri")
+                    if not url:
+                        continue
+                    date = headers.get("warc-date", "")
+                    segs.append(name)
+                    urls.append(url)
+                    dates.append(date)
+                    units.append(_parse_date_unix(date))
+                    texts.append(payload.decode("utf-8", "replace"))
+            yield pd.DataFrame(
+                {
+                    "segment": pd.Series(segs, dtype="object"),
+                    "url": pd.Series(urls, dtype="object"),
+                    "warc_date": pd.Series(dates, dtype="object"),
+                    "warc_ts_unix": pd.Series(units, dtype="object"),
+                    "text": pd.Series(texts, dtype="object"),
+                }
+            )
+
+    cols = [content_col] + ([seg] if seg else [])
+    return segments.select(*cols).mapInPandas(
+        _parse,
+        schema=(
+            "segment string, url string, warc_date string, "
+            "warc_ts_unix bigint, text string"
+        ),
+    )
+
+
+def wet_record_col(url, date, text) -> "F.Column":
+    """ONE WET conversion record as a native string expression —
+    ``Content-Length`` is the OCTET length of the UTF-8 payload (the
+    framing contract), so non-ASCII text round-trips byte-exactly."""
+    body = F.coalesce(text, F.lit(""))
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: "), date,
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(body).cast("string"),
+        F.lit("\r\n\r\n"), body, F.lit("\r\n\r\n"),
+    )
+
+
+def pages_to_wet(
+    pages: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    text_col: str = "text",
+    seg_col: str = "seg",
+) -> DataFrame:
+    """``(seg, content binary)`` — serialize extracted pages back into
+    WET segment blobs (a warcinfo record followed by one conversion
+    record per page), the exchange format for handing a curated corpus
+    to a consumer that reads Common Crawl derivatives. The record
+    strings are built natively (:func:`wet_record_col`, codegen) and
+    each segment is ONE ``collect_list`` aggregation — text crosses a
+    single exchange, partitioned by ``seg_col``; size segments by
+    choosing that key (CC uses ~150 MB compressed). Record order within
+    a segment follows aggregation arrival order — the format attaches
+    no meaning to it; sort upstream if a consumer does. Write the
+    ``content`` column with any binary sink (one file per row)."""
+    info = (
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+    )
+    rec = wet_record_col(F.col(url_col), F.col(date_col), F.col(text_col))
+    return (
+        pages.select(F.col(seg_col).alias("seg"), rec.alias("_rec"))
+        .groupBy("seg")
+        .agg(
+            F.concat(F.lit(info), F.concat_ws("", F.collect_list("_rec")))
+            .cast("binary")
+            .alias("content")
+        )
+    )
+
+
 def with_warc_ts(pages: DataFrame) -> DataFrame:
     """Derive the input-contract ``warc_ts timestamp`` column from the
     epoch seconds (``timestamp_seconds`` — epoch-based, so the session

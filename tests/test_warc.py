@@ -188,3 +188,54 @@ def test_corrupt_gzip_member_skips_remainder_not_task():
     blob = good + bytes(corrupt) + tail
     recs = list(iter_warc_records(blob))  # must not raise
     assert [h["warc-target-uri"] for h, _ in recs] == ["http://a.org/1"]
+
+
+def test_parse_wet_conversion_records(spark):
+    from llm_aided_ocr_spark.sources.warc import parse_wet
+
+    text = "Extracted text — with unicode ünïcödé"
+    payload = text.encode("utf-8")
+    blob = (
+        _record(rtype="warcinfo", url=None, payload=b"info")
+        + _record(rtype="conversion", url="http://a.org/x", payload=payload)
+        + _record(rtype="response", url="http://a.org/raw")  # skipped
+    )
+    df = spark.createDataFrame([(blob,)], "content binary")
+    rows = parse_wet(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["url"] == "http://a.org/x"
+    assert r["text"] == text
+    assert r["warc_ts_unix"] == 1483416000  # 2017-01-03T04:00:00Z
+
+
+def test_wet_export_parse_roundtrip(spark):
+    from llm_aided_ocr_spark.sources.warc import pages_to_wet, parse_wet
+
+    pages = spark.createDataFrame(
+        [
+            (i % 3, f"http://h{i}.org/p", "2020-06-01T00:00:00Z",
+             f"text {i} über\nline2")
+            for i in range(20)
+        ],
+        "seg int, url string, warc_date string, text string",
+    )
+    segments = pages_to_wet(pages)
+    assert segments.count() == 3
+    back = parse_wet(segments)
+    got = {(r["url"], r["text"]) for r in back.collect()}
+    want = {(f"http://h{i}.org/p", f"text {i} über\nline2") for i in range(20)}
+    assert got == want
+    # every parsed row carries the epoch of the shared date
+    assert {r["warc_ts_unix"] for r in back.collect()} == {1590969600}
+
+
+def test_wet_gzip_roundtrip(spark):
+    from llm_aided_ocr_spark.sources.warc import parse_wet
+
+    blob = _record(rtype="conversion", url="http://g.org/z", payload=b"gz text")
+    df = spark.createDataFrame(
+        [(gzip.compress(blob),)], "content binary"
+    )
+    rows = parse_wet(df).collect()
+    assert [(r["url"], r["text"]) for r in rows] == [("http://g.org/z", "gz text")]

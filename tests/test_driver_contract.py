@@ -168,11 +168,17 @@ _R5_FRONT = [
     "bpe_token_counts", "bpe_vocab", "incremental_dedup",
     "media_dimensions", "blocklist_gate", "html_signals",
     "text_normalize", "normalized_dedup", "annotate_table",
+    # round-5 additions, registered inside the first-50 window so they
+    # get a driver row in their debut round:
+    "outlinks_resolved", "host_graph", "host_degrees",
+    "url_trap_flags", "bloom_urls", "wet_roundtrip",
 ]
 
 
 def test_registration_order_fronts_driver_unchecked_queries(entry_mod):
     keys = list(entry_mod.queries())
     assert keys[: len(_R5_FRONT)] == _R5_FRONT
-    assert len(keys) == 83
-    assert len(set(keys)) == 83
+    assert len(keys) == 89
+    assert len(set(keys)) == 89
+    # every never-driver-checked query must sit inside the 50-row window
+    assert len(_R5_FRONT) <= 50

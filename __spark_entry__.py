@@ -4037,6 +4037,74 @@ FROM pp LEFT JOIN words USING (wix) GROUP BY doc_id
 """
 
 
+def _robots_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7 hosts, each with a robots.txt exercising named groups, the *
+    group, empty patterns, wildcard skips and comments."""
+    d = _docs(spark, sf_dir).select((F.col("doc_id") % 7).alias("k")).distinct()
+    k = F.col("k").cast("string")
+    txt = F.concat(
+        F.lit("# generated policy\nUser-agent: bot"), k,
+        F.lit("\nDisallow: /private"), k,
+        F.lit("/\n\nUser-agent: *\nAllow: /public/ok\nDisallow: /public/\nDisallow: /tmp"),
+        k,
+        F.lit("\nAllow:\nDisallow: /wild*card\nUser-agent: other\nDisallow: /\n"),
+    )
+    host = F.concat(F.lit("site"), k, F.lit(".example.org"))
+    return d.select(host.alias("host"), txt.alias("robots_txt"))
+
+
+def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing for the ``*`` agent over constructed policies:
+    the oracle states the three surviving literal rules per host
+    closed-form — named groups, the trailing ``other`` group, empty
+    patterns, the wildcard rule and the comment must all be ignored."""
+    from llm_aided_ocr_spark.operators.robots import parse_robots
+
+    return parse_robots(_robots_hosts(spark, sf_dir))
+
+
+_ROBOTS_RULES_SQL = """
+WITH k AS (SELECT DISTINCT CAST(doc_id % 7 AS VARCHAR) AS k FROM documents)
+SELECT 'site' || k || '.example.org' AS host, 'allow' AS rule,
+       '/public/ok' AS prefix, CAST(10 AS INTEGER) AS prefix_len FROM k
+UNION ALL
+SELECT 'site' || k || '.example.org', 'disallow', '/public/', 8 FROM k
+UNION ALL
+SELECT 'site' || k || '.example.org', 'disallow', '/tmp' || k,
+       CAST(4 + length(k) AS INTEGER) FROM k
+"""
+
+
+def _q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-match robots evaluation over six url shapes per host:
+    allow-override of a disallowed tree, the disallowed tree itself, a
+    disallowed literal, an unmatched path, a path disallowed only for a
+    NAMED agent (so ``*`` sees it allowed), and a case-mismatch. The
+    oracle states the verdicts closed-form from the branch arithmetic."""
+    from llm_aided_ocr_spark.operators.robots import parse_robots, robots_allowed
+
+    rules = parse_robots(_robots_hosts(spark, sf_dir))
+    d = _docs(spark, sf_dir).select("doc_id")
+    k = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://site"), k, F.lit(".example.org"))
+    m6 = F.col("doc_id") % 6
+    url = (
+        F.when(m6 == 0, F.concat(base, F.lit("/public/ok/p"), i))
+        .when(m6 == 1, F.concat(base, F.lit("/public/x"), i))
+        .when(m6 == 2, F.concat(base, F.lit("/tmp"), k, F.lit("/y")))
+        .when(m6 == 3, F.concat(base, F.lit("/free/"), i))
+        .when(m6 == 4, F.concat(base, F.lit("/private"), k, F.lit("/s")))
+        .otherwise(F.concat(base, F.lit("/TMP"), k))
+    )
+    return robots_allowed(d.select("doc_id", url.alias("url")), rules)
+
+
+_ROBOTS_ALLOWED_SQL = """
+SELECT doc_id AS id, (doc_id % 6 NOT IN (1, 2)) AS allowed FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of contract queries.
 
@@ -4089,6 +4157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_flags": _q_url_trap_flags,
         "bloom_urls": _q_bloom_urls,
         "wet_roundtrip": _q_wet_roundtrip,
+        "robots_rules": _q_robots_rules,
+        "robots_allowed": _q_robots_allowed,
         # --- driver-green in CORRECTNESS_r04 (rows+schema+hash) ---
         "page_filter": _q_page_filter,
         "lang_gate_counts": _q_lang_gate_counts,
@@ -4790,4 +4860,6 @@ def oracle_sql() -> dict[str, str]:
         "url_trap_flags": _URL_TRAP_SQL,
         "bloom_urls": _BLOOM_URLS_SQL,
         "wet_roundtrip": _WET_ROUNDTRIP_SQL,
+        "robots_rules": _ROBOTS_RULES_SQL,
+        "robots_allowed": _ROBOTS_ALLOWED_SQL,
     }

@@ -1,0 +1,127 @@
+"""robots.txt parsing + longest-match URL permission evaluation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_aided_ocr_spark.operators.robots import (
+    parse_robots,
+    parse_robots_text,
+    robots_allowed,
+)
+
+ROBOTS = """\
+# a comment line
+User-agent: googlebot
+Disallow: /g-only/
+
+User-agent: *
+Allow: /public/ok
+Disallow: /public/
+Disallow: /tmp
+Allow:
+Disallow: /wild*card
+Disallow: /anchored$
+User-agent: other
+Disallow: /
+"""
+
+
+def test_parse_robots_text_star_group():
+    rules, skipped = parse_robots_text(ROBOTS, agent="*")
+    assert rules == [
+        ("allow", "/public/ok"),
+        ("disallow", "/public/"),
+        ("disallow", "/tmp"),
+    ]
+    assert skipped == 2  # wildcard + anchored
+
+
+def test_parse_robots_text_named_agent():
+    rules, _ = parse_robots_text(ROBOTS, agent="GoogleBot")
+    # googlebot group plus nothing from * (agent match is exact-token)
+    assert ("disallow", "/g-only/") in rules
+    assert ("disallow", "/public/") not in rules
+
+
+def test_parse_robots_text_consecutive_agents_share_group():
+    txt = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+    assert parse_robots_text(txt, agent="b")[0] == [("disallow", "/x")]
+    assert parse_robots_text(txt, agent="a")[0] == [("disallow", "/x")]
+    assert parse_robots_text(txt, agent="c")[0] == []
+
+
+def test_parse_robots_text_blank_line_does_not_end_group():
+    txt = "User-agent: *\n\nDisallow: /x\n"
+    assert parse_robots_text(txt)[0] == [("disallow", "/x")]
+
+
+def test_parse_robots_dataframe(spark):
+    df = spark.createDataFrame(
+        [("h1.example", ROBOTS), ("h2.example", None)],
+        "host string, robots_txt string",
+    )
+    rows = {
+        (r["host"], r["rule"], r["prefix"], r["prefix_len"])
+        for r in parse_robots(df).collect()
+    }
+    assert rows == {
+        ("h1.example", "allow", "/public/ok", 10),
+        ("h1.example", "disallow", "/public/", 8),
+        ("h1.example", "disallow", "/tmp", 4),
+    }
+
+
+ALLOW_CASES = [
+    ("https://h1.example/public/ok/page", True),   # longest match = allow
+    ("https://h1.example/public/other", False),    # /public/ disallow
+    ("https://h1.example/tmp/x", False),
+    ("https://h1.example/TMP/x", True),            # case-sensitive
+    ("https://h1.example/free", True),             # no match
+    ("https://h1.example/", True),
+    ("https://norules.example/anything", True),    # host without rules
+    ("not a url", True),                           # unparseable host
+]
+
+
+@pytest.mark.parametrize("url,expected", ALLOW_CASES)
+def test_robots_allowed(spark, url, expected):
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("h1.example", ROBOTS)], "host string, robots_txt string"
+        )
+    )
+    urls = spark.createDataFrame([(1, url)], "doc_id long, url string")
+    assert robots_allowed(urls, rules).first()["allowed"] == expected
+
+
+def test_robots_allowed_tie_prefers_allow(spark):
+    rules = spark.createDataFrame(
+        [
+            ("h.example", "allow", "/p/", 3),
+            ("h.example", "disallow", "/p/", 3),
+        ],
+        "host string, rule string, prefix string, prefix_len int",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://h.example/p/x")], "doc_id long, url string"
+    )
+    assert robots_allowed(urls, rules).first()["allowed"] is True
+
+
+def test_robots_allowed_plan_broadcasts_rules(spark):
+    rules = spark.createDataFrame(
+        [("h.example", "disallow", "/p/", 3)],
+        "host string, rule string, prefix string, prefix_len int",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://h.example/p/x")], "doc_id long, url string"
+    )
+    plan = (
+        robots_allowed(urls, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -4105,6 +4105,25 @@ SELECT doc_id AS id, (doc_id % 6 NOT IN (1, 2)) AS allowed FROM documents
 """
 
 
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the constructed host graph (10 power-
+    iteration rounds). Deliberately NOT DuckDB-oracled: float summation
+    order varies with partitioning, so cross-engine equality would pin
+    an accident — the driver records the rows-only check here, and the
+    unit suite pins values against an independent dense NumPy power
+    iteration to 1e-9 (tests/test_linkgraph.py). Ranks are rounded to 9
+    places for a layout-stable output schema."""
+    from llm_aided_ocr_spark.operators.linkgraph import (
+        host_graph,
+        outlinks,
+        pagerank,
+    )
+
+    pages = _linkgraph_pages(spark, sf_dir)
+    pr = pagerank(host_graph(outlinks(pages)), iters=10)
+    return pr.select("host", F.round("rank", 9).alias("rank_r"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of contract queries.
 
@@ -4159,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": _q_wet_roundtrip,
         "robots_rules": _q_robots_rules,
         "robots_allowed": _q_robots_allowed,
+        "host_pagerank": _q_host_pagerank,
         # --- driver-green in CORRECTNESS_r04 (rows+schema+hash) ---
         "page_filter": _q_page_filter,
         "lang_gate_counts": _q_lang_gate_counts,

@@ -245,6 +245,94 @@ def host_graph(
     )
 
 
+def pagerank(
+    graph: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "n_links",
+) -> DataFrame:
+    """``(host, rank)`` — weighted PageRank over a :func:`host_graph`
+    edge relation (Page et al. 1999; the host-level centrality Common
+    Crawl publishes alongside its web graph, and the classic
+    spam-vs-organic feature for crawl prioritization and quality
+    classifiers).
+
+    Power iteration, one round = one join + one aggregation over NARROW
+    relations (edges carry two hostnames + a double; ranks carry one
+    hostname + a double) — the documents never appear. The normalized
+    edge relation is ``localCheckpoint``-ed once (every round joins it);
+    each round's ranks checkpoint eagerly and the superseded round's
+    blocks are released immediately — the same lineage discipline as
+    ``dedup_clusters``. Dangling mass (rank sitting on hosts with no
+    outlinks) is redistributed uniformly each round via one bounded
+    1-row collect (the ``bpe_learn`` argmax precedent); ranks therefore
+    sum to 1 every round.
+
+    Float summation order varies with partitioning, so ranks are
+    reproducible only to ~1e-12 — this operator is deliberately
+    NOT DuckDB-oracled (the driver records a rows-only check); the unit
+    tests pin it against an independent dense NumPy power iteration
+    instead."""
+    from llm_aided_ocr_spark.operators.util import pin, release_local_checkpoint
+
+    edges = graph.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    edges_n = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("share"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    # hosts with no outlinks (pure sinks): their rank is the dangling mass
+    sinks = nodes.join(
+        out_w, nodes["host"] == out_w["src"], "left_anti"
+    ).localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(iters):
+        dangling = (
+            ranks.join(sinks, "host", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            edges_n.join(ranks, edges_n["src"] == ranks["host"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("share") * F.col("rank")).alias("c"))
+        )
+        new_ranks = (
+            nodes.join(contribs, nodes["host"] == contribs["dst"], "left")
+            .select(
+                "host",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(ranks)
+        ranks = new_ranks
+    release_local_checkpoint(edges_n)
+    release_local_checkpoint(sinks)
+    release_local_checkpoint(nodes)
+    return pin(ranks.select("host", "rank"), ranks)
+
+
 def host_degrees(graph: DataFrame) -> DataFrame:
     """``(host, out_hosts, out_links, in_hosts, in_links)`` — per-host
     degree profile over a :func:`host_graph` edge relation. ``*_hosts``

@@ -168,3 +168,66 @@ def test_outlinks_plan_has_no_exchange(spark):
     plan = outlinks(_pages(spark))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan  # no Python UDFs anywhere in the op
+
+
+def _np_pagerank(edges, damping=0.85, iters=15):
+    import numpy as np
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    ix = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, d, w in edges:
+        W[ix[d], ix[s]] += w
+    colsum = W.sum(axis=0)
+    out = colsum > 0
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[~out].sum()
+        contrib = W[:, out] @ (r[out] / colsum[out])
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {h: r[ix[h]] for h in nodes}
+
+
+PR_EDGES = [
+    ("a", "b", 1), ("b", "a", 1), ("c", "a", 2), ("c", "b", 1), ("a", "d", 1),
+]  # d is a pure sink (dangling)
+
+
+def test_pagerank_matches_numpy(spark):
+    from llm_aided_ocr_spark.operators.linkgraph import pagerank
+
+    g = spark.createDataFrame(
+        PR_EDGES, "src_host string, dst_host string, n_links long"
+    )
+    got = {r["host"]: r["rank"] for r in pagerank(g, iters=15).collect()}
+    want = _np_pagerank(PR_EDGES, iters=15)
+    assert set(got) == set(want)
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-9, (h, got[h], want[h])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # dangling mass conserved
+
+
+def test_pagerank_authority_ordering(spark):
+    from llm_aided_ocr_spark.operators.linkgraph import pagerank
+
+    got = {
+        r["host"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(
+                PR_EDGES, "src_host string, dst_host string, n_links long"
+            ),
+            iters=15,
+        ).collect()
+    }
+    # a receives links from b and the heavier c edge: top-ranked source
+    assert got["a"] > got["b"] > got["c"]
+
+
+def test_pagerank_empty_graph(spark):
+    from llm_aided_ocr_spark.operators.linkgraph import pagerank
+
+    g = spark.createDataFrame(
+        [], "src_host string, dst_host string, n_links long"
+    )
+    assert pagerank(g, iters=3).count() == 0

@@ -416,8 +416,35 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
         gopher_ngram_metrics,
         word_commonness,
     )
+    from llm_aided_ocr_spark.operators.bloom import bloom_build, bloom_probe
+    from llm_aided_ocr_spark.operators.linkgraph import (
+        host_graph,
+        outlinks,
+        pagerank,
+    )
     from llm_aided_ocr_spark.operators.util import release_pinned
     from llm_aided_ocr_spark.plans.curate import CurationConfig, curate
+
+    def _link_pages(docs):
+        """(url, html): 4 anchors per page, hosts drawn by hash so both
+        scale points see the same host cardinality (dst ~997, src ~4999)."""
+        anchor_parts = []
+        for j in range(4):
+            anchor_parts += [
+                F.lit('<a href="http://h'),
+                F.pmod(F.xxhash64("url", F.lit(j)), F.lit(997)).cast("string"),
+                F.lit(f'.example/p{j}">x</a>'),
+            ]
+        src = F.concat(
+            F.lit("https://s"),
+            F.pmod(F.xxhash64("url"), F.lit(4999)).cast("string"),
+            F.lit(".example/p"),
+        )
+        return docs.select(
+            F.col("url").alias("doc_id"),
+            src.alias("url"),
+            F.concat(*anchor_parts).cast("binary").alias("html"),
+        )
 
     def _ops(docs, rows):
         pages = docs.select(
@@ -518,6 +545,24 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
                 bpe_learn(docs, 3, text_col="text", min_word_freq=2),
                 text_col="text", id_col="url",
             ),
+            # round-5 web-graph layer: 4 constructed anchors per page
+            # over ~1k dst hosts and ~5k src hosts — extraction fuses
+            # into the scan, the graph agg exchanges only (host, host)
+            # pairs; pagerank then iterates on the TINY host relation
+            # (cost must be flat across scale points — the corpus is
+            # touched once to build the graph)
+            "host_graph": lambda: host_graph(outlinks(_link_pages(docs))),
+            "pagerank": lambda: pagerank(
+                host_graph(outlinks(_link_pages(docs))), iters=5
+            ),
+            # bloom seen-filter at production shape: build over every
+            # url (bounded bit_or exchange) + zero-shuffle map probe of
+            # every url
+            "bloom_seen": lambda: bloom_probe(
+                docs,
+                bloom_build(docs, key_col="url", m_words=1 << 17, k=4),
+                key_col="url", id_col="url", m_words=1 << 17, k=4,
+            ),
         }
 
     report = {"scale_ratio": scale_ratio, "ops": {}}
@@ -537,6 +582,10 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
         warc_dir = _stress_warc(spark, docs, rows)
         ops = dict(_ops(docs, rows))
         ops.update(_warc_ops(spark, warc_dir))
+        only = os.environ.get("SPARK_GRAFT_STRESS_ONLY", "")
+        if only:
+            wanted = {s.strip() for s in only.split(",") if s.strip()}
+            ops = {n: b for n, b in ops.items() if n in wanted}
         for name, build in ops.items():
             # time build + sink together: near_dedup/curate run their
             # component rounds EAGERLY at build time — timing only the

@@ -4124,6 +4124,19 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("host", F.round("rank", 9).alias("rank_r"))
 
 
+def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-compressibility quality signal over the documents table.
+    Deliberately NOT DuckDB-oracled — the ratio depends on the DEFLATE
+    encoder's choices, which no SQL engine replays; the driver records
+    the rows-only check and the unit suite pins exact values against
+    Python zlib (tests/test_bloom_traps.py)."""
+    from llm_aided_ocr_spark.operators.textstats import compression_ratio
+
+    return compression_ratio(_docs(spark, sf_dir)).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of contract queries.
 
@@ -4179,6 +4192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": _q_robots_rules,
         "robots_allowed": _q_robots_allowed,
         "host_pagerank": _q_host_pagerank,
+        "compression_ratio": _q_compression_ratio,
         # --- driver-green in CORRECTNESS_r04 (rows+schema+hash) ---
         "page_filter": _q_page_filter,
         "lang_gate_counts": _q_lang_gate_counts,

@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "files (read via binaryFile, parsed by "
                         "sources.warc) instead of a pages parquet table; "
                         "implies --from-html")
+    p.add_argument("--from-wet", action="store_true",
+                   help="treat --input as a directory of WET "
+                        "(extracted-text conversion) segment files; "
+                        "pages arrive with text already populated, so "
+                        "the DOM strip is skipped")
     p.add_argument("--from-html", action="store_true",
                    help="extract text from the html column (DOM strip)")
     p.add_argument("--resume", action="store_true",
@@ -156,7 +161,24 @@ def main(argv=None) -> int:
     )
     store = CheckpointStore(args.warehouse, run_id=args.run_id) if args.resume else None
 
-    if args.from_warc:
+    if args.from_wet:
+        from pyspark.sql import functions as F
+
+        from llm_aided_ocr_spark.sources.warc import parse_wet, with_warc_ts
+
+        segments = spark.read.format("binaryFile").load(args.input).select(
+            F.col("path").alias("segment_path"), "content"
+        )
+        parsed = with_warc_ts(
+            parse_wet(segments, segment_col="segment_path")
+        )
+        pages = parsed.select(
+            "url", "warc_ts",
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            F.lit(None).cast("string").alias("lang"),
+        )
+    elif args.from_warc:
         from pyspark.sql import functions as F
 
         from llm_aided_ocr_spark.sources.warc import parse_warc, with_warc_ts

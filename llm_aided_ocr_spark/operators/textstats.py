@@ -724,6 +724,66 @@ def url_trap_flags(
     )
 
 
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """``(id, raw_bytes, deflate_bytes, compression_ratio_r)`` — the
+    zlib-compressibility quality signal: machine-generated/spam pages
+    (keyword stuffing, template farms, scraped listings) compress far
+    better than organic prose, so a high raw/deflate ratio is a cheap
+    corpus-wide repetitiveness detector that complements the Gopher
+    n-gram table (it catches LONG-range repetition the fixed-n grams
+    miss). Empty text reports ratio 0.
+
+    Arrow ``mapInPandas`` pass — zlib is per-document CPU with no
+    DataFrame expression equivalent; document-local, zero shuffle, and
+    the batch size is bounded by the session's Arrow batch cap. The
+    ratio depends on the DEFLATE encoder's choices, so this operator is
+    deliberately not DuckDB-oracled (the driver records the rows-only
+    check); tests pin exact values against Python zlib directly."""
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    def _ratios(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            ids, raws, comps = [], [], []
+            for i, t in zip(batch[id_col], batch[text_col]):
+                b = (t or "").encode("utf-8")
+                ids.append(i)
+                raws.append(len(b))
+                comps.append(len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "raw_bytes": pd.Series(raws, dtype="int64"),
+                    "deflate_bytes": pd.Series(comps, dtype="int64"),
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    out = df.select(id_col, text_col).mapInPandas(
+        _ratios,
+        schema=f"id {id_type}, raw_bytes bigint, deflate_bytes bigint",
+    )
+    return out.select(
+        "id",
+        "raw_bytes",
+        "deflate_bytes",
+        F.when(F.col("raw_bytes") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("raw_bytes").cast("double") / F.col("deflate_bytes"), 6
+            )
+        )
+        .alias("compression_ratio_r"),
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 3,

@@ -120,3 +120,28 @@ def test_url_trap_plan_no_exchange(spark):
     df = spark.createDataFrame([(1, "https://h.io/a")], "doc_id long, url string")
     plan = url_trap_flags(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_compression_ratio_values(spark):
+    import zlib
+
+    from llm_aided_ocr_spark.operators.textstats import compression_ratio
+
+    rep = "spam spam spam " * 200
+    org = "The quick brown fox inspects heterogeneous prose at dawn."
+    df = spark.createDataFrame(
+        [(1, rep), (2, org), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in compression_ratio(df).collect()}
+    for i, t in [(1, rep), (2, org)]:
+        b = t.encode()
+        assert rows[i]["raw_bytes"] == len(b)
+        assert rows[i]["deflate_bytes"] == len(zlib.compress(b, 6))
+        assert rows[i]["compression_ratio_r"] == round(
+            len(b) / len(zlib.compress(b, 6)), 6
+        )
+    assert rows[1]["compression_ratio_r"] > 10  # repetitive spam
+    assert rows[2]["compression_ratio_r"] < 2   # organic prose
+    assert rows[3]["compression_ratio_r"] == 0.0
+    assert rows[4]["compression_ratio_r"] == 0.0

@@ -349,3 +349,51 @@ def test_cli_dedup_incremental_from_warc(spark):
         assert urls == ["http://a.org/1", "http://b.org/fresh"]
         texts = {r.url: r.text for r in kept.collect()}
         assert all(t for t in texts.values())
+
+
+def test_cli_from_wet_mode(spark):
+    """--from-wet: a directory of WET conversion-record files feeds the
+    pipeline with pre-extracted text (no DOM strip); raw_pages carries
+    that text per url."""
+    import gzip
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def record(url, text):
+        payload = text.encode()
+        return (
+            b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: " + url
+            + b"\r\nWARC-Date: 2019-05-06T07:00:00Z\r\nContent-Type: text/plain"
+            + b"\r\nContent-Length: " + str(len(payload)).encode()
+            + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        seg_dir = os.path.join(tmp, "segments")
+        os.makedirs(seg_dir)
+        with open(os.path.join(seg_dir, "seg1.warc.wet"), "wb") as f:
+            f.write(record(b"http://a.org/1", "alpha beta")
+                    + record(b"http://a.org/2", "gamma delta"))
+        with open(os.path.join(seg_dir, "seg2.warc.wet.gz"), "wb") as f:
+            f.write(gzip.compress(record(b"http://b.org/3", "epsilon zeta")))
+        out = os.path.join(tmp, "out")
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "llm_aided_ocr_spark",
+                "--input", seg_dir, "--output", out,
+                "--from-wet", "--provider", "heuristic",
+                "--master", "local[2]",
+            ],
+            capture_output=True, text=True, timeout=300,
+            cwd=repo, env=dict(os.environ, PYTHONPATH=repo),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        raw = {
+            r["url"]: r["raw_text"]
+            for r in spark.read.parquet(os.path.join(out, "raw_pages")).collect()
+        }
+        assert raw == {
+            "http://a.org/1": "alpha beta",
+            "http://a.org/2": "gamma delta",
+            "http://b.org/3": "epsilon zeta",
+        }

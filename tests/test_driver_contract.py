@@ -172,14 +172,14 @@ _R5_FRONT = [
     # get a driver row in their debut round:
     "outlinks_resolved", "host_graph", "host_degrees",
     "url_trap_flags", "bloom_urls", "wet_roundtrip",
-    "robots_rules", "robots_allowed", "host_pagerank",
+    "robots_rules", "robots_allowed", "host_pagerank", "compression_ratio",
 ]
 
 
 def test_registration_order_fronts_driver_unchecked_queries(entry_mod):
     keys = list(entry_mod.queries())
     assert keys[: len(_R5_FRONT)] == _R5_FRONT
-    assert len(keys) == 92
-    assert len(set(keys)) == 92
+    assert len(keys) == 93
+    assert len(set(keys)) == 93
     # every never-driver-checked query must sit inside the 50-row window
     assert len(_R5_FRONT) <= 50

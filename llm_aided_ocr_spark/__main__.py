@@ -94,6 +94,14 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="DOMAIN",
                    help="curate: drop pages on DOMAIN (and subdomains) "
                         "before correction; repeatable")
+    p.add_argument("--url-trap-gate", action="store_true",
+                   help="shed crawler-trap urls (calendar loops, "
+                        "session-id paths, facet param explosions) "
+                        "before correction")
+    p.add_argument("--robots", default=None,
+                   help="parquet table (host, robots_txt); pages whose "
+                        "url fails the longest-match robots evaluation "
+                        "for the * agent are dropped before correction")
     p.add_argument("--url-block-keyword", action="append", default=[],
                    metavar="WORD",
                    help="curate: drop pages whose url contains >= 2 "
@@ -237,6 +245,12 @@ def main(argv=None) -> int:
             curation_report,
         )
 
+        robots_rules = None
+        if args.robots:
+            from llm_aided_ocr_spark.operators.robots import parse_robots
+
+            robots_rules = parse_robots(spark.read.parquet(args.robots))
+
         curated = curate(
             pages,
             CurationConfig(
@@ -251,6 +265,8 @@ def main(argv=None) -> int:
                 repetition_gate=args.repetition_gate,
                 url_blocked_domains=tuple(args.url_block_domain),
                 url_blocked_keywords=tuple(args.url_block_keyword),
+                url_trap_gate=args.url_trap_gate,
+                robots_rules=robots_rules,
             ),
             store=store,
         )

@@ -724,6 +724,49 @@ def url_trap_flags(
     )
 
 
+def url_trap_keep_col(
+    url_col: Column,
+    max_depth: int = 8,
+    max_params: int = 5,
+    max_path_len: int = 256,
+    seg_repeat: int = 3,
+    digit_frac_max: float = 0.5,
+) -> Column:
+    """Inline boolean form of :func:`url_trap_flags`'s ``NOT is_trap`` —
+    a pure per-row expression (same thresholds, same derivation), so
+    pipelines shed trap urls with ``df.filter(url_trap_keep_col(...))``
+    at scan cost, before anything touches the page bytes. Kept
+    semantically in lockstep with the relation form by test."""
+    from llm_aided_ocr_spark.operators.util import let_
+
+    u = F.coalesce(url_col, F.lit(""))
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    n_params = F.size(F.regexp_extract_all(u, F.lit(r"[?&][^&#=]+="), 0))
+
+    def _keep(p: Column) -> Column:
+        segs = F.filter(F.split(p, "/"), lambda s: s != "")
+        repeated = F.exists(
+            segs,
+            lambda s: F.size(F.filter(segs, lambda t: t == s))
+            >= F.lit(seg_repeat),
+        )
+        path_len = F.length(p)
+        digits = F.length(F.regexp_replace(p, r"[^0-9]", ""))
+        digit_frac = F.round(
+            digits.cast("double") / F.greatest(path_len, F.lit(1)).cast("double"),
+            6,
+        )
+        return ~(
+            (F.size(segs) > F.lit(max_depth))
+            | (n_params > F.lit(max_params))
+            | (path_len > F.lit(max_path_len))
+            | repeated
+            | (digit_frac > F.lit(digit_frac_max))
+        )
+
+    return let_(path, _keep)
+
+
 def compression_ratio(
     df: DataFrame,
     text_col: str = "text",

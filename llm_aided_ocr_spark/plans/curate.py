@@ -43,6 +43,11 @@ class CurationConfig:
     url_blocked_domains: tuple = ()       # RefinedWeb stage-1 URL gate
     url_blocked_keywords: tuple = ()      # (both empty = off)
     url_keyword_threshold: int = 2
+    url_trap_gate: bool = False           # shed crawler-trap urls (depth/
+                                          # params/digits/repeated segments)
+    robots_rules: Optional[DataFrame] = None  # parse_robots output; pages
+                                          # whose url fails the longest-
+                                          # match evaluation are shed
     canonical_url_dedup: bool = False     # same-page-refetched collapse
     drop_noindex: bool = False            # drop meta-robots-noindex pages
     exact_dedup: bool = True
@@ -92,6 +97,29 @@ def curate(
                 cfg.url_blocked_keywords,
                 cfg.url_keyword_threshold,
             )
+        )
+
+    if cfg.url_trap_gate:
+        # crawler-trap urls (calendar loops, session-id paths, facet
+        # explosions) are shed pre-correction at scan cost — a pure
+        # per-row predicate, same class as the stage-1 URL gate
+        from llm_aided_ocr_spark.operators.textstats import url_trap_keep_col
+
+        pages_df = pages_df.filter(url_trap_keep_col(F.col("url")))
+
+    if cfg.robots_rules is not None:
+        # retroactive robots audit: drop pages whose url fails the
+        # longest-match evaluation against the provided rules relation.
+        # robots_allowed aggregates on the url key; the left-semi join
+        # back carries only urls — both exchanges are narrow, and both
+        # run BEFORE the expensive correction stage.
+        from llm_aided_ocr_spark.operators.robots import robots_allowed
+
+        ok = robots_allowed(
+            pages_df, cfg.robots_rules, url_col="url", id_col="url"
+        ).filter("allowed")
+        pages_df = pages_df.join(
+            ok.select(F.col("id").alias("url")), "url", "left_semi"
         )
 
     if cfg.drop_noindex and "html" in pages_df.columns:

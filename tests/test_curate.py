@@ -482,3 +482,71 @@ def test_curate_use_html_extracts_before_correction(spark):
     n_deg = deg.count()
     release_pinned(deg, blocking=True)
     assert n_deg == 1
+
+
+def test_curate_url_trap_gate(spark):
+    """Trap urls (deep repeated-segment calendar paths) are shed before
+    correction; clean urls survive. The inline predicate stays in
+    lockstep with the url_trap_flags relation's is_trap."""
+    from llm_aided_ocr_spark.operators.textstats import (
+        url_trap_flags,
+        url_trap_keep_col,
+    )
+
+    base = pages_dataframe(spark, n_rows=12, include_golden=False)
+    pages = base.withColumn(
+        "url",
+        F.when(
+            F.col("url").contains("0"),
+            F.concat(
+                F.lit("https://t.org/cal/2024/01/2024/01/2024/01/2024/01/x/"),
+                "url",
+            ),
+        ).otherwise(F.concat(F.lit("https://ok.org/a/"), "url")),
+    )
+    out = curate(
+        pages,
+        CurationConfig(near_dedup=False, exact_dedup=False, url_trap_gate=True),
+    )
+    urls = [r["url"] for r in out.collect()]
+    assert urls and all("/cal/" not in u for u in urls)
+    # lockstep: inline keep == NOT relation is_trap on the same urls
+    flags = {
+        r["id"]: r["is_trap"]
+        for r in url_trap_flags(pages, url_col="url", id_col="url").collect()
+    }
+    keeps = {
+        r["url"]: r["k"]
+        for r in pages.select(
+            "url", url_trap_keep_col(F.col("url")).alias("k")
+        ).collect()
+    }
+    assert all(keeps[u] == (not flags[u]) for u in keeps)
+
+
+def test_curate_robots_gate(spark):
+    """Pages disallowed by the provided robots rules never reach
+    correction; allowed and rule-less hosts survive."""
+    from llm_aided_ocr_spark.operators.robots import parse_robots
+
+    base = pages_dataframe(spark, n_rows=12, include_golden=False)
+    pages = base.withColumn(
+        "url",
+        F.when(F.col("url").contains("0"),
+               F.concat(F.lit("https://h.example/private/"), "url"))
+        .otherwise(F.concat(F.lit("https://h.example/pub/"), "url")),
+    )
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("h.example", "User-agent: *\nDisallow: /private/\n")],
+            "host string, robots_txt string",
+        )
+    )
+    out = curate(
+        pages,
+        CurationConfig(near_dedup=False, exact_dedup=False, robots_rules=rules),
+    )
+    urls = [r["url"] for r in out.collect()]
+    assert urls and all("/private/" not in u for u in urls)
+    expected = pages.filter(~F.col("url").contains("/private/")).count()
+    assert len(urls) == expected

@@ -3786,7 +3786,8 @@ def _linkgraph_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<html><body><a href="http://ext'),
         (F.col("doc_id") % 13).cast("string"),
         F.lit(".example/x"), (F.col("doc_id") % 3).cast("string"),
-        F.lit('">t</a><a href=\'//cdn'),
+        F.lit('">t <i>v'), (F.col("doc_id") % 3).cast("string"),
+        F.lit("</i></a><a href='//cdn"),
         (F.col("doc_id") % 5).cast("string"),
         F.lit(".example.net/l.js'>c</a><a href=\"/r/"),
         (F.col("doc_id") % 4).cast("string"),
@@ -3903,6 +3904,40 @@ SELECT coalesce(o.host, i.host) AS host,
        coalesce(in_hosts, 0) AS in_hosts,
        coalesce(in_links, 0) AS in_links
 FROM o FULL OUTER JOIN i ON o.host = i.host
+"""
+
+
+def _q_anchor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text corpus per destination host over the same
+    constructed pages: the ext anchor carries markup (``t <i>vX</i>``)
+    so the element walk's tag-strip + whitespace-collapse is on the
+    verified path; same-host (root-relative / relative) anchors are
+    dropped exactly as the oracle's closed-form edge list drops them."""
+    from llm_aided_ocr_spark.operators.linkgraph import anchor_corpus
+
+    pages = _linkgraph_pages(spark, sf_dir)
+    return anchor_corpus(pages)
+
+
+_ANCHOR_CORPUS_SQL = f"""
+WITH {_LINKGRAPH_EDGES_CTE},
+a AS (
+  SELECT 'site' || k || '.example.org' AS src_host,
+         'ext' || j || '.example' AS dst_host,
+         't v' || x AS anchor
+  FROM docs
+  UNION ALL
+  SELECT 'site' || k || '.example.org',
+         'cdn' || c || '.example.net', 'c' FROM docs),
+s AS (
+  SELECT dst_host, COUNT(*) AS n_anchors,
+         COUNT(DISTINCT src_host) AS n_src_hosts
+  FROM a GROUP BY dst_host),
+t AS (
+  SELECT dst_host, string_agg(anchor, '|' ORDER BY anchor) AS anchors_cat
+  FROM (SELECT DISTINCT dst_host, anchor FROM a) GROUP BY dst_host)
+SELECT s.dst_host, n_anchors, n_src_hosts, anchors_cat
+FROM s JOIN t USING (dst_host)
 """
 
 
@@ -4186,6 +4221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks_resolved": _q_outlinks_resolved,
         "host_graph": _q_host_graph,
         "host_degrees": _q_host_degrees,
+        "anchor_corpus": _q_anchor_corpus,
         "url_trap_flags": _q_url_trap_flags,
         "bloom_urls": _q_bloom_urls,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4891,6 +4927,7 @@ def oracle_sql() -> dict[str, str]:
         "outlinks_resolved": _OUTLINKS_SQL,
         "host_graph": _HOST_GRAPH_SQL,
         "host_degrees": _HOST_DEGREES_SQL,
+        "anchor_corpus": _ANCHOR_CORPUS_SQL,
         "url_trap_flags": _URL_TRAP_SQL,
         "bloom_urls": _BLOOM_URLS_SQL,
         "wet_roundtrip": _WET_ROUNDTRIP_SQL,

@@ -358,3 +358,74 @@ def host_degrees(graph: DataFrame) -> DataFrame:
             F.coalesce("in_links", F.lit(0)).alias("in_links"),
         )
     )
+
+
+def anchor_corpus(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_links: int = 1000,
+    max_anchors: int = 100,
+    cross_host_only: bool = True,
+) -> DataFrame:
+    """``(dst_host, n_anchors, n_src_hosts, anchors_cat)`` — the inbound
+    anchor-text corpus per destination host: how the rest of the web
+    *describes* a host. Inlink anchor text is the classic external
+    relevance/quality signal (it trains search rankers and labels hosts
+    no crawled page describes), and aggregating it is a first-class
+    step in web-curation pipelines.
+
+    Composition: :func:`anchor_texts` (well-formed elements only, capped
+    per page BEFORE the explode) → :func:`resolve_href_col` →
+    ``domain_col`` on both ends → ``cross_host_only`` (default) drops
+    self-referential navigation chrome, exactly like :func:`host_graph`
+    → two aggregations on ``dst_host``.
+
+    Scale shape: the anchor relation is pre-shrunk to
+    ``(dst_host, src_host, anchor)`` — html never crosses an exchange.
+    ``n_anchors``/``n_src_hosts`` come from one narrow agg;
+    the text list comes from a ``distinct`` (map-side partial dedup)
+    then ``collect_list`` whose result is sorted and CAPPED at
+    ``max_anchors`` — so output row width is bounded. A mega-host with
+    ~10^7 *distinct* inbound anchors still collects them in one reducer
+    before the cap; if that host exists in your crawl, pre-filter the
+    anchor relation (e.g. on a per-(host, anchor) min count) before
+    calling. Anchors are emitted pipe-joined (``anchors_cat``) so the
+    result hashes identically across engines.
+    """
+    a = anchor_texts(df, html_col, url_col, id_col, max_links)
+    a = (
+        a.withColumn("dst_url", resolve_href_col(F.col("url"), F.col("href")))
+        .filter(
+            F.col("dst_url").isNotNull()
+            & F.col("dst_url").rlike(r"^https?://")
+            & (F.col("anchor") != "")
+        )
+        .select(
+            domain_col(F.col("url")).alias("src_host"),
+            domain_col(F.col("dst_url")).alias("dst_host"),
+            "anchor",
+        )
+        .filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    )
+    if cross_host_only:
+        a = a.filter(F.col("src_host") != F.col("dst_host"))
+    stats = a.groupBy("dst_host").agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.countDistinct("src_host").alias("n_src_hosts"),
+    )
+    texts = (
+        a.select("dst_host", "anchor")
+        .distinct()
+        .groupBy("dst_host")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.collect_list("anchor")), 1, max_anchors
+                ),
+                "|",
+            ).alias("anchors_cat")
+        )
+    )
+    return stats.join(texts, "dst_host")

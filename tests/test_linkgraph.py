@@ -231,3 +231,36 @@ def test_pagerank_empty_graph(spark):
         [], "src_host string, dst_host string, n_links long"
     )
     assert pagerank(g, iters=3).count() == 0
+
+
+def test_anchor_corpus(spark):
+    from llm_aided_ocr_spark.operators.linkgraph import anchor_corpus
+
+    df = spark.createDataFrame(
+        [
+            # two source hosts describe ext.example; one self-link and
+            # one empty anchor must not contribute
+            (1, "http://a.io/", b'<a href="http://ext.example/x">Great <b>Site</b></a>'
+                               b'<a href="/self">nav</a><a href="http://ext.example/y"></a>'),
+            (2, "http://b.io/", b'<a href="http://ext.example/x">great site</a>'),
+        ],
+        "doc_id long, url string, html binary",
+    )
+    rows = {r["dst_host"]: r for r in anchor_corpus(df).collect()}
+    assert set(rows) == {"ext.example"}
+    r = rows["ext.example"]
+    assert r["n_anchors"] == 2
+    assert r["n_src_hosts"] == 2
+    assert r["anchors_cat"] == "Great Site|great site"
+
+
+def test_anchor_corpus_same_host_kept_when_opted_in(spark):
+    from llm_aided_ocr_spark.operators.linkgraph import anchor_corpus
+
+    df = spark.createDataFrame(
+        [(1, "http://a.io/", b'<a href="/self">nav</a>')],
+        "doc_id long, url string, html binary",
+    )
+    assert anchor_corpus(df).count() == 0
+    rows = anchor_corpus(df, cross_host_only=False).collect()
+    assert len(rows) == 1 and rows[0]["anchors_cat"] == "nav"

@@ -3941,6 +3941,70 @@ FROM s JOIN t USING (dst_host)
 """
 
 
+def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap (sitemaps.org urlset) parsing over constructed XML: per
+    doc, one full entry (loc+lastmod+changefreq+priority), one
+    loc-only entry wrapped in whitespace (trim path), and one loc-less
+    block that must yield NO row. The oracle states all fields
+    closed-form from the same doc_id arithmetic."""
+    from llm_aided_ocr_spark.sources.sitemaps import parse_sitemaps
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    dd = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    x = (F.col("doc_id") % 9).cast("string")
+    xml = F.concat(
+        F.lit(
+            '<?xml version="1.0"?><urlset '
+            'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>https://site"
+        ),
+        k, F.lit(".example.org/p"), i,
+        F.lit(".html</loc><lastmod>2024-01-"), dd,
+        F.lit("</lastmod><changefreq>daily</changefreq><priority>0."), x,
+        F.lit("</priority></url><url><loc>  https://site"), k,
+        F.lit(".example.org/q"), i,
+        F.lit(".html\n</loc></url>"
+              "<url><lastmod>2024-02-01</lastmod></url></urlset>"),
+    )
+    sm = d.select(
+        F.concat(F.lit("site"), k, F.lit(".example.org")).alias("host"),
+        xml.alias("sitemap_xml"),
+    )
+    out = parse_sitemaps(sm)
+    # NULL-free projection for the cross-engine value hash (the operator
+    # itself keeps NULL semantics for absent optional fields)
+    return out.select(
+        "host",
+        "loc",
+        F.coalesce("lastmod", F.lit("")).alias("lastmod"),
+        F.coalesce("changefreq", F.lit("")).alias("changefreq"),
+        F.coalesce("priority", F.lit(-1.0)).alias("priority"),
+    )
+
+
+_SITEMAP_URLS_SQL = """
+WITH docs AS (
+  SELECT CAST(doc_id % 7 AS VARCHAR) AS k,
+         CAST(doc_id AS VARCHAR) AS i,
+         lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd,
+         CAST(doc_id % 9 AS VARCHAR) AS x
+  FROM documents)
+SELECT 'site' || k || '.example.org' AS host,
+       'https://site' || k || '.example.org/p' || i || '.html' AS loc,
+       '2024-01-' || dd AS lastmod,
+       'daily' AS changefreq,
+       CAST('0.' || x AS DOUBLE) AS priority
+FROM docs
+UNION ALL
+SELECT 'site' || k || '.example.org',
+       'https://site' || k || '.example.org/q' || i || '.html',
+       '', '', -1.0
+FROM docs
+"""
+
+
 def _q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET (Common Crawl extracted-text) export + parse, verified as a
     round trip: serialize the documents table into WET segment blobs
@@ -4225,6 +4289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_flags": _q_url_trap_flags,
         "bloom_urls": _q_bloom_urls,
         "wet_roundtrip": _q_wet_roundtrip,
+        "sitemap_urls": _q_sitemap_urls,
         "robots_rules": _q_robots_rules,
         "robots_allowed": _q_robots_allowed,
         "host_pagerank": _q_host_pagerank,
@@ -4928,6 +4993,7 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": _HOST_GRAPH_SQL,
         "host_degrees": _HOST_DEGREES_SQL,
         "anchor_corpus": _ANCHOR_CORPUS_SQL,
+        "sitemap_urls": _SITEMAP_URLS_SQL,
         "url_trap_flags": _URL_TRAP_SQL,
         "bloom_urls": _BLOOM_URLS_SQL,
         "wet_roundtrip": _WET_ROUNDTRIP_SQL,

@@ -1,0 +1,110 @@
+"""Sitemap (sitemaps.org XML) parsing — the crawl-frontier input.
+
+A production crawl seeds and refreshes its frontier from sitemaps: the
+``<urlset>`` documents advertise per-URL ``lastmod`` / ``changefreq`` /
+``priority`` hints that drive re-fetch scheduling, and ``<sitemapindex>``
+documents fan out to child sitemaps. This module parses both shapes as
+pure native column expressions, the same way the WARC/robots layer does:
+one projection over the decoded xml — ``regexp_extract_all`` for the
+element blocks, a per-block ``transform`` for the fields, one
+``explode`` — zero Python, zero shuffle, fuses into the scan.
+
+Every regex lives in the Java-regex ∩ RE2 common subset so the driver's
+DuckDB oracle can replay identical patterns. The reference repo
+(/root/reference/llm_aided_ocr.py) has no crawl layer; this is part of
+the brief-mandated web-curation suite (BASELINE.json north_rule),
+modeled on the public sitemaps.org 0.9 protocol.
+
+Malformed input policy (mirrors ``sources/warc.py``): a block missing
+``<loc>`` yields no row; optional fields absent → NULL; a torn block
+(no closing tag) is skipped by the non-greedy element match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_URL_BLOCK = r"(?is)<url\b[^>]*>(.*?)</url>"
+_SITEMAP_BLOCK = r"(?is)<sitemap\b[^>]*>(.*?)</sitemap>"
+
+
+def _decoded(col: Column) -> Column:
+    # accept string or binary sitemap bodies; NULL → empty document
+    return F.decode(F.coalesce(col.cast("binary"), F.lit(b"")), "UTF-8")
+
+
+def _field(block: Column, tag: str) -> Column:
+    # full whitespace strip (Spark's trim removes spaces only, not \n)
+    v = F.regexp_replace(
+        F.regexp_extract(block, rf"(?is)<{tag}[^>]*>(.*?)</{tag}>", 1),
+        r"^\s+|\s+$",
+        "",
+    )
+    return F.nullif(v, F.lit(""))
+
+
+def parse_sitemaps(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+    host_col: str = "host",
+) -> DataFrame:
+    """``(host, loc, lastmod, changefreq, priority)`` — one row per
+    ``<url>`` entry across all ``<urlset>`` sitemaps in ``df``.
+
+    ``loc`` is whitespace-trimmed (the spec allows surrounding
+    whitespace); blocks with no ``<loc>`` are dropped; ``lastmod`` /
+    ``changefreq`` stay as declared strings (scheduling policy owns
+    interpretation), ``priority`` casts to double (NULL when absent or
+    non-numeric, via try-semantics of the string cast)."""
+    blocks = F.regexp_extract_all(_decoded(F.col(xml_col)), F.lit(_URL_BLOCK), 1)
+    entries = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _field(b, "loc").alias("loc"),
+            _field(b, "lastmod").alias("lastmod"),
+            _field(b, "changefreq").alias("changefreq"),
+            _field(b, "priority").try_cast("double").alias("priority"),
+        ),
+    )
+    return (
+        df.select(F.col(host_col).alias("host"), F.explode(entries).alias("_e"))
+        .select(
+            "host",
+            F.col("_e.loc").alias("loc"),
+            F.col("_e.lastmod").alias("lastmod"),
+            F.col("_e.changefreq").alias("changefreq"),
+            F.col("_e.priority").alias("priority"),
+        )
+        .filter(F.col("loc").isNotNull())
+    )
+
+
+def sitemap_index_entries(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+    host_col: str = "host",
+) -> DataFrame:
+    """``(host, child_loc, lastmod)`` — one row per ``<sitemap>`` entry
+    of a ``<sitemapindex>`` document: the fan-out list a crawler walks
+    to fetch child sitemaps. Same native shape as
+    :func:`parse_sitemaps`."""
+    blocks = F.regexp_extract_all(
+        _decoded(F.col(xml_col)), F.lit(_SITEMAP_BLOCK), 1
+    )
+    entries = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _field(b, "loc").alias("child_loc"),
+            _field(b, "lastmod").alias("lastmod"),
+        ),
+    )
+    return (
+        df.select(F.col(host_col).alias("host"), F.explode(entries).alias("_e"))
+        .select(
+            "host",
+            F.col("_e.child_loc").alias("child_loc"),
+            F.col("_e.lastmod").alias("lastmod"),
+        )
+        .filter(F.col("child_loc").isNotNull())
+    )

@@ -4152,6 +4152,50 @@ def _robots_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(host.alias("host"), txt.alias("robots_txt"))
 
 
+def _q_host_fetch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness stats (per-host fetch count, span, min/mean
+    inter-fetch gap) over constructed fetch timestamps; the oracle
+    replays the identical window-lag derivation. Gaps are whole seconds
+    so the double sums are exact and order-free cross-engine."""
+    from llm_aided_ocr_spark.operators.temporal import host_fetch_stats
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    fetches = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias(
+            "host"
+        ),
+        F.timestamp_seconds(
+            F.lit(1709251200) + (F.col("doc_id") * 37) % 86400
+        ).alias("warc_ts"),
+    )
+    out = host_fetch_stats(fetches, host_col="host")
+    return out.select(
+        "host",
+        "n_fetches",
+        "span_s",
+        F.coalesce("min_gap_s", F.lit(-1.0)).alias("min_gap_s"),
+        F.coalesce("mean_gap_s", F.lit(-1.0)).alias("mean_gap_s"),
+    )
+
+
+_HOST_FETCH_STATS_SQL = """
+WITH f AS (
+  SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS host,
+         CAST(1709251200 + (doc_id * 37) % 86400 AS DOUBLE) AS es
+  FROM documents),
+g AS (
+  SELECT host, es,
+         es - lag(es) OVER (PARTITION BY host ORDER BY es) AS gap
+  FROM f)
+SELECT host,
+       COUNT(*) AS n_fetches,
+       MAX(es) - MIN(es) AS span_s,
+       COALESCE(MIN(gap), -1.0) AS min_gap_s,
+       COALESCE(ROUND(AVG(gap), 6), -1.0) AS mean_gap_s
+FROM g GROUP BY host
+"""
+
+
 def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parsing for the ``*`` agent over constructed policies:
     the oracle states the three surviving literal rules per host
@@ -4290,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_urls": _q_bloom_urls,
         "wet_roundtrip": _q_wet_roundtrip,
         "sitemap_urls": _q_sitemap_urls,
+        "host_fetch_stats": _q_host_fetch_stats,
         "robots_rules": _q_robots_rules,
         "robots_allowed": _q_robots_allowed,
         "host_pagerank": _q_host_pagerank,
@@ -4994,6 +5039,7 @@ def oracle_sql() -> dict[str, str]:
         "host_degrees": _HOST_DEGREES_SQL,
         "anchor_corpus": _ANCHOR_CORPUS_SQL,
         "sitemap_urls": _SITEMAP_URLS_SQL,
+        "host_fetch_stats": _HOST_FETCH_STATS_SQL,
         "url_trap_flags": _URL_TRAP_SQL,
         "bloom_urls": _BLOOM_URLS_SQL,
         "wet_roundtrip": _WET_ROUNDTRIP_SQL,

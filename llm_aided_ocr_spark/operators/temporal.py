@@ -132,3 +132,47 @@ def session_stats(
     if value_col is not None:
         aggs.append(F.round(F.sum(value_col), 6).alias("value_sum_r"))
     return tagged.groupBy(key, "session_ix").agg(*aggs)
+
+
+def host_fetch_stats(
+    df: DataFrame,
+    ts_col: str = "warc_ts",
+    url_col: str = "url",
+    host_col: Optional[str] = None,
+) -> DataFrame:
+    """``(host, n_fetches, span_s, min_gap_s, mean_gap_s)`` — per-host
+    crawl-politeness profile over fetch timestamps: how often a crawl
+    hit each host and how close together. The min/mean inter-fetch gap
+    is the number a politeness audit compares against robots
+    ``Crawl-delay`` and rate budgets; a min gap near zero on a big host
+    is a crawler bug, a huge mean gap a refresh-scheduling one.
+
+    ``host`` comes from ``host_col`` when given, else from the native
+    host extraction over ``url_col``. Gaps are consecutive differences
+    within each host ordered by timestamp (epoch seconds, double);
+    hosts with one fetch have NULL gaps. The multiset of consecutive
+    gaps is invariant under tie order, so results are deterministic
+    even with duplicate timestamps.
+
+    Scale shape: ONE shuffle on ``host``; the window sort is per-host,
+    and per-host fetch counts are bounded by the very politeness this
+    operator audits (a polite crawl fetches a host at most ~1/s, so even
+    a month-long crawl puts <3M narrow (ts) rows in the largest group).
+    The aggregation reuses the window's partitioning — no second
+    exchange.
+    """
+    from llm_aided_ocr_spark.operators.textstats import domain_col
+
+    host = F.col(host_col) if host_col else domain_col(F.col(url_col))
+    base = df.select(
+        host.alias("host"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("es"),
+    ).filter((F.col("host") != "") & F.col("es").isNotNull())
+    w = Window.partitionBy("host").orderBy("es")
+    gaps = base.withColumn("gap", F.col("es") - F.lag("es").over(w))
+    return gaps.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        (F.max("es") - F.min("es")).alias("span_s"),
+        F.min("gap").alias("min_gap_s"),
+        F.round(F.avg("gap"), 6).alias("mean_gap_s"),
+    )

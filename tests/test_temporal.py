@@ -74,3 +74,31 @@ def test_as_of_join_is_native(spark):
     plan = buf.getvalue()
     assert "Window" in plan and "Union" in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_host_fetch_stats(spark):
+    from datetime import datetime
+
+    from llm_aided_ocr_spark.operators.temporal import host_fetch_stats
+
+    t = lambda s: datetime(2024, 3, 1, 0, 0, s)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            ("https://a.io/1", t(0)),
+            ("https://a.io/2", t(10)),
+            ("https://a.io/3", t(40)),
+            ("https://b.io/x", t(5)),   # single fetch -> NULL gaps
+            ("https://c.io/p", t(7)),   # duplicate ts -> gap 0
+            ("https://c.io/q", t(7)),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    rows = {r["host"]: r for r in host_fetch_stats(df).collect()}
+    a = rows["a.io"]
+    assert (a["n_fetches"], a["span_s"], a["min_gap_s"], a["mean_gap_s"]) == (
+        3, 40.0, 10.0, 20.0,
+    )
+    b = rows["b.io"]
+    assert b["n_fetches"] == 1 and b["min_gap_s"] is None
+    c = rows["c.io"]
+    assert (c["min_gap_s"], c["span_s"]) == (0.0, 0.0)

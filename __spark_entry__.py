@@ -4152,6 +4152,48 @@ def _robots_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(host.alias("host"), txt.alias("robots_txt"))
 
 
+def _q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniff over constructed pages cycling the four declaration
+    shapes (BOM / html5 meta / html4 http-equiv / none); the oracle
+    states has_bom+charset closed-form from doc_id%4, so the native
+    sniff must recover exactly what the constructor encoded."""
+    from llm_aided_ocr_spark.operators.extract import charset_signals
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    m = F.col("doc_id") % 4
+    html = F.concat(
+        F.when(m == 0, F.lit("﻿")).otherwise(F.lit("")),
+        F.lit("<html><head>"),
+        F.when(m == 1, F.lit('<meta charset="ISO-8859-1">'))
+        .when(
+            m == 2,
+            F.lit(
+                '<meta http-equiv="Content-Type" '
+                'content="text/html; charset=Windows-1252">'
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.lit("<title>t</title></head><body>p</body></html>"),
+    ).cast("binary")
+    pages = d.select("doc_id", html.alias("html"))
+    out = charset_signals(pages, id_col="doc_id")
+    return out.select(
+        "id", "has_bom", F.coalesce("charset", F.lit("")).alias("charset")
+    )
+
+
+_CHARSET_DETECT_SQL = """
+SELECT doc_id AS id,
+       doc_id % 4 = 0 AS has_bom,
+       CASE doc_id % 4
+         WHEN 0 THEN 'utf-8'
+         WHEN 1 THEN 'iso-8859-1'
+         WHEN 2 THEN 'windows-1252'
+         ELSE '' END AS charset
+FROM documents
+"""
+
+
 def _q_host_fetch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-politeness stats (per-host fetch count, span, min/mean
     inter-fetch gap) over constructed fetch timestamps; the oracle
@@ -4335,6 +4377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": _q_wet_roundtrip,
         "sitemap_urls": _q_sitemap_urls,
         "host_fetch_stats": _q_host_fetch_stats,
+        "charset_detect": _q_charset_detect,
         "robots_rules": _q_robots_rules,
         "robots_allowed": _q_robots_allowed,
         "host_pagerank": _q_host_pagerank,
@@ -5040,6 +5083,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_corpus": _ANCHOR_CORPUS_SQL,
         "sitemap_urls": _SITEMAP_URLS_SQL,
         "host_fetch_stats": _HOST_FETCH_STATS_SQL,
+        "charset_detect": _CHARSET_DETECT_SQL,
         "url_trap_flags": _URL_TRAP_SQL,
         "bloom_urls": _BLOOM_URLS_SQL,
         "wet_roundtrip": _WET_ROUNDTRIP_SQL,

@@ -242,3 +242,43 @@ def html_page_signals(
         F.col("_s.links_per_kb").alias("links_per_kb"),
         "canonical_href",
     )
+
+
+def charset_signals(
+    pages_df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+) -> DataFrame:
+    """``(id, has_bom, charset)`` — encoding declaration sniff, the step
+    a Common-Crawl extraction pipeline runs BEFORE committing to a
+    decode: raw fetch bytes arrive with no reliable charset, and
+    decoding windows-1252 as utf-8 silently mangles every non-ASCII
+    page. Precedence follows the WHATWG encoding sniff order for the
+    in-document signals: byte-order mark (authoritative → ``utf-8``),
+    else the first ``charset=`` declaration — which one regex covers in
+    BOTH html5 ``<meta charset=...>`` and html4
+    ``<meta http-equiv=Content-Type content="...; charset=...">`` forms
+    — else NULL (caller falls back to transport headers / detection).
+
+    One native projection, zero shuffle, fuses into the scan; the
+    pattern is Java∩RE2 so the DuckDB oracle replays it verbatim. The
+    BOM check runs on the decoded string's first char (U+FEFF) — the
+    raw EF BB BF bytes decode to exactly that — so both engines see the
+    identical value. No reference analogue (the reference ingests PDFs,
+    llm_aided_ocr.py:411-426); part of the web-curation suite.
+    """
+    h = F.decode(F.coalesce(F.col(html_col), F.lit(b"")), "UTF-8")
+    bom = F.startswith(h, F.lit("\ufeff"))
+    declared = F.lower(
+        F.nullif(
+            F.regexp_extract(
+                h, r"""(?is)<meta\b[^>]*\bcharset\s*=\s*["']?([A-Za-z0-9_.:-]+)""", 1
+            ),
+            F.lit(""),
+        )
+    )
+    return pages_df.select(
+        F.col(id_col).alias("id"),
+        bom.alias("has_bom"),
+        F.when(bom, F.lit("utf-8")).otherwise(declared).alias("charset"),
+    )

@@ -729,3 +729,28 @@ def test_gate_fused_matches_composed(spark):
 
     with pytest.raises(ValueError):
         gopher_repetition_gate(df, impl="nope")
+
+
+def test_charset_signals(spark):
+    from llm_aided_ocr_spark.operators.extract import charset_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "﻿<html>x</html>".encode()),
+            (2, b'<html><meta charset="UTF-8"><body></body></html>'),
+            (3, b'<META HTTP-EQUIV="content-type" '
+                b'CONTENT="text/html; charset=Shift_JIS">'),
+            (4, b"<html>no declaration</html>"),
+            (5, None),
+            # BOM wins over a conflicting meta declaration
+            (6, "﻿<meta charset=latin-1>".encode()),
+        ],
+        "url long, html binary",
+    )
+    rows = {r["id"]: r for r in charset_signals(df).collect()}
+    assert (rows[1]["has_bom"], rows[1]["charset"]) == (True, "utf-8")
+    assert (rows[2]["has_bom"], rows[2]["charset"]) == (False, "utf-8")
+    assert rows[3]["charset"] == "shift_jis"
+    assert rows[4]["charset"] is None
+    assert rows[5]["charset"] is None and rows[5]["has_bom"] is False
+    assert (rows[6]["has_bom"], rows[6]["charset"]) == (True, "utf-8")

@@ -4152,6 +4152,64 @@ def _robots_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(host.alias("host"), txt.alias("robots_txt"))
 
 
+def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script histogram over constructed mixed-script texts
+    (Latin base + per-doc Cyrillic / Han / Greek / digit tails); the
+    oracle recomputes with RE2's script classes over the same
+    construction, so the query doubles as a standing test that the
+    Java and RE2 class contents agree."""
+    from llm_aided_ocr_spark.operators.textstats import script_profile
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    m = F.col("doc_id") % 5
+    text = F.concat(
+        F.repeat(F.lit("Example text. "), (F.col("doc_id") % 3 + 1).cast("int")),
+        F.when(m == 1, F.lit("Пример текста"))
+        .when(m == 2, F.lit("例子文本"))
+        .when(m == 3, F.lit("παράδειγμα"))
+        .when(m == 4, F.lit("12345"))
+        .otherwise(F.lit("")),
+    )
+    return script_profile(
+        d.select("doc_id", text.alias("text")), id_col="doc_id"
+    )
+
+
+_SCRIPT_PROFILE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         repeat('Example text. ', CAST(doc_id % 3 + 1 AS INT)) ||
+         CASE doc_id % 5
+           WHEN 1 THEN 'Пример текста'
+           WHEN 2 THEN '例子文本'
+           WHEN 3 THEN 'παράδειγμα'
+           WHEN 4 THEN '12345'
+           ELSE '' END AS text
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^\\p{Latin}]', '', 'g')) AS lat,
+         length(regexp_replace(text, '[^\\p{Cyrillic}]', '', 'g')) AS cyr,
+         length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS han,
+         length(regexp_replace(text, '[^\\p{Greek}]', '', 'g')) AS grk,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS dig
+  FROM t)
+SELECT doc_id AS id, n_chars,
+       round(lat / greatest(n_chars, 1)::DOUBLE, 6) AS latin_frac,
+       round(cyr / greatest(n_chars, 1)::DOUBLE, 6) AS cyrillic_frac,
+       round(han / greatest(n_chars, 1)::DOUBLE, 6) AS han_frac,
+       round(grk / greatest(n_chars, 1)::DOUBLE, 6) AS greek_frac,
+       round(dig / greatest(n_chars, 1)::DOUBLE, 6) AS digit_frac,
+       CASE WHEN lat + cyr + han + grk = 0 THEN 'none'
+            WHEN lat >= cyr AND lat >= han AND lat >= grk THEN 'latin'
+            WHEN cyr >= han AND cyr >= grk THEN 'cyrillic'
+            WHEN han >= grk THEN 'han'
+            ELSE 'greek' END AS main_script
+FROM c
+"""
+
+
 def _q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniff over constructed pages cycling the four declaration
     shapes (BOM / html5 meta / html4 http-equiv / none); the oracle
@@ -4378,6 +4436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": _q_sitemap_urls,
         "host_fetch_stats": _q_host_fetch_stats,
         "charset_detect": _q_charset_detect,
+        "script_profile": _q_script_profile,
         "robots_rules": _q_robots_rules,
         "robots_allowed": _q_robots_allowed,
         "host_pagerank": _q_host_pagerank,
@@ -5084,6 +5143,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_urls": _SITEMAP_URLS_SQL,
         "host_fetch_stats": _HOST_FETCH_STATS_SQL,
         "charset_detect": _CHARSET_DETECT_SQL,
+        "script_profile": _SCRIPT_PROFILE_SQL,
         "url_trap_flags": _URL_TRAP_SQL,
         "bloom_urls": _BLOOM_URLS_SQL,
         "wet_roundtrip": _WET_ROUNDTRIP_SQL,

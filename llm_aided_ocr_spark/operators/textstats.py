@@ -1617,3 +1617,59 @@ def quality_classifier_score(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob_r"),
     )
     return pin(out, base)
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, n_chars, latin_frac, cyrillic_frac, han_frac, greek_frac,
+    digit_frac, main_script)`` — per-document Unicode-script histogram,
+    the writing-system counterpart to :func:`lang_id_col`: language-ID
+    heuristics assume one script, so a page whose declared lang says
+    ``en`` but whose bytes are 40% Han is either mislabeled, spam, or a
+    template page — all of which curation pipelines drop (CCNet buckets
+    per language only after a script gate).
+
+    Counting is one native projection — ``length(regexp_replace(text,
+    '[^\\p{Script}]', ''))`` per script — zero shuffle, zero Python,
+    fuses into the scan. Fractions are IEEE ratios of exact integer
+    counts, rounded to 6 (cross-engine bit-stable); ``main_script`` is
+    the argmax on the RAW counts with a fixed precedence
+    (latin > cyrillic > han > greek, ``none`` when all are zero) so ties
+    are deterministic. Spark spells the classes ``\\p{IsLatin}``
+    (Java regex), the DuckDB oracle ``\\p{Latin}`` (RE2) — the class
+    CONTENTS agree; the cross-engine query is exactly the test that
+    they keep agreeing."""
+    from llm_aided_ocr_spark.operators.util import let_
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _n(cls: str) -> Column:
+        return F.length(F.regexp_replace(t, rf"[^\p{{Is{cls}}}]", ""))
+
+    def _build(n: Column) -> Column:
+        lat, cyr, han, grk = _n("Latin"), _n("Cyrillic"), _n("Han"), _n("Greek")
+        dig = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+        denom = F.greatest(n, F.lit(1)).cast("double")
+        main = (
+            F.when(lat + cyr + han + grk == 0, F.lit("none"))
+            .when((lat >= cyr) & (lat >= han) & (lat >= grk), F.lit("latin"))
+            .when((cyr >= han) & (cyr >= grk), F.lit("cyrillic"))
+            .when(han >= grk, F.lit("han"))
+            .otherwise(F.lit("greek"))
+        )
+        return F.struct(
+            n.alias("n_chars"),
+            F.round(lat / denom, 6).alias("latin_frac"),
+            F.round(cyr / denom, 6).alias("cyrillic_frac"),
+            F.round(han / denom, 6).alias("han_frac"),
+            F.round(grk / denom, 6).alias("greek_frac"),
+            F.round(dig / denom, 6).alias("digit_frac"),
+            main.alias("main_script"),
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"), let_(F.length(t), _build).alias("_s")
+    ).select("id", "_s.*")

@@ -754,3 +754,29 @@ def test_charset_signals(spark):
     assert rows[4]["charset"] is None
     assert rows[5]["charset"] is None and rows[5]["has_bom"] is False
     assert (rows[6]["has_bom"], rows[6]["charset"]) == (True, "utf-8")
+
+
+def test_script_profile(spark):
+    from llm_aided_ocr_spark.operators.textstats import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcd"),                 # pure latin
+            (2, "абвг"),                 # pure cyrillic
+            (3, "ab гд"),                # tie -> latin precedence
+            (4, "1234"),                 # digits only -> none
+            (5, None),                   # NULL -> empty
+            (6, "汉字 text 123"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in script_profile(df).collect()}
+    assert rows[1]["main_script"] == "latin" and rows[1]["latin_frac"] == 1.0
+    assert rows[2]["main_script"] == "cyrillic"
+    assert rows[3]["main_script"] == "latin"
+    assert rows[4]["main_script"] == "none" and rows[4]["digit_frac"] == 1.0
+    assert rows[5]["n_chars"] == 0 and rows[5]["main_script"] == "none"
+    r6 = rows[6]
+    assert r6["main_script"] == "latin"  # 4 latin >= 2 han
+    assert r6["han_frac"] == round(2 / 11, 6)
+    assert r6["digit_frac"] == round(3 / 11, 6)

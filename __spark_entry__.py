@@ -4152,6 +4152,42 @@ def _robots_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(host.alias("host"), txt.alias("robots_txt"))
 
 
+def _q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index postings over the real documents table (min_df=2
+    pruning), verified through a per-term exact-integer checksum of the
+    full (term, id, tf) content — compact enough to hash cross-engine
+    while pinning every posting's id and tf."""
+    from llm_aided_ocr_spark.operators.search import postings
+
+    docs = _docs(spark, sf_dir)
+    out = postings(docs, min_df=2)
+    return out.groupBy("term", "df").agg(
+        F.sum("tf").alias("total_tf"),
+        F.sum(F.col("tf") * ((F.col("id") % 1000003) + 1)).alias(
+            "id_tf_checksum"
+        ),
+    )
+
+
+_POSTINGS_SQL = """
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))
+           AS term
+  FROM documents),
+tf AS (
+  SELECT term, id, COUNT(*) AS tf FROM tok WHERE term <> ''
+  GROUP BY term, id),
+st AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT term, df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       CAST(SUM(tf * ((id % 1000003) + 1)) AS BIGINT) AS id_tf_checksum
+FROM tf JOIN st USING (term)
+WHERE df >= 2
+GROUP BY term, df
+"""
+
+
 def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script histogram over constructed mixed-script texts
     (Latin base + per-doc Cyrillic / Han / Greek / digit tails); the
@@ -4437,6 +4473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_fetch_stats": _q_host_fetch_stats,
         "charset_detect": _q_charset_detect,
         "script_profile": _q_script_profile,
+        "postings": _q_postings,
         "robots_rules": _q_robots_rules,
         "robots_allowed": _q_robots_allowed,
         "host_pagerank": _q_host_pagerank,
@@ -5144,6 +5181,7 @@ def oracle_sql() -> dict[str, str]:
         "host_fetch_stats": _HOST_FETCH_STATS_SQL,
         "charset_detect": _CHARSET_DETECT_SQL,
         "script_profile": _SCRIPT_PROFILE_SQL,
+        "postings": _POSTINGS_SQL,
         "url_trap_flags": _URL_TRAP_SQL,
         "bloom_urls": _BLOOM_URLS_SQL,
         "wet_roundtrip": _WET_ROUNDTRIP_SQL,

@@ -154,3 +154,48 @@ def bm25_topk(
     return carry_pins(
         scores, scores.orderBy(F.desc("score_r"), F.col("id")).limit(k)
     )
+
+
+def postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int | None = None,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """``(term, id, tf, df)`` — the inverted-index postings relation
+    over the shared normalized token space (the same ``[a-z0-9]+``
+    tokenizer as :func:`bm25_scores` and the shingle family, so an
+    index built here scores consistently with ad-hoc BM25). ``tf`` is
+    the term's in-document count, ``df`` its document frequency —
+    everything a BM25/idf-weighted serving index materializes per
+    posting.
+
+    ``min_df`` drops hapax/rare terms (classic index pruning);
+    ``max_df_frac`` drops stop-like terms present in more than that
+    fraction of documents (df bound computed against a 1-row broadcast
+    corpus count, the repo's standard scalar pattern — no collect).
+
+    Scale shape: explode → ``groupBy(term, id)`` — all tokens of a
+    document sit in one input row, so map-side partial aggregation
+    collapses to per-(doc, term) counts before the ONE data-bearing
+    exchange; the df stats are a second narrow agg on ``term`` and join
+    back on their own grouping key (vocabulary-sized relation — NOT
+    broadcast: a web-scale vocabulary is 10^8+ terms; AQE picks the
+    strategy). Postings rows are ~30 bytes; text never crosses an
+    exchange."""
+    from llm_aided_ocr_spark.operators.dedup import _words_col
+
+    words = F.filter(_words_col(text_col), lambda w: w != "")
+    tok = df.select(F.col(id_col).alias("id"), F.explode(words).alias("term"))
+    tf = tok.groupBy("term", "id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    out = tf.join(stats, "term")
+    if min_df:
+        out = out.filter(F.col("df") >= F.lit(int(min_df)))
+    if max_df_frac is not None:
+        n = df.select(F.count(F.lit(1)).alias("_n_docs"))
+        out = out.crossJoin(F.broadcast(n)).filter(
+            F.col("df") <= F.col("_n_docs") * F.lit(float(max_df_frac))
+        ).drop("_n_docs")
+    return out.select("term", "id", "tf", "df")

@@ -76,3 +76,27 @@ def test_word_count_col(spark):
     df = spark.createDataFrame(cases, "s string, expected int")
     for r in df.select(word_count_col(F.col("s")).alias("n"), "expected").collect():
         assert r["n"] == r["expected"]
+
+
+def test_postings_index(spark):
+    from llm_aided_ocr_spark.operators.search import postings
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "a cat! A CAT."),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r["term"], r["id"]): r for r in postings(df).collect()}
+    assert rows[("the", 1)]["tf"] == 2 and rows[("the", 1)]["df"] == 2
+    assert rows[("cat", 3)]["tf"] == 2  # case/punct-normalized
+    assert ("", 4) not in rows  # NULL doc yields no postings
+    # min_df prunes hapax terms ("a" has tf=2 but df=1 — df is doc count)
+    pruned = {r["term"] for r in postings(df, min_df=2).collect()}
+    assert pruned == {"the", "cat", "sat"}
+    # max_df_frac drops stop-like terms present in > frac of docs
+    capped = {r["term"] for r in postings(df, max_df_frac=0.26).collect()}
+    assert "the" not in capped and "sat" not in capped and "dog" in capped

@@ -4188,6 +4188,71 @@ GROUP BY term, df
 """
 
 
+def _q_content_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level link-density content classification (JusText /
+    Boilerpipe heuristic) over pages CONSTRUCTED natively from the
+    documents table: block 0 is a ``<div>`` with ``k = doc_id%4``
+    two-word anchors plus three plain words, block 1 a ``<p>`` holding
+    the entity-escaped document text, block 2 (even doc_ids only) an
+    all-anchor ``<footer>`` with ``doc_id%3 + 1`` one-word links. The
+    oracle never parses HTML — it states every expected count and the
+    is_content verdict (min_words=4, max_link_density=0.5) from the
+    same doc_id arithmetic, so the operator's segmentation, word/link
+    counting and threshold logic must all reproduce the construction
+    exactly (the media_dimensions round-trip-proof pattern)."""
+    from llm_aided_ocr_spark.operators.extract import content_blocks
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    esc = F.coalesce("text", F.lit(""))
+    esc = F.replace(esc, F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    k = (did % 4).cast("int")
+    m = (did % 3).cast("int")
+    nav = F.concat(
+        F.lit("<div>"),
+        F.repeat(F.lit('<a href="/x">go now</a> '), k),
+        F.lit("read more here</div>"),
+    )
+    para = F.concat(F.lit("<p>"), esc, F.lit("</p>"))
+    foot = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit("<footer>"),
+            F.repeat(F.lit('<a href="/y">f</a> '), m + F.lit(1)),
+            F.lit("</footer>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(nav, para, foot).cast("binary")
+    pages = d.select("doc_id", html.alias("html"))
+    out = content_blocks(pages, id_col="doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"), "block_idx", "tag", "n_words",
+        "link_words", "is_content",
+    )
+
+
+_CONTENT_BLOCKS_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS k,
+         CAST(doc_id % 3 AS BIGINT) AS m,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+'))
+              AS BIGINT) AS wc
+  FROM documents)
+SELECT doc_id, CAST(0 AS INTEGER) AS block_idx, 'div' AS tag,
+       2 * k + 3 AS n_words, 2 * k AS link_words,
+       (k = 1) AS is_content
+FROM d
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER), 'p', wc, CAST(0 AS BIGINT), wc >= 4
+FROM d
+UNION ALL
+SELECT doc_id, CAST(2 AS INTEGER), 'footer', m + 1, m + 1, FALSE
+FROM d WHERE doc_id % 2 = 0
+"""
+
+
 def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script histogram over constructed mixed-script texts
     (Latin base + per-doc Cyrillic / Han / Greek / digit tails); the
@@ -4416,6 +4481,111 @@ def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_meta_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph / classic <meta> metadata extraction over pages
+    CONSTRUCTED natively from the documents table: every page carries
+    an og:title, doc_id%3==0 adds a description (attribute order
+    REVERSED for doc_id%6==0), doc_id%4==0 adds a content-less
+    og:locale, and a keyless <meta charset> tag is always present as
+    noise. The oracle states every expected (key, content) row from the
+    same arithmetic."""
+    from llm_aided_ocr_spark.operators.extract import meta_properties
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    title = F.concat(F.lit('<meta property="og:title" content="Doc '), ds, F.lit('">'))
+    desc = (
+        F.when(
+            did % 6 == 0,
+            F.concat(F.lit('<meta content="d '), ds, F.lit('" name="Description">')),
+        )
+        .when(
+            did % 3 == 0,
+            F.concat(F.lit('<meta name="description" content="d '), ds, F.lit('">')),
+        )
+        .otherwise(F.lit(""))
+    )
+    locale = F.when(did % 4 == 0, F.lit('<meta property="og:locale">')).otherwise(
+        F.lit("")
+    )
+    html = F.concat(
+        F.lit('<html><head><meta charset="utf-8">'),
+        title, desc, locale,
+        F.lit("</head><body></body></html>"),
+    ).cast("binary")
+    pages = d.select("doc_id", html.alias("html"))
+    return meta_properties(
+        pages, id_col="doc_id", keys=["og:title", "description", "og:locale"]
+    ).select(F.col("id").alias("doc_id"), "key", "content")
+
+
+_META_PROPS_SQL = """
+SELECT doc_id, 'og:title' AS key, 'Doc ' || CAST(doc_id AS VARCHAR) AS content
+FROM documents
+UNION ALL
+SELECT doc_id, 'description', 'd ' || CAST(doc_id AS VARCHAR)
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'og:locale', ''
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+def _q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<h1>-<h6> document outline over pages CONSTRUCTED natively from
+    the documents table: one h1 per page, k = doc_id%3 h2 sections, and
+    (doc_id%5==0) a trailing h3 whose text is wrapped in a nested
+    <em> tag plus ragged whitespace — so the tag-strip and collapse are
+    exercised. heading_ix order and every text are stated closed-form
+    by the oracle."""
+    from llm_aided_ocr_spark.operators.extract import heading_outline
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    k = (did % 3).cast("int")
+    h1 = F.concat(F.lit("<h1>Doc "), ds, F.lit("</h1>"))
+    # sections get DISTINCT texts "S <doc_id> 1", "S <doc_id> 2", ...
+    # (sequence(1, 0) is DESCENDING [1, 0] in Spark — guard k = 0)
+    secs = F.aggregate(
+        F.when(k > 0, F.sequence(F.lit(1), k)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        F.lit(""),
+        lambda acc, j: F.concat(
+            acc, F.lit("<h2> S "), ds, F.lit(" "), j.cast("string"), F.lit(" </h2>")
+        ),
+    )
+    h3 = F.when(
+        did % 5 == 0,
+        F.concat(F.lit("<h3>Deep  <em>"), ds, F.lit("</em>\t</h3>")),
+    ).otherwise(F.lit(""))
+    html = F.concat(F.lit("<body>"), h1, secs, h3, F.lit("</body>")).cast(
+        "binary"
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return heading_outline(pages, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "heading_ix", "level", "text"
+    )
+
+
+_HEADING_OUTLINE_SQL = """
+WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS k FROM documents)
+SELECT doc_id, CAST(0 AS INTEGER) AS heading_ix, CAST(1 AS INTEGER) AS level,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS text
+FROM d
+UNION ALL
+SELECT doc_id, CAST(j AS INTEGER), CAST(2 AS INTEGER),
+       'S ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(j AS VARCHAR)
+FROM d, generate_series(1, 2) AS g(j) WHERE j <= k
+UNION ALL
+SELECT doc_id, k + 1, CAST(3 AS INTEGER),
+       'Deep ' || CAST(doc_id AS VARCHAR)
+FROM d WHERE doc_id % 5 = 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of contract queries.
 
@@ -4474,6 +4644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_detect": _q_charset_detect,
         "script_profile": _q_script_profile,
         "postings": _q_postings,
+        "content_blocks": _q_content_blocks,
         "robots_rules": _q_robots_rules,
         "robots_allowed": _q_robots_allowed,
         "host_pagerank": _q_host_pagerank,
@@ -4529,6 +4700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "meta_props": _q_meta_props,
+        "heading_outline": _q_heading_outline,
     }
 
 
@@ -5182,9 +5355,12 @@ def oracle_sql() -> dict[str, str]:
         "charset_detect": _CHARSET_DETECT_SQL,
         "script_profile": _SCRIPT_PROFILE_SQL,
         "postings": _POSTINGS_SQL,
+        "content_blocks": _CONTENT_BLOCKS_SQL,
         "url_trap_flags": _URL_TRAP_SQL,
         "bloom_urls": _BLOOM_URLS_SQL,
         "wet_roundtrip": _WET_ROUNDTRIP_SQL,
         "robots_rules": _ROBOTS_RULES_SQL,
         "robots_allowed": _ROBOTS_ALLOWED_SQL,
+        "meta_props": _META_PROPS_SQL,
+        "heading_outline": _HEADING_OUTLINE_SQL,
     }

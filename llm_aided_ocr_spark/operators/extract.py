@@ -282,3 +282,239 @@ def charset_signals(
         bom.alias("has_bom"),
         F.when(bom, F.lit("utf-8")).otherwise(declared).alias("charset"),
     )
+
+
+_BLOCK_SEG_RE = (
+    r"(?is)<(p|div|nav|section|article|footer|aside|li|h[1-6]|"
+    r"blockquote|pre|td)\b[^>]*>(.*?)</\1\s*>"
+)
+_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+
+
+def _word_count(c: F.Column) -> F.Column:
+    """Words of a tag-bearing fragment: strip tags to spaces, count
+    non-whitespace runs. Escaping (& < >) never creates or removes
+    whitespace, so counts agree between escaped and raw text."""
+    stripped = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    return F.size(F.regexp_extract_all(stripped, F.lit(r"(\S+)"), F.lit(1)))
+
+
+def content_blocks(
+    pages_df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+    min_words: int = 4,
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """``(id, block_idx, tag, n_words, link_words, link_density,
+    is_content, block_html)`` — block-level main-content classification
+    by text/link density, the JusText / Boilerpipe family of DOM
+    heuristics the north rule names: navigation, footers and link
+    farms are short and anchor-dominated, body prose is long and
+    anchor-sparse. Per block element (``p div nav section article
+    footer aside li h1-h6 blockquote pre td``):
+
+    * ``n_words`` — whitespace-delimited words after tag strip;
+    * ``link_words`` — words inside ``<a>`` elements of the block;
+    * ``link_density`` — ``link_words / n_words`` (0 when empty);
+    * ``is_content`` — ``n_words >= min_words AND link_density <=
+      max_link_density`` (JusText's short/near-good boundary collapsed
+      to one threshold pair; both are knobs).
+
+    Entirely native — segmentation is one Java-regex pass evaluated
+    twice (tag group, body group; identical pattern, so the match lists
+    align index-for-index and ``arrays_zip`` pairs them), then
+    ``posexplode`` emits one row per block and the counts/density are
+    codegen expressions. Zero Python, zero join; the only exchange is
+    whatever the caller does downstream. Document-local by
+    construction, so it scales with input partitions.
+
+    Honest limits (documented, not hidden): the non-greedy
+    backreference match ends a block at the FIRST matching close tag,
+    so a nested same-tag child truncates its parent (the child's tail
+    is attributed to no block) — the flat-block approximation JusText
+    also makes after DOM flattening. A full HTML5-parser segmentation
+    is an injectable upgrade via :func:`extract_text`'s seam. No
+    reference analogue (the reference ingests PDFs,
+    llm_aided_ocr.py:411-426); part of the web-curation suite."""
+    h = F.decode(F.coalesce(F.col(html_col), F.lit(b"")), "UTF-8")
+    base = pages_df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(h, F.lit(_BLOCK_SEG_RE), F.lit(1)).alias("t"),
+        F.regexp_extract_all(h, F.lit(_BLOCK_SEG_RE), F.lit(2)).alias("b"),
+    )
+    ex = base.select(
+        "id", F.posexplode(F.arrays_zip("t", "b")).alias("block_idx", "z")
+    )
+    body = F.col("z.b")
+    n_words = _word_count(body).cast("bigint")
+    anchors = F.regexp_extract_all(body, F.lit(_ANCHOR_RE), F.lit(1))
+    link_words = F.aggregate(
+        anchors,
+        F.lit(0).cast("bigint"),
+        lambda acc, a: acc + _word_count(a).cast("bigint"),
+    )
+    out = ex.select(
+        "id",
+        "block_idx",
+        F.lower(F.col("z.t")).alias("tag"),
+        n_words.alias("n_words"),
+        link_words.alias("link_words"),
+        body.alias("block_html"),
+    )
+    density = F.when(
+        F.col("n_words") > 0,
+        F.col("link_words").cast("double") / F.col("n_words").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "id",
+        "block_idx",
+        "tag",
+        "n_words",
+        "link_words",
+        density.alias("link_density"),
+        (
+            (F.col("n_words") >= F.lit(int(min_words)))
+            & (density <= F.lit(float(max_link_density)))
+        ).alias("is_content"),
+        "block_html",
+    )
+
+
+def extract_by_density(
+    pages_df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+    min_words: int = 4,
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """``(id, text)`` — the density-based alternative extractor: keep
+    :func:`content_blocks`' content blocks in document order, strip
+    tags/entities per block through the SAME kernel the main extractor
+    uses (:func:`~llm_aided_ocr_spark.kernels.canonicalize_text`'s
+    whitespace contract via ``extract_main_text`` on the block html),
+    and join with blank lines. One groupBy(id) exchange over block-
+    sized rows (the page html itself never shuffles — blocks carry only
+    their own bytes); ``array_sort`` on (block_idx) restores order
+    without a window."""
+    blocks = content_blocks(
+        pages_df, html_col, id_col, min_words, max_link_density
+    )
+    kept = blocks.filter(F.col("is_content")).select(
+        "id",
+        F.struct("block_idx", "block_html").alias("s"),
+    )
+    agg = kept.groupBy("id").agg(
+        F.array_sort(F.collect_list("s")).alias("blocks")
+    )
+    from llm_aided_ocr_spark.kernels import extract_main_text
+
+    import pandas as pd
+
+    def _strip(batches):
+        for batch in batches:
+            texts = [
+                "\n\n".join(
+                    t
+                    for blk in doc_blocks
+                    if (
+                        t := extract_main_text(
+                            blk["block_html"].encode("utf-8")
+                        )
+                    )
+                )
+                for doc_blocks in batch["blocks"]
+            ]
+            yield pd.DataFrame({"id": batch["id"], "text": texts})
+    id_type = dict(agg.dtypes)["id"]
+    return agg.mapInPandas(_strip, schema=f"id {id_type}, text string")
+
+
+_META_TAG_RE = r"(?is)(<meta\b[^>]*>)"
+_META_KEY_RE = r"""(?i)\b(?:property|name)\s*=\s*["']([^"']+)"""
+_META_CONTENT_RE = r"""(?i)\bcontent\s*=\s*["']([^"']*)"""
+_HEADING_RE = r"(?is)<h([1-6])\b[^>]*>(.*?)</h\1\s*>"
+
+
+def meta_properties(
+    pages_df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+    keys: Optional[List[str]] = None,
+) -> DataFrame:
+    """``(id, key, content)`` — one row per ``<meta>`` declaration whose
+    ``property=`` (OpenGraph/RDFa form) or ``name=`` (classic form)
+    matches ``keys``: the page-metadata sidecar a web corpus carries
+    next to extracted text (og:title / og:description /
+    article:published_time feed document metadata; description feeds
+    snippeting). Key matching is case-insensitive (lowercased in the
+    output); ``keys=None`` keeps every declared key. ``content`` is the
+    raw attribute value (entities left as-is — the DOM strip owns
+    unescaping); a meta tag with no content attribute yields an empty
+    string. Attribute order is free: key and content are extracted
+    independently from each tag.
+
+    Fully native: one ``regexp_extract_all`` pass lists the meta tags,
+    a ``transform`` lambda projects (key, content) per tag, and the key
+    filter evaluates before ``explode`` — so non-matching tags never
+    become rows. Zero Python, zero shuffle, fuses into the scan.
+    Document-local; no reference analogue (the reference ingests PDFs,
+    llm_aided_ocr.py:411-426); part of the web-curation suite."""
+    h = F.decode(F.coalesce(F.col(html_col), F.lit(b"")), "UTF-8")
+    tags = F.regexp_extract_all(h, F.lit(_META_TAG_RE), F.lit(1))
+    pairs = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.lower(F.regexp_extract(t, _META_KEY_RE, 1)).alias("key"),
+            F.regexp_extract(t, _META_CONTENT_RE, 1).alias("content"),
+        ),
+    )
+    keep = F.filter(pairs, lambda p: p["key"] != "")
+    if keys is not None:
+        wanted = F.array(*[F.lit(k.lower()) for k in keys])
+        keep = F.filter(keep, lambda p: F.array_contains(wanted, p["key"]))
+    return pages_df.select(
+        F.col(id_col).alias("id"), F.explode(keep).alias("p")
+    ).select("id", F.col("p.key").alias("key"), F.col("p.content").alias("content"))
+
+
+def heading_outline(
+    pages_df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+) -> DataFrame:
+    """``(id, heading_ix, level, text)`` — the document's ``<h1>–<h6>``
+    outline in order: section structure for markdown reconstruction
+    (the reference's correction pass promotes detected headings to
+    markdown ``#`` levels — this is the HTML-side source of the same
+    signal) and a layout/quality feature (pages with no headings and a
+    thousand links are listings, not articles). ``text`` is
+    tag-stripped and whitespace-collapsed; empty headings are kept
+    (level structure matters even when the text is an image).
+
+    Same native shape as :func:`content_blocks`: the heading regex
+    evaluated twice (level group, body group — identical pattern, so
+    the match lists align), ``arrays_zip`` + ``posexplode``, stripping
+    as codegen expressions. Zero Python, zero shuffle."""
+    h = F.decode(F.coalesce(F.col(html_col), F.lit(b"")), "UTF-8")
+    base = pages_df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(h, F.lit(_HEADING_RE), F.lit(1)).alias("lv"),
+        F.regexp_extract_all(h, F.lit(_HEADING_RE), F.lit(2)).alias("bd"),
+    )
+    ex = base.select(
+        "id", F.posexplode(F.arrays_zip("lv", "bd")).alias("heading_ix", "z")
+    )
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("z.bd"), r"(?s)<[^>]*>", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return ex.select(
+        "id",
+        "heading_ix",
+        F.col("z.lv").cast("int").alias("level"),
+        text.alias("text"),
+    )

@@ -179,16 +179,25 @@ def postings(
     Scale shape: explode → ``groupBy(term, id)`` — all tokens of a
     document sit in one input row, so map-side partial aggregation
     collapses to per-(doc, term) counts before the ONE data-bearing
-    exchange; the df stats are a second narrow agg on ``term`` and join
-    back on their own grouping key (vocabulary-sized relation — NOT
-    broadcast: a web-scale vocabulary is 10^8+ terms; AQE picks the
-    strategy). Postings rows are ~30 bytes; text never crosses an
-    exchange."""
+    exchange. The tf relation is persisted (MEMORY_AND_DISK, pinned for
+    :func:`~llm_aided_ocr_spark.operators.util.release_pinned`) before
+    the df stats derive from it: without the pin, Catalyst re-plans the
+    stats subtree from the source and TOKENIZES THE CORPUS TWICE —
+    verified in the physical plan — whereas tf is a ~30-byte-row
+    relation that spills to disk cheaply. The stats agg is narrow
+    (``term`` → count) and joins back on its own grouping key
+    (vocabulary-sized relation — NOT force-broadcast: a web-scale
+    vocabulary is 10^8+ terms; AQE picks the strategy). Text never
+    crosses an exchange."""
+    from pyspark import StorageLevel
+
     from llm_aided_ocr_spark.operators.dedup import _words_col
+    from llm_aided_ocr_spark.operators.util import pin
 
     words = F.filter(_words_col(text_col), lambda w: w != "")
     tok = df.select(F.col(id_col).alias("id"), F.explode(words).alias("term"))
     tf = tok.groupBy("term", "id").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     out = tf.join(stats, "term")
     if min_df:
@@ -198,4 +207,4 @@ def postings(
         out = out.crossJoin(F.broadcast(n)).filter(
             F.col("df") <= F.col("_n_docs") * F.lit(float(max_df_frac))
         ).drop("_n_docs")
-    return out.select("term", "id", "tf", "df")
+    return pin(out.select("term", "id", "tf", "df"), tf)

@@ -173,6 +173,7 @@ _R5_FRONT = [
     "outlinks_resolved", "host_graph", "host_degrees", "anchor_corpus",
     "url_trap_flags", "bloom_urls", "wet_roundtrip", "sitemap_urls",
     "host_fetch_stats", "charset_detect", "script_profile", "postings",
+    "content_blocks",
     "robots_rules", "robots_allowed", "host_pagerank", "compression_ratio",
 ]
 
@@ -180,7 +181,7 @@ _R5_FRONT = [
 def test_registration_order_fronts_driver_unchecked_queries(entry_mod):
     keys = list(entry_mod.queries())
     assert keys[: len(_R5_FRONT)] == _R5_FRONT
-    assert len(keys) == 99
-    assert len(set(keys)) == 99
+    assert len(keys) == 102
+    assert len(set(keys)) == 102
     # every never-driver-checked query must sit inside the 50-row window
     assert len(_R5_FRONT) <= 50

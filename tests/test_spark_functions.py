@@ -100,3 +100,12 @@ def test_postings_index(spark):
     # max_df_frac drops stop-like terms present in > frac of docs
     capped = {r["term"] for r in postings(df, max_df_frac=0.26).collect()}
     assert "the" not in capped and "sat" not in capped and "dog" in capped
+
+    # the df-stats side must read the persisted tf relation, not re-scan
+    # and re-tokenize the corpus (the 100 TB double-pass trap)
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    out = postings(df, min_df=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 2  # tf side + stats side
+    assert release_pinned(out, blocking=True) == 1

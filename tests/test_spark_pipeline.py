@@ -197,3 +197,99 @@ def test_html_page_signals_native_and_correct(spark):
     plan = html_page_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_content_blocks_density_classification(spark):
+    from llm_aided_ocr_spark.operators.extract import (
+        content_blocks,
+        extract_by_density,
+    )
+
+    html = (
+        "<nav><a href='/a'>home page</a> <a href='/b'>about us now</a></nav>"
+        "<p>The quick brown fox jumps over the lazy dog tonight.</p>"
+        "<div>short</div>"
+        "<footer><a href='/c'>terms</a> <a href='/d'>privacy</a></footer>"
+        "<article>Body prose with a <a href='/e'>single link</a> inside "
+        "a long paragraph of ordinary words.</article>"
+    )
+    df = spark.createDataFrame([("u1", html.encode())], "url string, html binary")
+    rows = {r["block_idx"]: r for r in content_blocks(df).collect()}
+    assert [rows[i]["tag"] for i in range(5)] == [
+        "nav", "p", "div", "footer", "article",
+    ]
+    nav = rows[0]
+    assert nav["n_words"] == 5 and nav["link_words"] == 5
+    assert nav["link_density"] == 1.0 and not nav["is_content"]
+    p = rows[1]
+    assert p["n_words"] == 10 and p["link_words"] == 0 and p["is_content"]
+    assert rows[2]["n_words"] == 1 and not rows[2]["is_content"]  # too short
+    foot = rows[3]
+    assert foot["link_density"] == 1.0 and not foot["is_content"]
+    art = rows[4]
+    assert art["n_words"] == 13 and art["link_words"] == 2
+    assert art["is_content"]  # 2/13 well under 0.5
+
+    # density extractor keeps p + article in document order
+    text = extract_by_density(df).collect()[0]["text"]
+    assert text == (
+        "The quick brown fox jumps over the lazy dog tonight.\n\n"
+        "Body prose with a single link inside a long paragraph of "
+        "ordinary words."
+    )
+
+    # NULL html → zero blocks, no crash
+    null_df = spark.createDataFrame(
+        [("u2", None)], "url string, html binary"
+    )
+    assert content_blocks(null_df).count() == 0
+
+    # fully native: no Python evals in the block classifier plan
+    plan = content_blocks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # document-local, zero shuffle
+
+
+def test_meta_properties_and_heading_outline(spark):
+    from llm_aided_ocr_spark.operators.extract import (
+        heading_outline,
+        meta_properties,
+    )
+
+    html = (
+        '<html><head>'
+        '<meta property="og:title" content="A &amp; B">'
+        '<meta content="desc here" name="Description">'  # reversed attrs
+        '<meta property="og:locale">'                     # no content
+        '<meta charset="utf-8">'                          # no key attr
+        '<meta name="keywords" content="x,y">'
+        '</head><body>'
+        "<h1>Top <em>Title</em></h1>"
+        "<h2>  Section   one </h2><p>prose</p><h2></h2>"
+        "<h3>Deep</h3>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([("u1", html.encode())], "url string, html binary")
+
+    # filtered to requested keys, case-insensitive, attr order free
+    rows = {
+        (r["key"]): r["content"]
+        for r in meta_properties(
+            df, keys=["og:title", "description", "og:locale"]
+        ).collect()
+    }
+    assert rows == {"og:title": "A &amp; B", "description": "desc here",
+                    "og:locale": ""}
+    # keys=None keeps every declared key (charset tag has none -> dropped)
+    allk = {r["key"] for r in meta_properties(df).collect()}
+    assert allk == {"og:title", "description", "og:locale", "keywords"}
+
+    heads = heading_outline(df).collect()
+    got = [(r["heading_ix"], r["level"], r["text"]) for r in heads]
+    assert got == [(0, 1, "Top Title"), (1, 2, "Section one"), (2, 2, ""),
+                   (3, 3, "Deep")]
+
+    # both fully native, zero shuffle
+    for out in (meta_properties(df), heading_outline(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "Exchange" not in plan

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the DOM strip is skipped")
     p.add_argument("--from-html", action="store_true",
                    help="extract text from the html column (DOM strip)")
+    p.add_argument("--density-extract", action="store_true",
+                   help="with --from-html/--from-warc: use block-level "
+                        "link-density content selection (JusText-style) "
+                        "instead of the default DOM strip")
     p.add_argument("--resume", action="store_true",
                    help="skip documents already in the warehouse checkpoint")
     p.add_argument("--warehouse", default="/tmp/ocr_spark_warehouse")
@@ -297,6 +301,17 @@ def main(argv=None) -> int:
         spark.stop()
         return 0
 
+    extract_fn = None
+    if args.density_extract:
+        if not args.from_html:
+            print("--density-extract requires --from-html or --from-warc",
+                  file=sys.stderr)
+            spark.stop()
+            return 2
+        from llm_aided_ocr_spark.operators.extract import density_extract_stage
+
+        extract_fn = density_extract_stage()
+
     result = run_pipeline(
         pages,
         cfg,
@@ -304,6 +319,7 @@ def main(argv=None) -> int:
         use_html=args.from_html,
         strategy=args.strategy,
         validate_unique_urls=True,
+        extract_fn=extract_fn,
     )
 
     result.write.mode("overwrite").parquet(args.output + "/corrected_docs")

@@ -518,3 +518,35 @@ def heading_outline(
         F.col("z.lv").cast("int").alias("level"),
         text.alias("text"),
     )
+
+
+def density_extract_stage(
+    min_words: int = 4,
+    max_link_density: float = 0.5,
+):
+    """A ``run_pipeline(extract_fn=...)``-compatible extraction stage
+    that swaps the default DOM strip for :func:`extract_by_density`
+    (block-level link-density selection): takes the pages relation,
+    returns ``EXTRACTED_SCHEMA`` (url, warc_ts, lang, extracted_text).
+    Pages with no surviving content block yield empty text (left join +
+    coalesce), matching the default extractor's contract for empty
+    html. The metadata side of the join is three narrow columns; the
+    text side is block-reassembled per url — AQE picks the join
+    strategy."""
+
+    def _stage(pages_df: DataFrame) -> DataFrame:
+        txt = extract_by_density(
+            pages_df,
+            id_col="url",
+            min_words=min_words,
+            max_link_density=max_link_density,
+        ).withColumnsRenamed({"id": "url", "text": "extracted_text"})
+        meta = pages_df.select("url", "warc_ts", "lang")
+        return meta.join(txt, "url", "left").select(
+            "url",
+            "warc_ts",
+            "lang",
+            F.coalesce("extracted_text", F.lit("")).alias("extracted_text"),
+        )
+
+    return _stage

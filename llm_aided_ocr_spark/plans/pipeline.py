@@ -21,7 +21,7 @@ Two physical strategies, byte-identical outputs:
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Callable, Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -172,8 +172,18 @@ def run_pipeline(
     use_html: bool = False,
     strategy: str = "auto",
     validate_unique_urls: bool = False,
+    extract_fn: Optional[Callable[[DataFrame], DataFrame]] = None,
 ) -> DataFrame:
     """Full pipeline: pages table in, corrected documents out.
+
+    ``extract_fn`` swaps the extraction stage (default: the regex DOM
+    strip via ``extract_text``) for an injected one — e.g.
+    ``operators.extract.density_extract_stage()`` for block-level
+    link-density selection. Contract: pages relation in,
+    ``EXTRACTED_SCHEMA`` (url, warc_ts, lang, extracted_text) out.
+    When given, it owns html handling and ``use_html`` is ignored for
+    the stage itself (the auto strategy still routes on the source
+    column's size).
 
     ``strategy``: ``"fused"`` | ``"staged"`` | ``"auto"`` (size-routed).
     With a ``store`` and ``cfg.checkpointing``, already-completed documents
@@ -208,7 +218,10 @@ def run_pipeline(
     source_col = "html" if use_html else "text"
 
     def _prepare(branch: DataFrame) -> DataFrame:
-        out = extract_text(branch, use_html=use_html)
+        if extract_fn is not None:
+            out = extract_fn(branch)
+        else:
+            out = extract_text(branch, use_html=use_html)
         if cfg.apply_page_filter:
             out = apply_page_filter(
                 out, min_chars=cfg.page_min_chars, min_words=cfg.page_min_words

@@ -397,3 +397,52 @@ def test_cli_from_wet_mode(spark):
             "http://a.org/2": "gamma delta",
             "http://b.org/3": "epsilon zeta",
         }
+
+
+def test_cli_density_extract_mode(spark):
+    """--density-extract swaps the DOM strip for block-level link-density
+    selection: the nav/footer chrome that the default strip drops by TAG
+    is here dropped by DENSITY, and a link-heavy <div> that the default
+    strip would keep is shed too."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as tmp:
+        inp = os.path.join(tmp, "pages.parquet")
+        out = os.path.join(tmp, "out")
+        prose = "The quick brown fox jumps over the lazy dog tonight."
+        html = (
+            "<body>"
+            "<div><a href='/a'>one two</a> <a href='/b'>three four</a></div>"
+            f"<p>{prose}</p>"
+            "</body>"
+        ).encode()
+        spark.createDataFrame(
+            [("u1", None, html, None, "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ).write.parquet(inp)
+
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "llm_aided_ocr_spark",
+                "--input", inp, "--output", out,
+                "--provider", "identity", "--from-html", "--density-extract",
+                "--no-raw", "--master", "local[2]",
+            ],
+            capture_output=True, text=True, timeout=300,
+            cwd=repo, env=dict(os.environ, PYTHONPATH=repo),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        rows = spark.read.parquet(os.path.join(out, "corrected_docs")).collect()
+        assert len(rows) == 1 and rows[0]["corrected_text"] == prose
+
+        # without --from-html the flag is rejected
+        proc2 = subprocess.run(
+            [
+                sys.executable, "-m", "llm_aided_ocr_spark",
+                "--input", inp, "--output", out + "2",
+                "--density-extract", "--master", "local[2]",
+            ],
+            capture_output=True, text=True, timeout=300,
+            cwd=repo, env=dict(os.environ, PYTHONPATH=repo),
+        )
+        assert proc2.returncode == 2
+        assert "--density-extract requires" in proc2.stderr

@@ -417,6 +417,8 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
         word_commonness,
     )
     from llm_aided_ocr_spark.operators.bloom import bloom_build, bloom_probe
+    from llm_aided_ocr_spark.operators.extract import content_blocks
+    from llm_aided_ocr_spark.operators.search import postings
     from llm_aided_ocr_spark.operators.linkgraph import (
         host_graph,
         outlinks,
@@ -554,6 +556,28 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
             "host_graph": lambda: host_graph(outlinks(_link_pages(docs))),
             "pagerank": lambda: pagerank(
                 host_graph(outlinks(_link_pages(docs))), iters=5
+            ),
+            # round-5 extraction layer: postings (the ONE corpus-token
+            # exchange + cached-tf stats agg — the plan-pinned single
+            # tokenize pass must hold at both scale points) and
+            # content_blocks over html built from the corpus text (a
+            # nav div + the document as a <p> block + an all-anchor
+            # footer; scan-fused, so cost must track raw input MB)
+            "postings": lambda: postings(
+                docs, text_col="text", id_col="url", min_df=2
+            ),
+            "content_blocks": lambda: content_blocks(
+                docs.select(
+                    "url",
+                    F.concat(
+                        F.lit('<div><a href="/x">go now</a> read more</div><p>'),
+                        F.replace(
+                            F.replace(F.col("text"), F.lit("<"), F.lit("&lt;")),
+                            F.lit(">"), F.lit("&gt;"),
+                        ),
+                        F.lit('</p><footer><a href="/y">f</a></footer>'),
+                    ).cast("binary").alias("html"),
+                ),
             ),
             # bloom seen-filter at production shape: build over every
             # url (bounded bit_or exchange) + zero-shuffle map probe of

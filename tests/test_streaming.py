@@ -268,3 +268,44 @@ def test_streaming_annotate_matches_batch(spark):
             map(tuple, annotate(pages, blocked_domains=("example-3.test",)).collect())
         )
         assert got == want and got
+
+
+def test_streaming_content_blocks_and_meta_match_batch(spark):
+    """content_blocks / meta_properties / heading_outline are stateless
+    native projections, so the SAME calls work unchanged on a stream —
+    extraction-side signals can be computed as pages are ingested."""
+    from llm_aided_ocr_spark.operators.extract import (
+        content_blocks,
+        heading_outline,
+        meta_properties,
+    )
+    from llm_aided_ocr_spark.streaming.ingest import (
+        read_pages_stream,
+        write_stream_parquet,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        pages = pages_dataframe(spark, n_rows=8, include_golden=False)
+        html = F.concat(
+            F.lit('<html><head><meta property="og:title" content="t '),
+            F.col("url"), F.lit('"></head><body><h1>H</h1><div>'),
+            F.lit('<a href="/x">go</a> some words here</div><p>'),
+            F.col("text"), F.lit("</p></body></html>"),
+        ).cast("binary")
+        pages.withColumn("html", html).write.parquet(src)
+        batch = spark.read.parquet(src)
+
+        for ix, op in enumerate((
+            lambda d: content_blocks(d),
+            lambda d: meta_properties(d, keys=["og:title"]),
+            lambda d: heading_outline(d),
+        )):
+            out = os.path.join(tmp, f"out{ix}")
+            ckpt = os.path.join(tmp, f"ckpt{ix}")
+            res = op(read_pages_stream(spark, src))
+            assert res.isStreaming
+            _await(write_stream_parquet(res, out, ckpt))
+            got = sorted(map(tuple, spark.read.parquet(out).collect()))
+            want = sorted(map(tuple, op(batch).collect()))
+            assert got == want and got

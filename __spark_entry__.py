@@ -4152,6 +4152,57 @@ def _robots_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(host.alias("host"), txt.alias("robots_txt"))
 
 
+def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-directive discovery over constructed robots bodies (7
+    hosts): a lowercase ``sitemap:`` line for every host, a mixed-case
+    tab-separated one with a trailing comment for even k, a relative
+    one for k%3==0, plus User-agent noise the extractor must ignore.
+    The oracle states every (host, sitemap_ix, sitemap_url) row
+    closed-form from the same arithmetic."""
+    from llm_aided_ocr_spark.operators.robots import robots_sitemaps
+
+    d = _docs(spark, sf_dir).select((F.col("doc_id") % 7).alias("k")).distinct()
+    k = F.col("k").cast("string")
+    host = F.concat(F.lit("site"), k, F.lit(".example.org"))
+    sm1 = F.when(
+        F.col("k") % 2 == 0,
+        F.concat(
+            F.lit("  SiteMap:\thttps://site"), k,
+            F.lit(".example.org/sm1.xml  # weekly\n"),
+        ),
+    ).otherwise(F.lit(""))
+    sm2 = F.when(
+        F.col("k") % 3 == 0,
+        F.concat(F.lit("Sitemap: /relative"), k, F.lit(".xml\n")),
+    ).otherwise(F.lit(""))
+    txt = F.concat(
+        F.lit("# seeds\nsitemap: https://site"), k, F.lit(".example.org/sm0.xml\n"),
+        F.lit("User-agent: *\nDisallow: /x\n"),
+        sm1, sm2,
+    )
+    robots = d.select(host.alias("host"), txt.alias("robots_txt"))
+    return robots_sitemaps(robots)
+
+
+_ROBOTS_SITEMAPS_SQL = """
+WITH k AS (SELECT DISTINCT CAST(doc_id % 7 AS BIGINT) AS k FROM documents)
+SELECT 'site' || CAST(k AS VARCHAR) || '.example.org' AS host,
+       CAST(0 AS INTEGER) AS sitemap_ix,
+       'https://site' || CAST(k AS VARCHAR) || '.example.org/sm0.xml'
+         AS sitemap_url
+FROM k
+UNION ALL
+SELECT 'site' || CAST(k AS VARCHAR) || '.example.org', CAST(1 AS INTEGER),
+       'https://site' || CAST(k AS VARCHAR) || '.example.org/sm1.xml'
+FROM k WHERE k % 2 = 0
+UNION ALL
+SELECT 'site' || CAST(k AS VARCHAR) || '.example.org',
+       CAST(CASE WHEN k % 2 = 0 THEN 2 ELSE 1 END AS INTEGER),
+       '/relative' || CAST(k AS VARCHAR) || '.xml'
+FROM k WHERE k % 3 = 0
+"""
+
+
 def _q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index postings over the real documents table (min_df=2
     pruning), verified through a per-term exact-integer checksum of the
@@ -4702,6 +4753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "meta_props": _q_meta_props,
         "heading_outline": _q_heading_outline,
+        "robots_sitemaps": _q_robots_sitemaps,
     }
 
 
@@ -5363,4 +5415,5 @@ def oracle_sql() -> dict[str, str]:
         "robots_allowed": _ROBOTS_ALLOWED_SQL,
         "meta_props": _META_PROPS_SQL,
         "heading_outline": _HEADING_OUTLINE_SQL,
+        "robots_sitemaps": _ROBOTS_SITEMAPS_SQL,
     }

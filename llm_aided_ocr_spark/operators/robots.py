@@ -190,3 +190,34 @@ def robots_allowed(
             F.coalesce(F.col("_best.a") == 1, F.lit(True)).alias("allowed"),
         )
     )
+
+
+_SITEMAP_LINE_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\s]+)"
+
+
+def robots_sitemaps(
+    robots_df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """``(host, sitemap_ix, sitemap_url)`` — the ``Sitemap:`` directives
+    declared in each robots.txt, in file order: the standard sitemap
+    DISCOVERY channel (the sitemaps.org protocol's robots.txt
+    extension), feeding :mod:`~llm_aided_ocr_spark.sources.sitemaps`'
+    urlset/sitemapindex parser with the per-host crawl frontier seeds.
+
+    Unlike Allow/Disallow rules, ``Sitemap:`` is group-independent — it
+    applies regardless of any User-agent section — so no line-state
+    machine is needed and the extraction is ONE native
+    ``regexp_extract_all`` (case-insensitive, leading whitespace
+    tolerated, trailing ``#`` comments excluded from the captured url)
+    + ``posexplode``. Zero Python, zero shuffle, engine-portable
+    pattern (Java∩RE2), so the oracle replays it verbatim."""
+    urls = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(_SITEMAP_LINE_RE), F.lit(1)
+    )
+    return robots_df.select(
+        F.col(host_col).alias("host"), urls.alias("u")
+    ).select(
+        "host", F.posexplode("u").alias("sitemap_ix", "sitemap_url")
+    )

@@ -125,3 +125,32 @@ def test_robots_allowed_plan_broadcasts_rules(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_robots_sitemaps_extraction(spark):
+    from llm_aided_ocr_spark.operators.robots import robots_sitemaps
+
+    txt = (
+        "# comment\n"
+        "sitemap: https://a.example/s1.xml\n"
+        "User-agent: *\nDisallow: /x\n"
+        "  SiteMap:\thttps://a.example/s2.xml  # weekly\n"
+        "Sitemap:/glued.xml\n"
+        "Sitemap:\n"          # empty -> no capture
+        "notasitemap: https://a.example/no.xml\n"
+    )
+    df = spark.createDataFrame(
+        [("a.example", txt), ("b.example", None)],
+        "host string, robots_txt string",
+    )
+    rows = [
+        (r["host"], r["sitemap_ix"], r["sitemap_url"])
+        for r in robots_sitemaps(df).orderBy("host", "sitemap_ix").collect()
+    ]
+    assert rows == [
+        ("a.example", 0, "https://a.example/s1.xml"),
+        ("a.example", 1, "https://a.example/s2.xml"),
+        ("a.example", 2, "/glued.xml"),
+    ]
+    plan = robots_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan

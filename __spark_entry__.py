@@ -4152,6 +4152,68 @@ def _robots_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(host.alias("host"), txt.alias("robots_txt"))
 
 
+def _q_decode_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware transcode over byte-constructed pages: doc_id%4
+    cycles plain utf-8 / declared latin-1 with a raw 0xE9 byte /
+    declared windows-1252 with 0x93..0x94 curly quotes (cp1252-specific
+    — undefined in latin-1, so a wrong alias table would mangle them) /
+    BOM-prefixed utf-8. Bytes are built natively (encode + unhex +
+    binary concat — nothing decodes JVM-side, so the construction is
+    ANSI-safe); the oracle states every decoded string and charset
+    verdict closed-form with the non-ASCII characters as literals."""
+    from llm_aided_ocr_spark.operators.extract import decode_pages
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    m4 = did % 4
+    enc = lambda c: F.encode(c, "UTF-8")  # noqa: E731
+    html = (
+        F.when(m4 == 0, enc(F.concat(F.lit("doc "), ds, F.lit("."))))
+        .when(
+            m4 == 1,
+            F.concat(
+                enc(F.lit('<meta charset="latin-1">Caf')),
+                F.unhex(F.lit("E9")),
+                enc(F.concat(F.lit(" "), ds)),
+            ),
+        )
+        .when(
+            m4 == 2,
+            F.concat(
+                enc(F.lit('<meta charset="Windows-1252">')),
+                F.unhex(F.lit("93")),
+                enc(F.lit("q")),
+                F.unhex(F.lit("94")),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.unhex(F.lit("EFBBBF")),
+                enc(F.concat(F.lit("déjà "), ds)),
+            )
+        )
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return decode_pages(pages, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "charset_used", "html_text"
+    )
+
+
+_DECODE_PAGES_SQL = """
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+    WHEN 2 THEN 'cp1252' ELSE 'utf-8' END AS charset_used,
+  CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 0 THEN 'doc ' || CAST(doc_id AS VARCHAR) || '.'
+    WHEN 1 THEN '<meta charset="latin-1">Café ' || CAST(doc_id AS VARCHAR)
+    WHEN 2 THEN '<meta charset="Windows-1252">“q”'
+    ELSE 'déjà ' || CAST(doc_id AS VARCHAR) END AS html_text
+FROM documents
+"""
+
+
 def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-directive discovery over constructed robots bodies (7
     hosts): a lowercase ``sitemap:`` line for every host, a mixed-case
@@ -4754,6 +4816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_props": _q_meta_props,
         "heading_outline": _q_heading_outline,
         "robots_sitemaps": _q_robots_sitemaps,
+        "decode_pages": _q_decode_pages,
     }
 
 
@@ -5416,4 +5479,5 @@ def oracle_sql() -> dict[str, str]:
         "meta_props": _META_PROPS_SQL,
         "heading_outline": _HEADING_OUTLINE_SQL,
         "robots_sitemaps": _ROBOTS_SITEMAPS_SQL,
+        "decode_pages": _DECODE_PAGES_SQL,
     }

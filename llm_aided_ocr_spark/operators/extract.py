@@ -266,6 +266,12 @@ def charset_signals(
     raw EF BB BF bytes decode to exactly that — so both engines see the
     identical value. No reference analogue (the reference ingests PDFs,
     llm_aided_ocr.py:411-426); part of the web-curation suite.
+
+    CAVEAT: the native ``decode(bin, 'UTF-8')`` RAISES under
+    ``spark.sql.ansi.enabled`` when the bytes are not valid UTF-8 — the
+    exact pages a charset sniff matters for. For raw fetch bytes use
+    :func:`decode_pages`, which sniffs AND transcodes in one Arrow pass
+    and never fails on malformed input.
     """
     h = F.decode(F.coalesce(F.col(html_col), F.lit(b"")), "UTF-8")
     bom = F.startswith(h, F.lit("\ufeff"))
@@ -550,3 +556,81 @@ def density_extract_stage(
         )
 
     return _stage
+
+
+#: charsets the transcode step decodes itself; anything else falls back
+#: to the caller's default (a production pipeline would grow this table,
+#: not guess). Keys are lowercase as emitted by :func:`charset_signals`.
+SUPPORTED_CHARSETS = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "ascii": "ascii",
+    "us-ascii": "ascii",
+    "iso-8859-1": "iso-8859-1",
+    "latin-1": "iso-8859-1",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+}
+
+
+def decode_pages(
+    pages_df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+    default: str = "utf-8",
+) -> DataFrame:
+    """``(id, charset_used, html_text)`` — charset-aware transcode of
+    raw fetch bytes to text, the step :func:`charset_signals` only
+    SNIFFS for: decode windows-1252 as utf-8 and every non-ASCII page
+    silently mangles. Precedence mirrors the sniff (WHATWG subset): a
+    UTF-8 BOM is authoritative (and stripped from the output), else the
+    first declared ``charset=`` IF it is in :data:`SUPPORTED_CHARSETS`
+    (aliases folded — ``latin-1`` → iso-8859-1, ``windows-1252`` →
+    cp1252, which differ in the 0x80–0x9F block), else ``default``.
+    Decoding uses ``errors="replace"`` so malformed bytes yield U+FFFD
+    instead of failing the task — the torn-record discipline.
+
+    Sniff AND transcode both run in ONE Arrow ``mapInPandas`` pass —
+    deliberately NOT the native ``decode()`` sniff
+    :func:`charset_signals` uses: under ``spark.sql.ansi.enabled``,
+    ``decode(bin, 'UTF-8')`` RAISES ``MALFORMED_CHARACTER_CODING`` on
+    the very bytes this operator exists to handle (measured), so the
+    charset declaration is read from a latin-1 view of the prefix
+    (byte-transparent, never fails) with the same regex. Use
+    :func:`charset_signals` for cheap native sniffing of known-utf-8
+    corpora; use this for raw fetch bytes. Document-local, zero
+    shuffle."""
+    import re
+
+    import pandas as pd
+
+    _decl_re = re.compile(
+        r"""(?is)<meta\b[^>]*\bcharset\s*=\s*["']?([A-Za-z0-9_.:-]+)"""
+    )
+    base = pages_df.select(F.col(id_col).alias("id"), F.col(html_col).alias("_raw"))
+    id_type = dict(base.dtypes)["id"]
+    default_codec = SUPPORTED_CHARSETS.get(default.lower(), default)
+
+    def _decode(batches):
+        for batch in batches:
+            charsets, texts = [], []
+            for b in batch["_raw"]:
+                b = bytes(b) if b is not None else b""
+                if b[:3] == b"\xef\xbb\xbf":
+                    name = "utf-8"
+                    b = b[3:]
+                else:
+                    # sniff window: 1024 bytes, the WHATWG prescan size
+                    m = _decl_re.search(b[:1024].decode("latin-1"))
+                    decl = m.group(1).lower() if m else None
+                    name = SUPPORTED_CHARSETS.get(decl, default_codec)
+                charsets.append(name)
+                texts.append(b.decode(name, errors="replace"))
+            yield pd.DataFrame(
+                {"id": batch["id"], "charset_used": charsets,
+                 "html_text": texts}
+            )
+
+    return base.mapInPandas(
+        _decode, schema=f"id {id_type}, charset_used string, html_text string"
+    )

@@ -293,3 +293,31 @@ def test_meta_properties_and_heading_outline(spark):
     for out in (meta_properties(df), heading_outline(df)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_decode_pages_charset_transcode(spark):
+    from llm_aided_ocr_spark.operators.extract import decode_pages
+
+    rows = [
+        ("plain", "hello".encode("utf-8")),
+        ("latin", b'<meta charset="ISO-8859-1">Caf\xe9!'),
+        ("cp1252", b'<meta charset="windows-1252">\x93q\x94'),
+        ("bom", "﻿déjà".encode("utf-8")),
+        ("bad_utf8", b"no decl Caf\xe9"),
+        ("unknown", b'<meta charset="koi8-r">abc'),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["id"]: (r["charset_used"], r["html_text"])
+           for r in decode_pages(df).collect()}
+    assert got["plain"] == ("utf-8", "hello")
+    assert got["latin"] == ("iso-8859-1", '<meta charset="ISO-8859-1">Café!')
+    # 0x93/0x94 are curly quotes in cp1252 (undefined in latin-1)
+    assert got["cp1252"] == ("cp1252", '<meta charset="windows-1252">“q”')
+    # BOM authoritative and stripped
+    assert got["bom"] == ("utf-8", "déjà")
+    # malformed bytes under the default codec -> U+FFFD, never a task failure
+    assert got["bad_utf8"] == ("utf-8", "no decl Caf�")
+    # unsupported declaration falls back to the default
+    assert got["unknown"] == ("utf-8", '<meta charset="koi8-r">abc')
+    assert got["null"] == ("utf-8", "")

@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --from-html/--from-warc: use block-level "
                         "link-density content selection (JusText-style) "
                         "instead of the default DOM strip")
+    p.add_argument("--sniff-charset", action="store_true",
+                   help="with --from-html/--from-warc: decode each page "
+                        "via the WHATWG charset sniff (BOM -> declared "
+                        "-> utf-8) before the DOM strip, instead of "
+                        "assuming utf-8")
     p.add_argument("--resume", action="store_true",
                    help="skip documents already in the warehouse checkpoint")
     p.add_argument("--warehouse", default="/tmp/ocr_spark_warehouse")
@@ -302,15 +307,23 @@ def main(argv=None) -> int:
         return 0
 
     extract_fn = None
-    if args.density_extract:
+    if args.density_extract or args.sniff_charset:
+        flag = "--density-extract" if args.density_extract else "--sniff-charset"
         if not args.from_html:
-            print("--density-extract requires --from-html or --from-warc",
+            print(f"{flag} requires --from-html or --from-warc",
                   file=sys.stderr)
             spark.stop()
             return 2
+    if args.density_extract:
         from llm_aided_ocr_spark.operators.extract import density_extract_stage
 
         extract_fn = density_extract_stage()
+    elif args.sniff_charset:
+        from llm_aided_ocr_spark.operators.extract import extract_text
+
+        extract_fn = lambda d: extract_text(  # noqa: E731
+            d, use_html=True, sniff_charset=True
+        )
 
     result = run_pipeline(
         pages,

@@ -307,17 +307,28 @@ _HEAD_RE = re.compile(r"<head\b[^>]*>.*?</head\s*>", re.IGNORECASE | re.DOTALL)
 
 
 def extract_main_text(html_bytes: Optional[bytes]) -> str:
-    """Deterministic DOM-boilerplate strip: decode, drop <head>, comments,
-    script/style/nav/header/footer/aside blocks, prefer <main>/<article>
-    content when present, convert block-level tags to paragraph breaks,
-    strip remaining tags, unescape entities, normalize whitespace.
+    """Deterministic DOM-boilerplate strip: decode (utf-8, replace),
+    then :func:`extract_main_text_str`. Use
+    ``operators.extract.extract_text(sniff_charset=True)`` when the
+    corpus carries non-utf-8 fetch bytes — it routes through the
+    charset sniff before this strip.
 
     Pure regex (no HTML parser dependency), document-local, so it runs
     vectorized inside ``mapInPandas`` at scale.
     """
     if not html_bytes:
         return ""
-    raw = html_bytes.decode("utf-8", errors="replace")
+    return extract_main_text_str(html_bytes.decode("utf-8", errors="replace"))
+
+
+def extract_main_text_str(raw: str) -> str:
+    """The strip itself, over already-decoded text: drop <head>,
+    comments, script/style/nav/header/footer/aside blocks, prefer
+    <main>/<article> content when present, convert block-level tags to
+    paragraph breaks, strip remaining tags, unescape entities,
+    normalize whitespace."""
+    if not raw:
+        return ""
     raw = _COMMENT_RE.sub("", raw)
     raw = _HEAD_RE.sub("", raw)
     raw = _DROP_BLOCK_RE.sub("", raw)

@@ -24,13 +24,24 @@ from llm_aided_ocr_spark.kernels import extract_main_text
 EXTRACTED_SCHEMA = "url string, warc_ts timestamp, lang string, extracted_text string"
 
 
-def extract_text(pages_df: DataFrame, use_html: bool = True) -> DataFrame:
+def extract_text(
+    pages_df: DataFrame,
+    use_html: bool = True,
+    sniff_charset: bool = False,
+) -> DataFrame:
     """``(url, warc_ts, html, text, lang)`` → ``(url, warc_ts, lang,
     extracted_text)``.
 
     With ``use_html=True`` the DOM strip runs over the binary html column;
     otherwise the pre-extracted ``text`` column passes through (the
     reference's Tesseract output stand-in, per SURVEY.md M6).
+
+    ``sniff_charset=True`` routes each page's bytes through
+    :func:`sniff_decode` (BOM → declared charset → utf-8) before the
+    strip — same Arrow pass, no extra stage — so latin-1/cp1252 fetch
+    bytes extract clean text instead of U+FFFD runs. Default off: the
+    sniff is a per-row prescan-regex cost and utf-8 corpora don't need
+    it.
     """
     if not use_html:
         return pages_df.select(
@@ -39,10 +50,20 @@ def extract_text(pages_df: DataFrame, use_html: bool = True) -> DataFrame:
 
     cols = pages_df.select("url", "warc_ts", "lang", "html")
 
+    if sniff_charset:
+        from llm_aided_ocr_spark.kernels import extract_main_text_str
+
+        def _one(b) -> str:
+            return extract_main_text_str(sniff_decode(b)[1])
+
+        kernel = _one
+    else:
+        kernel = extract_main_text
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = batch[["url", "warc_ts", "lang"]].copy()
-            out["extracted_text"] = batch["html"].map(extract_main_text)
+            out["extracted_text"] = batch["html"].map(kernel)
             yield out
 
     return cols.mapInPandas(_extract, schema=EXTRACTED_SCHEMA)
@@ -573,6 +594,32 @@ SUPPORTED_CHARSETS = {
 }
 
 
+_DECL_RE = None  # compiled lazily on the executor
+
+
+def sniff_decode(b, default_codec: str = "utf-8"):
+    """``(charset_used, text)`` for one page's raw bytes — the WHATWG-
+    subset precedence shared by :func:`decode_pages` and
+    ``extract_text(sniff_charset=True)``: BOM (authoritative, stripped)
+    → declared charset within the 1024-byte prescan window if in
+    :data:`SUPPORTED_CHARSETS` → ``default_codec``; always
+    ``errors="replace"``."""
+    global _DECL_RE
+    if _DECL_RE is None:
+        import re
+
+        _DECL_RE = re.compile(
+            r"""(?is)<meta\b[^>]*\bcharset\s*=\s*["']?([A-Za-z0-9_.:-]+)"""
+        )
+    b = bytes(b) if b is not None else b""
+    if b[:3] == b"\xef\xbb\xbf":
+        return "utf-8", b[3:].decode("utf-8", errors="replace")
+    m = _DECL_RE.search(b[:1024].decode("latin-1"))
+    decl = m.group(1).lower() if m else None
+    name = SUPPORTED_CHARSETS.get(decl, default_codec)
+    return name, b.decode(name, errors="replace")
+
+
 def decode_pages(
     pages_df: DataFrame,
     html_col: str = "html",
@@ -600,13 +647,8 @@ def decode_pages(
     :func:`charset_signals` for cheap native sniffing of known-utf-8
     corpora; use this for raw fetch bytes. Document-local, zero
     shuffle."""
-    import re
-
     import pandas as pd
 
-    _decl_re = re.compile(
-        r"""(?is)<meta\b[^>]*\bcharset\s*=\s*["']?([A-Za-z0-9_.:-]+)"""
-    )
     base = pages_df.select(F.col(id_col).alias("id"), F.col(html_col).alias("_raw"))
     id_type = dict(base.dtypes)["id"]
     default_codec = SUPPORTED_CHARSETS.get(default.lower(), default)
@@ -615,17 +657,9 @@ def decode_pages(
         for batch in batches:
             charsets, texts = [], []
             for b in batch["_raw"]:
-                b = bytes(b) if b is not None else b""
-                if b[:3] == b"\xef\xbb\xbf":
-                    name = "utf-8"
-                    b = b[3:]
-                else:
-                    # sniff window: 1024 bytes, the WHATWG prescan size
-                    m = _decl_re.search(b[:1024].decode("latin-1"))
-                    decl = m.group(1).lower() if m else None
-                    name = SUPPORTED_CHARSETS.get(decl, default_codec)
+                name, text = sniff_decode(b, default_codec)
                 charsets.append(name)
-                texts.append(b.decode(name, errors="replace"))
+                texts.append(text)
             yield pd.DataFrame(
                 {"id": batch["id"], "charset_used": charsets,
                  "html_text": texts}

@@ -446,3 +446,39 @@ def test_cli_density_extract_mode(spark):
         )
         assert proc2.returncode == 2
         assert "--density-extract requires" in proc2.stderr
+
+
+def test_cli_sniff_charset_mode(spark):
+    """--sniff-charset decodes declared non-utf-8 pages correctly before
+    the DOM strip; without it the same bytes extract a U+FFFD run."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as tmp:
+        inp = os.path.join(tmp, "pages.parquet")
+        html = (
+            b'<html><head><meta charset="windows-1252"><title>t</title>'
+            b"</head><body><main><p>He said \x93caf\xe9\x94 loudly.</p>"
+            b"</main></body></html>"
+        )
+        spark.createDataFrame(
+            [("u1", None, html, None, "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ).write.parquet(inp)
+
+        def run(extra):
+            out = os.path.join(tmp, "out_" + "_".join(extra) or "plain")
+            proc = subprocess.run(
+                [
+                    sys.executable, "-m", "llm_aided_ocr_spark",
+                    "--input", inp, "--output", out,
+                    "--provider", "identity", "--from-html", "--no-raw",
+                    "--master", "local[2]", *extra,
+                ],
+                capture_output=True, text=True, timeout=300,
+                cwd=repo, env=dict(os.environ, PYTHONPATH=repo),
+            )
+            assert proc.returncode == 0, proc.stderr[-2000:]
+            rows = spark.read.parquet(os.path.join(out, "corrected_docs")).collect()
+            return rows[0]["corrected_text"]
+
+        assert run(["--sniff-charset"]) == "He said “café” loudly."
+        assert "�" in run([])  # utf-8 assumption mangles cp1252 bytes

@@ -4152,6 +4152,51 @@ def _robots_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(host.alias("host"), txt.alias("robots_txt"))
 
 
+def _q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quality rollup over the documents table with the
+    domain_stats url synthesis (37 hosts): the oracle recomputes the
+    composite quality score and the full Gopher gate per document from
+    their SHARED CTE definitions, regroups by host, and re-derives the
+    low_quality_host verdict — so score arithmetic, gate conjunction,
+    host extraction and the rounding contract must all agree."""
+    from llm_aided_ocr_spark.operators.textstats import host_quality_rollup
+
+    d = _docs(spark, sf_dir).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return host_quality_rollup(d)
+
+
+def _build_host_quality_sql() -> str:
+    gopher_body = _GOPHER_SQL.strip().rstrip()
+    return f"""
+WITH {_quality_score_ctes("documents")},
+g AS (SELECT doc_id, gopher_pass FROM ({gopher_body}) t),
+j AS (
+  SELECT 'site' || CAST(d.doc_id % 37 AS VARCHAR) || '.example.org' AS host,
+         qs1.qscore AS qscore,
+         CASE WHEN g.gopher_pass THEN 1 ELSE 0 END AS p
+  FROM documents d
+  JOIN qs1 ON d.doc_id = qs1.doc_id
+  JOIN g ON d.doc_id = g.doc_id),
+r AS (
+  SELECT host, COUNT(*) AS n_docs,
+         round(SUM(qscore) * 1.0 / COUNT(*), 6) AS mean_qscore_r,
+         round(SUM(p) * 1.0 / COUNT(*), 6) AS gopher_pass_frac_r
+  FROM j GROUP BY host)
+SELECT host, n_docs, mean_qscore_r, gopher_pass_frac_r,
+       (mean_qscore_r < 40.0 OR gopher_pass_frac_r < 0.5)
+         AS low_quality_host
+FROM r
+"""
+
+
 def _q_decode_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset-aware transcode over byte-constructed pages: doc_id%4
     cycles plain utf-8 / declared latin-1 with a raw 0xE9 byte /
@@ -4817,6 +4862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_outline": _q_heading_outline,
         "robots_sitemaps": _q_robots_sitemaps,
         "decode_pages": _q_decode_pages,
+        "host_quality": _q_host_quality,
     }
 
 
@@ -5480,4 +5526,5 @@ def oracle_sql() -> dict[str, str]:
         "heading_outline": _HEADING_OUTLINE_SQL,
         "robots_sitemaps": _ROBOTS_SITEMAPS_SQL,
         "decode_pages": _DECODE_PAGES_SQL,
+        "host_quality": _build_host_quality_sql(),
     }

@@ -316,6 +316,9 @@ _BLOCK_SEG_RE = (
     r"blockquote|pre|td)\b[^>]*>(.*?)</\1\s*>"
 )
 _ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+# script/style/noscript payload is CODE, not prose — dropped (content
+# included) before block segmentation so it can never count as words
+_SCRIPTISH_RE = r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1\s*>"
 
 
 def _word_count(c: F.Column) -> F.Column:
@@ -363,8 +366,11 @@ def content_blocks(
     also makes after DOM flattening. A full HTML5-parser segmentation
     is an injectable upgrade via :func:`extract_text`'s seam. No
     reference analogue (the reference ingests PDFs,
-    llm_aided_ocr.py:411-426); part of the web-curation suite."""
+    llm_aided_ocr.py:411-426); part of the web-curation suite.
+    Script/style/noscript elements are dropped (payload included)
+    before segmentation — their JS/CSS must never count as words."""
     h = F.decode(F.coalesce(F.col(html_col), F.lit(b"")), "UTF-8")
+    h = F.regexp_replace(h, _SCRIPTISH_RE, " ")
     base = pages_df.select(
         F.col(id_col).alias("id"),
         F.regexp_extract_all(h, F.lit(_BLOCK_SEG_RE), F.lit(1)).alias("t"),

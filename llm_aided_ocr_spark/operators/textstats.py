@@ -1673,3 +1673,49 @@ def script_profile(
     return df.select(
         F.col(id_col).alias("id"), let_(F.length(t), _build).alias("_s")
     ).select("id", "_s.*")
+
+
+def host_quality_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_mean_score: float = 40.0,
+    min_pass_frac: float = 0.5,
+) -> DataFrame:
+    """``(host, n_docs, mean_qscore_r, gopher_pass_frac_r,
+    low_quality_host)`` — the per-host curation rollup that drives
+    domain-level filtering (the RefinedWeb/FineWeb move: a host whose
+    pages are consistently junk is cheaper to drop wholesale than to
+    re-judge per page). Per host: document count, mean composite
+    quality score, fraction passing the Gopher document gate, and the
+    ``low_quality_host`` verdict (mean score below ``min_mean_score``
+    OR pass fraction below ``min_pass_frac``).
+
+    Scale shape: the per-document signals (:func:`quality_score_col`,
+    the Gopher flag conjunction) are native expressions computed BEFORE
+    the one narrow exchange — what shuffles is ``(host, int, int)``
+    partial aggregates, never text; map-side combine collapses each
+    host to one row per task. Averages are exact-integer sums divided
+    once, rounded to 6dp (the repo's cross-engine float contract)."""
+    host = domain_col(F.col(url_col))
+    flagged = df.select(
+        host.alias("host"),
+        quality_score_col(F.col(text_col)).alias("qscore"),
+        gopher_pass_col(F.col(text_col)).cast("int").alias("p"),
+    )
+    agg = flagged.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("qscore").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_qscore_r"
+        ),
+        F.round(F.sum("p").cast("double") / F.count(F.lit(1)), 6).alias(
+            "gopher_pass_frac_r"
+        ),
+    )
+    return agg.select(
+        "host", "n_docs", "mean_qscore_r", "gopher_pass_frac_r",
+        (
+            (F.col("mean_qscore_r") < F.lit(float(min_mean_score)))
+            | (F.col("gopher_pass_frac_r") < F.lit(float(min_pass_frac)))
+        ).alias("low_quality_host"),
+    )

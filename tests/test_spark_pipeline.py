@@ -249,6 +249,22 @@ def test_content_blocks_density_classification(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan  # document-local, zero shuffle
 
+    # script/style payload never counts as words (dropped pre-segmentation)
+    scripted = spark.createDataFrame(
+        [(
+            "u3",
+            (
+                "<div><script>var a = 1; function noise() {}</script>"
+                "just four words here</div>"
+                "<style>p { color: red; }</style>"
+            ).encode(),
+        )],
+        "url string, html binary",
+    )
+    srows = content_blocks(scripted).collect()
+    assert len(srows) == 1
+    assert srows[0]["n_words"] == 4 and srows[0]["is_content"]
+
 
 def test_meta_properties_and_heading_outline(spark):
     from llm_aided_ocr_spark.operators.extract import (

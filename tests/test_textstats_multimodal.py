@@ -780,3 +780,27 @@ def test_script_profile(spark):
     assert r6["main_script"] == "latin"  # 4 latin >= 2 han
     assert r6["han_frac"] == round(2 / 11, 6)
     assert r6["digit_frac"] == round(3 / 11, 6)
+
+
+def test_host_quality_rollup(spark):
+    from llm_aided_ocr_spark.operators.textstats import host_quality_rollup
+
+    good = "the cat and the dog have fun with all of that every day. " * 10
+    bad = "zx qq ww!!!"
+    rows = [(f"https://good.example/{i}", good) for i in range(4)]
+    rows += [(f"https://bad.example/{i}", bad) for i in range(2)]
+    rows += [("https://mixed.example/0", good), ("https://mixed.example/1", bad)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r["host"]: r for r in host_quality_rollup(df).collect()}
+    assert got["good.example"]["n_docs"] == 4
+    assert got["good.example"]["gopher_pass_frac_r"] == 1.0
+    assert not got["good.example"]["low_quality_host"]
+    assert got["bad.example"]["gopher_pass_frac_r"] == 0.0
+    assert got["bad.example"]["low_quality_host"]
+    assert got["mixed.example"]["gopher_pass_frac_r"] == 0.5
+    assert not got["mixed.example"]["low_quality_host"]  # exactly at both bars
+
+    # per-doc signals computed BEFORE the one narrow exchange: text
+    # never shuffles (the exchange carries (host, ints) partials only)
+    plan = host_quality_rollup(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="curate: also dedup on the CCNet-normalized text "
                         "key (case/accent/digit/punct/whitespace variants "
                         "collapse; smallest url survives)")
+    p.add_argument("--host-quality-gate", action="store_true",
+                   help="curate: drop every doc of hosts whose mean "
+                        "quality score or Gopher pass-rate falls below "
+                        "the host bars (domain-level filtering)")
     p.add_argument("--repetition-gate", action="store_true",
                    help="curate: apply the 13-threshold Gopher repetition "
                         "gate to the corrected text")
@@ -272,6 +276,7 @@ def main(argv=None) -> int:
                 normalized_dedup=args.normalized_dedup,
                 drop_noindex=args.drop_noindex,
                 repetition_gate=args.repetition_gate,
+                host_quality_gate=args.host_quality_gate,
                 url_blocked_domains=tuple(args.url_block_domain),
                 url_blocked_keywords=tuple(args.url_block_keyword),
                 url_trap_gate=args.url_trap_gate,

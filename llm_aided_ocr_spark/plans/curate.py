@@ -39,6 +39,10 @@ class CurationConfig:
     paragraph_dedup: bool = False         # keep-first exact paragraph dedup
     min_quality_score: int = 0            # 0 = no quality gate
     use_gopher_gate: bool = False         # AND of the Gopher rules
+    host_quality_gate: bool = False       # drop ALL docs of hosts whose
+                                          # rollup falls below the bars
+    host_min_mean_score: float = 40.0
+    host_min_pass_frac: float = 0.5
     repetition_gate: bool = False         # full 13-threshold Gopher repetition gate
     url_blocked_domains: tuple = ()       # RefinedWeb stage-1 URL gate
     url_blocked_keywords: tuple = ()      # (both empty = off)
@@ -241,6 +245,34 @@ def curate(
         docs = docs.join(corpus_scaled(keep), "url", "left_semi")
     if cfg.min_quality_score > 0:
         docs = docs.filter(F.col("quality_score") >= cfg.min_quality_score)
+    if cfg.host_quality_gate:
+        # domain-level shed (RefinedWeb/FineWeb): hosts whose MEAN
+        # quality or Gopher pass-rate is below the bars lose all their
+        # documents, including individually-passing ones. The rollup's
+        # exchange carries (host, ints); the verdict relation is
+        # host-cardinality (tiny), so the anti-join broadcasts.
+        from llm_aided_ocr_spark.operators.textstats import (
+            host_quality_rollup,
+        )
+
+        low = (
+            host_quality_rollup(
+                docs,
+                url_col="url",
+                text_col="corrected_text",
+                min_mean_score=cfg.host_min_mean_score,
+                min_pass_frac=cfg.host_min_pass_frac,
+            )
+            .filter(F.col("low_quality_host"))
+            .select("host")
+        )
+        from llm_aided_ocr_spark.operators.textstats import domain_col
+
+        docs = docs.join(
+            F.broadcast(low),
+            domain_col(F.col("url")) == F.col("host"),
+            "left_anti",
+        )
     if cfg.blocklist:
         from llm_aided_ocr_spark.operators.boilerplate import blocklist_filter
 

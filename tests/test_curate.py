@@ -550,3 +550,44 @@ def test_curate_robots_gate(spark):
     assert urls and all("/private/" not in u for u in urls)
     expected = pages.filter(~F.col("url").contains("/private/")).count()
     assert len(urls) == expected
+
+
+def test_curate_host_quality_gate(spark):
+    """host_quality_gate sheds EVERY doc of a below-bar host — including
+    one that would pass per-doc gates — and leaves good hosts whole."""
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.operators.util import release_pinned
+    from llm_aided_ocr_spark.plans.curate import CurationConfig, curate
+
+    good = (
+        "The cat and the dog have fun with all of that every day. " * 10
+    ).strip()
+    bad = "zx qq ww!!!"
+    rows = [(f"https://good.example/{i}", good + f" tail {i}.") for i in range(3)]
+    # junk host: 3 junk docs and 1 good doc -> pass frac 0.25 < 0.5,
+    # so even its good doc must go
+    rows += [(f"https://junk.example/{i}", bad + f" {i}") for i in range(3)]
+    rows += [("https://junk.example/ok", good + " survivor page.")]
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = CurationConfig(
+        pipeline=PipelineConfig(provider="identity"),
+        host_quality_gate=True,
+        near_dedup=False,
+        exact_dedup=False,
+    )
+    out = curate(pages, cfg)
+    urls = {r["url"] for r in out.collect()}
+    release_pinned(out)
+    assert urls == {f"https://good.example/{i}" for i in range(3)}
+
+    # same corpus without the gate keeps everything (no per-doc gates on)
+    cfg2 = CurationConfig(
+        pipeline=PipelineConfig(provider="identity"),
+        near_dedup=False, exact_dedup=False,
+    )
+    out2 = curate(pages, cfg2)
+    assert out2.count() == 7
+    release_pinned(out2)

@@ -4152,6 +4152,78 @@ def _robots_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(host.alias("host"), txt.alias("robots_txt"))
 
 
+def _q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form table-cell extraction over constructed pages: table 0
+    has a <th> header row for even doc_ids and doc_id%3+1 two-column
+    data rows (cells carry a nested <b> tag + ragged whitespace so the
+    strip/collapse is exercised); doc_id%5==0 adds a 1x1 second table.
+    The oracle states every (table_ix, row_ix, col_ix, is_header,
+    cell_text) closed-form from the same arithmetic."""
+    from llm_aided_ocr_spark.operators.extract import table_extract
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    r = (did % 3 + F.lit(1)).cast("int")
+    header = F.when(
+        did % 2 == 0, F.lit("<tr><th>Name</th><th> Val </th></tr>")
+    ).otherwise(F.lit(""))
+    body = F.aggregate(
+        F.sequence(F.lit(0), r - F.lit(1)),
+        F.lit(""),
+        lambda acc, i: F.concat(
+            acc,
+            F.lit("<tr><td>c <b>"), ds, F.lit("</b> "), i.cast("string"),
+            F.lit(" 0</td><td>c "), ds, F.lit(" "), i.cast("string"),
+            F.lit("  1 </td></tr>"),
+        ),
+    )
+    t2 = F.when(
+        did % 5 == 0,
+        F.concat(F.lit("<table><tr><td>solo "), ds, F.lit("</td></tr></table>")),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<body><p>x</p><table>"), header, body, F.lit("</table>"), t2,
+        F.lit("</body>"),
+    ).cast("binary")
+    pages = d.select("doc_id", html.alias("html"))
+    return table_extract(pages, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "table_ix", "row_ix", "col_ix",
+        "is_header", "cell_text",
+    )
+
+
+_TABLE_EXTRACT_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 3 + 1 AS INTEGER) AS r,
+         (doc_id % 2 = 0) AS hdr
+  FROM documents),
+hdr_rows AS (
+  SELECT doc_id, 0 AS table_ix, 0 AS row_ix, c.col_ix,
+         TRUE AS is_header,
+         CASE c.col_ix WHEN 0 THEN 'Name' ELSE 'Val' END AS cell_text
+  FROM d, (SELECT 0 AS col_ix UNION ALL SELECT 1) c WHERE hdr),
+data_rows AS (
+  SELECT doc_id, 0 AS table_ix,
+         CAST(i + (CASE WHEN hdr THEN 1 ELSE 0 END) AS INTEGER) AS row_ix,
+         c.col_ix, FALSE AS is_header,
+         'c ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(i AS VARCHAR)
+           || ' ' || CAST(c.col_ix AS VARCHAR) AS cell_text
+  FROM d, generate_series(0, 2) AS g(i),
+       (SELECT 0 AS col_ix UNION ALL SELECT 1) c
+  WHERE i < r),
+solo AS (
+  SELECT doc_id, 1 AS table_ix, 0 AS row_ix, 0 AS col_ix, FALSE,
+         'solo ' || CAST(doc_id AS VARCHAR)
+  FROM d WHERE doc_id % 5 = 0)
+SELECT doc_id, CAST(table_ix AS INTEGER) AS table_ix,
+       CAST(row_ix AS INTEGER) AS row_ix, CAST(col_ix AS INTEGER) AS col_ix,
+       is_header, cell_text
+FROM (SELECT * FROM hdr_rows UNION ALL SELECT * FROM data_rows
+      UNION ALL SELECT * FROM solo)
+"""
+
+
 def _q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host quality rollup over the documents table with the
     domain_stats url synthesis (37 hosts): the oracle recomputes the
@@ -4863,6 +4935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": _q_robots_sitemaps,
         "decode_pages": _q_decode_pages,
         "host_quality": _q_host_quality,
+        "table_cells": _q_table_extract,
     }
 
 
@@ -5527,4 +5600,5 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemaps": _ROBOTS_SITEMAPS_SQL,
         "decode_pages": _DECODE_PAGES_SQL,
         "host_quality": _build_host_quality_sql(),
+        "table_cells": _TABLE_EXTRACT_SQL,
     }

@@ -414,6 +414,7 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
     from llm_aided_ocr_spark.operators.normalize import normalized_keeper_ids
     from llm_aided_ocr_spark.operators.textstats import (
         gopher_ngram_metrics,
+        host_quality_rollup,
         word_commonness,
     )
     from llm_aided_ocr_spark.operators.bloom import bloom_build, bloom_probe
@@ -577,6 +578,18 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
                         ),
                         F.lit('</p><footer><a href="/y">f</a></footer>'),
                     ).cast("binary").alias("html"),
+                ),
+            ),
+            # per-host quality rollup at production shape: corpus-wide
+            # native signals -> ONE (host, ints) exchange over ~5k hosts
+            "host_quality": lambda: host_quality_rollup(
+                docs.select(
+                    F.concat(
+                        F.lit("https://s"),
+                        F.pmod(F.xxhash64("url"), F.lit(4999)).cast("string"),
+                        F.lit(".example/p"),
+                    ).alias("url"),
+                    "text",
                 ),
             ),
             # bloom seen-filter at production shape: build over every

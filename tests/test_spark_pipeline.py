@@ -337,3 +337,31 @@ def test_decode_pages_charset_transcode(spark):
     # unsupported declaration falls back to the default
     assert got["unknown"] == ("utf-8", '<meta charset="koi8-r">abc')
     assert got["null"] == ("utf-8", "")
+
+
+def test_table_extract(spark):
+    from llm_aided_ocr_spark.operators.extract import table_extract
+
+    html = (
+        "<body><p>intro</p>"
+        "<table><tr><th>Name</th><th>Age</th></tr>"
+        "<tr><td>Ada <b>L</b></td><td> 36 </td></tr>"
+        "<tr><td>Alan</td><td>41</td></tr></table>"
+        "<table class='x'><tr><td>solo</td></tr></table>"
+        "</body>"
+    )
+    df = spark.createDataFrame([("u1", html.encode()), ("u2", None)],
+                               "url string, html binary")
+    got = [
+        (r["table_ix"], r["row_ix"], r["col_ix"], r["is_header"], r["cell_text"])
+        for r in table_extract(df)
+        .orderBy("table_ix", "row_ix", "col_ix").collect()
+    ]
+    assert got == [
+        (0, 0, 0, True, "Name"), (0, 0, 1, True, "Age"),
+        (0, 1, 0, False, "Ada L"), (0, 1, 1, False, "36"),
+        (0, 2, 0, False, "Alan"), (0, 2, 1, False, "41"),
+        (1, 0, 0, False, "solo"),
+    ]
+    plan = table_extract(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan

@@ -4152,6 +4152,62 @@ def _robots_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(host.alias("host"), txt.alias("robots_txt"))
 
 
+def _q_link_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<link rel> relationship extraction over constructed pages: a
+    canonical for every page, a rel-next for doc_id%3==0 (reversed
+    attribute order for %6==0), an RSS alternate for %4==0 declared
+    with a multi-valued rel ("alternate nofollow") whose second token
+    the filter must drop, an hreflang alternate noise tag with no rel
+    match... every row stated closed-form by the oracle."""
+    from llm_aided_ocr_spark.operators.extract import link_rels
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    canon = F.concat(
+        F.lit('<link rel="canonical" href="https://c.example/'), ds, F.lit('">')
+    )
+    nxt = (
+        F.when(
+            did % 6 == 0,
+            F.concat(F.lit('<link href="/p/'), ds, F.lit('/2" rel="next">')),
+        )
+        .when(
+            did % 3 == 0,
+            F.concat(F.lit('<link rel="next" href="/p/'), ds, F.lit('/2">')),
+        )
+        .otherwise(F.lit(""))
+    )
+    alt = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit('<link rel="alternate nofollow" href="/feed'), ds,
+            F.lit('.xml">'),
+        ),
+    ).otherwise(F.lit(""))
+    noise = F.lit('<link rel="stylesheet" href="/s.css"><link rel="prev">')
+    html = F.concat(
+        F.lit("<head>"), canon, nxt, alt, noise, F.lit("</head>")
+    ).cast("binary")
+    pages = d.select("doc_id", html.alias("html"))
+    return link_rels(
+        pages, id_col="doc_id", rels=["canonical", "next", "alternate"]
+    ).select(F.col("id").alias("doc_id"), "rel", "href")
+
+
+_LINK_RELS_SQL = """
+SELECT doc_id, 'canonical' AS rel,
+       'https://c.example/' || CAST(doc_id AS VARCHAR) AS href
+FROM documents
+UNION ALL
+SELECT doc_id, 'next', '/p/' || CAST(doc_id AS VARCHAR) || '/2'
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'alternate', '/feed' || CAST(doc_id AS VARCHAR) || '.xml'
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
 def _q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form table-cell extraction over constructed pages: table 0
     has a <th> header row for even doc_ids and doc_id%3+1 two-column
@@ -4936,6 +4992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_pages": _q_decode_pages,
         "host_quality": _q_host_quality,
         "table_cells": _q_table_extract,
+        "link_rels": _q_link_rels,
     }
 
 
@@ -5601,4 +5658,5 @@ def oracle_sql() -> dict[str, str]:
         "decode_pages": _DECODE_PAGES_SQL,
         "host_quality": _build_host_quality_sql(),
         "table_cells": _TABLE_EXTRACT_SQL,
+        "link_rels": _LINK_RELS_SQL,
     }

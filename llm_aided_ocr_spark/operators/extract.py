@@ -746,3 +746,58 @@ def table_extract(
         (F.lower(F.col("z.t")) == "th").alias("is_header"),
         text.alias("cell_text"),
     )
+
+
+_LINK_TAG_RE = r"(?is)(<link\b[^>]*>)"
+_REL_ATTR_RE = r"""(?i)\brel\s*=\s*["']?([A-Za-z0-9_ -]+)"""
+_HREF_ATTR_RE = r"""(?i)\bhref\s*=\s*["']?([^"'\s>]+)"""
+
+
+def link_rels(
+    pages_df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+    rels: Optional[List[str]] = None,
+) -> DataFrame:
+    """``(id, rel, href)`` — one row per ``<link>`` relationship the
+    crawl layer reads: ``canonical`` (dedup key), ``next``/``prev``
+    (multi-page article stitching — pagination chains otherwise surface
+    as near-dups), ``alternate`` (RSS/Atom feed + translated-variant
+    discovery), ``amphtml`` (the AMP twin, a canonical-dedup edge).
+    ``rels=None`` keeps every declared rel. A multi-valued rel
+    attribute (``rel="alternate nofollow"``) matches on its
+    space-separated tokens and is emitted once per MATCHED token, rel
+    lowercased; tags with no href are dropped (nothing to follow).
+    Attribute order is free — rel and href are extracted independently
+    per tag (the html_page_signals discipline).
+
+    Same native shape as :func:`meta_properties`: one
+    ``regexp_extract_all`` lists the link tags, a ``transform``
+    projects (rel-token array, href), the rel filter evaluates BEFORE
+    the explode. Zero Python, zero shuffle, fuses into the scan."""
+    h = F.decode(F.coalesce(F.col(html_col), F.lit(b"")), "UTF-8")
+    tags = F.regexp_extract_all(h, F.lit(_LINK_TAG_RE), F.lit(1))
+    pairs = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.split(
+                F.lower(F.regexp_extract(t, _REL_ATTR_RE, 1)), r"\s+"
+            ).alias("rels"),
+            F.regexp_extract(t, _HREF_ATTR_RE, 1).alias("href"),
+        ),
+    )
+    tokens = F.flatten(
+        F.transform(
+            F.filter(pairs, lambda p: p["href"] != ""),
+            lambda p: F.transform(
+                F.filter(p["rels"], lambda r: r != ""),
+                lambda r: F.struct(r.alias("rel"), p["href"].alias("href")),
+            ),
+        )
+    )
+    if rels is not None:
+        wanted = F.array(*[F.lit(r.lower()) for r in rels])
+        tokens = F.filter(tokens, lambda p: F.array_contains(wanted, p["rel"]))
+    return pages_df.select(
+        F.col(id_col).alias("id"), F.explode(tokens).alias("p")
+    ).select("id", F.col("p.rel").alias("rel"), F.col("p.href").alias("href"))

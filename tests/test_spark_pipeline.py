@@ -365,3 +365,34 @@ def test_table_extract(spark):
     ]
     plan = table_extract(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_link_rels_extraction(spark):
+    from llm_aided_ocr_spark.operators.extract import link_rels
+
+    html = (
+        "<head>"
+        '<link rel="canonical" href="https://x.org/a">'
+        "<link href='/feed.xml' rel='alternate' type='application/rss+xml'>"
+        '<link rel="next" href="/page/2">'
+        '<link rel="ALTERNATE nofollow" href="/fr">'  # multi-valued + case
+        '<link rel="stylesheet" href="/s.css">'
+        '<link rel="prev">'                            # no href -> dropped
+        "</head>"
+    )
+    df = spark.createDataFrame([("u1", html.encode())], "url string, html binary")
+    got = sorted(
+        (r["rel"], r["href"])
+        for r in link_rels(
+            df, rels=["canonical", "alternate", "next", "prev", "amphtml"]
+        ).collect()
+    )
+    assert got == [
+        ("alternate", "/feed.xml"), ("alternate", "/fr"),
+        ("canonical", "https://x.org/a"), ("next", "/page/2"),
+    ]
+    # unfiltered keeps stylesheet + the nofollow token too
+    allr = {(r["rel"], r["href"]) for r in link_rels(df).collect()}
+    assert ("stylesheet", "/s.css") in allr and ("nofollow", "/fr") in allr
+    plan = link_rels(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan

@@ -396,3 +396,78 @@ def test_link_rels_extraction(spark):
     assert ("stylesheet", "/s.css") in allr and ("nofollow", "/fr") in allr
     plan = link_rels(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_content_blocks_fuzz_matches_python_replay(spark):
+    """Seeded fuzz: 300 random flat-block pages through the native
+    content_blocks vs an independent Python replay of the documented
+    semantics (scriptish strip → segmentation → tag-stripped word
+    counts → anchor word counts → threshold pair). Catches arrays_zip /
+    posexplode wiring slips and Java-vs-expected regex divergence."""
+    import random
+    import re
+
+    from llm_aided_ocr_spark.operators.extract import content_blocks
+
+    scriptish = re.compile(r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1\s*>")
+    seg = re.compile(
+        r"(?is)<(p|div|nav|section|article|footer|aside|li|h[1-6]|"
+        r"blockquote|pre|td)\b[^>]*>(.*?)</\1\s*>"
+    )
+    anch = re.compile(r"(?is)<a\b[^>]*>(.*?)</a\s*>")
+    tags_re = re.compile(r"(?s)<[^>]*>")
+
+    def wc(s):
+        return len(re.findall(r"\S+", tags_re.sub(" ", s)))
+
+    rng = random.Random(7)
+    tags = ["p", "div", "footer", "nav", "li", "h2", "DIV", "P"]
+    words = ["alpha", "beta", "gamma", "x1", "&amp;", "d-e", "..."]
+
+    def mk_block():
+        tag = rng.choice(tags)
+        parts = []
+        for _ in range(rng.randint(0, 6)):
+            roll = rng.random()
+            if roll < 0.3:
+                inner = " ".join(
+                    rng.choices(words, k=rng.randint(0, 3))
+                )
+                parts.append(f'<a href="/{rng.randint(0, 9)}" class=x>{inner}</a>')
+            elif roll < 0.45:
+                parts.append("<script type='text/javascript'>var x = 1;</script>")
+            elif roll < 0.6:
+                parts.append(f"<em>{rng.choice(words)}</em>")
+            else:
+                parts.append(" ".join(rng.choices(words, k=rng.randint(1, 4))))
+        return tag, "  ".join(parts)
+
+    pages = []
+    for i in range(300):
+        html = "".join(
+            f"<{t} data-i={j}>{b}</{t}>"
+            for j, (t, b) in enumerate(mk_block() for _ in range(rng.randint(0, 5)))
+        )
+        if rng.random() < 0.3:
+            html = "leading junk " + html + " <span>tail</span>"
+        pages.append((i, html.encode()))
+
+    df = spark.createDataFrame(pages, "url long, html binary")
+    got = {
+        (r["id"], r["block_idx"]): (
+            r["tag"], r["n_words"], r["link_words"], r["is_content"]
+        )
+        for r in content_blocks(df).collect()
+    }
+
+    n_rows = 0
+    for i, html_b in pages:
+        h = scriptish.sub(" ", html_b.decode())
+        for ix, (tag, body) in enumerate(seg.findall(h)):
+            n = wc(body)
+            lw = sum(wc(a) for a in anch.findall(body))
+            dens = lw / n if n else 0.0
+            want = (tag.lower(), n, lw, n >= 4 and dens <= 0.5)
+            assert got[(i, ix)] == want, (i, ix, got[(i, ix)], want)
+            n_rows += 1
+    assert len(got) == n_rows and n_rows > 300

@@ -4152,6 +4152,63 @@ def _robots_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(host.alias("host"), txt.alias("robots_txt"))
 
 
+def _q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness audit: per-host observed min inter-fetch gap
+    (constructed evenly-spaced fetches, gap = 0.5*(k+1) s for host k)
+    joined against the declared Crawl-delay (k%3+1 s, declared for even
+    k only). The oracle states every gap, delay and violation verdict
+    closed-form — k=0 and k=2 violate, k=4/k=6 comply, odd hosts have
+    no contract and never violate."""
+    from llm_aided_ocr_spark.operators.robots import politeness_audit
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    k = did % 7
+    ks = k.cast("string")
+    fetches = d.select(
+        F.concat(
+            F.lit("https://site"), ks, F.lit(".example.org/p"),
+            did.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1709251200).cast("double")
+            + F.floor(did / 7).cast("double")
+            * (F.lit(0.5) * (k + F.lit(1)).cast("double"))
+        ).alias("warc_ts"),
+    )
+    hosts = d.select(k.alias("k")).distinct()
+    delay = (F.col("k") % 3 + F.lit(1)).cast("string")
+    robots = hosts.select(
+        F.concat(F.lit("site"), F.col("k").cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.when(
+            F.col("k") % 2 == 0,
+            F.concat(F.lit("User-agent: *\nCrawl-delay: "), delay,
+                     F.lit("\nDisallow: /x")),
+        ).otherwise(F.lit("User-agent: *\nDisallow: /x")).alias("robots_txt"),
+    )
+    out = politeness_audit(fetches, robots)
+    return out.select(
+        "host", "n_fetches", "min_gap_s",
+        F.coalesce("crawl_delay", F.lit(-1.0)).alias("crawl_delay"),
+        "violates",
+    )
+
+
+_POLITENESS_SQL = """
+WITH d AS (SELECT CAST(doc_id % 7 AS BIGINT) AS k FROM documents),
+s AS (SELECT k, COUNT(*) AS n FROM d GROUP BY k)
+SELECT 'site' || CAST(k AS VARCHAR) || '.example.org' AS host,
+       n AS n_fetches,
+       0.5 * (k + 1) AS min_gap_s,
+       CASE WHEN k % 2 = 0 THEN CAST(k % 3 + 1 AS DOUBLE)
+            ELSE -1.0 END AS crawl_delay,
+       CASE WHEN k % 2 = 0 THEN 0.5 * (k + 1) < CAST(k % 3 + 1 AS DOUBLE)
+            ELSE FALSE END AS violates
+FROM s
+"""
+
+
 def _q_link_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """<link rel> relationship extraction over constructed pages: a
     canonical for every page, a rel-next for doc_id%3==0 (reversed
@@ -4993,6 +5050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality": _q_host_quality,
         "table_cells": _q_table_extract,
         "link_rels": _q_link_rels,
+        "politeness_audit": _q_politeness_audit,
     }
 
 
@@ -5659,4 +5717,5 @@ def oracle_sql() -> dict[str, str]:
         "host_quality": _build_host_quality_sql(),
         "table_cells": _TABLE_EXTRACT_SQL,
         "link_rels": _LINK_RELS_SQL,
+        "politeness_audit": _POLITENESS_SQL,
     }

@@ -37,7 +37,7 @@ likewise dropped.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -75,7 +75,10 @@ def parse_robots_text(
                 groups.append((cur_agents, cur_rules))
                 cur_agents, cur_rules, seen_rule = [], [], False
             cur_agents.append(val.lower())
-        elif key in ("allow", "disallow"):
+        elif key in ("allow", "disallow", "crawl-delay"):
+            # crawl-delay is a rule line for grouping purposes (it closes
+            # the agent list, Python robotparser semantics) even though
+            # only allow/disallow become PERMISSION rules
             seen_rule = True
             cur_rules.append((key, val))
     if cur_agents or cur_rules:
@@ -89,6 +92,8 @@ def parse_robots_text(
     skipped = 0
     for _, grules in chosen:
         for key, val in grules:
+            if key == "crawl-delay":
+                continue  # surfaced by crawl_delay_for_agent, not here
             if not val:
                 continue  # empty pattern: no-op per RFC
             if "*" in val or val.endswith("$"):
@@ -96,6 +101,118 @@ def parse_robots_text(
                 continue
             rules.append((key, val))
     return rules, skipped
+
+
+def crawl_delay_for_agent(text: str, agent: str = "*") -> Optional[float]:
+    """The ``Crawl-delay`` (seconds) applying to ``agent`` under the same
+    group state machine and RFC 9309 group-selection rule as
+    :func:`parse_robots_text` — named groups beat the ``*`` groups; the
+    LAST valid numeric value in the chosen groups wins (later lines
+    overwrite, Python robotparser semantics). Non-numeric and negative
+    values are ignored; no declaration → ``None`` (no delay contract)."""
+    agent = agent.lower()
+    groups: List[Tuple[List[str], List[Tuple[str, str]]]] = []
+    cur_agents: List[str] = []
+    cur_rules: List[Tuple[str, str]] = []
+    seen_rule = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if seen_rule:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules, seen_rule = [], [], False
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            seen_rule = True
+            cur_rules.append((key, val))
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules))
+    named = [g for g in groups if agent in g[0]]
+    chosen = named if named else [g for g in groups if "*" in g[0]]
+    delay: Optional[float] = None
+    for _, grules in chosen:
+        for key, val in grules:
+            if key != "crawl-delay":
+                continue
+            try:
+                v = float(val)
+            except ValueError:
+                continue
+            if v >= 0:
+                delay = v
+    return delay
+
+
+def robots_crawl_delays(
+    df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """``(host, crawl_delay)`` — the per-host Crawl-delay contract for
+    ``agent`` (seconds, NULL when undeclared). Document-local Arrow
+    pass like :func:`parse_robots`; zero shuffle; host-cardinality
+    output."""
+    import pandas as pd
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "host": batch[host_col].astype("object"),
+                    "crawl_delay": pd.Series(
+                        [
+                            crawl_delay_for_agent(b or "", agent)
+                            for b in batch[robots_col]
+                        ],
+                        dtype="float64",
+                    ),
+                }
+            )
+
+    return df.select(host_col, robots_col).mapInPandas(
+        _parse, schema="host string, crawl_delay double"
+    )
+
+
+def politeness_audit(
+    fetches: DataFrame,
+    robots_df: DataFrame,
+    ts_col: str = "warc_ts",
+    url_col: str = "url",
+    agent: str = "*",
+) -> DataFrame:
+    """``(host, n_fetches, min_gap_s, crawl_delay, violates)`` — the
+    crawl-politeness audit: observed per-host fetch cadence
+    (:func:`~llm_aided_ocr_spark.operators.temporal.host_fetch_stats`)
+    joined against the declared Crawl-delay contract
+    (:func:`robots_crawl_delays`). ``violates`` is true when the
+    OBSERVED minimum inter-fetch gap undercuts the DECLARED delay;
+    hosts with no declaration or a single fetch never violate.
+
+    Scale shape: the fetch side is host_fetch_stats' one narrow
+    exchange; the robots side is host-cardinality (tiny) and
+    broadcast-joins. Left join keeps undeclared hosts in the audit."""
+    from llm_aided_ocr_spark.operators.temporal import host_fetch_stats
+
+    stats = host_fetch_stats(fetches, ts_col=ts_col, url_col=url_col)
+    delays = robots_crawl_delays(robots_df, agent=agent)
+    joined = stats.join(F.broadcast(delays), "host", "left")
+    violates = F.when(
+        F.col("crawl_delay").isNotNull() & F.col("min_gap_s").isNotNull(),
+        F.col("min_gap_s") < F.col("crawl_delay"),
+    ).otherwise(F.lit(False))
+    return joined.select(
+        "host", "n_fetches", "min_gap_s", "crawl_delay",
+        violates.alias("violates"),
+    )
 
 
 def parse_robots(

@@ -154,3 +154,48 @@ def test_robots_sitemaps_extraction(spark):
     ]
     plan = robots_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_crawl_delay_and_politeness_audit(spark):
+    import datetime as dt
+
+    from llm_aided_ocr_spark.operators.robots import (
+        politeness_audit,
+        robots_crawl_delays,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.example", "User-agent: *\nCrawl-delay: 5\nDisallow: /x"),
+            ("fast.example", "User-agent: *\nCrawl-delay: 0.5"),
+            ("free.example", "User-agent: *\nDisallow: /y"),
+            ("null.example", None),
+        ],
+        "host string, robots_txt string",
+    )
+    delays = {r["host"]: r["crawl_delay"]
+              for r in robots_crawl_delays(robots).collect()}
+    assert delays == {"slow.example": 5.0, "fast.example": 0.5,
+                      "free.example": None, "null.example": None}
+
+    base = dt.datetime(2026, 1, 1)
+    fetches = []
+    # slow.example fetched every 2s -> violates its 5s contract
+    fetches += [(f"https://slow.example/{i}", base + dt.timedelta(seconds=2 * i))
+                for i in range(3)]
+    # fast.example fetched every 2s -> fine against 0.5s
+    fetches += [(f"https://fast.example/{i}", base + dt.timedelta(seconds=2 * i))
+                for i in range(3)]
+    # free.example: no declaration -> never violates
+    fetches += [(f"https://free.example/{i}", base + dt.timedelta(seconds=i))
+                for i in range(2)]
+    # lonely.example: single fetch, no gap -> never violates
+    fetches += [("https://lonely.example/0", base)]
+    df = spark.createDataFrame(fetches, "url string, warc_ts timestamp")
+
+    audit = {r["host"]: r for r in politeness_audit(df, robots).collect()}
+    assert audit["slow.example"]["violates"] is True
+    assert audit["fast.example"]["violates"] is False
+    assert audit["free.example"]["violates"] is False
+    assert audit["lonely.example"]["violates"] is False
+    assert audit["slow.example"]["min_gap_s"] == 2.0

@@ -4152,6 +4152,69 @@ def _robots_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(host.alias("host"), txt.alias("robots_txt"))
 
 
+def _q_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD block extraction + native JSON-path projection over
+    constructed pages: every page carries a NewsArticle block (headline
+    'Doc N', datePublished cycling 4 dates), doc_id%3==0 adds a Person
+    block with no headline, doc_id%7==0 adds a MALFORMED block (fields
+    must be NULL, raw kept). The oracle re-derives every field
+    closed-form — no JSON engine needed on the oracle side."""
+    from llm_aided_ocr_spark.operators.extract import jsonld_objects
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    date = F.concat(
+        F.lit("2026-0"), ((did % 4) + F.lit(1)).cast("string"), F.lit("-15")
+    )
+    art = F.concat(
+        F.lit('<script type="application/ld+json">{"@type": "NewsArticle", '
+              '"headline": "Doc '), ds,
+        F.lit('", "datePublished": "'), date, F.lit('"}</script>'),
+    )
+    person = F.when(
+        did % 3 == 0,
+        F.lit("<script type='application/ld+json'>"
+              '{"@type": "Person"}</script>'),
+    ).otherwise(F.lit(""))
+    broken = F.when(
+        did % 7 == 0,
+        F.lit('<script type="application/ld+json">{oops</script>'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<head>"), art, person, broken,
+        F.lit('<script type="text/javascript">var x=1;</script></head>'),
+    ).cast("binary")
+    pages = d.select("doc_id", html.alias("html"))
+    out = jsonld_objects(pages, id_col="doc_id")
+    # nullable fields sentinel-coalesced: the driver's order-insensitive
+    # compare sorts row tuples, and NULLs don't order against strings
+    return out.select(
+        F.col("id").alias("doc_id"), "jsonld_ix",
+        F.coalesce("ld_type", F.lit("")).alias("ld_type"),
+        F.coalesce("headline", F.lit("")).alias("headline"),
+        F.coalesce("date_published", F.lit("")).alias("date_published"),
+    )
+
+
+_JSONLD_SQL = """
+WITH d AS (SELECT doc_id FROM documents)
+SELECT doc_id, CAST(0 AS INTEGER) AS jsonld_ix,
+       'NewsArticle' AS ld_type,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS headline,
+       '2026-0' || CAST(doc_id % 4 + 1 AS VARCHAR) || '-15' AS date_published
+FROM d
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER), 'Person', '', ''
+FROM d WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER),
+       '', '', ''
+FROM d WHERE doc_id % 7 = 0
+"""
+
+
 def _q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-politeness audit: per-host observed min inter-fetch gap
     (constructed evenly-spaced fetches, gap = 0.5*(k+1) s for host k)
@@ -5051,6 +5114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cells": _q_table_extract,
         "link_rels": _q_link_rels,
         "politeness_audit": _q_politeness_audit,
+        "jsonld_fields": _q_jsonld,
     }
 
 
@@ -5718,4 +5782,5 @@ def oracle_sql() -> dict[str, str]:
         "table_cells": _TABLE_EXTRACT_SQL,
         "link_rels": _LINK_RELS_SQL,
         "politeness_audit": _POLITENESS_SQL,
+        "jsonld_fields": _JSONLD_SQL,
     }

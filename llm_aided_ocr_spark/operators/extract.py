@@ -801,3 +801,54 @@ def link_rels(
     return pages_df.select(
         F.col(id_col).alias("id"), F.explode(tokens).alias("p")
     ).select("id", F.col("p.rel").alias("rel"), F.col("p.href").alias("href"))
+
+
+_JSONLD_RE = (
+    r"""(?is)<script\b[^>]*\btype\s*=\s*["']application/ld\+json["']"""
+    r"[^>]*>(.*?)</script\s*>"
+)
+
+
+def jsonld_objects(
+    pages_df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+    fields: Optional[dict] = None,
+) -> DataFrame:
+    """``(id, jsonld_ix, raw_json, <field columns>)`` — the page's
+    JSON-LD structured-data blocks (``<script
+    type="application/ld+json">``), the schema.org channel publishers
+    actually fill (NewsArticle headline / datePublished / author feed
+    document metadata far more reliably than visible DOM heuristics).
+    ``fields`` maps output column → JSONPath (default: ``ld_type`` →
+    ``$['@type']``, ``headline``, ``date_published`` →
+    ``$.datePublished``); extraction is Spark's native
+    ``get_json_object`` (NULL for absent paths or malformed JSON — a
+    broken block still yields its raw_json row for diagnostics).
+
+    Same scan-fused shape as :func:`meta_properties`: one regexp pass
+    lists the blocks, posexplode, then native JSON path projection.
+    Zero Python, zero shuffle."""
+    if fields is None:
+        fields = {
+            "ld_type": "$['@type']",
+            "headline": "$.headline",
+            "date_published": "$.datePublished",
+        }
+    h = F.decode(F.coalesce(F.col(html_col), F.lit(b"")), "UTF-8")
+    blocks = pages_df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.regexp_extract_all(h, F.lit(_JSONLD_RE), F.lit(1))).alias(
+            "jsonld_ix", "raw"
+        ),
+    )
+    raw = F.trim(F.col("raw"))
+    return blocks.select(
+        "id",
+        "jsonld_ix",
+        raw.alias("raw_json"),
+        *[
+            F.get_json_object(raw, path).alias(name)
+            for name, path in fields.items()
+        ],
+    )

@@ -471,3 +471,30 @@ def test_content_blocks_fuzz_matches_python_replay(spark):
             assert got[(i, ix)] == want, (i, ix, got[(i, ix)], want)
             n_rows += 1
     assert len(got) == n_rows and n_rows > 300
+
+
+def test_jsonld_objects(spark):
+    from llm_aided_ocr_spark.operators.extract import jsonld_objects
+
+    html = (
+        "<head>"
+        '<script type="application/ld+json">'
+        '{"@type": "NewsArticle", "headline": "Big News", '
+        '"datePublished": "2026-01-02"}</script>'
+        "<script type='application/ld+json'> {\"@type\": \"Person\"} </script>"
+        '<script type="application/ld+json">not json at all</script>'
+        '<script type="text/javascript">var x = {"@type": "Nope"};</script>'
+        "</head>"
+    )
+    df = spark.createDataFrame([("u1", html.encode())], "url string, html binary")
+    rows = {r["jsonld_ix"]: r for r in jsonld_objects(df).collect()}
+    assert len(rows) == 3  # the plain-JS script is not JSON-LD
+    assert rows[0]["ld_type"] == "NewsArticle"
+    assert rows[0]["headline"] == "Big News"
+    assert rows[0]["date_published"] == "2026-01-02"
+    assert rows[1]["ld_type"] == "Person" and rows[1]["headline"] is None
+    # malformed JSON: raw kept for diagnostics, fields NULL
+    assert rows[2]["raw_json"] == "not json at all"
+    assert rows[2]["ld_type"] is None
+    plan = jsonld_objects(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan

@@ -4659,6 +4659,74 @@ FROM d WHERE doc_id % 2 = 0
 """
 
 
+def _q_content_blocks_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JusText context pass over the content_blocks construction
+    plus a 2-word zero-link "Bridge gap." paragraph between the text
+    block and the footer: promotion must fire exactly where a BASE
+    neighbor is content (no cascading through promoted blocks) — the
+    oracle states every promoted/final verdict closed-form from the
+    same arithmetic."""
+    from llm_aided_ocr_spark.operators.extract import content_blocks_contextual
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    esc = F.coalesce("text", F.lit(""))
+    esc = F.replace(esc, F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    k = (did % 4).cast("int")
+    m = (did % 3).cast("int")
+    nav = F.concat(
+        F.lit("<div>"),
+        F.repeat(F.lit('<a href="/x">go now</a> '), k),
+        F.lit("read more here</div>"),
+    )
+    para = F.concat(F.lit("<p>"), esc, F.lit("</p>"))
+    bridge = F.lit("<p>Bridge gap.</p>")
+    foot = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit("<footer>"),
+            F.repeat(F.lit('<a href="/y">f</a> '), m + F.lit(1)),
+            F.lit("</footer>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(nav, para, bridge, foot).cast("binary")
+    pages = d.select("doc_id", html.alias("html"))
+    out = content_blocks_contextual(pages, id_col="doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"), "block_idx", "tag", "n_words",
+        "is_content", "promoted", "final_is_content",
+    )
+
+
+_CONTENT_BLOCKS_CTX_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS k,
+         CAST(doc_id % 3 AS BIGINT) AS m,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+'))
+              AS BIGINT) AS wc
+  FROM documents)
+SELECT doc_id, CAST(0 AS INTEGER) AS block_idx, 'div' AS tag,
+       2 * k + 3 AS n_words, (k = 1) AS is_content,
+       (k = 0 AND wc >= 4) AS promoted,
+       (k = 1 OR (k = 0 AND wc >= 4)) AS final_is_content
+FROM d
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER), 'p', wc, wc >= 4,
+       (wc > 0 AND wc < 4 AND k = 1),
+       (wc >= 4 OR (wc > 0 AND wc < 4 AND k = 1))
+FROM d
+UNION ALL
+SELECT doc_id, CAST(2 AS INTEGER), 'p', CAST(2 AS BIGINT), FALSE,
+       wc >= 4, wc >= 4
+FROM d
+UNION ALL
+SELECT doc_id, CAST(3 AS INTEGER), 'footer', m + 1, FALSE, FALSE, FALSE
+FROM d WHERE doc_id % 2 = 0
+"""
+
+
 def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script histogram over constructed mixed-script texts
     (Latin base + per-doc Cyrillic / Han / Greek / digit tails); the
@@ -5115,6 +5183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_rels": _q_link_rels,
         "politeness_audit": _q_politeness_audit,
         "jsonld_fields": _q_jsonld,
+        "content_blocks_ctx": _q_content_blocks_ctx,
     }
 
 
@@ -5783,4 +5852,5 @@ def oracle_sql() -> dict[str, str]:
         "link_rels": _LINK_RELS_SQL,
         "politeness_audit": _POLITENESS_SQL,
         "jsonld_fields": _JSONLD_SQL,
+        "content_blocks_ctx": _CONTENT_BLOCKS_CTX_SQL,
     }

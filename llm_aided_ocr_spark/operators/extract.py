@@ -18,6 +18,7 @@ from typing import Callable, Iterator, List, Optional
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from llm_aided_ocr_spark.kernels import extract_main_text
 
@@ -851,4 +852,50 @@ def jsonld_objects(
             F.get_json_object(raw, path).alias(name)
             for name, path in fields.items()
         ],
+    )
+
+
+def content_blocks_contextual(
+    pages_df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+    min_words: int = 4,
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """:func:`content_blocks` plus JusText's context pass, simplified
+    to one rule: a block that failed only on LENGTH (link density
+    within the threshold, ``0 < n_words < min_words``) is PROMOTED when
+    an adjacent block in document order is content — short connective
+    paragraphs, single-line quotes and sub-headings between body
+    paragraphs are prose, while the same short block inside a
+    navigation run stays boilerplate. Output adds ``promoted`` and
+    ``final_is_content`` (= ``is_content OR promoted``); base columns
+    are unchanged, so the non-contextual classification stays
+    available.
+
+    Scale shape: the base classifier is zero-exchange; the context
+    pass needs neighbor visibility, so blocks shuffle ONCE on ``id``
+    (``lag``/``lead`` over a per-document window — partitions are
+    document-sized, bounded by the block regex's per-page match count).
+    ``block_html`` rides through that exchange; callers who only need
+    verdicts can drop it first."""
+    base = content_blocks(
+        pages_df, html_col, id_col, min_words, max_link_density
+    )
+    w = Window.partitionBy("id").orderBy("block_idx")
+    neighbor_good = (
+        F.coalesce(F.lag("is_content").over(w), F.lit(False))
+        | F.coalesce(F.lead("is_content").over(w), F.lit(False))
+    )
+    promoted = (
+        (~F.col("is_content"))
+        & (F.col("n_words") > 0)
+        & (F.col("n_words") < F.lit(int(min_words)))
+        & (F.col("link_density") <= F.lit(float(max_link_density)))
+        & neighbor_good
+    )
+    return base.select(
+        "*",
+        promoted.alias("promoted"),
+        (F.col("is_content") | promoted).alias("final_is_content"),
     )

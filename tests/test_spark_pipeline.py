@@ -498,3 +498,25 @@ def test_jsonld_objects(spark):
     assert rows[2]["ld_type"] is None
     plan = jsonld_objects(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_content_blocks_contextual_promotion(spark):
+    from llm_aided_ocr_spark.operators.extract import content_blocks_contextual
+
+    prose = "The quick brown fox jumps over the lazy dog tonight."
+    html = (
+        f"<p>{prose}</p>"
+        "<p>Short bridge.</p>"          # short, 0 links, next to good -> promoted
+        f"<p>{prose} Again and again.</p>"
+        "<div><a href='/a'>nav one</a></div>"  # short but link-dense -> NOT promoted
+        "<p>lonely</p>"                  # short, neighbors not content -> NOT promoted
+        "<div><a href='/b'>more nav</a></div>"
+    )
+    df = spark.createDataFrame([("u1", html.encode())], "url string, html binary")
+    rows = {r["block_idx"]: r for r in content_blocks_contextual(df).collect()}
+    assert rows[0]["final_is_content"] and not rows[0]["promoted"]
+    assert rows[1]["promoted"] and rows[1]["final_is_content"]
+    assert rows[2]["final_is_content"]
+    assert not rows[3]["promoted"] and not rows[3]["final_is_content"]
+    assert not rows[4]["promoted"] and not rows[4]["final_is_content"]
+    assert not rows[5]["final_is_content"]

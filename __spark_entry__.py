@@ -5060,6 +5060,214 @@ FROM d WHERE doc_id % 5 = 0
 """
 
 
+
+def _q_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-page-article assembly over constructed pages: group
+    ``g = doc_id // 7`` / position ``p = doc_id % 7``; pages with
+    ``p < L(g) = g % 5 + 2`` form a rel-next chain ``0 -> 1 -> ...``
+    (root-relative hrefs, so RFC 3986 resolution against the page url
+    is exercised), later positions are singletons; every page also
+    carries a rel-canonical noise link the rel filter must drop. The
+    full stack runs — link_rels tag parse, href resolution, corpus
+    restriction, pointer-doubling chain_assembly — and the oracle
+    states every (chain_head, page_ix, chain_len) closed-form from the
+    same arithmetic (truncating the last, partial group exactly like
+    the dropped dangling edge does)."""
+    from llm_aided_ocr_spark.operators.chains import pagination_chains
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    g = F.floor(did / 7)
+    p = did % 7
+    big_l = g % 5 + 2
+    gs, ps = g.cast("string"), p.cast("string")
+    url = F.concat(
+        F.lit("https://h"), (g % 13).cast("string"), F.lit(".example/a/"),
+        gs, F.lit("/"), ps,
+    )
+    canon = F.concat(F.lit('<link rel="canonical" href="'), url, F.lit('">'))
+    nxt = F.when(
+        p + 1 < big_l,
+        F.concat(
+            F.lit('<link rel="next" href="/a/'), gs, F.lit("/"),
+            (p + 1).cast("string"), F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html>"), canon, nxt, F.lit("<p>body</p></html>")
+    ).cast("binary")
+    pages = d.select(url.alias("url"), html.alias("html"))
+    out = pagination_chains(pages, max_len=16)
+    return out.select(
+        "url", "chain_head",
+        F.col("page_ix").cast("int").alias("page_ix"),
+        F.col("chain_len").cast("int").alias("chain_len"),
+    )
+
+
+_PAGINATION_CHAINS_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id // 7 AS g, doc_id % 7 AS p FROM documents
+), cnt AS (
+  SELECT g, COUNT(*) AS np FROM d GROUP BY g
+), m AS (
+  SELECT d.g, d.p, LEAST(d.g % 5 + 2, cnt.np) AS e,
+         'https://h' || CAST(d.g % 13 AS VARCHAR) || '.example/a/'
+           || CAST(d.g AS VARCHAR) || '/' || CAST(d.p AS VARCHAR) AS url,
+         'https://h' || CAST(d.g % 13 AS VARCHAR) || '.example/a/'
+           || CAST(d.g AS VARCHAR) || '/0' AS head
+  FROM d JOIN cnt USING (g)
+)
+SELECT url,
+       CASE WHEN p < e THEN head ELSE url END AS chain_head,
+       CAST(CASE WHEN p < e THEN p ELSE 0 END AS INTEGER) AS page_ix,
+       CAST(CASE WHEN p < e THEN e ELSE 1 END AS INTEGER) AS chain_len
+FROM m
+"""
+
+
+def _q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution over constructed fetch records keyed
+    by ``k = doc_id % 10``: k=6 is a 301 into k=7's 302 into k=8's 200
+    (two hops); k=5 redirects outside the fetch set (terminal after one
+    hop — the destination's status is unknowable); k=9 redirects to
+    ITSELF (a loop: burns the full max_hops=3 budget and is flagged
+    non-terminal); k=4 is a 3xx with an empty Location (terminal in
+    place); everything else is a plain 200. Closed-form oracle; the
+    k=6/k=7 finals hold even when the chain's tail falls past the last
+    doc_id, because landing outside the fetch set terminates exactly
+    like landing on a 200."""
+    from llm_aided_ocr_spark.operators.chains import redirect_resolve
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    k = did % 10
+    url = F.concat(F.lit("https://r.example/u/"), ds)
+    nxt = F.concat(F.lit("https://r.example/u/"), (did + 1).cast("string"))
+    status = (
+        F.when(k == 5, 303).when(k == 6, 301).when(k == 7, 302)
+        .when(k == 9, 301).when(k == 4, 301).otherwise(200)
+    ).cast("int")
+    loc = (
+        F.when(k == 5, F.concat(F.lit("https://ext.example/"), ds))
+        .when((k == 6) | (k == 7), nxt)
+        .when(k == 9, url)
+        .when(k == 4, F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    fetches = d.select(
+        url.alias("url"), status.alias("status"), loc.alias("location")
+    )
+    out = redirect_resolve(fetches, max_hops=3)
+    return out.select(
+        "url", "final_url", F.col("hops").cast("int").alias("hops"), "terminal"
+    )
+
+
+_REDIRECT_CHAINS_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 10 AS k,
+         'https://r.example/u/' || CAST(doc_id AS VARCHAR) AS u
+  FROM documents
+)
+SELECT u AS url,
+       CASE WHEN k = 5 THEN 'https://ext.example/' || CAST(doc_id AS VARCHAR)
+            WHEN k = 6 THEN 'https://r.example/u/' || CAST(doc_id + 2 AS VARCHAR)
+            WHEN k = 7 THEN 'https://r.example/u/' || CAST(doc_id + 1 AS VARCHAR)
+            ELSE u END AS final_url,
+       CAST(CASE WHEN k = 5 THEN 1 WHEN k = 6 THEN 2 WHEN k = 7 THEN 1
+                 WHEN k = 9 THEN 3 ELSE 0 END AS INTEGER) AS hops,
+       (k <> 9) AS terminal
+FROM d
+"""
+
+
+def _q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-multiset extraction-quality scoring (CleanEval P/R/F1)
+    with a CONSTRUCTED extractor output: the "extracted" text is the
+    document's tokens minus every token containing the letter 'e'
+    (recall loss), plus two injected tokens for doc_id%3!=2 (precision
+    loss), and empty for doc_id%7==0 (total extraction failure). The
+    oracle recomputes the full multiset math — tokenize, per-(doc,tok)
+    counts, full-outer join, Σmin — independently in DuckDB, so the
+    operator's clipping, empty-denominator and rounding contracts are
+    all value-checked."""
+    from llm_aided_ocr_spark.operators.evaluation import extraction_eval
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit("[a-z0-9]+"), F.lit(0),
+    )
+    kept = F.filter(toks, lambda t: ~t.contains("e"))
+    extras = F.when(
+        did % 3 != 2, F.array(F.lit("zq1"), F.lit("zq2"))
+    ).otherwise(F.array().cast("array<string>"))
+    extracted = F.when(did % 7 == 0, F.lit("")).otherwise(
+        F.array_join(F.concat(kept, extras), " ")
+    )
+    edf = d.select("doc_id", extracted.alias("extracted"))
+    out = extraction_eval(d, edf, id_col="doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_gold", "n_extracted", "n_common",
+        "precision_r", "recall_r", "f1_r",
+    )
+
+
+_EXTRACTION_EVAL_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_concat(
+                     list_filter(toks, t -> NOT contains(t, 'e')),
+                     CASE WHEN doc_id % 3 <> 2 THEN ['zq1', 'zq2']
+                          ELSE CAST([] AS VARCHAR[]) END)
+         END AS etoks
+  FROM d
+), gt AS (
+  SELECT doc_id, tok, COUNT(*) AS n_g
+  FROM d, UNNEST(toks) AS u(tok) GROUP BY doc_id, tok
+), et AS (
+  SELECT doc_id, tok, COUNT(*) AS n_e
+  FROM e, UNNEST(etoks) AS u(tok) GROUP BY doc_id, tok
+), j AS (
+  SELECT COALESCE(gt.doc_id, et.doc_id) AS doc_id,
+         COALESCE(n_g, 0) AS n_g, COALESCE(n_e, 0) AS n_e
+  FROM gt FULL OUTER JOIN et
+    ON gt.doc_id = et.doc_id AND gt.tok = et.tok
+), per AS (
+  SELECT doc_id, SUM(n_g) AS n_gold, SUM(n_e) AS n_extracted,
+         SUM(LEAST(n_g, n_e)) AS n_common
+  FROM j GROUP BY doc_id
+), fullr AS (
+  SELECT documents.doc_id,
+         CAST(COALESCE(n_gold, 0) AS BIGINT) AS n_gold,
+         CAST(COALESCE(n_extracted, 0) AS BIGINT) AS n_extracted,
+         CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common
+  FROM documents LEFT JOIN per ON documents.doc_id = per.doc_id
+), pr AS (
+  SELECT doc_id, n_gold, n_extracted, n_common,
+         CASE WHEN n_extracted > 0 THEN n_common / CAST(n_extracted AS DOUBLE)
+              WHEN n_gold = 0 THEN 1.0 ELSE 0.0 END AS p,
+         CASE WHEN n_gold > 0 THEN n_common / CAST(n_gold AS DOUBLE)
+              WHEN n_extracted = 0 THEN 1.0 ELSE 0.0 END AS r
+  FROM fullr
+)
+SELECT doc_id, n_gold, n_extracted, n_common,
+       ROUND(p, 6) AS precision_r,
+       ROUND(r, 6) AS recall_r,
+       ROUND(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+                  ELSE 0.0 END, 6) AS f1_r
+FROM pr
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of contract queries.
 
@@ -5184,6 +5392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_audit": _q_politeness_audit,
         "jsonld_fields": _q_jsonld,
         "content_blocks_ctx": _q_content_blocks_ctx,
+        "pagination_chains": _q_pagination_chains,
+        "redirect_chains": _q_redirect_chains,
+        "extraction_eval": _q_extraction_eval,
     }
 
 
@@ -5853,4 +6064,7 @@ def oracle_sql() -> dict[str, str]:
         "politeness_audit": _POLITENESS_SQL,
         "jsonld_fields": _JSONLD_SQL,
         "content_blocks_ctx": _CONTENT_BLOCKS_CTX_SQL,
+        "pagination_chains": _PAGINATION_CHAINS_SQL,
+        "redirect_chains": _REDIRECT_CHAINS_SQL,
+        "extraction_eval": _EXTRACTION_EVAL_SQL,
     }

@@ -5097,7 +5097,12 @@ def _q_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<html>"), canon, nxt, F.lit("<p>body</p></html>")
     ).cast("binary")
     pages = d.select(url.alias("url"), html.alias("html"))
-    out = pagination_chains(pages, max_len=16)
+    # max_len=8 -> 3 doubling rounds (covers the constructed max chain
+    # of 6); on_conflict='min' is the production shape — it folds
+    # conflict resolution into the state lineage instead of spending
+    # two validation jobs (the edges here are conflict-free either way;
+    # the 'error' path is exercised in tests/test_chains.py)
+    out = pagination_chains(pages, max_len=8, on_conflict="min")
     return out.select(
         "url", "chain_head",
         F.col("page_ix").cast("int").alias("page_ix"),

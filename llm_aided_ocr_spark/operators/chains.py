@@ -98,6 +98,7 @@ def chain_assembly(
     dst_col: str = "dst",
     max_len: int = 1024,
     on_conflict: str = "error",
+    compact: bool = True,
 ) -> DataFrame:
     """``(id, chain_head, page_ix, chain_len)`` — label every node with
     the head of its chain, its 0-based position, and the chain's total
@@ -107,16 +108,68 @@ def chain_assembly(
     Edges whose endpoints are not both in ``nodes_df`` are ignored (a
     rel-next pointing outside the corpus cannot be followed). See the
     module docstring for the pointer-doubling scale analysis.
+
+    ``compact=True`` (default) runs the doubling rounds on 8-byte
+    ``xxhash64`` node keys instead of the raw ids — at web scale a url
+    averages 60-80 bytes and appears TWICE per state row, so every
+    round's self-join shuffles ~15-20× less with hashed keys; the raw
+    strings appear only in the two final translation joins. Exactness
+    is preserved: one aggregate compares ``count(distinct id)`` with
+    ``count(distinct hash)`` up front and silently falls back to raw
+    ids on any collision (never a wrong answer, only a slower plan).
     """
+    if compact:
+        raw_ids = nodes_df.select(F.col(id_col).alias("id")).distinct()
+        n_ids, n_hashes = (
+            raw_ids.agg(
+                F.count("*"), F.countDistinct(F.xxhash64("id"))
+            ).first()
+        )
+        if n_ids == n_hashes:
+            idmap = raw_ids.select(
+                "id", F.xxhash64("id").alias("h")
+            ).localCheckpoint(eager=False)
+            hashed_nodes = idmap.select(F.col("h").alias(id_col))
+            hashed_edges = edges_df.select(
+                F.xxhash64(F.col(src_col)).alias(src_col),
+                F.xxhash64(F.col(dst_col)).alias(dst_col),
+            )
+            labeled = chain_assembly(
+                hashed_nodes, hashed_edges, id_col=id_col,
+                src_col=src_col, dst_col=dst_col, max_len=max_len,
+                on_conflict=on_conflict, compact=False,
+            )
+            me = idmap.select(F.col("h").alias("id"), F.col("id").alias("_me"))
+            hd = idmap.select(
+                F.col("h").alias("chain_head"), F.col("id").alias("_hd")
+            )
+            out = (
+                labeled.join(me, "id")
+                .join(hd, "chain_head")
+                .select(
+                    F.col("_me").alias("id"),
+                    F.col("_hd").alias("chain_head"),
+                    "page_ix", "chain_len",
+                )
+            )
+            from llm_aided_ocr_spark.operators.util import carry_pins
+
+            out = pin(out, idmap)
+            return carry_pins(labeled, out)
+        # hash collision among node ids: fall through to the raw-id path
     ids = nodes_df.select(F.col(id_col).alias("id")).distinct()
     e = _dedupe_edges(edges_df, src_col, dst_col, on_conflict)
-    # restrict to edges internal to the node set (semi-joins keep it narrow)
-    e = (
-        e.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
-        .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
-        .localCheckpoint(eager=True)
+    # restrict to edges internal to the node set (semi-joins keep it
+    # narrow); no checkpoint of its own — it feeds exactly one plan (the
+    # initial state) whose checkpoint truncates the lineage anyway
+    e = e.join(ids.withColumnRenamed("id", "src"), "src", "left_semi").join(
+        ids.withColumnRenamed("id", "dst"), "dst", "left_semi"
     )
-    # initial ancestor pointer: my predecessor (d=1), else myself (d=0)
+    # initial ancestor pointer: my predecessor (d=1), else myself (d=0).
+    # Checkpoints are LAZY: the per-round convergence aggregate is the
+    # action that materializes them, so each round costs ONE job, not
+    # two — at small inputs the rounds are pure scheduler overhead and
+    # this halves it; at 10^12 rows it merely avoids a second pass.
     state = (
         ids.join(e, ids["id"] == e["dst"], "left")
         .select(
@@ -124,7 +177,7 @@ def chain_assembly(
             F.coalesce(e["src"], ids["id"]).alias("anc"),
             F.when(e["src"].isNull(), F.lit(0)).otherwise(F.lit(1)).alias("d"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rounds = max(1, math.ceil(math.log2(max(2, max_len))))
     prev_total = state.agg(F.coalesce(F.sum("d"), F.lit(0))).first()[0]
@@ -143,11 +196,11 @@ def chain_assembly(
                 F.col("a_anc").alias("anc"),
                 (F.col("d") + F.col("a_d")).alias("d"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        total = new_state.agg(F.coalesce(F.sum("d"), F.lit(0))).first()[0]
         release_local_checkpoint(state)
         state = new_state
-        total = state.agg(F.coalesce(F.sum("d"), F.lit(0))).first()[0]
         converged = total == prev_total
         prev_total = total
     if not converged:
@@ -268,20 +321,22 @@ def redirect_resolve(
             & F.col("location").isNotNull() & (F.col("location") != "")
         )
         .select(F.col("url").alias("h_url"), F.col("location").alias("h_dst"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     is_redirect = (
         (F.col("status") >= 300) & (F.col("status") < 400)
         & F.col("location").isNotNull() & (F.col("location") != "")
     )
+    # lazy checkpoints, materialized by the per-hop moving-count — one
+    # job per hop (see chain_assembly's round discipline)
     state = f.select(
         "url",
         F.col("url").alias("cur"),
         F.lit(0).alias("hops"),
         (~is_redirect).alias("done"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    moving = state.where(~F.col("done")).limit(1).count()
     for _ in range(max_hops):
-        moving = state.where(~F.col("done")).limit(1).count()
         if not moving:
             break
         stepped = (
@@ -304,8 +359,9 @@ def redirect_resolve(
                 "url", "cur", "hops",
                 (F.col("done") | F.col("n_url").isNull()).alias("done"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        moving = new_state.where(~F.col("done")).limit(1).count()
         release_local_checkpoint(state)
         state = new_state
     out = state.select(

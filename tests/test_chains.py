@@ -174,3 +174,21 @@ def test_redirect_resolve_conflict_modes(spark):
     rows = {r["url"]: (r["final_url"], r["terminal"]) for r in got.collect()}
     release_pinned(got, blocking=True)
     assert rows["u"] == ("a", True)
+
+
+def test_chain_assembly_compact_equals_raw(spark):
+    # same forest through the hashed-key path and the raw-id path;
+    # int ids exercise type-generic hashing
+    nodes = list(range(30))
+    edges = [(i, i + 1) for i in range(30) if i % 5 != 4 and i + 1 < 30]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = chain_assembly(ndf, edf, compact=True)
+    ra = {r["id"]: (r["chain_head"], r["page_ix"], r["chain_len"])
+          for r in a.collect()}
+    release_pinned(a, blocking=True)
+    b = chain_assembly(ndf, edf, compact=False)
+    rb = {r["id"]: (r["chain_head"], r["page_ix"], r["chain_len"])
+          for r in b.collect()}
+    release_pinned(b, blocking=True)
+    assert ra == rb == _walk_chains(nodes, edges)

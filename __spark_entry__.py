@@ -5273,6 +5273,191 @@ FROM pr
 """
 
 
+
+def _q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing over constructed feed documents, keyed by
+    ``c = doc_id % 4``: c=0 an RSS channel with ``doc_id%3+1`` items
+    (guid carries an attribute; pubDate only on item 0), c=1 an Atom
+    feed with two entries (entry 0 has only <updated> — the fallback;
+    entry 1 has both — <published> must win; entry 0's title is
+    CDATA-wrapped), c=2 a plain HTML page (no rows), c=3 an RSS item
+    with a link but NO title/pubDate/guid (absent fields are empty
+    strings, the diagnostics contract). Closed-form oracle."""
+    from llm_aided_ocr_spark.operators.feeds import feed_items
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    c = did % 4
+    n_items = (did % 3 + 1).cast("int")
+    rss_body = F.aggregate(
+        F.sequence(F.lit(0), n_items - 1),
+        F.lit(""),
+        lambda acc, j: F.concat(
+            acc,
+            F.lit("<item><title>T"), ds, F.lit("x"), j.cast("string"),
+            F.lit("</title><link>https://f.example/r/"), ds, F.lit("/"),
+            j.cast("string"), F.lit("</link>"),
+            F.when(j == 0, F.concat(F.lit("<pubDate>P"), ds, F.lit("</pubDate>")))
+            .otherwise(F.lit("")),
+            F.lit('<guid isPermaLink="false">g'), ds, F.lit("-"),
+            j.cast("string"), F.lit("</guid></item>"),
+        ),
+    )
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>C</title>'),
+        rss_body, F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>F</title>'),
+        F.lit("<entry><title><![CDATA[A"), ds,
+        F.lit(']]></title><link href="https://f.example/a/'), ds,
+        F.lit('/0"/><updated>U'), ds, F.lit("</updated><id>i"), ds,
+        F.lit("-0</id></entry>"),
+        F.lit("<entry><title>B"), ds,
+        F.lit('</title><link href="https://f.example/a/'), ds,
+        F.lit('/1"/><published>Q'), ds, F.lit("</published><updated>U"),
+        ds, F.lit("</updated><id>i"), ds, F.lit("-1</id></entry></feed>"),
+    )
+    bare = F.concat(
+        F.lit("<rss><channel><item><link>https://f.example/b/"), ds,
+        F.lit("</link></item></channel></rss>"),
+    )
+    html = (
+        F.when(c == 0, rss)
+        .when(c == 1, atom)
+        .when(c == 3, bare)
+        .otherwise(F.lit("<html><p>not a feed</p></html>"))
+    ).cast("binary")
+    pages = d.select(ds.alias("url"), html.alias("html"))
+    out = feed_items(pages, id_col="url")
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"), "item_ix", "kind",
+        "title", "link", "published", "guid",
+    )
+
+
+_FEED_ITEMS_SQL = """
+WITH d AS (SELECT doc_id, doc_id % 4 AS c, doc_id % 3 + 1 AS n FROM documents)
+SELECT doc_id, CAST(j AS INTEGER) AS item_ix, 'rss' AS kind,
+       'T' || CAST(doc_id AS VARCHAR) || 'x' || CAST(j AS VARCHAR) AS title,
+       'https://f.example/r/' || CAST(doc_id AS VARCHAR) || '/'
+         || CAST(j AS VARCHAR) AS link,
+       CASE WHEN j = 0 THEN 'P' || CAST(doc_id AS VARCHAR) ELSE '' END AS published,
+       'g' || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS guid
+FROM d, generate_series(0, 2) AS g(j) WHERE c = 0 AND j < n
+UNION ALL
+SELECT doc_id, 0, 'atom', 'A' || CAST(doc_id AS VARCHAR),
+       'https://f.example/a/' || CAST(doc_id AS VARCHAR) || '/0',
+       'U' || CAST(doc_id AS VARCHAR), 'i' || CAST(doc_id AS VARCHAR) || '-0'
+FROM d WHERE c = 1
+UNION ALL
+SELECT doc_id, 1, 'atom', 'B' || CAST(doc_id AS VARCHAR),
+       'https://f.example/a/' || CAST(doc_id AS VARCHAR) || '/1',
+       'Q' || CAST(doc_id AS VARCHAR), 'i' || CAST(doc_id AS VARCHAR) || '-1'
+FROM d WHERE c = 1
+UNION ALL
+SELECT doc_id, 0, 'rss', '',
+       'https://f.example/b/' || CAST(doc_id AS VARCHAR), '', ''
+FROM d WHERE c = 3
+"""
+
+
+def _q_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP envelope parsing over constructed response payloads:
+    status 200/301/404 by ``doc_id%3``; Content-Type always first; a
+    Location header for the 301s; an obs-folded X-Note for doc_id%4==0
+    (continuation merged with one space); a colon-less junk line for
+    doc_id%5==0 (skipped without consuming an index); the body below
+    the blank line contains a decoy "Ignored: x" that must NOT parse.
+    Closed-form oracle over the same arithmetic."""
+    from llm_aided_ocr_spark.operators.http import http_headers
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    k = did % 3
+    status_line = (
+        F.when(k == 0, F.lit("HTTP/1.1 200 OK\r\n"))
+        .when(k == 1, F.lit("HTTP/1.1 301 Moved Permanently\r\n"))
+        .otherwise(F.lit("HTTP/1.0 404 Not Found\r\n"))
+    )
+    loc = F.when(
+        k == 1,
+        F.concat(F.lit("Location: https://t.example/"), ds, F.lit("\r\n")),
+    ).otherwise(F.lit(""))
+    note = F.when(
+        did % 4 == 0,
+        F.concat(F.lit("X-Note: a\r\n\tb "), ds, F.lit("\r\n")),
+    ).otherwise(F.lit(""))
+    junk = F.when(did % 5 == 0, F.lit("junk line\r\n")).otherwise(F.lit(""))
+    payload = F.concat(
+        status_line,
+        F.lit("Content-Type: text/html; charset=UTF-8\r\n"),
+        loc, note, junk,
+        F.lit("\r\nIgnored: x body "), ds,
+    ).cast("binary")
+    fetches = d.select(ds.alias("url"), payload.alias("payload"))
+    out = http_headers(fetches, id_col="url")
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"), "header_ix", "name", "value"
+    )
+
+
+_HTTP_HEADERS_SQL = """
+WITH d AS (SELECT doc_id, doc_id % 3 AS k FROM documents)
+SELECT doc_id, CAST(0 AS INTEGER) AS header_ix,
+       'content-type' AS name, 'text/html; charset=UTF-8' AS value
+FROM d
+UNION ALL
+SELECT doc_id, 1, 'location', 'https://t.example/' || CAST(doc_id AS VARCHAR)
+FROM d WHERE k = 1
+UNION ALL
+SELECT doc_id, CAST(1 + CASE WHEN k = 1 THEN 1 ELSE 0 END AS INTEGER),
+       'x-note', 'a b ' || CAST(doc_id AS VARCHAR)
+FROM d WHERE doc_id % 4 = 0
+"""
+
+
+def _q_http_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status-line extraction over the same constructed payloads as
+    http_headers, plus a non-HTTP payload for doc_id%7==0 (NULL
+    version/status — a torn record must not crash the relation)."""
+    from llm_aided_ocr_spark.operators.http import http_status
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    k = did % 3
+    payload = F.when(
+        did % 7 == 0, F.concat(F.lit("<html>no envelope "), ds, F.lit("</html>"))
+    ).otherwise(
+        F.concat(
+            F.when(k == 0, F.lit("HTTP/1.1 200 OK\r\n"))
+            .when(k == 1, F.lit("HTTP/1.1 301 Moved\r\n"))
+            .otherwise(F.lit("HTTP/1.0 404 Not Found\r\n")),
+            F.lit("Server: s\r\n\r\nbody"),
+        )
+    ).cast("binary")
+    fetches = d.select(ds.alias("url"), payload.alias("payload"))
+    out = http_status(fetches, id_col="url")
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"), "http_version", "status"
+    )
+
+
+_HTTP_STATUS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            WHEN doc_id % 3 = 2 THEN '1.0' ELSE '1.1' END AS http_version,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN NULL
+                 WHEN doc_id % 3 = 0 THEN 200
+                 WHEN doc_id % 3 = 1 THEN 301
+                 ELSE 404 END AS INTEGER) AS status
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of contract queries.
 
@@ -5400,6 +5585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_chains": _q_pagination_chains,
         "redirect_chains": _q_redirect_chains,
         "extraction_eval": _q_extraction_eval,
+        "feed_items": _q_feed_items,
+        "http_headers": _q_http_headers,
+        "http_status": _q_http_status,
     }
 
 
@@ -6072,4 +6260,7 @@ def oracle_sql() -> dict[str, str]:
         "pagination_chains": _PAGINATION_CHAINS_SQL,
         "redirect_chains": _REDIRECT_CHAINS_SQL,
         "extraction_eval": _EXTRACTION_EVAL_SQL,
+        "feed_items": _FEED_ITEMS_SQL,
+        "http_headers": _HTTP_HEADERS_SQL,
+        "http_status": _HTTP_STATUS_SQL,
     }

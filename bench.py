@@ -426,7 +426,67 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
         pagerank,
     )
     from llm_aided_ocr_spark.operators.util import release_pinned
+    from llm_aided_ocr_spark.operators.chains import chain_assembly, redirect_resolve
+    from llm_aided_ocr_spark.operators.evaluation import extraction_eval
     from llm_aided_ocr_spark.plans.curate import CurationConfig, curate
+
+    def _doc_ix(col="url"):
+        # the synthetic corpus url is https://example-{i%97}.test/doc/{i}
+        return F.regexp_extract(F.col(col), "doc/([0-9]+)$", 1).cast("bigint")
+
+    def _doc_url(i):
+        return F.concat(
+            F.lit("https://example-"), (i % 97).cast("string"),
+            F.lit(".test/doc/"), i.cast("string"),
+        )
+
+    def _chain_edges(docs):
+        # arithmetic rel-next forest over the EXISTING corpus urls:
+        # groups of 8, chain lengths 2..7 -> ~64% of pages in a chain
+        i = _doc_ix()
+        p, g = i % 8, F.floor(i / 8)
+        big_l = g % 6 + 2
+        return (
+            docs.select(F.col("url").alias("src"), i.alias("i"),
+                        p.alias("p"), big_l.alias("L"))
+            .where(F.col("p") + 1 < F.col("L"))
+            .select("src", _doc_url(F.col("i") + 1).alias("dst"))
+        )
+
+    def _fetch_records(docs):
+        # the contract query's redirect mix at corpus scale: 2-hop
+        # chains, external landings, self-loops, empty-Location 3xx
+        i = _doc_ix()
+        k = i % 10
+        nxt = _doc_url(i + 1)
+        status = (
+            F.when(k == 5, 303).when(k == 6, 301).when(k == 7, 302)
+            .when(k == 9, 301).when(k == 4, 301).otherwise(200)
+        ).cast("int")
+        loc = (
+            F.when(k == 5, F.concat(F.lit("https://ext.example/"), i.cast("string")))
+            .when((k == 6) | (k == 7), nxt)
+            .when(k == 9, F.col("url"))
+            .when(k == 4, F.lit(""))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return docs.select("url", status.alias("status"), loc.alias("location"))
+
+    def _degraded_extract(docs):
+        # extractor-output stand-in: drop every token containing 'e',
+        # inject two spurious tokens -- the eval op's shuffle load is
+        # the per-(id, tok) relation either way
+        toks = F.regexp_extract_all(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit("[a-z0-9]+"), F.lit(0),
+        )
+        kept = F.filter(toks, lambda t: ~t.contains("e"))
+        return docs.select(
+            "url",
+            F.array_join(
+                F.concat(kept, F.array(F.lit("zq1"), F.lit("zq2"))), " "
+            ).alias("extracted"),
+        )
 
     def _link_pages(docs):
         """(url, html): 4 anchors per page, hosts drawn by hash so both
@@ -599,6 +659,24 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
                 docs,
                 bloom_build(docs, key_col="url", m_words=1 << 17, k=4),
                 key_col="url", id_col="url", m_words=1 << 17, k=4,
+            ),
+            # round-5 chain layer: pointer-doubling list ranking over an
+            # arithmetic rel-next forest (compact hashed-key rounds; the
+            # per-round self-join must scale with the narrow state
+            # relation, never the corpus text) and linear <=3-hop
+            # redirect resolution; plus the CleanEval token-multiset
+            # P/R/F1 whose cost is the (id, token) pre-agg + full-outer
+            # join
+            "pagination_chains": lambda: chain_assembly(
+                docs.select("url"), _chain_edges(docs),
+                id_col="url", max_len=16, on_conflict="min",
+            ),
+            "redirect_chains": lambda: redirect_resolve(
+                _fetch_records(docs), max_hops=3, on_conflict="min"
+            ),
+            "extraction_eval": lambda: extraction_eval(
+                docs.select("url", "text"), _degraded_extract(docs),
+                id_col="url", gold_col="text", extracted_col="extracted",
             ),
         }
 

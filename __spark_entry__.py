@@ -5458,6 +5458,367 @@ FROM documents
 """
 
 
+def _q_mime_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHATWG magic-byte sniffing vs the declared Content-Type over
+    constructed payloads, keyed by ``k = doc_id % 6``: k=0 PDF declared
+    correctly (agree), k=1 HTML declared with case + parameters (the
+    essence normalizer must strip both — agree), k=2 gzip declared
+    text/plain (the lying-server case — disagree), k=3 JSON with NO
+    header (declared NULL, never agrees), k=4 leading-whitespace
+    DOCTYPE (the WHATWG WS-skip — agree), k=5 binary junk with a blank
+    header (blank → NULL). Closed-form oracle."""
+    from llm_aided_ocr_spark.operators.mime import mime_dispatch_audit
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    k = did % 6
+    payload = (
+        F.when(k == 0, F.concat(F.lit("%PDF-1.4 "), ds).cast("binary"))
+        .when(k == 1, F.concat(F.lit("<html><p>"), ds).cast("binary"))
+        .when(k == 2, F.concat(F.lit(b"\x1f\x8b\x08\x00"), ds.cast("binary")))
+        .when(k == 3, F.concat(F.lit('{"a": '), ds, F.lit("}")).cast("binary"))
+        .when(k == 4, F.concat(F.lit("\n\t <!DOCTYPE html><x>"), ds).cast("binary"))
+        .otherwise(F.concat(F.lit(b"\x00\x01"), ds.cast("binary")))
+    )
+    declared = (
+        F.when(k == 0, F.lit("application/pdf"))
+        .when(k == 1, F.lit(" Text/HTML; charset=UTF-8"))
+        .when(k == 2, F.lit("text/plain"))
+        .when(k == 4, F.lit("text/html"))
+        .when(k == 5, F.lit("   "))
+    )
+    fetches = d.select(
+        ds.alias("url"), payload.alias("payload"), declared.alias("content_type")
+    )
+    out = mime_dispatch_audit(fetches, id_col="url")
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "declared_type", "sniffed_type", "agree",
+    )
+
+
+_MIME_AUDIT_SQL = """
+SELECT doc_id,
+       CASE doc_id % 6 WHEN 0 THEN 'application/pdf'
+                       WHEN 1 THEN 'text/html'
+                       WHEN 2 THEN 'text/plain'
+                       WHEN 4 THEN 'text/html' END AS declared_type,
+       CASE doc_id % 6 WHEN 0 THEN 'application/pdf'
+                       WHEN 1 THEN 'text/html'
+                       WHEN 2 THEN 'application/gzip'
+                       WHEN 3 THEN 'application/json'
+                       WHEN 4 THEN 'text/html'
+                       ELSE 'application/octet-stream' END AS sniffed_type,
+       (doc_id % 6) IN (0, 1, 4) AS agree
+FROM documents
+"""
+
+
+def _q_refetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 re-fetch scheduling over a constructed long-form header
+    relation, keyed by ``k = doc_id % 5``: k=0 max-age + ETag
+    (revalidate_etag, ttl = doc_id%1000), k=1 Last-Modified only
+    (revalidate_ims, NULL ttl), k=2 no caching headers (full_fetch),
+    k=3 no-store beside a max-age AND a Last-Modified (ttl forced 0,
+    policy from the validator), k=4 DUPLICATE Cache-Control headers
+    (first-in-wire-order wins: ttl = doc_id%10, not 99999) + weak ETag.
+    Closed-form oracle."""
+    from llm_aided_ocr_spark.operators.refetch import refetch_schedule
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    k = did % 5
+
+    def hdr(ix, name, value):
+        return F.struct(
+            F.lit(ix).alias("header_ix"),
+            F.lit(name).alias("name"),
+            value.alias("value"),
+        )
+
+    headers = (
+        F.when(k == 0, F.array(
+            hdr(0, "cache-control",
+                F.concat(F.lit("public, max-age="), (did % 1000).cast("string"))),
+            hdr(1, "etag", F.concat(F.lit('"v'), ds, F.lit('"'))),
+        ))
+        .when(k == 1, F.array(
+            hdr(0, "last-modified", F.concat(F.lit("LM-"), ds)),
+        ))
+        .when(k == 2, F.array(
+            hdr(0, "content-type", F.lit("text/html")),
+        ))
+        .when(k == 3, F.array(
+            hdr(0, "cache-control", F.lit("no-store, max-age=900")),
+            hdr(1, "last-modified", F.concat(F.lit("LM-"), ds)),
+        ))
+        .otherwise(F.array(
+            hdr(0, "cache-control",
+                F.concat(F.lit("max-age="), (did % 10).cast("string"))),
+            hdr(1, "cache-control", F.lit("max-age=99999")),
+            hdr(2, "etag", F.concat(F.lit('W/"'), ds, F.lit('"'))),
+        ))
+    )
+    long_form = d.select(ds.alias("id"), F.explode(headers).alias("h")).select(
+        "id",
+        F.col("h.header_ix").alias("header_ix"),
+        F.col("h.name").alias("name"),
+        F.col("h.value").alias("value"),
+    )
+    out = refetch_schedule(long_form)
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "ttl_seconds", "policy", "etag", "last_modified",
+    )
+
+
+_REFETCH_SCHEDULE_SQL = """
+SELECT doc_id,
+       CAST(CASE doc_id % 5 WHEN 0 THEN doc_id % 1000
+                            WHEN 3 THEN 0
+                            WHEN 4 THEN doc_id % 10 END AS BIGINT)
+         AS ttl_seconds,
+       CASE doc_id % 5 WHEN 0 THEN 'revalidate_etag'
+                       WHEN 1 THEN 'revalidate_ims'
+                       WHEN 2 THEN 'full_fetch'
+                       WHEN 3 THEN 'revalidate_ims'
+                       ELSE 'revalidate_etag' END AS policy,
+       CASE doc_id % 5 WHEN 0 THEN '"v' || CAST(doc_id AS VARCHAR) || '"'
+                       WHEN 4 THEN 'W/"' || CAST(doc_id AS VARCHAR) || '"'
+                       END AS etag,
+       CASE doc_id % 5 WHEN 1 THEN 'LM-' || CAST(doc_id AS VARCHAR)
+                       WHEN 3 THEN 'LM-' || CAST(doc_id AS VARCHAR)
+                       END AS last_modified
+FROM documents
+"""
+
+
+def _q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual cluster keys over constructed hreflang groups:
+    pages come in groups of 3 (``g = doc_id DIV 3``, position ``p =
+    doc_id % 3``) at ``https://m.example/{g}/{p}``; each annotated page
+    declares ALL THREE variants (en/de/fr, reciprocal), so every member
+    must agree on cluster_key = the /0 url. Pages with ``doc_id % 7 ==
+    0`` carry no annotations (no row) — the remaining group members
+    still resolve the same key. Closed-form oracle."""
+    from llm_aided_ocr_spark.operators.hreflang import hreflang_clusters
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    g = F.floor(did / 3).cast("string")
+    p = (did % 3).cast("string")
+    url = F.concat(F.lit("https://m.example/"), g, F.lit("/"), p)
+
+    def link(lang, pos):
+        return F.concat(
+            F.lit('<link rel="alternate" hreflang="' + lang + '" href="'),
+            F.lit("https://m.example/"), g, F.lit("/" + pos + '"/>'),
+        )
+
+    html = F.when(
+        did % 7 != 0,
+        F.concat(
+            F.lit("<html><head>"), link("en", "0"), link("de", "1"),
+            link("fr", "2"), F.lit("</head><body>x</body></html>"),
+        ),
+    ).otherwise(F.lit("<html><body>plain</body></html>")).cast("binary")
+    pages = d.select(url.alias("url"), html.alias("html"))
+    out = hreflang_clusters(pages, id_col="url")
+    return out.select(
+        F.col("id").alias("url"), "cluster_key", "n_variants"
+    )
+
+
+_HREFLANG_CLUSTERS_SQL = """
+SELECT 'https://m.example/' || CAST(doc_id // 3 AS VARCHAR) || '/'
+         || CAST(doc_id % 3 AS VARCHAR) AS url,
+       'https://m.example/' || CAST(doc_id // 3 AS VARCHAR) || '/0'
+         AS cluster_key,
+       CAST(3 AS INTEGER) AS n_variants
+FROM documents WHERE doc_id % 7 <> 0
+"""
+
+
+def _q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 content heuristic over constructed (status, text)
+    rows: word count ``m = doc_id % 300`` sweeps across the max_words
+    threshold (200), every third doc carries the marker phrase, status
+    cycles 200/200/404/NULL by ``doc_id % 4`` — flagged iff status is
+    a real 200 AND the marker is present AND the template is short.
+    Both tail phrases are 3 words so ``n_words = m + 3`` uniformly.
+    Closed-form oracle."""
+    from llm_aided_ocr_spark.operators.soft404 import soft404_flags
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    m = (did % 300).cast("int")
+    text = F.concat(
+        F.repeat(F.lit("w "), m),
+        F.when(did % 3 == 0, F.lit("page not found"))
+        .otherwise(F.lit("all good here")),
+    )
+    status = (
+        F.when(did % 4 == 2, 404)
+        .when(did % 4 == 3, F.lit(None))
+        .otherwise(200)
+    ).cast("int")
+    rows = d.select(
+        did.cast("string").alias("url"), status.alias("status"),
+        text.alias("text"),
+    )
+    out = soft404_flags(rows)
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "status", "n_words", "marker", "is_soft404",
+    )
+
+
+_SOFT404_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 4 = 2 THEN 404
+                 WHEN doc_id % 4 = 3 THEN NULL
+                 ELSE 200 END AS INTEGER) AS status,
+       CAST(doc_id % 300 + 3 AS INTEGER) AS n_words,
+       CASE WHEN doc_id % 3 = 0 THEN 'page not found' END AS marker,
+       (doc_id % 4 IN (0, 1) AND doc_id % 3 = 0
+        AND doc_id % 300 + 3 < 200) AS is_soft404
+FROM documents
+"""
+
+
+def _q_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina change-rate estimation over a constructed
+    crawl history: each doc gets ``n_obs = doc_id%4 + 2`` daily
+    observations (epoch-second timestamps — timezone-free); the
+    fingerprint is the running change count, an interval changing iff
+    ``(doc_id + j) % 3 == 0``, so ``n_changes`` has the closed form
+    ``(doc_id+n)//3 - doc_id//3``. Floats rounded to 6 (the repo's
+    cross-engine float discipline). Closed-form oracle."""
+    from llm_aided_ocr_spark.operators.revisit import change_rates
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    n_obs = (did % 4 + 2).cast("int")
+    hist = d.select(
+        did.cast("string").alias("url"),
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_obs - 1)).alias("j"),
+    ).select(
+        "url",
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("j").cast("bigint") * 86400
+        ).alias("warc_ts"),
+        (
+            F.floor((F.col("doc_id") + F.col("j")) / 3)
+            - F.floor(F.col("doc_id") / 3)
+        ).cast("string").alias("fingerprint"),
+    )
+    out = change_rates(hist)
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "n_obs",
+        "n_changes",
+        F.round("mean_interval_sec", 6).alias("mean_interval_sec_r"),
+        F.round("lambda_per_day", 6).alias("lambda_per_day_r"),
+        F.round("revisit_sec", 6).alias("revisit_sec_r"),
+    )
+
+
+_CHANGE_RATES_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 4 + 2 AS n_obs,
+         doc_id % 4 + 1 AS n,
+         (doc_id + doc_id % 4 + 1) // 3 - doc_id // 3 AS x
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(x AS BIGINT) AS n_changes,
+       86400.0 AS mean_interval_sec_r,
+       round(-ln((n - x + 0.5) / (n + 0.5)) + 0.0, 6) AS lambda_per_day_r,
+       round(CASE WHEN x = 0 THEN 2592000.0
+                  ELSE greatest(least(86400.0 / (-ln((n - x + 0.5) / (n + 0.5))),
+                                      2592000.0), 3600.0) END, 6)
+         AS revisit_sec_r
+FROM d
+"""
+
+
+def _q_host_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-template learn + strip end-to-end over constructed pages:
+    20 hosts (``doc_id % 20``, 25 pages each at sf0.01's 500 docs —
+    every host clears min_pages); every page carries the host's TPL
+    line, even-PARITY hosts additionally a FOOT line on every page
+    (doc_id%2 is constant within a host since 2 | 20), every
+    ``doc_id%3==0`` page a PROMO line (3 ∤ 20, so PROMO hits ~1/3 of
+    each host's pages — below the 0.5 threshold, must NOT be learned),
+    plus a unique body line. The oracle replays learn+strip fully
+    relationally (GROUP BY counts + anti-join + ordered string_agg)."""
+    from llm_aided_ocr_spark.operators.templates import strip_host_templates
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 20).cast("string"))
+    text = F.concat(
+        F.lit("TPL "), host,
+        F.lit("\nbody "), did.cast("string"),
+        F.when(did % 2 == 0, F.concat(F.lit("\nFOOT "), host)).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 3 == 0, F.lit("\nPROMO today only")).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        did.cast("string").alias("url"), host.alias("host"), text.alias("text")
+    )
+    out = strip_host_templates(pages)
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "host", "text", "n_lines_in", "n_lines_kept",
+    )
+
+
+_HOST_TEMPLATES_SQL = """
+WITH base AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 20 AS VARCHAR) AS host FROM documents
+),
+lines AS (
+  SELECT doc_id, host, 0 AS ix, 'TPL ' || host AS line FROM base
+  UNION ALL
+  SELECT doc_id, host, 1, 'body ' || CAST(doc_id AS VARCHAR) FROM base
+  UNION ALL
+  SELECT doc_id, host, 2, 'FOOT ' || host FROM base WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, host, 3, 'PROMO today only' FROM base WHERE doc_id % 3 = 0
+),
+counts AS (
+  SELECT host, line, COUNT(DISTINCT doc_id) AS c FROM lines GROUP BY 1, 2
+),
+hostn AS (
+  SELECT host, COUNT(*) AS n FROM base GROUP BY 1
+),
+tpl AS (
+  SELECT counts.host, line FROM counts JOIN hostn USING (host)
+  WHERE n >= 4 AND CAST(c AS DOUBLE) / n >= 0.5
+),
+kept AS (
+  SELECT l.* FROM lines l LEFT JOIN tpl t
+    ON l.host = t.host AND l.line = t.line
+  WHERE t.line IS NULL
+)
+SELECT b.doc_id, b.host,
+       coalesce(string_agg(k.line, chr(10) ORDER BY k.ix), '') AS text,
+       CAST(2 + CASE WHEN b.doc_id % 2 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN b.doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS n_lines_in,
+       CAST(COUNT(k.line) AS BIGINT) AS n_lines_kept
+FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+GROUP BY b.doc_id, b.host
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of contract queries.
 
@@ -5588,6 +5949,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_items": _q_feed_items,
         "http_headers": _q_http_headers,
         "http_status": _q_http_status,
+        "mime_audit": _q_mime_audit,
+        "refetch_schedule": _q_refetch_schedule,
+        "hreflang_clusters": _q_hreflang_clusters,
+        "soft404": _q_soft404,
+        "change_rates": _q_change_rates,
+        "host_templates": _q_host_templates,
     }
 
 
@@ -6263,4 +6630,10 @@ def oracle_sql() -> dict[str, str]:
         "feed_items": _FEED_ITEMS_SQL,
         "http_headers": _HTTP_HEADERS_SQL,
         "http_status": _HTTP_STATUS_SQL,
+        "mime_audit": _MIME_AUDIT_SQL,
+        "refetch_schedule": _REFETCH_SCHEDULE_SQL,
+        "hreflang_clusters": _HREFLANG_CLUSTERS_SQL,
+        "soft404": _SOFT404_SQL,
+        "change_rates": _CHANGE_RATES_SQL,
+        "host_templates": _HOST_TEMPLATES_SQL,
     }

@@ -428,6 +428,8 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
     from llm_aided_ocr_spark.operators.util import release_pinned
     from llm_aided_ocr_spark.operators.chains import chain_assembly, redirect_resolve
     from llm_aided_ocr_spark.operators.evaluation import extraction_eval
+    from llm_aided_ocr_spark.operators.revisit import change_rates
+    from llm_aided_ocr_spark.operators.templates import strip_host_templates
     from llm_aided_ocr_spark.plans.curate import CurationConfig, curate
 
     def _doc_ix(col="url"):
@@ -677,6 +679,42 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
             "extraction_eval": lambda: extraction_eval(
                 docs.select("url", "text"), _degraded_extract(docs),
                 id_col="url", gold_col="text", extracted_col="extracted",
+            ),
+            # host-template learn+strip at production shape: 97 hosts x
+            # ~3.3k pages each (1x tier) — the learn exchange carries
+            # (host, line_hash) only, the strip side re-explodes lines
+            # and left-joins the learned keys; text crosses one exchange
+            "host_templates": lambda: strip_host_templates(
+                docs.select(
+                    "url",
+                    F.regexp_extract("url", r"https://([^/]+)/", 1).alias(
+                        "host"
+                    ),
+                    "text",
+                ),
+            ),
+            # change-rate estimation over a 3-crawl history of every
+            # url: the lag window + per-url agg share one exchange of a
+            # (url, ts, 20-byte fp) relation 3x the corpus row count
+            "change_rates": lambda: change_rates(
+                docs.select(
+                    "url",
+                    F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias(
+                        "j"
+                    ),
+                ).select(
+                    "url",
+                    F.timestamp_seconds(
+                        F.lit(1704067200) + F.col("j") * 86400
+                    ).alias("warc_ts"),
+                    F.conv(
+                        (
+                            F.floor((_doc_ix() + F.col("j")) / 3)
+                            - F.floor(_doc_ix() / 3)
+                        ).cast("string"),
+                        10, 16,
+                    ).alias("fingerprint"),
+                ),
             ),
         }
 

@@ -1,0 +1,113 @@
+"""hreflang alternate extraction and multilingual cluster keys.
+
+Publishers declare translated variants with ``<link rel="alternate"
+hreflang="xx" href="...">``; for an LLM training corpus those variants
+are the multilingual alignment signal (parallel-text mining) AND a
+dedup hazard (the ``x-default`` twin often duplicates one language
+variant byte-for-byte). The reference repo has no multilingual layer;
+this is part of the brief-mandated web-curation suite.
+
+Two relations:
+
+* :func:`hreflang_map` — ``(id, hreflang, href)``, one row per
+  declared variant (BCP-47 tag lowercased, ``x-default`` kept as its
+  own tag, as Google's implementation does). Both ``rel=alternate``
+  and the hreflang attribute must be present; attribute order is free.
+* :func:`hreflang_clusters` — ``(id, cluster_key, n_variants)``, one
+  row per page that declares at least one variant. ``cluster_key`` is
+  the lexicographic MIN over {own url} ∪ {declared variant urls} —
+  pages of one properly-declared reciprocal group agree on the key
+  without any graph traversal, so grouping by it is ONE hash
+  aggregation away. (A page with broken/partial annotations can land
+  in a different cluster than its siblings; resolving those needs the
+  connected-components machinery in ``operators.dedup`` — this
+  operator is the cheap 99% path, and its key doubles as the CC seed.)
+
+Scale shape: the same scan-fused native chain as ``link_rels`` — one
+``regexp_extract_all`` lists the link tags, per-tag attributes are
+projected with ``transform`` before any explode, and the cluster key
+is an ``array_min`` over the per-row array. :func:`hreflang_map` has
+zero exchanges; :func:`hreflang_clusters` is also zero-exchange (the
+aggregation is per-row, not cross-row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_LINK_TAG_RE = r"(?is)<link\b([^>]*)>"
+_REL_ATTR_RE = r"""(?is)\brel\s*=\s*["']?([^"'>\s]+(?:\s+[^"'>\s]+)*)"""
+_HREFLANG_ATTR_RE = r"""(?is)\bhreflang\s*=\s*["']?([^"'>\s]+)"""
+_HREF_ATTR_RE = r"""(?is)\bhref\s*=\s*["']([^"']+)["']"""
+
+
+def _variants(html_col: str):
+    """array<struct<hreflang,href>> of declared alternates per page."""
+    h = F.decode(F.coalesce(F.col(html_col), F.lit(b"")), "UTF-8")
+    tags = F.regexp_extract_all(h, F.lit(_LINK_TAG_RE), F.lit(1))
+    triples = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.lower(F.regexp_extract(t, _REL_ATTR_RE, 1)).alias("rel"),
+            F.lower(F.regexp_extract(t, _HREFLANG_ATTR_RE, 1)).alias(
+                "hreflang"
+            ),
+            F.regexp_extract(t, _HREF_ATTR_RE, 1).alias("href"),
+        ),
+    )
+    wanted = F.filter(
+        triples,
+        lambda t: F.array_contains(F.split(t["rel"], r"\s+"), "alternate")
+        & (t["hreflang"] != "")
+        & (t["href"] != ""),
+    )
+    return F.transform(
+        wanted,
+        lambda t: F.struct(
+            t["hreflang"].alias("hreflang"), t["href"].alias("href")
+        ),
+    )
+
+
+def hreflang_map(
+    pages_df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+) -> DataFrame:
+    """``(id, hreflang, href)`` — one row per declared language
+    variant, in document order. Pages without hreflang annotations
+    yield no rows."""
+    return pages_df.select(
+        F.col(id_col).alias("id"), F.explode(_variants(html_col)).alias("v")
+    ).select(
+        "id",
+        F.col("v.hreflang").alias("hreflang"),
+        F.col("v.href").alias("href"),
+    )
+
+
+def hreflang_clusters(
+    pages_df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+) -> DataFrame:
+    """``(id, cluster_key, n_variants)`` — see the module docstring.
+    ``n_variants`` counts DISTINCT declared hrefs (self-references,
+    which proper annotations include, are part of the count)."""
+    vs = _variants(html_col)
+    hrefs = F.array_distinct(F.transform(vs, lambda v: v["href"]))
+    return (
+        pages_df.select(
+            F.col(id_col).alias("id"),
+            hrefs.alias("hrefs"),
+        )
+        .where(F.size("hrefs") > 0)
+        .select(
+            "id",
+            F.array_min(
+                F.concat(F.array(F.col("id")), F.col("hrefs"))
+            ).alias("cluster_key"),
+            F.size("hrefs").alias("n_variants"),
+        )
+    )

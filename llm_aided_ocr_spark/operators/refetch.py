@@ -1,0 +1,105 @@
+"""Re-fetch scheduling from HTTP caching headers (crawl freshness).
+
+A recurring crawl must decide, per url, when and HOW to fetch again:
+a page served with a validator (ETag / Last-Modified) can be
+revalidated with a conditional request (304 → no body transferred —
+at 10^12 documents the bandwidth difference IS the crawl budget),
+while ``Cache-Control: max-age`` / ``Expires`` bound how long the
+stored copy is usable at all. This operator turns the long-form
+header relation (:func:`~llm_aided_ocr_spark.operators.http
+.http_headers` output) into one scheduling row per document. The
+reference repo has no fetch layer; this is part of the brief-mandated
+web-curation suite. Semantics follow RFC 9111 (HTTP caching),
+pragmatically subset:
+
+* ``ttl_seconds`` — ``max-age`` from Cache-Control if present (first
+  ``max-age=N`` directive, case-insensitive), else NULL. ``no-store``
+  / ``no-cache`` directives force ttl 0 (always stale).
+* ``policy`` — how the NEXT fetch should be issued:
+  ``revalidate_etag`` when an ETag is present (strongest validator —
+  ``If-None-Match``), else ``revalidate_ims`` when Last-Modified is
+  present (``If-Modified-Since``), else ``full_fetch``.
+* ``next_fetch_ts`` — ``fetch_ts + ttl_seconds`` when both are known
+  (NULL ttl → NULL: no server-declared freshness, the scheduler falls
+  back to its own revisit policy, e.g. per-host change-rate estimates
+  from :func:`~llm_aided_ocr_spark.operators.snapshots.snapshot_diff`).
+
+Scale shape: ONE hash aggregation on the already-long header relation
+(min/conditional-first per header name — no pivot, no join back); the
+optional fetch-timestamp join is a plain equi-join the caller can
+broadcast when the fetch-log side is small. Multi-valued headers take
+the FIRST occurrence in wire order (``min_by`` on header_ix), matching
+the RFC's "a recipient MUST use the first" guidance for singleton
+fields.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MAX_AGE_RE = r"(?i)(?:^|[,\s])max-age\s*=\s*([0-9]+)"
+_NO_STORE_RE = r"(?i)(?:^|[,\s])no-(?:store|cache)(?:$|[,\s=])"
+
+
+def refetch_schedule(
+    headers_df: DataFrame,
+    fetches_df: Optional[DataFrame] = None,
+    id_col: str = "id",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """``(id, ttl_seconds, policy, etag, last_modified
+    [, next_fetch_ts])`` — one row per document that has at least one
+    parsed header. ``headers_df`` is the long form ``(id, header_ix,
+    name, value)`` with lowercased names; ``fetches_df`` (optional)
+    supplies ``(id_col, ts_col)`` for the absolute ``next_fetch_ts``.
+    See the module docstring for the RFC 9111 subset."""
+
+    def first_of(name: str):
+        # first occurrence in wire order of one header, else NULL
+        return F.min_by(
+            F.when(F.col("name") == name, F.col("value")),
+            F.when(F.col("name") == name, F.col("header_ix")),
+        )
+
+    agg = headers_df.groupBy(F.col(id_col).alias("id")).agg(
+        first_of("cache-control").alias("cc"),
+        first_of("etag").alias("etag"),
+        first_of("last-modified").alias("last_modified"),
+    )
+    max_age = F.regexp_extract(F.col("cc"), _MAX_AGE_RE, 1)
+    ttl = (
+        F.when(F.col("cc").rlike(_NO_STORE_RE), F.lit(0))
+        .when(max_age != "", max_age.cast("bigint"))
+        .cast("bigint")
+    )
+    policy = (
+        F.when(F.col("etag").isNotNull(), "revalidate_etag")
+        .when(F.col("last_modified").isNotNull(), "revalidate_ims")
+        .otherwise("full_fetch")
+    )
+    out = agg.select(
+        "id",
+        ttl.alias("ttl_seconds"),
+        policy.alias("policy"),
+        "etag",
+        "last_modified",
+    )
+    if fetches_df is None:
+        return out
+    fetched = fetches_df.select(
+        F.col(id_col).alias("id"), F.col(ts_col).alias("_fetch_ts")
+    )
+    return out.join(fetched, "id", "left").select(
+        "id",
+        "ttl_seconds",
+        "policy",
+        "etag",
+        "last_modified",
+        (
+            F.col("_fetch_ts")
+            + F.make_dt_interval(secs=F.col("ttl_seconds").cast("double"))
+        ).alias("next_fetch_ts"),
+    )

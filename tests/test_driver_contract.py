@@ -47,8 +47,13 @@ def _norm(v):
 
 def _rowset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # sort key stringifies so NULLs (None) compare against values of any
+    # type; the tuples themselves keep the real values for equality
     return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple(
+            (v is None, str(type(v)), str(v)) for v in t
+        ),
     )
 
 
@@ -181,7 +186,7 @@ _R5_FRONT = [
 def test_registration_order_fronts_driver_unchecked_queries(entry_mod):
     keys = list(entry_mod.queries())
     assert keys[: len(_R5_FRONT)] == _R5_FRONT
-    assert len(keys) == 116
-    assert len(set(keys)) == 116
+    assert len(keys) == 122
+    assert len(set(keys)) == 122
     # every never-driver-checked query must sit inside the 50-row window
     assert len(_R5_FRONT) <= 50

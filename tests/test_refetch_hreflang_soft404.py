@@ -1,0 +1,149 @@
+"""refetch_schedule (RFC 9111 subset), hreflang map/clusters,
+soft404_flags content heuristic."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from llm_aided_ocr_spark.operators.hreflang import (
+    hreflang_clusters,
+    hreflang_map,
+)
+from llm_aided_ocr_spark.operators.refetch import refetch_schedule
+from llm_aided_ocr_spark.operators.soft404 import soft404_flags
+
+
+def _headers(spark, rows):
+    return spark.createDataFrame(
+        rows, "id string, header_ix int, name string, value string"
+    )
+
+
+def test_refetch_schedule_policies(spark):
+    rows = [
+        # etag + max-age -> revalidate_etag, ttl 3600
+        ("a", 0, "cache-control", "public, max-age=3600"),
+        ("a", 1, "etag", '"v1"'),
+        ("a", 2, "last-modified", "Mon, 01 Jan 2024 00:00:00 GMT"),
+        # last-modified only -> revalidate_ims, NULL ttl
+        ("b", 0, "last-modified", "Tue, 02 Jan 2024 00:00:00 GMT"),
+        # no validators, no cc -> full_fetch, NULL ttl
+        ("c", 0, "content-type", "text/html"),
+        # no-store wins over a (nonsensical but seen) max-age
+        ("d", 0, "cache-control", "no-store, max-age=900"),
+        # first occurrence in wire order wins for singleton headers
+        ("e", 0, "cache-control", "max-age=10"),
+        ("e", 1, "cache-control", "max-age=99"),
+        ("e", 2, "etag", "W/'x'"),
+        # s-maxage must NOT match the max-age extractor
+        ("f", 0, "cache-control", "s-maxage=500"),
+    ]
+    got = {r["id"]: r for r in refetch_schedule(_headers(spark, rows)).collect()}
+    assert (got["a"]["policy"], got["a"]["ttl_seconds"]) == ("revalidate_etag", 3600)
+    assert got["a"]["etag"] == '"v1"'
+    assert (got["b"]["policy"], got["b"]["ttl_seconds"]) == ("revalidate_ims", None)
+    assert (got["c"]["policy"], got["c"]["ttl_seconds"]) == ("full_fetch", None)
+    assert got["d"]["ttl_seconds"] == 0
+    assert (got["e"]["policy"], got["e"]["ttl_seconds"]) == ("revalidate_etag", 10)
+    assert got["f"]["ttl_seconds"] is None
+
+
+def test_refetch_schedule_next_ts(spark):
+    headers = _headers(spark, [("a", 0, "cache-control", "max-age=60"),
+                               ("b", 0, "content-type", "text/html")])
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    fetches = spark.createDataFrame(
+        [("a", t0), ("b", t0)], "id string, warc_ts timestamp"
+    )
+    got = {
+        r["id"]: r["next_fetch_ts"]
+        for r in refetch_schedule(headers, fetches).collect()
+    }
+    assert got["a"] == t0 + datetime.timedelta(seconds=60)
+    assert got["b"] is None  # NULL ttl -> NULL schedule
+
+
+HTML_HREFLANG = (
+    b'<html><head>'
+    b'<link rel="alternate" hreflang="EN" href="https://s.example/en"/>'
+    b'<link hreflang="de" rel="alternate nofollow" href="https://s.example/de">'
+    b'<link rel="alternate" hreflang="x-default" href="https://s.example/en"/>'
+    b'<link rel="alternate" href="https://s.example/feed.xml" '
+    b'type="application/rss+xml"/>'      # no hreflang -> not a variant
+    b'<link rel="stylesheet" hreflang="fr" href="https://s.example/fr"/>'
+    b"</head><body>x</body></html>"
+)
+
+
+def test_hreflang_map(spark):
+    df = spark.createDataFrame(
+        [("https://s.example/de", HTML_HREFLANG), ("u2", b"<html/>")],
+        "url string, html binary",
+    )
+    rows = hreflang_map(df).collect()
+    got = [(r["hreflang"], r["href"]) for r in rows]
+    assert got == [
+        ("en", "https://s.example/en"),
+        ("de", "https://s.example/de"),
+        ("x-default", "https://s.example/en"),
+    ]
+
+
+def test_hreflang_clusters_reciprocal_pages_agree(spark):
+    # both variants declare the full group -> same cluster_key
+    en = (
+        b'<link rel="alternate" hreflang="en" href="https://s.example/en"/>'
+        b'<link rel="alternate" hreflang="de" href="https://s.example/de"/>'
+    )
+    df = spark.createDataFrame(
+        [
+            ("https://s.example/en", en),
+            ("https://s.example/de", en),
+            ("https://s.example/plain", b"<html/>"),
+        ],
+        "url string, html binary",
+    )
+    rows = {r["id"]: r for r in hreflang_clusters(df).collect()}
+    assert set(rows) == {"https://s.example/en", "https://s.example/de"}
+    keys = {r["cluster_key"] for r in rows.values()}
+    assert keys == {"https://s.example/de"}
+    assert rows["https://s.example/en"]["n_variants"] == 2
+
+
+def test_hreflang_zero_exchange(spark):
+    df = spark.createDataFrame([("u", HTML_HREFLANG)], "url string, html binary")
+    for rel in (hreflang_map(df), hreflang_clusters(df)):
+        plan = rel._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_soft404_flags(spark):
+    long_doc = ("word " * 300) + "page not found in archives"
+    rows = [
+        ("hit", 200, "Sorry, this Page Not Found. Try the homepage."),
+        ("real404", 404, "page not found"),          # status already routes it
+        ("longdoc", 200, long_doc),                  # too long to be a template
+        ("clean", 200, "a perfectly normal article body"),
+        ("nullstatus", None, "page not found"),
+        ("removed", 200, "This content has been removed by the author."),
+    ]
+    df = spark.createDataFrame(rows, "url string, status int, text string")
+    got = {r["id"]: r for r in soft404_flags(df).collect()}
+    assert got["hit"]["is_soft404"] is True
+    assert got["hit"]["marker"] == "page not found"
+    assert got["real404"]["is_soft404"] is False
+    assert got["longdoc"]["is_soft404"] is False
+    assert got["longdoc"]["marker"] == "page not found"
+    assert got["clean"]["is_soft404"] is False and got["clean"]["marker"] is None
+    assert got["nullstatus"]["is_soft404"] is False
+    assert got["removed"]["is_soft404"] is True
+    # first-marker-in-list tie-break and word counting
+    assert got["hit"]["n_words"] == 8
+    empty = spark.createDataFrame(
+        [("e", 200, ""), ("n", 200, None)], "url string, status int, text string"
+    )
+    eg = {r["id"]: r["n_words"] for r in soft404_flags(empty).collect()}
+    assert eg == {"e": 0, "n": 0}

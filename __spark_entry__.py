@@ -5819,6 +5819,149 @@ GROUP BY b.doc_id, b.host
 """
 
 
+def _q_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-suffix-list eTLD+1 extraction over eight constructed host
+    shapes exercising every PSL rule form: plain gTLD subdomain, 2-label
+    ccTLD registry, wildcard ``*.ck``, exception ``!www.ck`` (under the
+    wildcard), unknown TLD (the default ``*`` rule), a host that IS a
+    public suffix, case+trailing-dot normalization, and a deep ccTLD
+    chain. The oracle states every (public_suffix, registered_domain)
+    pair closed-form from the PSL algorithm."""
+    from llm_aided_ocr_spark.operators.domains import registered_domains
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did, i = F.col("doc_id"), F.col("doc_id").cast("string")
+    m8 = did % 8
+    host = (
+        F.when(m8 == 0, F.concat(F.lit("news"), i, F.lit(".example.com")))
+        .when(m8 == 1, F.lit("a.b.example.co.uk"))
+        .when(m8 == 2, F.lit("x.foo.ck"))
+        .when(m8 == 3, F.lit("sub.www.ck"))
+        .when(m8 == 4, F.lit("bar.unknowntld"))
+        .when(m8 == 5, F.lit("co.uk"))
+        .when(m8 == 6, F.concat(F.lit("WWW.Site"), i, F.lit(".COM.")))
+        .otherwise(F.lit("cdn.static.example.com.br"))
+    )
+    return registered_domains(
+        d.select(did.alias("id"), host.alias("host"))
+    ).select(F.col("id").alias("doc_id"), "host", "public_suffix",
+             "registered_domain")
+
+
+_REGISTERED_DOMAINS_SQL = """
+SELECT doc_id,
+  CASE doc_id % 8
+    WHEN 0 THEN 'news' || CAST(doc_id AS VARCHAR) || '.example.com'
+    WHEN 1 THEN 'a.b.example.co.uk'
+    WHEN 2 THEN 'x.foo.ck'
+    WHEN 3 THEN 'sub.www.ck'
+    WHEN 4 THEN 'bar.unknowntld'
+    WHEN 5 THEN 'co.uk'
+    WHEN 6 THEN 'www.site' || CAST(doc_id AS VARCHAR) || '.com'
+    ELSE 'cdn.static.example.com.br' END AS host,
+  CASE doc_id % 8
+    WHEN 0 THEN 'com'        WHEN 1 THEN 'co.uk'
+    WHEN 2 THEN 'foo.ck'     WHEN 3 THEN 'ck'
+    WHEN 4 THEN 'unknowntld' WHEN 5 THEN 'co.uk'
+    WHEN 6 THEN 'com'        ELSE 'com.br' END AS public_suffix,
+  CASE doc_id % 8
+    WHEN 0 THEN 'example.com'
+    WHEN 1 THEN 'example.co.uk'
+    WHEN 2 THEN 'x.foo.ck'
+    WHEN 3 THEN 'www.ck'
+    WHEN 4 THEN 'bar.unknowntld'
+    WHEN 5 THEN NULL
+    WHEN 6 THEN 'site' || CAST(doc_id AS VARCHAR) || '.com'
+    ELSE 'example.com.br' END AS registered_domain
+FROM documents
+"""
+
+
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease over REAL document text. The oracle replays
+    the pinned tokenization (``[a-z]+`` words, ``[aeiouy]+`` vowel
+    groups with a 1-syllable floor for vowel-less words, ``[.!?]+``
+    sentence runs floored at 1) and the identical IEEE-double formula;
+    the score crosses engines as ``floor(x*10000 + 0.5)`` (BIGINT) to
+    sidestep HALF_UP-vs-banker's ``round`` divergence."""
+    from llm_aided_ocr_spark.operators.readability import flesch_scores
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "text")
+    return flesch_scores(d).select(
+        F.col("id").alias("doc_id"), "n_words", "n_sentences",
+        "n_syllables", "flesch_x1e4",
+    )
+
+
+_READABILITY_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS ws,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+'))
+           AS vg,
+         greatest(1, len(regexp_extract_all(coalesce(text, ''), '[.!?]+')))
+           AS s
+  FROM documents),
+t AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(s AS BIGINT) AS n_sentences,
+         CAST(vg + len([x for x in ws if NOT regexp_matches(x, '[aeiouy]')])
+              AS BIGINT) AS n_syllables
+  FROM w)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CASE WHEN n_words > 0 THEN CAST(floor(
+    (206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)) * 10000
+    + 0.5) AS BIGINT) END AS flesch_x1e4
+FROM t
+"""
+
+
+def _q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage scoring over real text with deterministically
+    injected damage: ``doc_id % 4`` double-encoded e-acute artifacts
+    plus a replacement character + curly-quote artifact on every 5th
+    doc. Both engines build the identical string, count the identical
+    literal alternation, and round the per-kchar rate to 6dp."""
+    from llm_aided_ocr_spark.operators.mojibake import mojibake_scores
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    t2 = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.expr("repeat('Ã©', CAST(doc_id % 4 AS INT))"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" â€™�"))
+        .otherwise(F.lit("")),
+    )
+    return mojibake_scores(
+        d.select(F.col("doc_id").alias("id"), t2.alias("text"))
+    ).select(F.col("id").alias("doc_id"), "n_chars", "n_damage",
+             "damage_per_kchar_r", "is_damaged")
+
+
+_MOJIBAKE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         coalesce(text, '')
+           || repeat('Ã©', CAST(doc_id % 4 AS INT))
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' â€™�' ELSE '' END AS t2
+  FROM documents),
+c AS (
+  SELECT doc_id, CAST(length(t2) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(t2,
+           '�|Ã©|Ã¨|Ã¡|Ã³|Ã±|Ã§|Ã¼|Ã¶|Ã¤|â€™|â€˜|â€œ|â€¦|Â·|Â»|Â«'))
+           AS BIGINT) AS n_damage
+  FROM t)
+SELECT doc_id, n_chars, n_damage,
+  CASE WHEN n_chars > 0
+       THEN round(1000.0 * n_damage / n_chars, 6) END AS damage_per_kchar_r,
+  coalesce(CASE WHEN n_chars > 0
+                THEN round(1000.0 * n_damage / n_chars, 6) > 2.0 END,
+           FALSE) AS is_damaged
+FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of contract queries.
 
@@ -5955,6 +6098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404": _q_soft404,
         "change_rates": _q_change_rates,
         "host_templates": _q_host_templates,
+        "registered_domains": _q_registered_domains,
+        "readability": _q_readability,
+        "mojibake": _q_mojibake,
     }
 
 
@@ -6636,4 +6782,7 @@ def oracle_sql() -> dict[str, str]:
         "soft404": _SOFT404_SQL,
         "change_rates": _CHANGE_RATES_SQL,
         "host_templates": _HOST_TEMPLATES_SQL,
+        "registered_domains": _REGISTERED_DOMAINS_SQL,
+        "readability": _READABILITY_SQL,
+        "mojibake": _MOJIBAKE_SQL,
     }

@@ -1,0 +1,155 @@
+"""Registered-domain extraction via the Public Suffix List algorithm.
+
+Production curation pipelines group, cap and score by REGISTERED domain
+(eTLD+1), not by raw host: ``a.blogspot.co.uk`` and ``b.blogspot.co.uk``
+are different publishers, while ``news.example.com`` and
+``www.example.com`` are the same one. RefinedWeb's url scoring, Dolma's
+per-domain caps and C4's blocklists all key on eTLD+1. The reference
+repo has no url layer; this operator is part of the brief-mandated
+web-curation suite and composes with ``domain_cap`` / ``domain_stats``
+(pass ``registered_domain`` as the domain column).
+
+Algorithm (publicsuffix.org/list/, the PSL matching rules):
+
+* a RULE matches a host when the rule's labels are a suffix of the
+  host's labels; ``*`` in a rule matches exactly one label;
+* among matching rules an EXCEPTION rule (``!`` prefix) prevails,
+  otherwise the rule with the MOST labels;
+* if no rule matches, the prevailing rule is ``*`` (the bare TLD);
+* the public suffix is the matched rule's labels (for an exception
+  rule: the rule minus its leftmost label); the registered domain is
+  the public suffix plus one more host label (NULL when the host IS a
+  public suffix).
+
+``DEFAULT_RULES`` embeds a representative PSL subset (common ICANN
+gTLDs/ccTLDs, the high-traffic two-label ccTLD registries, and real
+wildcard/exception rules so all three rule forms are exercised); pass
+the full downloaded list via ``rules`` in production.
+
+Scale shape: the rule set is driver-local and compiles into a literal
+``isin`` ladder grouped by rule length — pure native projections, zero
+Python, zero joins/shuffle, scan-fused (same codegen pattern as
+``url_filter``). Host normalization (lowercase, strip one trailing dot)
+is part of the contract.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Representative PSL subset. Sources: publicsuffix.org (public data).
+DEFAULT_RULES: List[str] = [
+    # 1-label ICANN TLDs
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "ai", "dev",
+    "app", "info", "biz", "xyz", "me", "tv", "cc", "us", "de", "fr",
+    "it", "nl", "es", "se", "no", "fi", "dk", "pl", "ru", "in", "ca",
+    "cn", "jp", "kr", "au", "uk", "br", "mx", "ar", "nz", "za", "ch",
+    "at", "be", "eu", "tr", "ck", "np",
+    # 2-label ccTLD registries
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "org.br", "net.br", "gov.br",
+    "co.in", "net.in", "org.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.kr", "or.kr", "com.mx", "org.mx", "com.ar",
+    "co.nz", "org.nz", "co.za", "org.za", "com.tr", "gov.tr",
+    # wildcard rules (any single label under these is a public suffix)
+    "*.ck", "*.np",
+    # exception rules (registrable despite a covering wildcard)
+    "!www.ck",
+]
+
+
+def registered_domains(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: Optional[str] = "id",
+    rules: Optional[List[str]] = None,
+) -> DataFrame:
+    """``(id?, host, public_suffix, registered_domain)`` — one row per
+    input row. ``host`` in the output is the NORMALIZED host (lowercase,
+    one trailing dot stripped); NULL/empty hosts yield NULL outputs;
+    a host that is itself a public suffix yields a NULL
+    ``registered_domain``."""
+    if rules is None:
+        rules = DEFAULT_RULES
+    exceptions: List[str] = []
+    exacts: dict[int, List[str]] = {}
+    wildcards: dict[int, List[str]] = {}  # match-length -> parent suffixes
+    for r in rules:
+        r = r.strip().lower()
+        if not r:
+            continue
+        if r.startswith("!"):
+            body = r[1:]
+            if "*" in body or len(body.split(".")) < 2:
+                raise ValueError(f"malformed exception rule {r!r}")
+            exceptions.append(body)
+        elif r.startswith("*."):
+            parent = r[2:]
+            if "*" in parent or not parent:
+                raise ValueError(f"unsupported wildcard rule {r!r}")
+            wildcards.setdefault(len(parent.split(".")) + 1, []).append(parent)
+        else:
+            if "*" in r:
+                raise ValueError(f"unsupported wildcard position in {r!r}")
+            exacts.setdefault(len(r.split(".")), []).append(r)
+
+    host = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(host_col), F.lit("")))), r"\.$", ""
+    )
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    def last_k(k: int):  # suffix of the last k labels, valid when n >= k
+        return F.array_join(F.slice(labels, n - k + 1, F.lit(k)), ".")
+
+    # exception rules first (they prevail regardless of length), then
+    # longest-match descending; same-length exact and wildcard rules
+    # yield the same suffix length so relative order within a length
+    # doesn't matter. Default rule '*' -> ps = 1.
+    ps = None
+
+    def _when(cond, val):
+        nonlocal ps
+        branch = F.when(cond, F.lit(val))
+        ps = branch if ps is None else ps.when(cond, F.lit(val))
+
+    for ex in sorted(exceptions, key=lambda r: -len(r.split("."))):
+        k = len(ex.split("."))
+        _when((n >= k) & (last_k(k) == ex), k - 1)
+    lengths = sorted(set(exacts) | set(wildcards), reverse=True)
+    for k in lengths:
+        if k in exacts:
+            _when((n >= k) & last_k(k).isin(exacts[k]), k)
+        if k in wildcards:
+            _when((n >= k) & last_k(k - 1).isin(wildcards[k]), k)
+    ps = (F.lit(1) if ps is None else ps.otherwise(F.lit(1))).alias("ps")
+
+    valid = (host != "") & ~host.contains("..")
+    out = df.withColumn("__h", F.when(valid, host)).withColumn(
+        "__ps", F.when(valid, ps)
+    )
+    cols = [F.col(id_col).alias("id")] if id_col else []
+    n2 = F.size(F.split(F.col("__h"), r"\."))
+    psl = F.col("__ps")
+    cols += [
+        F.col("__h").alias("host"),
+        F.when(
+            n2 >= psl,
+            F.array_join(
+                F.slice(F.split(F.col("__h"), r"\."), n2 - psl + 1, psl), "."
+            ),
+        ).alias("public_suffix"),
+        F.when(
+            n2 >= psl + 1,
+            F.array_join(
+                F.slice(F.split(F.col("__h"), r"\."), n2 - psl, psl + 1), "."
+            ),
+        ).alias("registered_domain"),
+    ]
+    return out.select(*cols)

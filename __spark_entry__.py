@@ -3323,17 +3323,45 @@ b AS (
   FROM documents),
 lang AS ({_build_lang_id_sql(per_doc=True)}),
 {_quality_score_ctes("documents")},
-gop AS (SELECT doc_id, gopher_pass FROM ({_GOPHER_SQL}))
+gop AS (SELECT doc_id, gopher_pass FROM ({_GOPHER_SQL})),
+flw AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS ws,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+'))
+           AS vg,
+         greatest(1, len(regexp_extract_all(coalesce(text, ''), '[.!?]+')))
+           AS s
+  FROM documents),
+fl AS (
+  SELECT doc_id, CASE WHEN len(ws) > 0 THEN CAST(floor(
+      (206.835 - 1.015 * (CAST(len(ws) AS DOUBLE) / s)
+       - 84.6 * (CAST(vg + len([x for x in ws
+                                if NOT regexp_matches(x, '[aeiouy]')])
+                      AS DOUBLE) / len(ws))) * 10000 + 0.5) AS BIGINT) END
+    AS flesch_x1e4
+  FROM flw),
+mj AS (
+  SELECT doc_id, CASE WHEN length(coalesce(text, '')) > 0 THEN
+      round(1000.0 * len(regexp_extract_all(coalesce(text, ''),
+        '�|Ã©|Ã¨|Ã¡|Ã³|Ã±|Ã§|Ã¼|Ã¶|Ã¤|â€™|â€˜|â€œ|â€¦|Â·|Â»|Â«'))
+        / length(coalesce(text, '')), 6) END AS mojibake_per_kchar_r
+  FROM documents)
 SELECT g.doc_id AS doc_id, g.domain AS domain,
+       CASE WHEN g.doc_id % 6 IN (0, 1, 2) THEN 'example.net'
+            ELSE 'example.org' END AS registered_domain,
        lang.detected_lang AS detected_lang,
        b.doc_bytes AS doc_bytes, b.approx_tokens AS approx_tokens,
        qs1.qscore AS quality_score, gop.gopher_pass AS gopher_pass,
-       g.url_keep AS url_keep
+       g.url_keep AS url_keep,
+       fl.flesch_x1e4 AS flesch_x1e4,
+       mj.mojibake_per_kchar_r AS mojibake_per_kchar_r
 FROM g
 JOIN b USING (doc_id)
 JOIN lang USING (doc_id)
 JOIN qs1 USING (doc_id)
 JOIN gop USING (doc_id)
+JOIN fl USING (doc_id)
+JOIN mj USING (doc_id)
 """
 
 

@@ -107,6 +107,17 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="DOMAIN",
                    help="curate: drop pages on DOMAIN (and subdomains) "
                         "before correction; repeatable")
+    p.add_argument("--max-per-domain", type=int, default=None,
+                   help="cap documents per domain before dedup")
+    p.add_argument("--mojibake-gate", action="store_true",
+                   help="drop pages whose encoding-damage rate exceeds "
+                        "--mojibake-max (per 1000 chars)")
+    p.add_argument("--mojibake-max", type=float, default=2.0)
+    p.add_argument("--min-flesch", type=int, default=None,
+                   help="drop pages below this Flesch reading-ease floor")
+    p.add_argument("--domain-cap-registered", action="store_true",
+                   help="apply --max-per-domain on the PSL eTLD+1 "
+                        "instead of the raw host")
     p.add_argument("--url-trap-gate", action="store_true",
                    help="shed crawler-trap urls (calendar loops, "
                         "session-id paths, facet param explosions) "
@@ -281,6 +292,11 @@ def main(argv=None) -> int:
                 url_blocked_keywords=tuple(args.url_block_keyword),
                 url_trap_gate=args.url_trap_gate,
                 robots_rules=robots_rules,
+                max_per_domain=args.max_per_domain,
+                domain_cap_registered=args.domain_cap_registered,
+                mojibake_gate=args.mojibake_gate,
+                mojibake_max_per_kchar=args.mojibake_max,
+                min_flesch=args.min_flesch,
             ),
             store=store,
         )

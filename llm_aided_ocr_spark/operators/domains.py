@@ -64,17 +64,9 @@ DEFAULT_RULES: List[str] = [
 ]
 
 
-def registered_domains(
-    df: DataFrame,
-    host_col: str = "host",
-    id_col: Optional[str] = "id",
-    rules: Optional[List[str]] = None,
-) -> DataFrame:
-    """``(id?, host, public_suffix, registered_domain)`` — one row per
-    input row. ``host`` in the output is the NORMALIZED host (lowercase,
-    one trailing dot stripped); NULL/empty hosts yield NULL outputs;
-    a host that is itself a public suffix yields a NULL
-    ``registered_domain``."""
+def _normalized_host_and_ps_len(host_raw, rules):
+    """(normalized host, public-suffix label count, validity) columns —
+    the PSL ladder compiled once from a driver-local rule list."""
     if rules is None:
         rules = DEFAULT_RULES
     exceptions: List[str] = []
@@ -100,7 +92,7 @@ def registered_domains(
             exacts.setdefault(len(r.split(".")), []).append(r)
 
     host = F.regexp_replace(
-        F.lower(F.trim(F.coalesce(F.col(host_col), F.lit("")))), r"\.$", ""
+        F.lower(F.trim(F.coalesce(host_raw, F.lit("")))), r"\.$", ""
     )
     labels = F.split(host, r"\.")
     n = F.size(labels)
@@ -128,9 +120,35 @@ def registered_domains(
             _when((n >= k) & last_k(k).isin(exacts[k]), k)
         if k in wildcards:
             _when((n >= k) & last_k(k - 1).isin(wildcards[k]), k)
-    ps = (F.lit(1) if ps is None else ps.otherwise(F.lit(1))).alias("ps")
-
+    ps = F.lit(1) if ps is None else ps.otherwise(F.lit(1))
     valid = (host != "") & ~host.contains("..")
+    return host, ps, valid
+
+
+def registered_domain_col(host_raw, rules: Optional[List[str]] = None):
+    """eTLD+1 as a single native column over a raw-host column — the
+    per-row form :func:`annotate` and grouping keys use (NULL when the
+    host is empty, malformed, or itself a public suffix)."""
+    host, ps, valid = _normalized_host_and_ps_len(host_raw, rules)
+    n = F.size(F.split(host, r"\."))
+    return F.when(
+        valid & (n >= ps + 1),
+        F.array_join(F.slice(F.split(host, r"\."), n - ps, ps + 1), "."),
+    )
+
+
+def registered_domains(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: Optional[str] = "id",
+    rules: Optional[List[str]] = None,
+) -> DataFrame:
+    """``(id?, host, public_suffix, registered_domain)`` — one row per
+    input row. ``host`` in the output is the NORMALIZED host (lowercase,
+    one trailing dot stripped); NULL/empty hosts yield NULL outputs;
+    a host that is itself a public suffix yields a NULL
+    ``registered_domain``."""
+    host, ps, valid = _normalized_host_and_ps_len(F.col(host_col), rules)
     out = df.withColumn("__h", F.when(valid, host)).withColumn(
         "__ps", F.when(valid, ps)
     )

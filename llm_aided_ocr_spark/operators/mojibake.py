@@ -36,6 +36,26 @@ DEFAULT_ARTIFACTS: List[str] = [
 ]
 
 
+def mojibake_rate_col(text_col, artifacts: Optional[List[str]] = None) -> F.Column:
+    """``damage_per_kchar_r`` alone as one native column (NULL for
+    empty text) — the per-row form :func:`annotate` and the curation
+    gate compose into their projections."""
+    if artifacts is None:
+        artifacts = DEFAULT_ARTIFACTS
+    if not artifacts:
+        raise ValueError("artifacts must be non-empty (or None for defaults)")
+    pattern = "|".join(re.escape(a) for a in artifacts)
+    text = F.coalesce(
+        text_col if not isinstance(text_col, str) else F.col(text_col),
+        F.lit(""),
+    )
+    n_chars = F.length(text)
+    n_damage = F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+    return F.when(
+        n_chars > 0, F.round(F.lit(1000.0) * n_damage / n_chars, 6)
+    )
+
+
 def mojibake_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -34,6 +34,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def flesch_x1e4_col(text_col) -> F.Column:
+    """The score alone as one native column (NULL for wordless text) —
+    the per-row form :func:`annotate` composes into its projection."""
+    text = F.coalesce(text_col if not isinstance(text_col, str) else F.col(text_col), F.lit(""))
+    low = F.lower(text)
+    words = F.regexp_extract_all(low, F.lit(r"[a-z]+"), F.lit(0))
+    w = F.size(words)
+    syl = F.size(
+        F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), F.lit(0))
+    ) + F.size(F.filter(words, lambda x: ~x.rlike(r"[aeiouy]")))
+    s = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0)))
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w.cast("double") / s.cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / w.cast("double"))
+    )
+    return F.when(w > 0, F.floor(score * 10000 + F.lit(0.5))).cast("bigint")
+
+
 def flesch_scores(
     df: DataFrame,
     text_col: str = "text",

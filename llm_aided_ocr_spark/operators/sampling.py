@@ -215,6 +215,7 @@ def domain_cap(
     url_col: str = "url",
     seed: int = 1,
     salt_partitions: int | None = None,
+    domain_expr=None,
 ) -> DataFrame:
     """Keep at most ``max_per_domain`` documents per registrable host —
     the standard stratification pass on raw crawls, where a handful of
@@ -255,7 +256,10 @@ def domain_cap(
 
     if max_per_domain < 1:
         raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
-    dom = domain_col(F.col(url_col))
+    # domain_expr overrides the grouping key (e.g. the PSL eTLD+1 from
+    # operators.domains.registered_domain_col) — still a per-row native
+    # expression, so the cap's scale shape is unchanged
+    dom = domain_expr if domain_expr is not None else domain_col(F.col(url_col))
     with_dom = df.withColumn("_dc_domain", dom)
     over = (
         with_dom.groupBy("_dc_domain")

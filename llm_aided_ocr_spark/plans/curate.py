@@ -60,6 +60,10 @@ class CurationConfig:
     near_dup_threshold: float = 0.8
     max_per_domain: Optional[int] = None  # cap docs per registrable host
     domain_cap_seed: int = 1
+    domain_cap_registered: bool = False   # cap on PSL eTLD+1, not raw host
+    mojibake_gate: bool = False           # shed encoding-damaged pages
+    mojibake_max_per_kchar: float = 2.0
+    min_flesch: Optional[int] = None      # Flesch floor (points, e.g. 10)
     blocklist: tuple = ()                 # C4 bad-words gate (empty = off)
     split_weights: Dict[str, float] = field(
         default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -245,6 +249,26 @@ def curate(
         docs = docs.join(corpus_scaled(keep), "url", "left_semi")
     if cfg.min_quality_score > 0:
         docs = docs.filter(F.col("quality_score") >= cfg.min_quality_score)
+    if cfg.mojibake_gate:
+        # encoding damage the charset sniff could not prevent (upstream
+        # double-encoding, torn transfers) — per-row codegen predicate,
+        # NULL rate (empty text) passes: emptiness is page_filter's job
+        from llm_aided_ocr_spark.operators.mojibake import mojibake_rate_col
+
+        rate = mojibake_rate_col(F.col("corrected_text"))
+        docs = docs.filter(
+            rate.isNull() | (rate <= F.lit(cfg.mojibake_max_per_kchar))
+        )
+    if cfg.min_flesch is not None:
+        # readability floor (points; the column is x1e4) — sheds token
+        # soup that survives the word-level Gopher bars. NULL (wordless
+        # text) passes for the same reason as above.
+        from llm_aided_ocr_spark.operators.readability import flesch_x1e4_col
+
+        fl = flesch_x1e4_col(F.col("corrected_text"))
+        docs = docs.filter(
+            fl.isNull() | (fl >= F.lit(int(cfg.min_flesch) * 10000))
+        )
     if cfg.host_quality_gate:
         # domain-level shed (RefinedWeb/FineWeb): hosts whose MEAN
         # quality or Gopher pass-rate is below the bars lose all their
@@ -287,8 +311,22 @@ def curate(
         # must chew through (C4/Gopher cap early for the same reason)
         from llm_aided_ocr_spark.operators.sampling import domain_cap
 
+        dom_expr = None
+        if cfg.domain_cap_registered:
+            # cap on the PSL eTLD+1 so subdomain farms (a.blog.example /
+            # b.blog.example / ...) share ONE budget; hosts with no
+            # registrable domain (bare suffixes, malformed) fall back to
+            # the raw host key
+            from llm_aided_ocr_spark.operators.domains import (
+                registered_domain_col,
+            )
+            from llm_aided_ocr_spark.operators.textstats import domain_col
+
+            host = domain_col(F.col("url"))
+            dom_expr = F.coalesce(registered_domain_col(host), host)
         docs = domain_cap(
-            docs, cfg.max_per_domain, url_col="url", seed=cfg.domain_cap_seed
+            docs, cfg.max_per_domain, url_col="url",
+            seed=cfg.domain_cap_seed, domain_expr=dom_expr,
         )
     if cfg.exact_dedup:
         docs = exact_dedup(docs, text_col="corrected_text", id_col="url")
@@ -333,8 +371,9 @@ def annotate(
     blocked_domains: tuple = (),
     blocked_keywords: tuple = (),
 ) -> DataFrame:
-    """``(id, domain, detected_lang, doc_bytes, approx_tokens,
-    quality_score, gopher_pass, url_keep)`` — the Dolma-style per-doc
+    """``(id, domain, registered_domain, detected_lang, doc_bytes,
+    approx_tokens, quality_score, gopher_pass, url_keep, flesch_x1e4,
+    mojibake_per_kchar_r)`` — the Dolma-style per-doc
     attribute table: every cheap tagger this repo ships that is a PURE
     per-row expression, emitted as ONE wide native projection. Zero
     joins, zero Python, zero shuffle — the whole annotation fuses into
@@ -356,10 +395,17 @@ def annotate(
         url_keep_col,
     )
 
+    from llm_aided_ocr_spark.operators.domains import registered_domain_col
+    from llm_aided_ocr_spark.operators.mojibake import mojibake_rate_col
+    from llm_aided_ocr_spark.operators.readability import flesch_x1e4_col
+
     text = F.coalesce(F.col(text_col), F.lit(""))
     cols = [
         F.col(id_col).alias("id"),
         domain_col(F.coalesce(F.col(url_col), F.lit(""))).alias("domain"),
+        registered_domain_col(
+            domain_col(F.coalesce(F.col(url_col), F.lit("")))
+        ).alias("registered_domain"),
         lang_id_col(F.col(text_col)).alias("detected_lang"),
         F.octet_length(text).cast("bigint").alias("doc_bytes"),
         approx_tokens_col(text).alias("approx_tokens"),
@@ -368,6 +414,8 @@ def annotate(
         url_keep_col(
             F.col(url_col), blocked_domains, blocked_keywords
         ).alias("url_keep"),
+        flesch_x1e4_col(F.col(text_col)).alias("flesch_x1e4"),
+        mojibake_rate_col(F.col(text_col)).alias("mojibake_per_kchar_r"),
     ]
     if "html" in df.columns:
         # raw html present → the meta-robots signal is free in the same

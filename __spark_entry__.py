@@ -5990,6 +5990,75 @@ FROM c
 """
 
 
+def _q_publication_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-date ladder over six constructed page shapes: an
+    OpenGraph meta with a doc_id-varying day, meta-beats-time
+    precedence, time-tag only, URL-path date (1-digit month/day form),
+    an impossible meta date (Feb 30 — try_to_date NULL) falling through
+    to the time tag, and a dateless page. Closed-form oracle."""
+    from llm_aided_ocr_spark.operators.dates import publication_dates
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did, i = F.col("doc_id"), F.col("doc_id").cast("string")
+    m6 = did % 6
+    day = F.lpad((did % 28 + 1).cast("string"), 2, "0")
+    html = (
+        F.when(m6 == 0, F.concat(
+            F.lit('<meta property="article:published_time" '
+                  'content="2021-03-'), day, F.lit('T01:02:03Z">')))
+        .when(m6 == 1, F.lit('<time datetime="2018-01-01">x</time>'
+                             '<meta name="date" content="2019-07-08">'))
+        .when(m6 == 2, F.lit("<TIME DATETIME='2020-12-31T23:59:59Z'>t"
+                             "</TIME>"))
+        .when(m6 == 3, F.lit("<p>x</p>"))
+        .when(m6 == 4, F.lit('<meta name="date" content="2024-02-30">'
+                             '<time datetime="2024-02-10">t</time>'))
+        .otherwise(F.lit("<p>none</p>"))
+    )
+    url = F.when(
+        m6 == 3, F.concat(F.lit("https://h.example/2017/6/5/p"), i)
+    ).otherwise(F.concat(F.lit("https://h.example/p"), i))
+    pages = d.select(
+        did.alias("doc_id"), url.alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    # date columns cross the comparator as ISO strings: DATE-typed
+    # value normalization is unproven driver-side (timestamps are), and
+    # the string form is unambiguous under any timezone/ANSI setting
+    return publication_dates(pages, id_col="doc_id").select(
+        F.col("id").alias("doc_id"),
+        F.col("date_meta").cast("string").alias("date_meta"),
+        F.col("date_time_tag").cast("string").alias("date_time_tag"),
+        F.col("date_url").cast("string").alias("date_url"),
+        F.col("pub_date").cast("string").alias("pub_date"),
+        "source",
+    )
+
+
+_PUBLICATION_DATES_SQL = """
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN '2021-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+    WHEN 1 THEN '2019-07-08' END AS date_meta,
+  CASE doc_id % 6
+    WHEN 1 THEN '2018-01-01'
+    WHEN 2 THEN '2020-12-31'
+    WHEN 4 THEN '2024-02-10' END AS date_time_tag,
+  CASE doc_id % 6
+    WHEN 3 THEN '2017-06-05' END AS date_url,
+  CASE doc_id % 6
+    WHEN 0 THEN '2021-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+    WHEN 1 THEN '2019-07-08'
+    WHEN 2 THEN '2020-12-31'
+    WHEN 3 THEN '2017-06-05'
+    WHEN 4 THEN '2024-02-10' END AS pub_date,
+  CASE doc_id % 6
+    WHEN 0 THEN 'meta' WHEN 1 THEN 'meta' WHEN 2 THEN 'time'
+    WHEN 3 THEN 'url'  WHEN 4 THEN 'time' END AS source
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of contract queries.
 
@@ -6129,6 +6198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registered_domains": _q_registered_domains,
         "readability": _q_readability,
         "mojibake": _q_mojibake,
+        "publication_dates": _q_publication_dates,
     }
 
 
@@ -6813,4 +6883,5 @@ def oracle_sql() -> dict[str, str]:
         "registered_domains": _REGISTERED_DOMAINS_SQL,
         "readability": _READABILITY_SQL,
         "mojibake": _MOJIBAKE_SQL,
+        "publication_dates": _PUBLICATION_DATES_SQL,
     }

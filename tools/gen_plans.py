@@ -361,12 +361,54 @@ def main() -> None:
 
     sections.append((
         "annotate() — the whole attribute table is one codegen projection",
-        "domain, lang id, bytes, token estimate, quality score, Gopher "
-        "pass, URL gate: zero Exchange, zero Python — tagging costs "
-        "exactly one corpus read.",
+        "domain, PSL registered_domain, lang id, bytes, token estimate, "
+        "quality score, Gopher pass, URL gate, Flesch x1e4, mojibake "
+        "rate: zero Exchange, zero Python — tagging costs exactly one "
+        "corpus read.",
         plan_of(__import__("llm_aided_ocr_spark.plans.curate", fromlist=["x"]).annotate(
             docs.selectExpr("cast(doc_id as string) as url", "text")
         )),
+    ))
+
+    # the date-ladder expressions are huge in string form (the meta-key
+    # priority chain repeats per output column — runtime codegen CSE
+    # dedups them, the printed plan does not), so this section shows the
+    # TREE with per-line truncation: the structural claim (one Project
+    # over the scan, no Exchange/Python) is what matters.
+    def _tree(plan: str, width: int = 140) -> str:
+        return "\n".join(
+            (ln[:width] + " …") if len(ln) > width else ln
+            for ln in plan.splitlines()
+        )
+
+    sections.append((
+        "round-5 crawl signals — PSL eTLD+1 + date ladder, one scan",
+        "registered_domains' longest-match rule ladder compiles to "
+        "literal isin chains and publication_dates' three-channel "
+        "precedence to native regexp/try_to_date projections: composed "
+        "TOGETHER over one pages scan they stay a single codegen "
+        "projection — zero Exchange, zero Python, rule/key sets live in "
+        "the plan, not in a join relation (expressions truncated; "
+        "tests/test_curate_signals_r5.py asserts the no-Exchange/"
+        "no-Python property).",
+        _tree(plan_of((lambda m_dom, m_dat: m_dat.publication_dates(
+            m_dom.registered_domains(
+                docs.selectExpr(
+                    "cast(doc_id as string) as url",
+                    "concat('h', cast(doc_id % 7 as string), "
+                    "'.example.co.uk') as host",
+                ),
+                id_col="url",
+            ).selectExpr(
+                "concat('https://', host, '/2021/3/4/p?', id) as url",
+                "encode(concat('<meta name=\"date\" content=\"2020-0', "
+                "'1-02\">'), 'UTF-8') as html",
+                "public_suffix", "registered_domain",
+            )
+        ))(
+            __import__("llm_aided_ocr_spark.operators.domains", fromlist=["x"]),
+            __import__("llm_aided_ocr_spark.operators.dates", fromlist=["x"]),
+        ))),
     ))
 
     sections.append((

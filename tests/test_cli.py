@@ -482,3 +482,56 @@ def test_cli_sniff_charset_mode(spark):
 
         assert run(["--sniff-charset"]) == "He said “café” loudly."
         assert "�" in run([])  # utf-8 assumption mangles cp1252 bytes
+
+
+def test_cli_curate_r5_signal_flags(spark):
+    """--mojibake-gate / --min-flesch / --max-per-domain with
+    --domain-cap-registered flow through to curate(): the damaged page
+    and the token soup are shed, and two subdomains of one eTLD+1 share
+    the cap budget."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as tmp:
+        inp = os.path.join(tmp, "pages.parquet")
+        out = os.path.join(tmp, "out")
+        body = "A full sentence of body text for the page lives here now."
+        rows = [
+            ("http://a.keep.org/p1", None, None, body + " one", "en"),
+            ("http://b.keep.org/p2", None, None, body + " two", "en"),
+            ("http://c.keep.org/p3", None, None, body + " three", "en"),
+            # mojibake: dense double-encoding artifacts
+            ("http://d.keep.org/bad", None, None,
+             "ruined Ã©Ã©Ã© â€™â€™ bytes Ã±Ã± here", "en"),
+            # unreadable token soup, no sentence marks
+            ("http://e.keep.org/soup", None, None,
+             "zxqv kjwq pzzt " * 40, "en"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ).write.parquet(inp)
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "llm_aided_ocr_spark",
+                "--input", inp, "--output", out,
+                "--curate", "--no-near-dedup",
+                "--mojibake-gate", "--min-flesch", "10",
+                "--max-per-domain", "2", "--domain-cap-registered",
+                "--provider", "heuristic", "--master", "local[2]",
+            ],
+            capture_output=True, text=True, timeout=300,
+            cwd=repo, env=dict(os.environ, PYTHONPATH=repo),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        urls = {
+            r["url"]
+            for r in spark.read.parquet(
+                os.path.join(out, "curated_docs")
+            ).collect()
+        }
+        # gates shed /bad and /soup; the eTLD+1 cap keeps 2 of the 3
+        # clean pages even though each sits on its own subdomain host
+        assert len(urls) == 2
+        assert urls < {
+            "http://a.keep.org/p1", "http://b.keep.org/p2",
+            "http://c.keep.org/p3",
+        }

@@ -23,8 +23,8 @@ The score is emitted as ``flesch_x1e4`` = ``floor(score*10000 + 0.5)``
 expression trees, and the integer form sidesteps the HALF_UP-vs-banker's
 rounding divergence between Spark's ``round`` and DuckDB's.
 
-Scale shape: pure native projections (three ``regexp_extract_all``
-passes + one array filter per row), zero Python, zero shuffle,
+Scale shape: pure native projections (four ``regexp_extract_all``
+passes per row, no higher-order functions — those break codegen), zero Python, zero shuffle,
 scan-fused with whatever filter ladder surrounds it.
 """
 
@@ -39,11 +39,19 @@ def flesch_x1e4_col(text_col) -> F.Column:
     the per-row form :func:`annotate` composes into its projection."""
     text = F.coalesce(text_col if not isinstance(text_col, str) else F.col(text_col), F.lit(""))
     low = F.lower(text)
-    words = F.regexp_extract_all(low, F.lit(r"[a-z]+"), F.lit(0))
-    w = F.size(words)
+    w = F.size(F.regexp_extract_all(low, F.lit(r"[a-z]+"), F.lit(0)))
+    # vowel-less maximal [a-z]+ runs counted via lookarounds instead of
+    # a filter() lambda: higher-order functions are CodegenFallback, and
+    # ONE such expression anywhere in a projection drops the whole
+    # projection out of whole-stage codegen; the lookaround form keeps
+    # the identical word definition ((?<![a-z])..(?![a-z]) = maximal run)
     syl = F.size(
         F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), F.lit(0))
-    ) + F.size(F.filter(words, lambda x: ~x.rlike(r"[aeiouy]")))
+    ) + F.size(
+        F.regexp_extract_all(
+            low, F.lit(r"(?<![a-z])[b-df-hj-np-tv-xz]+(?![a-z])"), F.lit(0)
+        )
+    )
     s = F.greatest(
         F.lit(1), F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0)))
     )
@@ -64,11 +72,12 @@ def flesch_scores(
     row per input row; ``flesch_x1e4`` is NULL for wordless text."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     low = F.lower(text)
-    words = F.regexp_extract_all(low, F.lit(r"[a-z]+"), F.lit(0))
-    w = F.size(words)
+    w = F.size(F.regexp_extract_all(low, F.lit(r"[a-z]+"), F.lit(0)))
     vowel_groups = F.size(F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), F.lit(0)))
-    vowelless = F.size(
-        F.filter(words, lambda x: ~x.rlike(r"[aeiouy]"))
+    vowelless = F.size(  # lookaround form — see flesch_x1e4_col's note
+        F.regexp_extract_all(
+            low, F.lit(r"(?<![a-z])[b-df-hj-np-tv-xz]+(?![a-z])"), F.lit(0)
+        )
     )
     syl = vowel_groups + vowelless
     s = F.greatest(F.lit(1), F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))))

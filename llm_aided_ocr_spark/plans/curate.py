@@ -376,9 +376,13 @@ def annotate(
     mojibake_per_kchar_r)`` — the Dolma-style per-doc
     attribute table: every cheap tagger this repo ships that is a PURE
     per-row expression, emitted as ONE wide native projection. Zero
-    joins, zero Python, zero shuffle — the whole annotation fuses into
-    the scan's codegen stage, so tagging a 100 TB corpus costs exactly
-    one read. Downstream "mixer" rules are plain filters over the
+    joins, zero Python, zero shuffle — tagging a 100 TB corpus costs
+    exactly one read. Codegen note: the gopher/token/lang columns carry
+    higher-order functions (CodegenFallback), so the FULL-width
+    projection runs on the interpreted expression path; a column-pruned
+    selection of HOF-free attributes regains whole-stage codegen, and
+    Catalyst prunes unselected signals away entirely (only the
+    attributes a mixer rule reads are ever computed). Downstream "mixer" rules are plain filters over the
     attribute columns (each signal is individually driver-oracled via
     its own contract query; this compose adds no arithmetic of its own).
 

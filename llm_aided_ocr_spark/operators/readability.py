@@ -24,7 +24,7 @@ expression trees, and the integer form sidesteps the HALF_UP-vs-banker's
 rounding divergence between Spark's ``round`` and DuckDB's.
 
 Scale shape: pure native projections (four ``regexp_extract_all``
-passes per row, no higher-order functions — those break codegen), zero Python, zero shuffle,
+passes per row, no array materialization), zero Python, zero shuffle,
 scan-fused with whatever filter ladder surrounds it.
 """
 
@@ -41,10 +41,10 @@ def flesch_x1e4_col(text_col) -> F.Column:
     low = F.lower(text)
     w = F.size(F.regexp_extract_all(low, F.lit(r"[a-z]+"), F.lit(0)))
     # vowel-less maximal [a-z]+ runs counted via lookarounds instead of
-    # a filter() lambda: higher-order functions are CodegenFallback, and
-    # ONE such expression anywhere in a projection drops the whole
-    # projection out of whole-stage codegen; the lookaround form keeps
-    # the identical word definition ((?<![a-z])..(?![a-z]) = maximal run)
+    # a filter() lambda over the words array: the array materialization
+    # + per-element lambda eval costs real allocation at corpus scale;
+    # the lookaround form keeps the identical word definition
+    # ((?<![a-z])..(?![a-z]) = maximal run) in one regex pass
     syl = F.size(
         F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), F.lit(0))
     ) + F.size(

@@ -73,9 +73,19 @@ def lang_id_col(text_col: Column) -> Column:
     )
 
     def _result(tokens: Column) -> Column:
+        # per-language counts run over the JOINED token string (tiny —
+        # marker tokens only), so no filter() lambda is needed beyond
+        # the single let_ binding of the extraction
+        joined = F.concat(F.lit(" "), F.array_join(tokens, " "), F.lit(" "))
         scores = [
             F.struct(
-                _marker_hits(tokens, markers).alias("hits"),
+                F.size(F.regexp_extract_all(
+                    joined,
+                    F.lit(" (?:" + "|".join(sorted(set(markers),
+                                                   key=lambda w: (-len(w), w)))
+                          + ")(?= )"),
+                    F.lit(0),
+                )).alias("hits"),
                 F.lit(-i).alias("prio"),
                 F.lit(lang).alias("lang"),
             )
@@ -225,25 +235,67 @@ def _gopher_line_flag_pairs(lines: Column) -> list:
     ]
 
 
+_JAVA_WS = " \t\n\x0b\x0c\r"  # exactly Java regex \\s — for translate()
+
+
+def _re_count(t: Column, pat: str) -> Column:
+    return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+
+
 def gopher_pass_col(text: Column) -> Column:
     """The combined Gopher gate as ONE native boolean expression — the
     join-free form for inline filtering (``curate()`` uses this: the flags
     are pure per-row functions of the text, so deriving them through
     :func:`gopher_quality_flags` and joining back on the id would buy an
-    Exchange for zero information). Same rules, same ``let_`` binding
-    discipline; equivalence with the flags table is pinned by test."""
-    from llm_aided_ocr_spark.operators.util import let_
+    Exchange for zero information). Equivalence with the flags table is
+    pinned by test.
 
+    HOF-free form (round 5): every quantity is a regex count / translate
+    length over the text instead of filters over a materialized words
+    array — the array build + per-element lambda eval dominates at
+    corpus scale (lambda-variable machinery and the intermediate arrays
+    are pure allocation), and the old stops check re-lowered the full
+    words array once PER stopword. Word
+    = maximal ``\\S+`` run, pinned to the array form's semantics:
+    lookarounds make each count a complete-run match, ``translate``
+    strips exactly Java's ``\\s`` six, blank-line/trim rules replicate
+    ``trim``'s space-only stripping."""
     t = F.coalesce(text, F.lit(""))
-
-    def _and(pairs) -> Column:
-        acc = F.lit(True)
-        for _, c in pairs:
-            acc = acc & c
-        return acc
-
-    w_ok = let_(_gopher_words_expr(t), lambda ws: _and(_gopher_word_flag_pairs(ws)))
-    l_ok = let_(_gopher_lines_expr(t), lambda ls: _and(_gopher_line_flag_pairs(ls)))
+    low = F.lower(t)
+    n_words = _re_count(t, r"\S+")
+    sum_wl = F.length(F.translate(t, _JAVA_WS, ""))
+    mean_wl = F.when(
+        n_words > 0, sum_wl.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_symbols = _re_count(t, r"(?<!\S)\S*?(?:#|\.\.\.)\S*")
+    n_alpha = _re_count(t, r"(?<!\S)[^A-Za-z\s]*[A-Za-z]\S*")
+    n_stops = None
+    for s_ in _GOPHER_STOPS:
+        b = low.rlike(r"(?<!\S)" + s_ + r"(?!\S)").cast("int")
+        n_stops = b if n_stops is None else n_stops + b
+    w_ok = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+        & F.when(
+            n_words > 0, n_symbols.cast("double") / n_words <= 0.1
+        ).otherwise(F.lit(False))
+        & F.when(
+            n_words > 0, n_alpha.cast("double") / n_words >= 0.8
+        ).otherwise(F.lit(False))
+        & (n_stops >= 2)
+    )
+    # line rules: a line is blank iff all-spaces (trim strips ONLY
+    # spaces); bullet/ellipsis test the first/last non-space char runs.
+    # Patterns run over sentinel-wrapped text so no (?m) anchors are
+    # needed (Java (?m)$ also matches before a lone CR — a mismatch).
+    wrapped = F.concat(F.lit("\n"), t, F.lit("\n"))
+    n_lines = _re_count(t, r"[^\n]*[^ \n][^\n]*")
+    bullet = _re_count(wrapped, "\n *[-*\u2022]")
+    ellipsis = _re_count(wrapped, r"\.\.\. *\n")
+    safe = lambda n: F.when(  # noqa: E731
+        n_lines > 0, n.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    l_ok = (safe(bullet) <= 0.9) & (safe(ellipsis) <= 0.3)
     return w_ok & l_ok
 
 
@@ -595,27 +647,19 @@ def _url_gate_cols(
     """``(domain_blocked, keyword_hits)`` expressions — shared by the
     relation-shaped :func:`url_filter` and the inline
     :func:`url_keep_col` predicate."""
-    from llm_aided_ocr_spark.operators.util import let_
-
+    # literal OR-chain / sum instead of exists/filter over literal
+    # arrays: plain boolean chains stay in the cheap expression path and
+    # need no lambda-variable machinery (codegen CSE dedups the
+    # repeated domain extraction)
     u = F.lower(F.coalesce(url_col, F.lit("")))
-    doms = F.array(*[F.lit(d.lower()) for d in blocked_domains])
-    kws = F.array(*[F.lit(k.lower()) for k in blocked_keywords])
-    dom_blocked = (
-        let_(
-            domain_col(F.coalesce(url_col, F.lit(""))),
-            lambda h: F.exists(
-                doms,
-                lambda b: (h == b) | h.endswith(F.concat(F.lit("."), b)),
-            ),
-        )
-        if blocked_domains
-        else F.lit(False)
-    )
-    hits = (
-        let_(u, lambda lu: F.size(F.filter(kws, lambda k: lu.contains(k))))
-        if blocked_keywords
-        else F.lit(0)
-    )
+    h = domain_col(F.coalesce(url_col, F.lit("")))
+    dom_blocked = F.lit(False)
+    for d in blocked_domains:
+        d = d.lower()
+        dom_blocked = dom_blocked | (h == d) | h.endswith("." + d)
+    hits = F.lit(0)
+    for k in blocked_keywords:
+        hits = hits + u.contains(k.lower()).cast("int")
     return dom_blocked, hits
 
 

@@ -377,12 +377,15 @@ def annotate(
     attribute table: every cheap tagger this repo ships that is a PURE
     per-row expression, emitted as ONE wide native projection. Zero
     joins, zero Python, zero shuffle — tagging a 100 TB corpus costs
-    exactly one read. Codegen note: the gopher/token/lang columns carry
-    higher-order functions (CodegenFallback), so the FULL-width
-    projection runs on the interpreted expression path; a column-pruned
-    selection of HOF-free attributes regains whole-stage codegen, and
-    Catalyst prunes unselected signals away entirely (only the
-    attributes a mixer rule reads are ever computed). Downstream "mixer" rules are plain filters over the
+    exactly one read. Cost note: the pass is regex-bound (~10 full-text
+    regex passes across the signals; 320k docs / 1.12 GB in ~116 s on
+    local[32] full-width), and Catalyst prunes unselected signals away
+    entirely — a mixer rule reading three attributes pays only their
+    passes. The round-5 audit replaced the array-materializing
+    higher-order-function forms (lang-id 123 s -> 6.5 s, gopher stops
+    re-lowering the words array per stopword) with single-pass regex
+    counts; approx_tokens keeps the one remaining aggregate() lambda
+    (its per-token branchy cost has no closed regex form). Downstream "mixer" rules are plain filters over the
     attribute columns (each signal is individually driver-oracled via
     its own contract query; this compose adds no arithmetic of its own).
 

@@ -51,6 +51,16 @@ def child(cores: int) -> None:
         F.sum("approx_tokens").alias("c8"),
     ).collect()[0]
     dt = time.time() - t0
+    # the realistic mixer read: three attributes — Catalyst prunes the
+    # other signals' regex passes away entirely
+    t1 = time.time()
+    annotate(docs).agg(
+        F.count("*").alias("n"),
+        F.sum("doc_bytes").alias("p1"),
+        F.sum("quality_score").alias("p2"),
+        F.sum(F.length("registered_domain")).alias("p3"),
+    ).collect()
+    dt_pruned = time.time() - t1
     mb = sum(
         os.path.getsize(os.path.join(CORPUS, f))
         for f in os.listdir(CORPUS) if f.endswith(".parquet")
@@ -58,6 +68,8 @@ def child(cores: int) -> None:
     print(json.dumps({
         "cores": cores, "rows": n, "seconds": round(dt, 2),
         "docs_per_sec": round(n / dt), "mb_per_sec": round(mb / dt, 1),
+        "pruned_seconds": round(dt_pruned, 2),
+        "pruned_docs_per_sec": round(n / dt_pruned),
         "checksum": [row["n"], row["c1"], row["c2"], row["c4"],
                      row["c5"], row["c6"], row["c7"], row["c8"],
                      round(float(row["c3"]), 3)],

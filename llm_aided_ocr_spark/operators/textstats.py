@@ -25,11 +25,6 @@ _LANG_MARKERS = {
 }
 
 
-def _marker_hits(words: Column, markers: tuple) -> Column:
-    arr = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
-
-
 def _marker_token_pattern(markers, cls: str) -> str:
     """Alternation matching any marker as a COMPLETE maximal ``[cls]+``
     run (lookarounds pin both edges, so a match is exactly a token of

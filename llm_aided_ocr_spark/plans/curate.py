@@ -385,7 +385,11 @@ def annotate(
     higher-order-function forms (lang-id 123 s -> 6.5 s, gopher stops
     re-lowering the words array per stopword) with single-pass regex
     counts; approx_tokens keeps the one remaining aggregate() lambda
-    (its per-token branchy cost has no closed regex form). Downstream "mixer" rules are plain filters over the
+    (its per-token branchy cost has no closed regex form). Deployment
+    note: full-width tagging is DRAM-bandwidth-bound on one node
+    (measured 8->32-core efficiency 0.36) — at 100 TB, scale it ACROSS
+    executors, where every node brings its own memory bandwidth, rather
+    than fattening per-node core counts. Downstream "mixer" rules are plain filters over the
     attribute columns (each signal is individually driver-oracled via
     its own contract query; this compose adds no arithmetic of its own).
 

@@ -5990,6 +5990,40 @@ FROM c
 """
 
 
+def _q_mixer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style attribute-sidecar mixer: a recipe of predicates over
+    a constructed attribute table (quality floor, language whitelist,
+    Gopher pass, Flesch floor with NULL-drop discipline) semi-joined
+    back to the corpus. Every gate is doc_id arithmetic, so the oracle
+    states the surviving set closed-form."""
+    from llm_aided_ocr_spark.plans.mixer import apply_mixer
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    did = F.col("doc_id")
+    attrs = d.select(
+        did.alias("id"),
+        (did % 100).alias("quality"),
+        F.when(did % 4 == 0, F.lit("en")).when(did % 4 == 1, F.lit("de"))
+        .when(did % 4 == 2, F.lit("fr")).otherwise(F.lit("und"))
+        .alias("lang"),
+        (did % 3 == 0).alias("gopher"),
+        F.when(did % 11 != 0, did % 120 - 20).alias("flesch"),
+    )
+    keep = (
+        (F.col("quality") >= 50) & (F.col("lang") == "en")
+        & F.col("gopher") & (F.col("flesch") >= 0)
+    )
+    out = apply_mixer(d, attrs, keep, id_col="id", doc_id_col="doc_id")
+    return out.select("doc_id", "n_chars")
+
+
+_MIXER_FILTER_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id % 100 >= 50 AND doc_id % 4 = 0 AND doc_id % 3 = 0
+  AND doc_id % 11 <> 0 AND doc_id % 120 - 20 >= 0
+"""
+
+
 def _q_publication_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Publication-date ladder over six constructed page shapes: an
     OpenGraph meta with a doc_id-varying day, meta-beats-time
@@ -6199,6 +6233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "mojibake": _q_mojibake,
         "publication_dates": _q_publication_dates,
+        "mixer_filter": _q_mixer_filter,
     }
 
 
@@ -6884,4 +6919,5 @@ def oracle_sql() -> dict[str, str]:
         "readability": _READABILITY_SQL,
         "mojibake": _MOJIBAKE_SQL,
         "publication_dates": _PUBLICATION_DATES_SQL,
+        "mixer_filter": _MIXER_FILTER_SQL,
     }

@@ -6024,6 +6024,72 @@ WHERE doc_id % 100 >= 50 AND doc_id % 4 = 0 AND doc_id % 3 = 0
 """
 
 
+def _q_cdx_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT-keyed CDX capture-index records over five constructed URL
+    shapes (www-strip + query, hostless-path .org, explicit port +
+    fragment, a non-URL yielding a NULL key, and a deep subdomain),
+    with deterministic epoch-derived capture timestamps. The ts14 key
+    is pinned UTC on both engines (Spark: to_utc_timestamp trick;
+    DuckDB: make_timestamp is epoch-naive), so the comparison is
+    session-timezone independent."""
+    from llm_aided_ocr_spark.operators.surt import cdx_records
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    did, i = F.col("doc_id"), F.col("doc_id").cast("string")
+    m5 = did % 5
+    url = (
+        F.when(m5 == 0, F.concat(
+            F.lit("https://www.Example.co.uk/a/"), i, F.lit("?q=1")))
+        .when(m5 == 1, F.concat(F.lit("http://sub.site"), i, F.lit(".org")))
+        .when(m5 == 2, F.concat(
+            F.lit("https://Host"), i, F.lit(".io:8080/x#frag")))
+        .when(m5 == 3, F.concat(F.lit("not a url "), i))
+        .otherwise(F.concat(F.lit("https://www.news.example.com/p/"), i))
+    )
+    pages = d.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1600000000) + did).alias("warc_ts"),
+        F.col("text"),
+    )
+    return cdx_records(pages)
+
+
+_CDX_RECORDS_SQL = """
+WITH p AS (
+  SELECT
+    CASE doc_id % 5
+      WHEN 0 THEN 'https://www.Example.co.uk/a/' || doc_id || '?q=1'
+      WHEN 1 THEN 'http://sub.site' || doc_id || '.org'
+      WHEN 2 THEN 'https://Host' || doc_id || '.io:8080/x#frag'
+      WHEN 3 THEN 'not a url ' || doc_id
+      ELSE 'https://www.news.example.com/p/' || doc_id
+    END AS url,
+    make_timestamp((1600000000 + doc_id) * 1000000) AS warc_ts,
+    text
+  FROM documents
+), e AS (
+  SELECT url, warc_ts, text,
+    regexp_replace(lower(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)(:[0-9]+)?([^#]*)', 1)),
+      '^www\\.', '') AS host,
+    regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)(:[0-9]+)?([^#]*)', 2) AS port,
+    regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)(:[0-9]+)?([^#]*)', 3) AS rest
+  FROM p
+)
+SELECT
+  CASE WHEN host <> '' THEN
+    array_to_string(list_reverse(string_split(host, '.')), ',')
+    || port || ')' || CASE WHEN rest = '' THEN '/' ELSE rest END
+  END AS surt_key,
+  strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14,
+  md5(coalesce(text, '')) AS digest,
+  url
+FROM e
+"""
+
+
 def _q_publication_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Publication-date ladder over six constructed page shapes: an
     OpenGraph meta with a doc_id-varying day, meta-beats-time
@@ -6234,6 +6300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake": _q_mojibake,
         "publication_dates": _q_publication_dates,
         "mixer_filter": _q_mixer_filter,
+        "cdx_records": _q_cdx_records,
     }
 
 
@@ -6920,4 +6987,5 @@ def oracle_sql() -> dict[str, str]:
         "mojibake": _MOJIBAKE_SQL,
         "publication_dates": _PUBLICATION_DATES_SQL,
         "mixer_filter": _MIXER_FILTER_SQL,
+        "cdx_records": _CDX_RECORDS_SQL,
     }

@@ -6024,16 +6024,12 @@ WHERE doc_id % 100 >= 50 AND doc_id % 4 = 0 AND doc_id % 3 = 0
 """
 
 
-def _q_cdx_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURT-keyed CDX capture-index records over five constructed URL
-    shapes (www-strip + query, hostless-path .org, explicit port +
-    fragment, a non-URL yielding a NULL key, and a deep subdomain),
-    with deterministic epoch-derived capture timestamps. The ts14 key
-    is pinned UTC on both engines (Spark: to_utc_timestamp trick;
-    DuckDB: make_timestamp is epoch-naive), so the comparison is
-    session-timezone independent."""
-    from llm_aided_ocr_spark.operators.surt import cdx_records
-
+def _cdx_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five constructed URL shapes over the documents table (www-strip +
+    query, hostless-path .org, explicit port + fragment, a non-URL
+    yielding a NULL SURT key, and a deep subdomain) with deterministic
+    epoch-derived capture timestamps — the shared input of the three
+    CDX contract queries."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     did, i = F.col("doc_id"), F.col("doc_id").cast("string")
     m5 = did % 5
@@ -6046,16 +6042,27 @@ def _q_cdx_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m5 == 3, F.concat(F.lit("not a url "), i))
         .otherwise(F.concat(F.lit("https://www.news.example.com/p/"), i))
     )
-    pages = d.select(
+    return d.select(
         url.alias("url"),
         F.timestamp_seconds(F.lit(1600000000) + did).alias("warc_ts"),
         F.col("text"),
     )
-    return cdx_records(pages)
 
 
-_CDX_RECORDS_SQL = """
-WITH p AS (
+def _q_cdx_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT-keyed CDX capture-index records over the five constructed
+    URL shapes. The ts14 key is pinned UTC on both engines (Spark:
+    to_utc_timestamp trick; DuckDB: make_timestamp is epoch-naive), so
+    the comparison is session-timezone independent."""
+    from llm_aided_ocr_spark.operators.surt import cdx_records
+
+    return cdx_records(_cdx_pages(spark, sf_dir))
+
+
+# Shared oracle CTEs: the constructed pages (p), url decomposition (e),
+# and the CDX record relation (cdx) — DuckDB replay of surt.cdx_records.
+_CDX_BASE_CTE = """
+p AS (
   SELECT
     CASE doc_id % 5
       WHEN 0 THEN 'https://www.Example.co.uk/a/' || doc_id || '?q=1'
@@ -6077,17 +6084,94 @@ WITH p AS (
     regexp_extract(url,
       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)(:[0-9]+)?([^#]*)', 3) AS rest
   FROM p
+), cdx AS (
+  SELECT
+    CASE WHEN host <> '' THEN
+      array_to_string(list_reverse(string_split(host, '.')), ',')
+      || port || ')' || CASE WHEN rest = '' THEN '/' ELSE rest END
+    END AS surt_key,
+    strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14,
+    md5(coalesce(text, '')) AS digest,
+    url
+  FROM e
 )
-SELECT
-  CASE WHEN host <> '' THEN
-    array_to_string(list_reverse(string_split(host, '.')), ',')
-    || port || ')' || CASE WHEN rest = '' THEN '/' ELSE rest END
-  END AS surt_key,
-  strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14,
-  md5(coalesce(text, '')) AS digest,
-  url
-FROM e
 """
+
+_CDX_RECORDS_SQL = (
+    "WITH " + _CDX_BASE_CTE + "SELECT surt_key, ts14, digest, url FROM cdx"
+)
+
+
+def _q_cdx_cluster_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZipNum cluster.idx over the CDX relation at block_size=16: one
+    row per block of the globally (surt_key, ts14, url)-sorted records,
+    with the two-phase distributed rank (no SinglePartition exchange)
+    standing in for the oracle's window row_number."""
+    from llm_aided_ocr_spark.operators.surt import cdx_cluster_index, cdx_records
+
+    _, index = cdx_cluster_index(
+        cdx_records(_cdx_pages(spark, sf_dir)), block_size=16
+    )
+    return index
+
+
+_CDX_CLUSTER_IDX_SQL = (
+    "WITH " + _CDX_BASE_CTE + """, r AS (
+  SELECT surt_key, ts14, url,
+    row_number() OVER (ORDER BY surt_key, ts14, url) - 1 AS rn,
+    count(*) OVER () AS total
+  FROM cdx WHERE surt_key IS NOT NULL
+)
+SELECT CAST(rn // 16 AS BIGINT) AS block_ix,
+  surt_key AS first_surt_key, ts14 AS first_ts14, url AS first_url,
+  CAST(least(16, total - (rn // 16) * 16) AS BIGINT) AS n_records
+FROM r WHERE rn % 16 = 0
+"""
+)
+
+
+def _q_cdx_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix lookup 'com,example,news' through the cluster index:
+    per candidate block, rows scanned vs rows matched. Pins the pruning
+    semantics — the oracle derives the candidate set independently via
+    a lead() window over the block leaders, so a Spark-side block-range
+    intersection bug (over- OR under-pruning) is a row mismatch."""
+    from llm_aided_ocr_spark.operators.surt import (
+        cdx_cluster_index,
+        cdx_prefix_scan,
+        cdx_records,
+    )
+
+    blocked, index = cdx_cluster_index(
+        cdx_records(_cdx_pages(spark, sf_dir)), block_size=16
+    )
+    return cdx_prefix_scan(blocked, index, "com,example,news")
+
+
+_CDX_PREFIX_SCAN_SQL = (
+    "WITH " + _CDX_BASE_CTE + """, r AS (
+  SELECT surt_key, ts14, url,
+    row_number() OVER (ORDER BY surt_key, ts14, url) - 1 AS rn
+  FROM cdx WHERE surt_key IS NOT NULL
+), b AS (
+  SELECT rn // 16 AS block_ix, surt_key FROM r
+), leaders AS (
+  SELECT rn // 16 AS block_ix, surt_key AS first_surt_key,
+    lead(surt_key) OVER (ORDER BY rn) AS next_key
+  FROM r WHERE rn % 16 = 0
+), cand AS (
+  SELECT block_ix, first_surt_key FROM leaders
+  WHERE first_surt_key < 'com,example,news' || chr(127)
+    AND (next_key IS NULL OR next_key > 'com,example,news')
+)
+SELECT CAST(c.block_ix AS BIGINT) AS block_ix, c.first_surt_key,
+  CAST(count(*) AS BIGINT) AS n_scanned,
+  CAST(sum(CASE WHEN starts_with(b.surt_key, 'com,example,news')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+FROM cand c JOIN b ON b.block_ix = c.block_ix
+GROUP BY c.block_ix, c.first_surt_key
+"""
+)
 
 
 def _q_publication_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6301,6 +6385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "publication_dates": _q_publication_dates,
         "mixer_filter": _q_mixer_filter,
         "cdx_records": _q_cdx_records,
+        "cdx_cluster_idx": _q_cdx_cluster_idx,
+        "cdx_prefix_scan": _q_cdx_prefix_scan,
     }
 
 
@@ -6988,4 +7074,6 @@ def oracle_sql() -> dict[str, str]:
         "publication_dates": _PUBLICATION_DATES_SQL,
         "mixer_filter": _MIXER_FILTER_SQL,
         "cdx_records": _CDX_RECORDS_SQL,
+        "cdx_cluster_idx": _CDX_CLUSTER_IDX_SQL,
+        "cdx_prefix_scan": _CDX_PREFIX_SCAN_SQL,
     }

@@ -76,3 +76,113 @@ def cdx_records(
         digest.alias("digest"),
         F.col(url_col).alias("url"),
     )
+
+
+# The exclusive upper bound of a SURT prefix range. SURT keys are ASCII
+# (hosts are LDH/punycode labels, paths percent-encode non-ASCII), and
+# both Spark and DuckDB compare strings bytewise at default collation,
+# so every key extending `prefix` sorts in [prefix, prefix + \x7f): DEL
+# is strictly greater than every byte a SURT key can contain.
+_PREFIX_HI = "\x7f"
+
+
+def cdx_cluster_index(
+    records: DataFrame, block_size: int = 3000
+) -> tuple[DataFrame, DataFrame]:
+    """ZipNum-style secondary index over a CDX relation (the
+    ``cluster.idx`` artifact of Common Crawl / OpenWayback): the capture
+    records are ranked in global ``(surt_key, ts14, url)`` order, cut
+    into consecutive blocks of ``block_size``, and the index keeps ONE
+    row per block — its first record's key plus the block's record
+    count. A lookup then binary-searches / range-filters the index
+    (corpus/block_size rows) instead of the record relation, and reads
+    only the candidate blocks — the two-level structure that makes a
+    10^12-capture index queryable.
+
+    Returns ``(blocked, index)``: ``blocked`` is the record relation
+    (NULL ``surt_key`` rows dropped — a keyless capture is unindexable)
+    plus its ``block_ix``; ``index`` is
+    ``(block_ix, first_surt_key, first_ts14, first_url, n_records)``.
+
+    Scale shape: the rank is the two-phase distributed rank
+    (:func:`~llm_aided_ocr_spark.operators.util.global_row_number`) —
+    no SinglePartition exchange; ``n_records`` is pure arithmetic from
+    the rank total (no per-block count aggregation). Both outputs read
+    the ONE persisted ranked relation; release it with
+    ``release_pinned(index)`` after both terminal actions."""
+    from llm_aided_ocr_spark.operators.util import carry_pins, global_row_number
+
+    recs = records.filter(F.col("surt_key").isNotNull())
+    ranked, total = global_row_number(
+        recs, ["surt_key", "ts14", "url"], rn_col="_rn"
+    )
+    block_ix = F.floor(F.col("_rn") / block_size).cast("bigint")
+    blocked = ranked.withColumn("block_ix", block_ix).drop("_rn")
+    index = (
+        ranked.filter(F.col("_rn") % block_size == 0)
+        .select(
+            block_ix.alias("block_ix"),
+            F.col("surt_key").alias("first_surt_key"),
+            F.col("ts14").alias("first_ts14"),
+            F.col("url").alias("first_url"),
+            F.least(
+                F.lit(block_size),
+                F.lit(total) - block_ix * block_size,
+            ).cast("bigint").alias("n_records"),
+        )
+    )
+    return blocked, carry_pins(ranked, index)
+
+
+def cdx_prefix_blocks(index: DataFrame, prefix: str) -> DataFrame:
+    """The candidate blocks of a SURT prefix scan: block ``b`` owns the
+    key range ``[first_key_b, first_key_{b+1})`` (blocks are consecutive
+    runs of the globally sorted records), so it must be read iff that
+    range intersects ``[prefix, prefix + \\x7f)`` — ``first_key_b <
+    hi AND (b is last OR first_key_{b+1} > lo)``. The next-leader key
+    comes from a self-join on ``block_ix + 1`` (parallel, shuffle on a
+    bounded corpus/block_size relation), NOT a global ``lead()`` window
+    — the index itself is ~3×10^8 rows at 10^12 captures, big enough
+    that a SinglePartition window would be its own scale bug."""
+    lo, hi = prefix, prefix + _PREFIX_HI
+    nxt = index.select(
+        (F.col("block_ix") - 1).alias("block_ix"),
+        F.col("first_surt_key").alias("_next_key"),
+    )
+    return (
+        index.join(nxt, "block_ix", "left")
+        .filter(
+            (F.col("first_surt_key") < hi)
+            & (F.col("_next_key").isNull() | (F.col("_next_key") > lo))
+        )
+        .drop("_next_key")
+    )
+
+
+def cdx_prefix_scan(
+    blocked: DataFrame, index: DataFrame, prefix: str
+) -> DataFrame:
+    """Execute a prefix lookup through the index and report, per
+    candidate block, ``(block_ix, first_surt_key, n_scanned,
+    n_matched)`` — the rows the lookup had to read vs the rows that
+    actually carry the prefix. Boundary blocks legitimately scan
+    non-matching rows (their range straddles the prefix range's edge);
+    a NON-candidate block containing a match would be a pruning bug,
+    which the dual-engine oracle replay would catch as a missing row.
+
+    Scale shape: the candidate relation is O(matched / block_size); the
+    record-side join is on ``block_ix`` with the default strategy (AQE
+    broadcasts it when the prefix is narrow, shuffles when someone asks
+    for ``com,*``)."""
+    cand = cdx_prefix_blocks(index, prefix)
+    stats = (
+        blocked.join(cand.select("block_ix"), "block_ix")
+        .groupBy("block_ix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scanned"),
+            F.sum(
+                F.col("surt_key").startswith(prefix).cast("int")
+            ).cast("bigint").alias("n_matched"),
+        )
+    )
+    return cand.select("block_ix", "first_surt_key").join(stats, "block_ix")

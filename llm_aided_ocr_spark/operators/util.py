@@ -243,3 +243,61 @@ def release_pinned(result: DataFrame, blocking: bool = False) -> int:
     result._ocr_spark_pinned = []  # type: ignore[attr-defined]
     return len(pinned)
 
+
+
+def global_row_number(
+    df: DataFrame, order_cols, rn_col: str = "_rn"
+) -> tuple[DataFrame, int]:
+    """Distributed 0-based global ``row_number`` over ``order_cols``
+    with NO SinglePartition exchange (the scale-killer a bare
+    ``Window.orderBy`` hides): range-partition on the full sort key,
+    sort within partitions, stamp the within-partition row index from
+    ``monotonically_increasing_id`` (consecutive per partition in row
+    order by contract — the upper bits are the partition id, the lower
+    33 the row index), then add broadcast per-partition cumulative
+    offsets. Range boundaries guarantee partition ``i``'s keys all
+    precede partition ``i+1``'s, so the output is IDENTICAL to a global
+    window rank — but every stage is embarrassingly parallel, and the
+    only driver action is the bounded per-partition count collect
+    (≤ ``spark.sql.shuffle.partitions`` rows).
+
+    ``order_cols`` must be a deterministic total order (pass tiebreak
+    columns) or ranks within a tie are layout-dependent. Returns
+    ``(ranked, total_rows)``; ``ranked`` carries a pinned persisted
+    relation (the range sampler must not run twice against a recomputed
+    input) — release with :func:`release_pinned` after the terminal
+    action, and :func:`carry_pins` across further transformations."""
+    spark = df.sparkSession
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    local = (
+        df.repartitionByRange(num_partitions, *[c.asc() for c in cols])
+        .sortWithinPartitions(*[c.asc() for c in cols])
+        .withColumn("_grn_mid", F.monotonically_increasing_id())
+        .withColumn("_grn_pid", F.shiftrightunsigned(F.col("_grn_mid"), 33))
+        .withColumn(
+            "_grn_lix", F.col("_grn_mid").bitwiseAND(F.lit((1 << 33) - 1))
+        )
+        .persist()
+    )
+    counts = sorted(
+        (r["_grn_pid"], r["n"])
+        for r in local.groupBy("_grn_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "_grn_pid bigint, _grn_off bigint"
+    )
+    ranked = (
+        local.join(F.broadcast(off_df), "_grn_pid")
+        .withColumn(
+            rn_col, (F.col("_grn_off") + F.col("_grn_lix")).cast("bigint")
+        )
+        .drop("_grn_mid", "_grn_pid", "_grn_lix", "_grn_off")
+    )
+    return pin(ranked, local), acc

@@ -107,23 +107,17 @@ def epoch_order(
 
     Scale shape: operates on the SEQUENCE relation (one row per packed
     bin — corpus/budget rows, ~40 bytes each), never documents — and the
-    rank is a TWO-PHASE rank, not a global window: range-partition by the
-    sort key, sort within partitions, take the within-partition row index
-    from ``monotonically_increasing_id`` (consecutive-per-partition in
-    row order by contract), then add broadcast per-partition offset
-    cumulative counts. Identical output to a global ``row_number`` —
-    range boundaries guarantee partition ``i``'s keys all precede
-    partition ``i+1``'s — but every stage is embarrassingly parallel: no
+    rank is the TWO-PHASE distributed rank
+    (:func:`~llm_aided_ocr_spark.operators.util.global_row_number`), not
+    a global window. Identical output to a global ``row_number`` but
+    every stage is embarrassingly parallel: no
     SinglePartition exchange anywhere (plan-asserted in
     tests/test_packing.py). The only driver action is the bounded
     per-partition count collect (``num_partitions`` rows, ≤ shuffle
     partitions). At 10^10 sequences the old no-partition window pushed
     the whole relation through one reducer; this shape never does."""
     from llm_aided_ocr_spark.operators.dedup import _word_hash_col
-    from llm_aided_ocr_spark.operators.util import pin
-
-    spark = assignments.sparkSession
-    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    from llm_aided_ocr_spark.operators.util import carry_pins, global_row_number
 
     seqs = (
         assignments.filter(F.col("split") == split)
@@ -137,48 +131,12 @@ def epoch_order(
         ),
         "md5_52",
     )
-    # Phase 1: range-partition + local sort on the full sort key, then
-    # stamp the within-partition row index (lower 33 bits of the
-    # monotonic id; the upper bits are the partition id). Persisted so
-    # the offset collect and the final projection read ONE computation —
-    # the range sampler must not run twice against a recomputed input.
-    local = (
-        seqs.withColumn("_ek", key)
-        .repartitionByRange(
-            num_partitions, F.col("_ek").asc(), F.col("stream").asc(),
-            F.col("bin_ix").asc(),
-        )
-        .sortWithinPartitions(
-            F.col("_ek").asc(), F.col("stream").asc(), F.col("bin_ix").asc()
-        )
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .withColumn("_pid", F.shiftrightunsigned(F.col("_mid"), 33))
-        .withColumn(
-            "_local_ix", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
-        )
-        .persist()
+    ranked, _ = global_row_number(
+        seqs.withColumn("_ek", key), ["_ek", "stream", "bin_ix"],
+        rn_col="epoch_pos",
     )
-    # Phase 2: bounded collect of per-partition counts -> cumulative
-    # offsets, broadcast-joined back. epoch_pos = offset[pid] + local_ix.
-    counts = sorted(
-        (r["_pid"], r["n"])
-        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    )
-    offsets, acc = [], 0
-    for pid, n in counts:
-        offsets.append((pid, acc))
-        acc += n
-    off_df = spark.createDataFrame(
-        offsets or [(0, 0)], "_pid bigint, _off bigint"
-    )
-    out = (
-        local.join(F.broadcast(off_df), "_pid")
-        .select(
-            "split", "stream", "bin_ix", "shard",
-            (F.col("_off") + F.col("_local_ix")).cast("bigint").alias("epoch_pos"),
-        )
-    )
-    return pin(out, local)
+    out = ranked.select("split", "stream", "bin_ix", "shard", "epoch_pos")
+    return carry_pins(ranked, out)
 
 
 def write_training_shards(

@@ -63,3 +63,75 @@ def test_cdx_ts14_is_session_tz_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", base_tz)
     assert len(vals) == 1, vals  # the index key must not move with the TZ
+
+
+def _mk_records(spark, keys):
+    """A CDX-shaped relation with the given surt keys (unique urls)."""
+    rows = [(k, "20240101000000", "d%d" % i, "u%d" % i)
+            for i, k in enumerate(keys)]
+    return spark.createDataFrame(
+        rows, "surt_key string, ts14 string, digest string, url string"
+    )
+
+
+def test_cluster_index_matches_global_window(spark):
+    """Two-phase ranked blocks == window row_number blocks; NULL keys
+    dropped; n_records arithmetic covers the short tail block; no
+    SinglePartition exchange in the plan."""
+    from pyspark.sql import Window
+
+    from llm_aided_ocr_spark.operators.surt import cdx_cluster_index
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    keys = ["com,example)/%03d" % i for i in range(37)] + [None, None]
+    recs = _mk_records(spark, keys).repartition(5)
+    blocked, index = cdx_cluster_index(recs, block_size=8)
+    plan = index._sc._jvm.PythonSQLUtils.explainString(
+        index._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+
+    got = {r["block_ix"]: (r["first_surt_key"], r["n_records"])
+           for r in index.collect()}
+    w = Window.orderBy("surt_key", "ts14", "url")
+    want_rows = (
+        recs.filter(F.col("surt_key").isNotNull())
+        .withColumn("rn", F.row_number().over(w) - 1).collect()
+    )
+    want = {}
+    for r in sorted(want_rows, key=lambda r: r["rn"]):
+        b = r["rn"] // 8
+        if r["rn"] % 8 == 0:
+            want[b] = [r["surt_key"], 0]
+        want[b][1] += 1
+    assert got == {b: tuple(v) for b, v in want.items()}
+    assert got[4][1] == 5  # 37 records, block 4 holds the short tail
+    assert blocked.count() == 37
+    release_pinned(index)
+
+
+def test_prefix_scan_candidates_and_boundaries(spark):
+    """Candidate set = exactly the blocks whose key range intersects the
+    prefix range: a straddling block is scanned even when it matches
+    nothing, interior blocks fully match, blocks past the range are
+    pruned."""
+    from llm_aided_ocr_spark.operators.surt import (
+        cdx_cluster_index, cdx_prefix_blocks, cdx_prefix_scan)
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    # blocks of 4: [a0..a3] [a4 b0 b1 b2] [b3 b4 b5 b6] [b7 c0 c1 c2] [c3]
+    keys = (["com,aaa)/%d" % i for i in range(5)]
+            + ["com,bbb)/%d" % i for i in range(8)]
+            + ["com,ccc)/%d" % i for i in range(4)])
+    blocked, index = cdx_cluster_index(_mk_records(spark, keys), block_size=4)
+    cand = sorted(r["block_ix"]
+                  for r in cdx_prefix_blocks(index, "com,bbb").collect())
+    assert cand == [1, 2, 3]  # block 0 pruned (all-a), block 4 pruned (all-c)
+    stats = {r["block_ix"]: (r["n_scanned"], r["n_matched"])
+             for r in cdx_prefix_scan(blocked, index, "com,bbb").collect()}
+    assert stats == {1: (4, 3), 2: (4, 4), 3: (4, 1)}
+    # a prefix owned entirely by one straddling block: scanned, 0 matched
+    stats0 = {r["block_ix"]: (r["n_scanned"], r["n_matched"])
+              for r in cdx_prefix_scan(blocked, index, "com,abc").collect()}
+    assert stats0 == {1: (4, 0)}
+    release_pinned(index)

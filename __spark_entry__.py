@@ -6102,6 +6102,39 @@ _CDX_RECORDS_SQL = (
 )
 
 
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase query over the real documents table:
+    the self-overlapping phrase 'Order ORDER' (normalized to two equal
+    terms) pins overlap-counting token-level semantics and the
+    tokenizer normalization of the query string; execution is the
+    k-way (id, pos-i) anchor equi-join through positional_postings."""
+    from llm_aided_ocr_spark.operators.search import (
+        phrase_search,
+        positional_postings,
+    )
+
+    docs = _docs(spark, sf_dir, spread=True)
+    return phrase_search(positional_postings(docs), "Order ORDER").select(
+        F.col("id").alias("doc_id"), "n_matches"
+    )
+
+
+_PHRASE_SEARCH_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    len(list_filter(range(1, greatest(len(toks) - 1, 0) + 1),
+        i -> toks[i] = 'order' AND toks[i + 1] = 'order')) AS n_matches
+  FROM t
+)
+SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+FROM c WHERE n_matches > 0
+"""
+
+
 def _q_cdx_cluster_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZipNum cluster.idx over the CDX relation at block_size=16: one
     row per block of the globally (surt_key, ts14, url)-sorted records,
@@ -6387,6 +6420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_records": _q_cdx_records,
         "cdx_cluster_idx": _q_cdx_cluster_idx,
         "cdx_prefix_scan": _q_cdx_prefix_scan,
+        "phrase_search": _q_phrase_search,
     }
 
 
@@ -7076,4 +7110,5 @@ def oracle_sql() -> dict[str, str]:
         "cdx_records": _CDX_RECORDS_SQL,
         "cdx_cluster_idx": _CDX_CLUSTER_IDX_SQL,
         "cdx_prefix_scan": _CDX_PREFIX_SCAN_SQL,
+        "phrase_search": _PHRASE_SEARCH_SQL,
     }

@@ -29,6 +29,8 @@ The only corpus-wide data movement is the 1-row statistics aggregate.
 
 from __future__ import annotations
 
+import re
+
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -208,3 +210,69 @@ def postings(
             F.col("df") <= F.col("_n_docs") * F.lit(float(max_df_frac))
         ).drop("_n_docs")
     return pin(out.select("term", "id", "tf", "df"), tf)
+
+
+def positional_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(term, id, pos)`` — the POSITIONAL inverted-index relation:
+    one row per token occurrence with its 0-based index in the
+    document's normalized token stream (the shared ``[a-z0-9]+``
+    tokenizer, so positions are consistent with :func:`postings` and
+    the shingle family). This is the index layout phrase and proximity
+    queries need — ``tf`` is recoverable as ``count(*)`` per (term, id),
+    so a serving index stores only this relation.
+
+    Scale shape: one ``posexplode`` projection, no aggregation, no
+    exchange — the relation lands partitioned however the corpus scan
+    was, and a real deployment would bucket it by ``term`` at write
+    time so phrase joins co-locate."""
+    from llm_aided_ocr_spark.operators.dedup import _words_col
+
+    words = F.filter(_words_col(text_col), lambda w: w != "")
+    return df.select(F.col(id_col).alias("id"), words.alias("_w")).select(
+        "id", F.posexplode("_w").alias("pos", "term")
+    ).select("term", "id", F.col("pos").cast("bigint").alias("pos"))
+
+
+def phrase_search(
+    pos_postings: DataFrame, phrase: str
+) -> DataFrame:
+    """``(id, n_matches)`` — documents containing the exact token
+    sequence of ``phrase`` (normalized through the corpus tokenizer),
+    with the number of (token-level, overlap-counting) occurrences.
+
+    Classic positional-index phrase execution: term ``i`` of a k-term
+    phrase contributes the relation
+    ``σ(term = tᵢ)(postings) → (id, pos - i AS anchor)``, and a phrase
+    occurrence is an ``(id, anchor)`` present in ALL k relations — a
+    k-way equi-join on the SAME key, so after the first shuffle every
+    subsequent join reuses the ``(id, anchor)`` partitioning
+    (co-partitioned, no re-exchange). The term filters prune each side
+    to that term's posting list before anything moves — the whole point
+    of running phrases through the index instead of re-scanning text.
+    Repeated phrase terms (``"order order"``) self-join the same
+    posting list at shifted anchors and count OVERLAPPING occurrences,
+    the token-level semantics.
+
+    A duplicate ``(term, id, pos)`` row in the input would double-count
+    matches, so the contract requires the relation
+    :func:`positional_postings` produces (one row per occurrence)."""
+    terms = re.findall(r"[a-z0-9]+", phrase.lower())
+    if not terms:
+        raise ValueError(
+            f"phrase {phrase!r} normalizes to no tokens under the corpus "
+            "tokenizer (lowercase [a-z0-9]+ runs)"
+        )
+    sides = [
+        pos_postings.filter(F.col("term") == t).select(
+            "id", (F.col("pos") - i).alias("anchor")
+        )
+        for i, t in enumerate(terms)
+    ]
+    hits = sides[0]
+    for s in sides[1:]:
+        hits = hits.join(s, ["id", "anchor"])
+    return hits.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )

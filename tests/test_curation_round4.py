@@ -367,3 +367,37 @@ def test_bm25_query_terms_are_normalized_like_documents(bm25_df):
     assert rc == ra
     with _pytest.raises(ValueError):
         bm25_scores(bm25_df, ["spark", "!!!"])
+
+
+def test_positional_postings_and_phrase_search(spark):
+    """Positions are 0-based in the normalized token stream; phrase
+    matches are exact-adjacency; overlapping occurrences count at the
+    token level; the query string runs through the corpus tokenizer."""
+    import pytest as _pytest
+
+    from llm_aided_ocr_spark.operators.search import (
+        phrase_search, positional_postings)
+
+    df = spark.createDataFrame(
+        [
+            (1, "Big order, ORDER order now"),   # 'order order' x2 (overlap)
+            (2, "order of the order"),            # terms present, not adjacent
+            (3, "the ORDER-order protocol"),      # punct splits -> adjacent
+            (4, ""),                               # blank doc: no postings
+            (5, "order"),                          # too short for the phrase
+        ],
+        "doc_id long, text string",
+    )
+    pp = positional_postings(df)
+    rows = {(r["id"], r["pos"]): r["term"] for r in pp.collect()}
+    assert rows[(1, 0)] == "big" and rows[(1, 1)] == "order"
+    assert (4, 0) not in rows  # blank doc contributes nothing
+    got = {r["id"]: r["n_matches"]
+           for r in phrase_search(pp, "Order ORDER").collect()}
+    assert got == {1: 2, 3: 1}
+    # three-term phrase spans the anchor join chain
+    got3 = {r["id"]: r["n_matches"]
+            for r in phrase_search(pp, "order, order! order").collect()}
+    assert got3 == {1: 1}
+    with _pytest.raises(ValueError):
+        phrase_search(pp, "!!!")

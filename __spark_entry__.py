@@ -6102,6 +6102,87 @@ _CDX_RECORDS_SQL = (
 )
 
 
+def _capture_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three captures per document: j=0 original, j=1 changed payload on
+    odd doc_ids (else identical), j=2 back to the original payload — the
+    A→B→A flip-flop that separates global-digest revisit semantics from
+    run-based ones. ts14 values are zero-padded fixed-width counters
+    (tz-free by construction)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    did, i = F.col("doc_id"), F.col("doc_id").cast("string")
+    j = F.col("j")
+    return d.select(
+        did, F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j")
+    ).select(
+        F.concat(F.lit("https://h.example/p"), i).alias("url"),
+        F.lpad((F.lit(1000) + did * 3 + j).cast("string"), 14, "0").alias(
+            "ts14"
+        ),
+        F.when((j == 1) & (did % 2 == 1), F.concat(F.lit("b"), i))
+        .otherwise(F.concat(F.lit("a"), i)).alias("digest"),
+    )
+
+
+_CAPTURE_HISTORY_CTE = """
+h AS (
+  SELECT 'https://h.example/p' || doc_id AS url,
+    lpad(CAST(1000 + doc_id * 3 + j AS VARCHAR), 14, '0') AS ts14,
+    CASE WHEN j = 1 AND doc_id % 2 = 1 THEN 'b' || doc_id
+         ELSE 'a' || doc_id END AS digest
+  FROM documents, (SELECT unnest([0, 1, 2]) AS j)
+)
+"""
+
+
+def _q_warc_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC identical-payload-digest revisit records over the 3-capture
+    history: even doc_ids make captures 2 and 3 revisits of the first;
+    odd doc_ids store two payloads and capture 3 revisits capture 1
+    across the intervening change."""
+    from llm_aided_ocr_spark.operators.surt import revisit_records
+
+    return revisit_records(_capture_history(spark, sf_dir))
+
+
+_WARC_REVISITS_SQL = (
+    "WITH " + _CAPTURE_HISTORY_CTE + """
+SELECT url, ts14, digest,
+  ts14 > min(ts14) OVER (PARTITION BY url, digest) AS is_revisit,
+  CASE WHEN ts14 > min(ts14) OVER (PARTITION BY url, digest)
+       THEN min(ts14) OVER (PARTITION BY url, digest)
+  END AS refers_to_ts14
+FROM h
+"""
+)
+
+
+def _q_cdx_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wayback closest-capture lookup at a fixed target timestamp over
+    the 3-capture history: urls below the target resolve to their
+    latest capture, above it to their earliest, near it to the
+    minimum-distance one — argmin via struct-min aggregation (no
+    window), oracle via an independent row_number formulation."""
+    from llm_aided_ocr_spark.operators.surt import closest_capture
+
+    return closest_capture(
+        _capture_history(spark, sf_dir), "00000000002000"
+    )
+
+
+_CDX_CLOSEST_SQL = (
+    "WITH " + _CAPTURE_HISTORY_CTE + """
+SELECT url AS key, ts14, digest FROM (
+  SELECT url, ts14, digest,
+    row_number() OVER (
+      PARTITION BY url
+      ORDER BY abs(CAST(ts14 AS BIGINT) - 2000), ts14
+    ) AS rn
+  FROM h
+) WHERE rn = 1
+"""
+)
+
+
 def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional-index phrase query over the real documents table:
     the self-overlapping phrase 'Order ORDER' (normalized to two equal
@@ -6421,6 +6502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_cluster_idx": _q_cdx_cluster_idx,
         "cdx_prefix_scan": _q_cdx_prefix_scan,
         "phrase_search": _q_phrase_search,
+        "warc_revisits": _q_warc_revisits,
+        "cdx_closest": _q_cdx_closest,
     }
 
 
@@ -7111,4 +7194,6 @@ def oracle_sql() -> dict[str, str]:
         "cdx_cluster_idx": _CDX_CLUSTER_IDX_SQL,
         "cdx_prefix_scan": _CDX_PREFIX_SCAN_SQL,
         "phrase_search": _PHRASE_SEARCH_SQL,
+        "warc_revisits": _WARC_REVISITS_SQL,
+        "cdx_closest": _CDX_CLOSEST_SQL,
     }

@@ -186,3 +186,75 @@ def cdx_prefix_scan(
         )
     )
     return cand.select("block_ix", "first_surt_key").join(stats, "block_ix")
+
+
+def revisit_records(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts14",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """WARC ``revisit`` semantics (ISO 28500 / WARC 1.1
+    identical-payload-digest profile) over a capture relation: per
+    ``(url, digest)``, the FIRST capture stores the payload; every later
+    capture with the same digest — consecutive or not, so an A→B→A
+    flip-flop's third fetch still dedups against the first — becomes a
+    revisit record pointing at the stored original. This is the
+    archive-level storage dedup that keeps a recurring crawl's WARC
+    volume proportional to *changed* bytes, not fetched bytes.
+
+    Output: ``(url, ts14, digest, is_revisit, refers_to_ts14)`` with
+    ``refers_to_ts14`` NULL on originals. Two captures sharing an exact
+    ``(url, digest, ts)`` triple are both originals (deterministic tie).
+    ``ts14`` values must be equal-width digit strings (the CDX form), so
+    lexicographic min == chronological first.
+
+    Scale shape: ONE exchange — an unordered ``min`` window over the
+    ``(url, digest)`` hash partitioning; partition sizes are per-page
+    revisit counts (tens), no skew hazard, nothing global."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col, digest_col)
+    first_ts = F.min(ts_col).over(w)
+    is_rev = F.col(ts_col) > first_ts
+    return captures.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts14"),
+        F.col(digest_col).alias("digest"),
+        is_rev.alias("is_revisit"),
+        F.when(is_rev, first_ts).alias("refers_to_ts14"),
+    )
+
+
+def closest_capture(
+    captures: DataFrame,
+    target_ts14: str,
+    key_col: str = "url",
+    ts_col: str = "ts14",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """The Wayback lookup: per ``key_col``, the capture whose timestamp
+    is closest to ``target_ts14`` (absolute seconds-free ts14 integer
+    distance; ties go to the EARLIER capture — the replay convention).
+    Output ``(key, ts14, digest)``.
+
+    Scale shape: a single ``min(struct(distance, ts14, digest))``
+    aggregation — argmin via Spark's lexicographic struct ordering, so
+    there is no per-key window, no sort, and map-side partial
+    aggregation collapses each key before the one exchange. ``ts14``
+    must be all-digit (CDX contract); the cast is ANSI-safe for that
+    input."""
+    t = int(target_ts14)
+    dist = F.abs(F.col(ts_col).cast("bigint") - F.lit(t))
+    best = captures.groupBy(F.col(key_col).alias("key")).agg(
+        F.min(
+            F.struct(
+                dist.alias("d"),
+                F.col(ts_col).alias("ts14"),
+                F.col(digest_col).alias("digest"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "key", F.col("b.ts14").alias("ts14"), F.col("b.digest").alias("digest")
+    )

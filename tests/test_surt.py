@@ -135,3 +135,49 @@ def test_prefix_scan_candidates_and_boundaries(spark):
               for r in cdx_prefix_scan(blocked, index, "com,abc").collect()}
     assert stats0 == {1: (4, 0)}
     release_pinned(index)
+
+
+def test_revisit_records_global_digest_semantics(spark):
+    """Flip-flop A→B→A: the third capture revisits the FIRST even
+    though the digest changed in between; exact (url, digest, ts)
+    duplicates are both originals; different urls never dedup against
+    each other."""
+    from llm_aided_ocr_spark.operators.surt import revisit_records
+
+    rows = [
+        ("u1", "00000000000001", "A"),
+        ("u1", "00000000000002", "B"),
+        ("u1", "00000000000003", "A"),  # revisit of ts=1 across the change
+        ("u2", "00000000000001", "A"),  # other url: own original
+        ("u2", "00000000000001", "A"),  # exact duplicate: both originals
+    ]
+    df = spark.createDataFrame(rows, "url string, ts14 string, digest string")
+    got = sorted(
+        (r["url"], r["ts14"], r["is_revisit"], r["refers_to_ts14"])
+        for r in revisit_records(df).collect()
+    )
+    assert got == [
+        ("u1", "00000000000001", False, None),
+        ("u1", "00000000000002", False, None),
+        ("u1", "00000000000003", True, "00000000000001"),
+        ("u2", "00000000000001", False, None),
+        ("u2", "00000000000001", False, None),
+    ]
+
+
+def test_closest_capture_tie_goes_earlier(spark):
+    """Equidistant captures resolve to the earlier one; otherwise the
+    minimum-distance capture wins regardless of side."""
+    from llm_aided_ocr_spark.operators.surt import closest_capture
+
+    rows = [
+        ("u1", "00000000001999", "d0"),  # dist 1 (earlier) — wins the tie
+        ("u1", "00000000002001", "d1"),  # dist 1
+        ("u2", "00000000001000", "d2"),  # dist 1000
+        ("u2", "00000000002400", "d3"),  # dist 400 — wins
+    ]
+    df = spark.createDataFrame(rows, "url string, ts14 string, digest string")
+    got = {r["key"]: (r["ts14"], r["digest"])
+           for r in closest_capture(df, "00000000002000").collect()}
+    assert got == {"u1": ("00000000001999", "d0"),
+                   "u2": ("00000000002400", "d3")}

@@ -6102,6 +6102,109 @@ _CDX_RECORDS_SQL = (
 )
 
 
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Zipf least-squares fit over the real documents
+    table. The regression sums are integer sums of log-quantized
+    points (exact, order-free), so the one output row is deterministic
+    across engines; the rank is the two-phase distributed rank."""
+    from llm_aided_ocr_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir))
+
+
+_ZIPF_FIT_SQL = """
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                '[a-z0-9]+')) AS term
+  FROM documents
+), f AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY term
+), r AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank FROM f
+), p AS (
+  SELECT CAST(floor(log10(rank) * 10000) AS BIGINT) AS ix,
+         CAST(floor(log10(freq) * 10000) AS BIGINT) AS iy
+  FROM r
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(ix) AS DOUBLE) AS sx, CAST(sum(iy) AS DOUBLE) AS sy,
+         CAST(sum(ix * iy) AS DOUBLE) AS sxy,
+         CAST(sum(ix * ix) AS DOUBLE) AS sxx,
+         CAST(sum(iy * iy) AS DOUBLE) AS syy
+  FROM p
+)
+SELECT n_terms,
+  round(CASE WHEN n_terms * sxx - sx * sx <> 0
+        THEN (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) END,
+        6) AS slope_r,
+  round(CASE WHEN n_terms * sxx - sx * sx <> 0
+        THEN (sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)
+              * sx) / n_terms / 10000 END, 6) AS intercept_r,
+  round(CASE WHEN n_terms * sxx - sx * sx <> 0
+             AND n_terms * syy - sy * sy <> 0
+        THEN (n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
+             / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)) END,
+        6) AS r2_r
+FROM s
+"""
+
+
+def _q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over int8-quantized embeddings (both sides through
+    the pinned floor(x/s + 0.5) quantizer): the memory-bound baseline of
+    a quantized serving index. Scores are integer-exact, so the cosine
+    doubles — not just the ranking — match across engines."""
+    from llm_aided_ocr_spark.operators.similarity import quantized_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = quantized_topk(emb, queries_df, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("qcosine_r"), "rank"
+    )
+
+
+_ANN_QUANTIZED_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), qz AS (
+  SELECT vec_id,
+    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0 THEN
+      list_transform(v, x ->
+        floor(x / (list_max(list_transform(v, y -> abs(y))) / 127.0) + 0.5))
+    ELSE list_transform(v, x -> 0.0) END AS q
+  FROM e
+), q AS (
+  SELECT vec_id AS query_id, q AS qv FROM qz WHERE vec_id < 3
+), scored AS (
+  -- the Spark operator's EXACT formula (dot / (sqrt(ssa) * sqrt(ssb)));
+  -- on integer-exact quantized inputs every intermediate is exact, so
+  -- the doubles are bit-identical and rank ties break identically —
+  -- list_cosine_similarity's internal formula rounds differently and
+  -- flipped near-tie ranks
+  SELECT q.query_id, z.vec_id,
+    CASE WHEN sqrt(list_dot_product(z.q, z.q))
+              * sqrt(list_dot_product(q.qv, q.qv)) > 0
+         THEN list_dot_product(z.q, q.qv)
+              / (sqrt(list_dot_product(z.q, z.q))
+                 * sqrt(list_dot_product(q.qv, q.qv)))
+         ELSE 0.0 END AS cosine
+  FROM qz z CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cosine, 6) AS qcosine_r, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def _capture_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three captures per document: j=0 original, j=1 changed payload on
     odd doc_ids (else identical), j=2 back to the original payload — the
@@ -6504,6 +6607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "warc_revisits": _q_warc_revisits,
         "cdx_closest": _q_cdx_closest,
+        "zipf_fit": _q_zipf_fit,
+        "ann_quantized": _q_ann_quantized,
     }
 
 
@@ -7196,4 +7301,6 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _PHRASE_SEARCH_SQL,
         "warc_revisits": _WARC_REVISITS_SQL,
         "cdx_closest": _CDX_CLOSEST_SQL,
+        "zipf_fit": _ZIPF_FIT_SQL,
+        "ann_quantized": _ANN_QUANTIZED_SQL,
     }

@@ -419,7 +419,16 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
     )
     from llm_aided_ocr_spark.operators.bloom import bloom_build, bloom_probe
     from llm_aided_ocr_spark.operators.extract import content_blocks
-    from llm_aided_ocr_spark.operators.search import postings
+    from llm_aided_ocr_spark.operators.search import (
+        phrase_search,
+        positional_postings,
+        postings,
+    )
+    from llm_aided_ocr_spark.operators.surt import (
+        cdx_cluster_index,
+        cdx_records,
+        revisit_records,
+    )
     from llm_aided_ocr_spark.operators.linkgraph import (
         host_graph,
         outlinks,
@@ -714,6 +723,42 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
                         ).cast("string"),
                         10, 16,
                     ).alias("fingerprint"),
+                ),
+            ),
+            # round-5 CDX/archive family: the two-phase global rank is
+            # the scale-critical piece (ZipNum cluster.idx over the full
+            # capture relation)
+            "cdx_index": lambda: cdx_cluster_index(
+                cdx_records(
+                    docs.select(
+                        "url",
+                        F.timestamp_seconds(_doc_ix()).alias("warc_ts"),
+                        "text",
+                    )
+                ),
+                block_size=3000,
+            )[1],
+            "phrase_search": lambda: phrase_search(
+                positional_postings(docs, text_col="text", id_col="url"),
+                "pension plan",
+            ),
+            "warc_revisits": lambda: revisit_records(
+                docs.select(
+                    "url", _doc_ix().alias("i"),
+                    F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias(
+                        "j"
+                    ),
+                ).select(
+                    "url",
+                    F.lpad(
+                        (F.col("i") * 3 + F.col("j")).cast("string"), 14, "0"
+                    ).alias("ts14"),
+                    F.when(
+                        (F.col("j") == 1) & (F.col("i") % 2 == 1),
+                        F.concat(F.lit("b"), F.col("i").cast("string")),
+                    ).otherwise(
+                        F.concat(F.lit("a"), F.col("i").cast("string"))
+                    ).alias("digest"),
                 ),
             ),
         }

@@ -715,3 +715,70 @@ def semantic_dedup(
     return carry_pins(
         clusters, vectors.join(drops, on=id_col, how="left_anti")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q_embedding",
+    levels: int = 127,
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization to int8 range: ``q_i =
+    floor(v_i / s + 0.5)`` with ``s = max|v| / levels`` (zero vectors
+    quantize to zeros). Cosine over the quantized integers approximates
+    cosine over the floats — the per-vector scale cancels — which is
+    the 4× (vs float32; 8× vs float64) memory cut that makes a
+    10^12-vector corpus index fit a cluster's RAM budget; a production
+    sink would pack the ints to a binary column.
+
+    The rounding is pinned to ``floor(x + 0.5)`` (round-half-up) rather
+    than an engine ``round()`` because HALF_UP-vs-banker's divergence
+    between engines is a known cross-engine hash breaker; the values
+    stay in [-levels, levels] by construction (|v_i| ≤ max|v| and half-up
+    needs +0.5 beyond the max to escape, which ``x/s ≤ levels`` cannot
+    reach). One native projection: zero Python, zero shuffle."""
+    from llm_aided_ocr_spark.operators.util import let_
+
+    v = F.col(vec_col)
+    q = let_(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        ) / F.lit(float(levels)),
+        lambda s: F.when(
+            s > 0,
+            F.transform(v, lambda x: F.floor(x / s + 0.5).cast("int")),
+        ).otherwise(F.transform(v, lambda x: F.lit(0))),
+    )
+    return df.withColumn(out_col, q)
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    levels: int = 127,
+) -> DataFrame:
+    """:func:`brute_force_topk` over int8-quantized vectors (both sides
+    quantized through :func:`quantize_embeddings`): the memory-bound
+    exact-scan baseline a quantized serving index runs. Since quantized
+    components are exact small integers, the cosine doubles are
+    bit-identical across engines — the scores themselves are
+    deterministic, not just the ranking."""
+    qv = quantize_embeddings(
+        vectors, vec_col=vec_col, out_col="_q", levels=levels
+    ).select(
+        id_col, F.col("_q").cast("array<double>").alias(vec_col)
+    )
+    qq = quantize_embeddings(
+        queries, vec_col=query_vec_col, out_col="_q", levels=levels
+    ).select(
+        query_id_col, F.col("_q").cast("array<double>").alias(query_vec_col)
+    )
+    return brute_force_topk(
+        qv, qq, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )

@@ -1789,3 +1789,84 @@ def host_quality_rollup(
             | (F.col("gopher_pass_frac_r") < F.lit(float(min_pass_frac)))
         ).alias("low_quality_host"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    log_scale: int = 10_000,
+) -> DataFrame:
+    """One-row least-squares fit of the corpus term-frequency
+    distribution to Zipf's law: ``log10(freq) = intercept + slope *
+    log10(rank)`` over every vocabulary term ranked by descending
+    frequency (ties broken by term — a deterministic total order, so
+    ranks are engine-portable). A healthy natural-language corpus fits
+    with slope ≈ −1; a template-flooded or synthetic crawl slice shows
+    up as a flatter slope / lower r² — a cheap corpus-level QA gate
+    next to the per-document Gopher signals.
+
+    Output: ``(n_terms, slope_r, intercept_r, r2_r)`` (6dp).
+
+    Cross-engine exactness: each point's logs are quantized to
+    ``floor(log10(x) * log_scale)`` BIGINTs before summing, so the five
+    regression sums are INTEGER sums — exact and order-free — and the
+    closed-form slope/intercept/r² is one deterministic double
+    expression over identical integers in both engines (a raw
+    ``sum(double)`` would be summation-order-dependent and flake the
+    value hash). At the default scale the quantization perturbs each
+    log by <1e-4, far below the fit's statistical noise. The 1e4 scale
+    also bounds ``sum(ix*iy)`` under int64 to a 10^8-term vocabulary.
+
+    Scale shape: explode → per-term count (map-side combinable), rank
+    via the two-phase distributed rank
+    (:func:`~llm_aided_ocr_spark.operators.util.global_row_number` — no
+    SinglePartition exchange; the ranked relation is vocabulary-sized),
+    then a single scalar aggregation."""
+    from llm_aided_ocr_spark.operators.dedup import _words_col
+    from llm_aided_ocr_spark.operators.util import carry_pins, global_row_number
+
+    words = F.filter(_words_col(text_col), lambda w: w != "")
+    tf = (
+        df.select(F.explode(words).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked, _ = global_row_number(
+        tf.withColumn("_negf", -F.col("freq")), ["_negf", "term"],
+        rn_col="_rank0",
+    )
+    pts = ranked.select(
+        F.floor(F.log10(F.col("_rank0") + 1) * log_scale)
+        .cast("bigint").alias("ix"),
+        F.floor(F.log10("freq") * log_scale).cast("bigint").alias("iy"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("ix").alias("sx"),
+        F.sum("iy").alias("sy"),
+        F.sum(F.col("ix") * F.col("iy")).alias("sxy"),
+        F.sum(F.col("ix") * F.col("ix")).alias("sxx"),
+        F.sum(F.col("iy") * F.col("iy")).alias("syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    cov_n = n * sxy - sx * sy          # n² · covariance, in quantized units
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = F.when(varx_n != 0, cov_n / varx_n)
+    # intercept is in log10 units: undo the quantization scale once
+    intercept = F.when(
+        varx_n != 0, (sy - cov_n / varx_n * sx) / n / F.lit(float(log_scale))
+    )
+    r2 = F.when(
+        (varx_n != 0) & (vary_n != 0), cov_n * cov_n / (varx_n * vary_n)
+    )
+    out = s.select(
+        "n_terms",
+        F.round(slope, 6).alias("slope_r"),
+        F.round(intercept, 6).alias("intercept_r"),
+        F.round(r2, 6).alias("r2_r"),
+    )
+    return carry_pins(ranked, out)

@@ -349,3 +349,51 @@ def test_mean_pool_embeddings_exact_and_layout_independent(spark):
         for r in mean_pool_embeddings(df.repartition(5)).collect()
     }
     assert out == out2
+
+
+def test_quantize_embeddings_pinned_rounding(spark):
+    """q_i = floor(v_i / (max|v|/127) + 0.5): exact expected integers,
+    half-up at the negative boundary, zero vector -> zeros, values
+    bounded in [-127, 127]."""
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [1.0, -1.0, 0.5, 0.0]),   # s=1/127: 127, -127, floor(64)=64, 0
+        (2, [0.0, 0.0]),               # zero vector
+        (3, [-2.0, 1.0]),              # s=2/127: -127, floor(64.0)=64
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["q"] for r in quantize_embeddings(
+        df, out_col="q").select("vec_id", "q").collect()}
+    assert got[1] == [127, -127, 64, 0]
+    assert got[2] == [0, 0]
+    assert got[3] == [-127, 64]  # floor(63.5 + 0.5) = 64 (half-up)
+    assert all(-127 <= x <= 127 for v in got.values() for x in v)
+
+
+def test_quantized_topk_ranks_like_cosine(spark):
+    """Quantized cosine preserves the exact ranking on well-separated
+    vectors and returns integer-exact scores (1.0 for an identical
+    direction)."""
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.similarity import quantized_topk
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [2.0, 0.0]),     # same direction as 0: cosine exactly 1.0
+        (2, [0.0, 1.0]),     # orthogonal
+        (3, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = [(r["vec_id"], r["cosine"]) for r in quantized_topk(
+        df, q, k=4).orderBy("rank").collect()]
+    assert [v for v, _ in got] == [0, 1, 3, 2]
+    assert got[0][1] == 1.0 and got[1][1] == 1.0  # integer-exact
+    assert got[3][1] == 0.0

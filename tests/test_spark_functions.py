@@ -109,3 +109,42 @@ def test_postings_index(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") == 2  # tf side + stats side
     assert release_pinned(out, blocking=True) == 1
+
+
+def test_zipf_fit_matches_python_replay(spark):
+    """The one-row fit equals a numpy least-squares over the identically
+    quantized points, and a perfect synthetic Zipf corpus fits with
+    r2 ~ 1 and slope ~ -1."""
+    import math
+
+    from llm_aided_ocr_spark.operators.textstats import zipf_fit
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    # freq(term_k) = 24 // k: term1 x24, term2 x12, term3 x8, term4 x6
+    words = []
+    for k, f in enumerate([24, 12, 8, 6], start=1):
+        words += [f"term{k}"] * f
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    out = zipf_fit(df)
+    row = out.collect()[0]
+    release_pinned(out)
+    freqs = sorted([24, 12, 8, 6], reverse=True)
+    pts = [
+        (math.floor(math.log10(i + 1) * 10_000),
+         math.floor(math.log10(f) * 10_000))
+        for i, f in enumerate(freqs)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n / 10_000
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert row["n_terms"] == 4
+    assert row["slope_r"] == round(slope, 6)
+    assert row["intercept_r"] == round(intercept, 6)
+    assert row["r2_r"] == round(r2, 6)
+    assert -1.2 < row["slope_r"] < -0.8 and row["r2_r"] > 0.98

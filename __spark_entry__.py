@@ -6102,6 +6102,81 @@ _CDX_RECORDS_SQL = (
 )
 
 
+def _q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the constructed host graph (7 site hosts linking
+    to 13 ext + 5 cdn sink hosts), seeds = site0/site1: trust flows out
+    of the seeds, the sink hosts return their mass to the seeds, and
+    hosts unreachable from the seeds starve. The fixed-point bigint
+    recursion is replayed exactly by the oracle's unrolled per-round
+    CTEs — a float PageRank could never be value-hashed cross-engine."""
+    from llm_aided_ocr_spark.operators.linkgraph import (
+        host_graph,
+        outlinks,
+        trustrank,
+    )
+
+    pages = _linkgraph_pages(spark, sf_dir)
+    g = host_graph(outlinks(pages))
+    seeds = spark.createDataFrame(
+        [("site0.example.org",), ("site1.example.org",)], "host string"
+    )
+    return trustrank(g, seeds, damping=0.85, iters=5)
+
+
+def _build_trustrank_sql(
+    iters: int = 5, damping: float = 0.85, scale: int = 10**12,
+) -> str:
+    """Unrolled per-round replay of the pinned trustrank recursion
+    (fixed iters → plain chained CTEs, no recursive-CTE aggregation
+    restrictions)."""
+    seeds = "('site0.example.org', 'site1.example.org')"
+    n_seeds = 2
+    tele = int((1.0 - damping) * scale) // n_seeds
+    init = scale // n_seeds
+    parts = [
+        "WITH " + _HOST_GRAPH_EDGES_CTE + f""",
+g AS (
+  SELECT src_host AS src, dst_host AS dst, COUNT(*) AS w
+  FROM edges GROUP BY src_host, dst_host
+),
+outw AS (SELECT src, SUM(w) AS out_w FROM g GROUP BY src),
+en AS (SELECT g.src, g.dst, g.w / outw.out_w AS share
+       FROM g JOIN outw USING (src)),
+nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT src AS host FROM g
+    UNION SELECT dst FROM g
+    UNION SELECT 'site0.example.org' UNION SELECT 'site1.example.org'
+  )
+),
+sinks AS (SELECT host FROM nodes WHERE host NOT IN (SELECT src FROM g)),
+r0 AS (
+  SELECT host,
+    CAST(CASE WHEN host IN {seeds} THEN {init} ELSE 0 END AS BIGINT)
+    AS itrust
+  FROM nodes)"""
+    ]
+    for k in range(iters):
+        parts.append(f""",
+d{k} AS (
+  SELECT coalesce(SUM(itrust), 0) AS dm FROM r{k}
+  WHERE host IN (SELECT host FROM sinks)),
+c{k} AS (
+  SELECT en.dst AS host,
+         SUM(CAST(floor(en.share * r.itrust) AS BIGINT)) AS c
+  FROM en JOIN r{k} r ON en.src = r.host GROUP BY en.dst),
+r{k + 1} AS (
+  SELECT n.host,
+    CAST(floor({damping!r} * (coalesce(c{k}.c, 0)
+         + CASE WHEN n.host IN {seeds}
+                THEN (SELECT dm FROM d{k}) // {n_seeds} ELSE 0 END))
+         AS BIGINT)
+    + CASE WHEN n.host IN {seeds} THEN {tele} ELSE 0 END AS itrust
+  FROM nodes n LEFT JOIN c{k} ON n.host = c{k}.host)""")
+    parts.append(f"\nSELECT host, itrust FROM r{iters}")
+    return "".join(parts)
+
+
 def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level Zipf least-squares fit over the real documents
     table. The regression sums are integer sums of log-quantized
@@ -6609,6 +6684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_closest": _q_cdx_closest,
         "zipf_fit": _q_zipf_fit,
         "ann_quantized": _q_ann_quantized,
+        "trustrank": _q_trustrank,
     }
 
 
@@ -7303,4 +7379,5 @@ def oracle_sql() -> dict[str, str]:
         "cdx_closest": _CDX_CLOSEST_SQL,
         "zipf_fit": _ZIPF_FIT_SQL,
         "ann_quantized": _ANN_QUANTIZED_SQL,
+        "trustrank": _build_trustrank_sql(iters=5, damping=0.85),
     }

@@ -429,3 +429,130 @@ def anchor_corpus(
         )
     )
     return stats.join(texts, "dst_host")
+
+
+def trustrank(
+    graph: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    scale: int = 10**12,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "n_links",
+    seed_col: str = "host",
+) -> DataFrame:
+    """``(host, itrust)`` — TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB 2004): personalized PageRank whose teleport vector is uniform
+    over a curated TRUSTED seed set instead of all pages, so trust flows
+    out of the seeds along links and link-spam farms — unreachable from
+    trusted hosts — starve. The classic host-level spam-demotion signal
+    next to :func:`pagerank`'s query-independent centrality.
+
+    Unlike :func:`pagerank` (float ranks, summation-order reproducible
+    only to ~1e-12, deliberately rows-only-oracled), this iteration is
+    FIXED-POINT: scores are ``scale``-denominated BIGINTs, every
+    per-edge contribution is ``floor(share * itrust)`` (one IEEE
+    multiply on exact inputs, then floor), and all sums are integer
+    sums — so the result is bit-identical across partitionings, engines,
+    and cluster layouts, and the DuckDB oracle replays the recursion
+    exactly. The pinned recursion (T = scale, S = seed set, d = damping):
+
+        itrust_0(h)  = T // |S|                          if h ∈ S else 0
+        C_k(h)       = Σ_{e: src→h} floor(share_e · itrust_k(src))
+        D_k          = Σ_{sinks} itrust_k
+        itrust_{k+1}(h) = floor(d · (C_k(h) + [h∈S] · D_k // |S|))
+                          + [h∈S] · floor((1−d) · T) // |S|
+
+    (dangling mass returns to the seeds — the personalized analogue of
+    pagerank's uniform redistribution). The floor quantization loses at
+    most 1/scale per edge per round — noise ~1e-12, far below any
+    ranking decision — and buys exact reproducibility, the same trade
+    the portable-hash family makes.
+
+    Scale shape: identical to :func:`pagerank` — narrow edge/rank
+    relations, normalized edges localCheckpoint-ed once, per-round
+    eager checkpoint with immediate predecessor release, dangling mass
+    as a bounded 1-row collect. ``|S|`` is a driver count: a trust seed
+    list is curated and bounded by construction."""
+    from llm_aided_ocr_spark.operators.util import pin, release_local_checkpoint
+
+    edges = graph.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    edges_n = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("share"))
+        .localCheckpoint(eager=True)
+    )
+    seed_nodes = seeds.select(F.col(seed_col).alias("host")).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .union(seed_nodes)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    flagged = nodes.join(
+        seed_nodes.withColumn("_is_seed", F.lit(True)), "host", "left"
+    ).select(
+        "host", F.coalesce("_is_seed", F.lit(False)).alias("_is_seed")
+    ).localCheckpoint(eager=True)
+    nodes.unpersist()
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("trustrank requires a non-empty seed set")
+    sinks = flagged.select("host").join(
+        out_w, flagged["host"] == out_w["src"], "left_anti"
+    ).localCheckpoint(eager=True)
+    tele = int((1.0 - damping) * scale) // n_seeds
+    ranks = flagged.withColumn(
+        "itrust",
+        F.when(F.col("_is_seed"), F.lit(scale // n_seeds)).otherwise(
+            F.lit(0)
+        ).cast("bigint"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        dangling = int(
+            ranks.join(sinks, "host", "left_semi")
+            .agg(F.coalesce(F.sum("itrust"), F.lit(0)))
+            .first()[0]
+        )
+        contribs = (
+            edges_n.join(ranks, edges_n["src"] == ranks["host"])
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.floor(F.col("share") * F.col("itrust")).cast("bigint")
+                ).alias("c")
+            )
+        )
+        new_ranks = (
+            ranks.join(contribs, ranks["host"] == contribs["dst"], "left")
+            .select(
+                "host", "_is_seed",
+                (
+                    F.floor(
+                        F.lit(damping)
+                        * (
+                            F.coalesce(F.col("c"), F.lit(0))
+                            + F.when(
+                                F.col("_is_seed"),
+                                F.lit(dangling // n_seeds),
+                            ).otherwise(F.lit(0))
+                        )
+                    ).cast("bigint")
+                    + F.when(F.col("_is_seed"), F.lit(tele)).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("itrust"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(ranks)
+        ranks = new_ranks
+    out = ranks.select("host", "itrust")
+    return pin(out, ranks)

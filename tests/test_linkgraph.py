@@ -264,3 +264,56 @@ def test_anchor_corpus_same_host_kept_when_opted_in(spark):
     assert anchor_corpus(df).count() == 0
     rows = anchor_corpus(df, cross_host_only=False).collect()
     assert len(rows) == 1 and rows[0]["anchors_cat"] == "nav"
+
+
+def test_trustrank_matches_numpy_fixed_point_replay(spark):
+    """The bigint fixed-point recursion equals an independent dense
+    replay; spam hosts unreachable from the seeds starve to zero while
+    reachable hosts accumulate trust."""
+    import math
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.linkgraph import trustrank
+
+    #  seed -> good -> sink ; spamA <-> spamB (a farm, unreachable)
+    edges = [
+        ("seed.org", "good.org", 3),
+        ("good.org", "sink.org", 1),
+        ("spama.biz", "spamb.biz", 5),
+        ("spamb.biz", "spama.biz", 5),
+    ]
+    g = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links long"
+    )
+    seeds = spark.createDataFrame([("seed.org",)], "host string")
+    got = {r["host"]: r["itrust"]
+           for r in trustrank(g, seeds, damping=0.85, iters=4).collect()}
+
+    # dense replay of the pinned recursion
+    hosts = ["seed.org", "good.org", "sink.org", "spama.biz", "spamb.biz"]
+    share = {("seed.org", "good.org"): 1.0, ("good.org", "sink.org"): 1.0,
+             ("spama.biz", "spamb.biz"): 1.0, ("spamb.biz", "spama.biz"): 1.0}
+    sinks = {"sink.org"}
+    T, d, S = 10**12, 0.85, {"seed.org"}
+    tele = int((1.0 - d) * T) // len(S)
+    r = {h: (T // len(S) if h in S else 0) for h in hosts}
+    for _ in range(4):
+        dm = sum(r[h] for h in sinks)
+        c = {h: 0 for h in hosts}
+        for (a, b), s in share.items():
+            c[b] += math.floor(s * r[a])
+        r = {
+            h: math.floor(d * (c[h] + (dm // len(S) if h in S else 0)))
+            + (tele if h in S else 0)
+            for h in hosts
+        }
+    assert got == r
+    assert got["spama.biz"] == 0 and got["spamb.biz"] == 0  # farm starved
+    # the seed forwards its whole mass to good.org each round, keeping
+    # only teleport + returned dangling mass — both hold trust, the farm
+    # holds none
+    assert got["good.org"] > got["seed.org"] > 0
+    with _pytest.raises(ValueError):
+        trustrank(g, seeds.filter(F.lit(False)))

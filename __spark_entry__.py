@@ -6102,6 +6102,62 @@ _CDX_RECORDS_SQL = (
 )
 
 
+def _q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram KL/JSD between the full corpus and its English slice —
+    the domain-shift report. Both engines replay the identical pinned
+    smoothed-distribution arithmetic with quantized integer sums."""
+    from llm_aided_ocr_spark.operators.textstats import corpus_divergence
+
+    docs = _docs(spark, sf_dir)
+    return corpus_divergence(docs, docs.filter(F.col("lang") == "en"))
+
+
+_CORPUS_DIVERGENCE_SQL = """
+WITH tp AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                '[a-z0-9]+')) AS term
+  FROM documents
+), tq AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                '[a-z0-9]+')) AS term
+  FROM documents WHERE lang = 'en'
+), cp AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM tp GROUP BY term
+), cq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM tq GROUP BY term
+), j AS (
+  SELECT coalesce(cp.c, 0) AS cp, coalesce(cq.c, 0) AS cq
+  FROM cp FULL OUTER JOIN cq ON cp.term = cq.term
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(cp) AS BIGINT) AS np,
+         CAST(sum(cq) AS BIGINT) AS nq
+  FROM j
+), x AS (
+  SELECT v, np, nq,
+    (CAST(cp AS DOUBLE) + 1.0)
+      / (CAST(np AS DOUBLE) + 1.0 * CAST(v AS DOUBLE)) AS p,
+    (CAST(cq AS DOUBLE) + 1.0)
+      / (CAST(nq AS DOUBLE) + 1.0 * CAST(v AS DOUBLE)) AS q
+  FROM j CROSS JOIN t
+), k AS (
+  SELECT v, np, nq,
+    CAST(floor(p * log2(p / q) * 1000000000000.0) AS BIGINT) AS kpq,
+    CAST(floor(q * log2(q / p) * 1000000000000.0) AS BIGINT) AS kqp,
+    CAST(floor(p * log2(p / ((p + q) / 2.0)) * 1000000000000.0)
+         AS BIGINT) AS jp,
+    CAST(floor(q * log2(q / ((p + q) / 2.0)) * 1000000000000.0)
+         AS BIGINT) AS jq
+  FROM x
+)
+SELECT v AS n_vocab, np AS n_tokens_p, nq AS n_tokens_q,
+  round(CAST(sum(kpq) AS DOUBLE) / 1000000000000.0, 6) AS kl_pq_r,
+  round(CAST(sum(kqp) AS DOUBLE) / 1000000000000.0, 6) AS kl_qp_r,
+  round((CAST(sum(jp) AS DOUBLE) + CAST(sum(jq) AS DOUBLE)) / 2.0
+        / 1000000000000.0, 6) AS jsd_r
+FROM k GROUP BY v, np, nq
+"""
+
+
 def _q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank over the constructed host graph (7 site hosts linking
     to 13 ext + 5 cdn sink hosts), seeds = site0/site1: trust flows out
@@ -6685,6 +6741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": _q_zipf_fit,
         "ann_quantized": _q_ann_quantized,
         "trustrank": _q_trustrank,
+        "corpus_divergence": _q_corpus_divergence,
     }
 
 
@@ -7380,4 +7437,5 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": _ZIPF_FIT_SQL,
         "ann_quantized": _ANN_QUANTIZED_SQL,
         "trustrank": _build_trustrank_sql(iters=5, damping=0.85),
+        "corpus_divergence": _CORPUS_DIVERGENCE_SQL,
     }

@@ -1870,3 +1870,94 @@ def zipf_fit(
         F.round(r2, 6).alias("r2_r"),
     )
     return carry_pins(ranked, out)
+
+
+def corpus_divergence(
+    df_p: DataFrame,
+    df_q: DataFrame,
+    text_col: str = "text",
+    alpha: float = 1.0,
+    quant: int = 10**12,
+) -> DataFrame:
+    """One-row unigram-distribution divergence between two corpora:
+    ``KL(P‖Q)``, ``KL(Q‖P)`` and the Jensen–Shannon divergence (bits)
+    over add-``alpha``-smoothed term distributions on the JOINT
+    vocabulary — the standard domain-shift / mixture-drift report when
+    deciding whether a new crawl slice matches the training mix (cf.
+    DSIR's importance weights, which this summarizes corpus-level).
+
+    Output: ``(n_vocab, n_tokens_p, n_tokens_q, kl_pq_r, kl_qp_r,
+    jsd_r)`` (divergences in bits, 6dp).
+
+    Cross-engine exactness: the same discipline as :func:`zipf_fit` —
+    each term's contribution ``p·log2(p/q)`` is quantized to
+    ``floor(x · quant)`` BIGINT before summing, so the sums are exact
+    and order-free; every double step (smoothed p, the ratio, the log,
+    the product) is a pinned single-IEEE-op sequence identical in both
+    engines. An engine-ulp difference in ``log2`` can flip one floor
+    unit with ~1e-6 probability per term, which moves the final sum by
+    1e-12 — invisible at the 6dp output rounding.
+
+    Scale shape: two per-term count aggregations (map-side combinable),
+    a full-outer join co-partitioned on term, corpus totals as ONE
+    broadcast row (the repo's scalar pattern — no collect), then a
+    single scalar aggregation. Text never crosses an exchange."""
+    from llm_aided_ocr_spark.operators.dedup import _words_col
+
+    def _counts(df: DataFrame, out: str) -> DataFrame:
+        words = F.filter(_words_col(text_col), lambda w: w != "")
+        return (
+            df.select(F.explode(words).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+    joint = (
+        _counts(df_p, "cp")
+        .join(_counts(df_q, "cq"), "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("cp", F.lit(0)).alias("cp"),
+            F.coalesce("cq", F.lit(0)).alias("cq"),
+        )
+    )
+    totals = joint.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("cp").cast("bigint").alias("np"),
+        F.sum("cq").cast("bigint").alias("nq"),
+    )
+    a = F.lit(float(alpha))
+    with_t = joint.crossJoin(F.broadcast(totals))
+    p = (F.col("cp").cast("double") + a) / (
+        F.col("np").cast("double") + a * F.col("v").cast("double")
+    )
+    q = (F.col("cq").cast("double") + a) / (
+        F.col("nq").cast("double") + a * F.col("v").cast("double")
+    )
+    m = (p + q) / F.lit(2.0)
+    def _k(x) -> F.Column:
+        return F.floor(x * F.lit(float(quant))).cast("bigint")
+    pts = with_t.select(
+        "v", "np", "nq",
+        _k(p * F.log2(p / q)).alias("kpq"),
+        _k(q * F.log2(q / p)).alias("kqp"),
+        _k(p * F.log2(p / m)).alias("jp"),
+        _k(q * F.log2(q / m)).alias("jq"),
+    )
+    s = pts.groupBy("v", "np", "nq").agg(
+        F.sum("kpq").alias("skpq"),
+        F.sum("kqp").alias("skqp"),
+        F.sum("jp").alias("sjp"),
+        F.sum("jq").alias("sjq"),
+    )
+    qd = F.lit(float(quant))
+    return s.select(
+        F.col("v").alias("n_vocab"),
+        F.col("np").alias("n_tokens_p"),
+        F.col("nq").alias("n_tokens_q"),
+        F.round(F.col("skpq").cast("double") / qd, 6).alias("kl_pq_r"),
+        F.round(F.col("skqp").cast("double") / qd, 6).alias("kl_qp_r"),
+        F.round(
+            (F.col("sjp").cast("double") + F.col("sjq").cast("double"))
+            / F.lit(2.0) / qd, 6,
+        ).alias("jsd_r"),
+    )

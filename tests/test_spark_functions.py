@@ -148,3 +148,42 @@ def test_zipf_fit_matches_python_replay(spark):
     assert row["intercept_r"] == round(intercept, 6)
     assert row["r2_r"] == round(r2, 6)
     assert -1.2 < row["slope_r"] < -0.8 and row["r2_r"] > 0.98
+
+
+def test_corpus_divergence_matches_python_replay(spark):
+    """KL/JSD over a hand-built pair of corpora equals the identically
+    quantized python replay; identical corpora diverge by ~0; KL is
+    asymmetric on skewed counts."""
+    import math
+
+    from llm_aided_ocr_spark.operators.textstats import corpus_divergence
+
+    p_docs = spark.createDataFrame(
+        [(1, "apple apple banana cherry")], "doc_id long, text string"
+    )
+    q_docs = spark.createDataFrame(
+        [(1, "banana banana banana durian")], "doc_id long, text string"
+    )
+    row = corpus_divergence(p_docs, q_docs).collect()[0]
+
+    cp = {"apple": 2, "banana": 1, "cherry": 1, "durian": 0}
+    cq = {"apple": 0, "banana": 3, "cherry": 0, "durian": 1}
+    v, np_, nq = 4, 4, 4
+    QU = 10**12
+    skpq = skqp = sjp = sjq = 0
+    for t in cp:
+        p = (cp[t] + 1.0) / (np_ + 1.0 * v)
+        q = (cq[t] + 1.0) / (nq + 1.0 * v)
+        m = (p + q) / 2.0
+        skpq += math.floor(p * math.log2(p / q) * float(QU))
+        skqp += math.floor(q * math.log2(q / p) * float(QU))
+        sjp += math.floor(p * math.log2(p / m) * float(QU))
+        sjq += math.floor(q * math.log2(q / m) * float(QU))
+    assert row["n_vocab"] == 4
+    assert row["kl_pq_r"] == round(skpq / QU, 6)
+    assert row["kl_qp_r"] == round(skqp / QU, 6)
+    assert row["jsd_r"] == round((sjp + sjq) / 2.0 / QU, 6)
+    assert row["jsd_r"] > 0
+
+    same = corpus_divergence(p_docs, p_docs).collect()[0]
+    assert abs(same["kl_pq_r"]) < 1e-5 and abs(same["jsd_r"]) < 1e-5

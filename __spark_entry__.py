@@ -6102,6 +6102,77 @@ _CDX_RECORDS_SQL = (
 )
 
 
+def _q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF related-documents over four constructed topic clusters:
+    per-cluster words (tf varied by doc parity), a universal 'shared'
+    term that weights to exactly 0 and must be dropped pre-join, and a
+    unique per-doc term that contributes to norms only. Top-3 neighbors
+    are all same-cluster; the quantized integer weights make the ranks
+    engine-exact."""
+    from llm_aided_ocr_spark.operators.search import related_docs
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did, i = F.col("doc_id"), F.col("doc_id").cast("string")
+    m4 = (did % 4).cast("string")
+    base = F.concat(
+        F.lit("c"), m4, F.lit("a c"), m4, F.lit("b c"), m4,
+        F.lit("c shared u"), i,
+    )
+    text = F.when(
+        did % 2 == 0, F.concat(F.lit("c"), m4, F.lit("a "), base)
+    ).otherwise(base)
+    return related_docs(d.select("doc_id", text.alias("text")), k=3)
+
+
+_RELATED_DOCS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+         THEN 'c' || (doc_id % 4) || 'a ' ELSE '' END
+    || 'c' || (doc_id % 4) || 'a c' || (doc_id % 4) || 'b c'
+    || (doc_id % 4) || 'c shared u' || doc_id AS text
+  FROM documents
+), tok AS (
+  SELECT doc_id AS id,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM d
+), tf AS (
+  SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY id, term
+), dfc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM d
+), w AS (
+  SELECT id, tf.term,
+    CAST(floor((1.0 + ln(CAST(tf AS DOUBLE)))
+         * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+         * 1000000.0) AS BIGINT) AS iw
+  FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN nn
+), wp AS (
+  SELECT * FROM w WHERE iw > 0
+), ss AS (
+  SELECT id, SUM(iw * iw) AS ssq FROM wp GROUP BY id
+), dots AS (
+  SELECT a.id AS ida, b.id AS idb, SUM(a.iw * b.iw) AS dot
+  FROM wp a JOIN wp b ON a.term = b.term AND a.id <> b.id
+  GROUP BY a.id, b.id
+), sc AS (
+  SELECT ida, idb,
+    CASE WHEN sqrt(CAST(sa.ssq AS DOUBLE)) * sqrt(CAST(sb.ssq AS DOUBLE)) > 0
+         THEN CAST(dot AS DOUBLE)
+              / (sqrt(CAST(sa.ssq AS DOUBLE)) * sqrt(CAST(sb.ssq AS DOUBLE)))
+         ELSE 0.0 END AS cos
+  FROM dots JOIN ss sa ON ida = sa.id JOIN ss sb ON idb = sb.id
+), r AS (
+  SELECT ida, idb, cos,
+    row_number() OVER (PARTITION BY ida ORDER BY cos DESC, idb) AS rank
+  FROM sc
+)
+SELECT ida AS doc_id, idb AS rel_id, round(cos, 6) AS cosine_r, rank
+FROM r WHERE rank <= 3
+"""
+
+
 def _q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram KL/JSD between the full corpus and its English slice —
     the domain-shift report. Both engines replay the identical pinned
@@ -6742,6 +6813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": _q_ann_quantized,
         "trustrank": _q_trustrank,
         "corpus_divergence": _q_corpus_divergence,
+        "related_docs": _q_related_docs,
     }
 
 
@@ -7438,4 +7510,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_quantized": _ANN_QUANTIZED_SQL,
         "trustrank": _build_trustrank_sql(iters=5, damping=0.85),
         "corpus_divergence": _CORPUS_DIVERGENCE_SQL,
+        "related_docs": _RELATED_DOCS_SQL,
     }

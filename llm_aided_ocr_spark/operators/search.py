@@ -33,7 +33,7 @@ import re
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -276,3 +276,94 @@ def phrase_search(
     return hits.groupBy("id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches")
     )
+
+
+def related_docs(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 10**6,
+    min_df: int | None = None,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """``(doc_id, rel_id, cosine_r, rank)`` — top-k related documents by
+    TF-IDF sparse cosine THROUGH the inverted index (the classic
+    "similar pages" computation): ltn weights ``w = (1 + ln tf) ·
+    ln(N/df)``, pairs generated by a postings self-join on term, scored
+    as ``dot / (‖a‖·‖b‖)``.
+
+    Engine-exact scoring (the :func:`~llm_aided_ocr_spark.operators
+    .similarity.quantized_topk` discipline): weights are quantized to
+    ``floor(w · quant)`` BIGINTs, so dots and squared norms are exact
+    integer sums and the final cosine is one deterministic double
+    expression — ranks cannot flip between engines or partitionings.
+    ``quant = 1e6`` keeps a document's squared norm under int64 up to
+    ~20k distinct terms at web-typical idf; pass 1e5 beyond that.
+
+    Scale shape: ``df = N`` terms weight to exactly 0 and are DROPPED
+    before the self-join — the mathematically-dead terms are precisely
+    the corpus-wide hottest keys, so the worst join fanout eliminates
+    itself; ``max_df_frac`` (forwarded to :func:`postings`) bounds the
+    remaining fanout the way ``max_shingle_df`` does for n-gram
+    Jaccard. Norms derive from the same weights relation (grouped on
+    its own key); the per-doc top-k window partitions on ``doc_id``
+    (parallel across docs). Corpus size is ONE broadcast row."""
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
+    p = postings(
+        df, text_col=text_col, id_col=id_col,
+        min_df=min_df, max_df_frac=max_df_frac,
+    )
+    n = df.select(F.count(F.lit(1)).cast("bigint").alias("_n_docs"))
+    w = (
+        p.crossJoin(F.broadcast(n))
+        .select(
+            "term", "id",
+            F.floor(
+                (F.lit(1.0) + F.log(F.col("tf").cast("double")))
+                * F.log(
+                    F.col("_n_docs").cast("double")
+                    / F.col("df").cast("double")
+                )
+                * F.lit(float(quant))
+            ).cast("bigint").alias("iw"),
+        )
+        .filter(F.col("iw") > 0)
+    )
+    ss = w.groupBy("id").agg(
+        F.sum(F.col("iw") * F.col("iw")).alias("ssq")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .groupBy(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .agg(F.sum(F.col("a.iw") * F.col("b.iw")).alias("dot"))
+    )
+    sa = ss.select(F.col("id").alias("ida"), F.col("ssq").alias("ssa"))
+    sb = ss.select(F.col("id").alias("idb"), F.col("ssq").alias("ssb"))
+    denom = F.sqrt(F.col("ssa").cast("double")) * F.sqrt(
+        F.col("ssb").cast("double")
+    )
+    scored = (
+        dots.join(sa, "ida").join(sb, "idb")
+        .select(
+            "ida", "idb",
+            F.when(
+                denom > 0, F.col("dot").cast("double") / denom
+            ).otherwise(F.lit(0.0)).alias("cos"),
+        )
+    )
+    win = Window.partitionBy("ida").orderBy(F.desc("cos"), F.col("idb"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("ida").alias(id_col),
+            F.col("idb").alias("rel_id"),
+            F.round("cos", 6).alias("cosine_r"),
+            "rank",
+        )
+    )
+    return carry_pins(p, out)

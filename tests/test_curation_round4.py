@@ -401,3 +401,25 @@ def test_positional_postings_and_phrase_search(spark):
     assert got3 == {1: 1}
     with _pytest.raises(ValueError):
         phrase_search(pp, "!!!")
+
+
+def test_related_docs_clusters_and_zero_idf_drop(spark):
+    """Neighbors come from the same topic cluster; a universal term has
+    idf 0 and must not create cross-cluster pairs; the unique term
+    inflates norms but never dots."""
+    from llm_aided_ocr_spark.operators.search import related_docs
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    rows = [
+        (0, "cat cat feline shared uniq0"),
+        (1, "cat feline shared uniq1"),
+        (2, "dog canine shared uniq2"),
+        (3, "dog dog canine shared uniq3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = related_docs(df, k=3)
+    got = {(r["doc_id"], r["rank"]): r["rel_id"] for r in out.collect()}
+    release_pinned(out)
+    # each doc's ONLY neighbor is its cluster partner ('shared' is df=N
+    # -> weight 0 -> dropped; uniq terms pair with nobody)
+    assert got == {(0, 1): 1, (1, 1): 0, (2, 1): 3, (3, 1): 2}

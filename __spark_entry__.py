@@ -6304,6 +6304,79 @@ r{k + 1} AS (
     return "".join(parts)
 
 
+def _q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the constructed host graph: the 7
+    site hosts (all outlinks, no inlinks) become pure hubs, the 13 ext
+    + 5 cdn hosts pure authorities. The fixed-point bigint half-round
+    recursion (L1-normalized via a driver-exact integer divisor) is
+    replayed by the oracle's unrolled per-round CTEs — like trustrank,
+    a float HITS could never be value-hashed cross-engine."""
+    from llm_aided_ocr_spark.operators.linkgraph import (
+        hits,
+        host_graph,
+        outlinks,
+    )
+
+    pages = _linkgraph_pages(spark, sf_dir)
+    g = host_graph(outlinks(pages))
+    return hits(g, iters=4, scale=10**9)
+
+
+def _build_hits_sql(iters: int = 4, scale: int = 10**9) -> str:
+    """Unrolled per-half-round replay of the pinned HITS recursion
+    (auth update -> exact-integer L1 renormalize -> hub update ->
+    renormalize). The normalization divisor is recomputed in SQL with
+    the same exact ceil-division the Spark side collects to the driver
+    (``(sum + T - 1) // T``) — integer in, integer out, bit-identical."""
+    parts = [
+        "WITH " + _HOST_GRAPH_EDGES_CTE + f""",
+g AS MATERIALIZED (
+  SELECT src_host AS src, dst_host AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM edges GROUP BY src_host, dst_host
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT host FROM (
+    SELECT src AS host FROM g UNION SELECT dst FROM g)
+),
+h0 AS MATERIALIZED (SELECT host, CAST({scale} AS BIGINT) AS hub FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+ar{k} AS MATERIALIZED (
+  SELECT g.dst AS host, SUM(g.w * h.hub) AS a_raw
+  FROM g JOIN h{k - 1} h ON g.src = h.host GROUP BY g.dst),
+an{k} AS MATERIALIZED (
+  SELECT n.host, CAST(coalesce(ar.a_raw, 0) AS BIGINT) AS auth
+  FROM nodes n LEFT JOIN ar{k} ar ON n.host = ar.host),
+da{k} AS MATERIALIZED (
+  SELECT greatest(CAST(1 AS BIGINT),
+         CAST((coalesce(SUM(auth), 0) + {scale - 1}) // {scale}
+              AS BIGINT)) AS d
+  FROM an{k}),
+a{k} AS MATERIALIZED (
+  SELECT host, CAST(auth // (SELECT d FROM da{k}) AS BIGINT) AS auth
+  FROM an{k}),
+hr{k} AS MATERIALIZED (
+  SELECT g.src AS host, SUM(g.w * a.auth) AS h_raw
+  FROM g JOIN a{k} a ON g.dst = a.host GROUP BY g.src),
+hn{k} AS MATERIALIZED (
+  SELECT n.host, CAST(coalesce(hr.h_raw, 0) AS BIGINT) AS hub
+  FROM nodes n LEFT JOIN hr{k} hr ON n.host = hr.host),
+dh{k} AS MATERIALIZED (
+  SELECT greatest(CAST(1 AS BIGINT),
+         CAST((coalesce(SUM(hub), 0) + {scale - 1}) // {scale}
+              AS BIGINT)) AS d
+  FROM hn{k}),
+h{k} AS MATERIALIZED (
+  SELECT host, CAST(hub // (SELECT d FROM dh{k}) AS BIGINT) AS hub
+  FROM hn{k})""")
+    parts.append(
+        f"\nSELECT h.host, h.hub, a.auth"
+        f" FROM h{iters} h JOIN a{iters} a USING (host)"
+    )
+    return "".join(parts)
+
+
 def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level Zipf least-squares fit over the real documents
     table. The regression sums are integer sums of log-quantized
@@ -6814,6 +6887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": _q_trustrank,
         "corpus_divergence": _q_corpus_divergence,
         "related_docs": _q_related_docs,
+        "hits_scores": _q_hits_scores,
     }
 
 
@@ -7511,4 +7585,5 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": _build_trustrank_sql(iters=5, damping=0.85),
         "corpus_divergence": _CORPUS_DIVERGENCE_SQL,
         "related_docs": _RELATED_DOCS_SQL,
+        "hits_scores": _build_hits_sql(iters=4, scale=10**9),
     }

@@ -556,3 +556,120 @@ def trustrank(
         ranks = new_ranks
     out = ranks.select("host", "itrust")
     return pin(out, ranks)
+
+
+def hits(
+    graph: DataFrame,
+    iters: int = 4,
+    scale: int = 10**9,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "n_links",
+) -> DataFrame:
+    """``(host, hub, auth)`` — HITS hubs & authorities (Kleinberg,
+    JACM 1999) over a :func:`host_graph` edge relation: hubs are hosts
+    that link to good authorities, authorities are hosts linked to by
+    good hubs — the mutual-reinforcement pair that separates directory/
+    portal hosts from content hosts, the classic complement to
+    :func:`pagerank`'s single centrality (and, like :func:`trustrank`,
+    a standard link-spam feature: spam farms show high hub scores with
+    near-zero authority).
+
+    Like :func:`trustrank` (and unlike the deliberately float
+    :func:`pagerank`), the iteration is FIXED-POINT so the DuckDB
+    oracle replays it bit-identically. The pinned recursion, with
+    integer weights w and scale T:
+
+        hub_0(h)      = T                        for every node
+        auth'_k(d)    = Sum_{e: s->d} w_e * hub_{k-1}(s)
+        Da_k          = max(1, ceil(Sum auth'_k / T))   [driver int]
+        auth_k(d)     = auth'_k(d) // Da_k
+        hub'_k(s)     = Sum_{e: s->d} w_e * auth_k(d)
+        Dh_k          = max(1, ceil(Sum hub'_k / T))
+        hub_k(s)      = hub'_k(s) // Dh_k
+
+    Normalization divides by a DRIVER-computed exact integer (one
+    bounded 1-row collect per half-round — the ``pagerank`` dangling
+    precedent), never multiplies by T, so the largest intermediate is
+    ``T * total_weight``: with the default T=10**9 the recursion is
+    overflow-safe up to ~9.2e9 total link weight per connected
+    component; at the 10^12-page tier pass a smaller ``scale`` (T=10**6
+    holds to ~9.2e12 links) — precision is ~1/T, far below any ranking
+    decision. The sum-normalization (values sum to ~T each half-round)
+    is the L1 variant of Kleinberg's L2 step: same fixed-direction
+    convergence, integer-exact.
+
+    Scale shape: per round two joins + two aggregations over NARROW
+    relations (host string + one bigint); the edge relation is
+    ``localCheckpoint``-ed once, each half-round's scores checkpoint
+    eagerly with immediate predecessor release — the ``pagerank`` /
+    ``dedup_clusters`` lineage discipline. No windows, no skew pivot:
+    a mega in-degree host is one groupBy key with map-side partial
+    aggregation."""
+    from llm_aided_ocr_spark.operators.util import pin, release_local_checkpoint
+
+    edges = graph.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn(
+        "hub", F.lit(int(scale)).cast("bigint")
+    ).localCheckpoint(eager=True)
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            edges.join(hub, edges["src"] == hub["host"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("hub")).alias("a_raw"))
+        )
+        new_auth = nodes.join(
+            a_raw, nodes["host"] == a_raw["dst"], "left"
+        ).select(
+            "host",
+            F.coalesce("a_raw", F.lit(0)).cast("bigint").alias("auth"),
+        ).localCheckpoint(eager=True)
+        total_a = int(
+            new_auth.agg(F.coalesce(F.sum("auth"), F.lit(0))).first()[0]
+        )
+        da = max(1, -(-total_a // int(scale)))
+        new_auth2 = new_auth.select(
+            "host",
+            F.expr(f"auth div {da}").cast("bigint").alias("auth"),
+        ).localCheckpoint(eager=True)
+        release_local_checkpoint(new_auth)
+        if auth is not None:
+            release_local_checkpoint(auth)
+        auth = new_auth2
+        h_raw = (
+            edges.join(auth, edges["dst"] == auth["host"])
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("auth")).alias("h_raw"))
+        )
+        new_hub = nodes.join(
+            h_raw, nodes["host"] == h_raw["src"], "left"
+        ).select(
+            "host",
+            F.coalesce("h_raw", F.lit(0)).cast("bigint").alias("hub"),
+        ).localCheckpoint(eager=True)
+        total_h = int(
+            new_hub.agg(F.coalesce(F.sum("hub"), F.lit(0))).first()[0]
+        )
+        dh = max(1, -(-total_h // int(scale)))
+        new_hub2 = new_hub.select(
+            "host",
+            F.expr(f"hub div {dh}").cast("bigint").alias("hub"),
+        ).localCheckpoint(eager=True)
+        release_local_checkpoint(new_hub)
+        release_local_checkpoint(hub)
+        hub = new_hub2
+    if auth is None:
+        auth = nodes.withColumn("auth", F.lit(0).cast("bigint"))
+    out = hub.join(auth, "host").select("host", "hub", "auth")
+    return pin(out, hub)

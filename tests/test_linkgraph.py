@@ -317,3 +317,58 @@ def test_trustrank_matches_numpy_fixed_point_replay(spark):
     assert got["good.org"] > got["seed.org"] > 0
     with _pytest.raises(ValueError):
         trustrank(g, seeds.filter(F.lit(False)))
+
+
+def test_hits_matches_dense_fixed_point_replay(spark):
+    """The bigint HITS half-round recursion equals an independent dense
+    replay, and the mutual-reinforcement shape holds: the host linking
+    to both authorities is the best hub, the authority fed by both hubs
+    is the best authority, and an isolated self-contained pair scores
+    below the connected core."""
+    from llm_aided_ocr_spark.operators.linkgraph import hits
+
+    edges = [
+        ("hub1.org", "auth1.org", 2),
+        ("hub1.org", "auth2.org", 1),
+        ("hub2.org", "auth1.org", 1),
+        ("lone.org", "side.org", 1),
+    ]
+    g = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links long"
+    )
+    got = {r["host"]: (r["hub"], r["auth"])
+           for r in hits(g, iters=3, scale=10**9).collect()}
+
+    hosts = ["hub1.org", "hub2.org", "auth1.org", "auth2.org",
+             "lone.org", "side.org"]
+    w = {(a, b): c for a, b, c in edges}
+    T = 10**9
+    h = {x: T for x in hosts}
+    a = {x: 0 for x in hosts}
+    for _ in range(3):
+        a = {x: sum(c * h[s] for (s, d), c in w.items() if d == x)
+             for x in hosts}
+        da = max(1, -(-sum(a.values()) // T))
+        a = {x: v // da for x, v in a.items()}
+        h = {x: sum(c * a[d] for (s, d), c in w.items() if s == x)
+             for x in hosts}
+        dh = max(1, -(-sum(h.values()) // T))
+        h = {x: v // dh for x, v in h.items()}
+    assert got == {x: (h[x], a[x]) for x in hosts}
+    # shape: hub1 (links to both authorities, weight 3) beats hub2
+    assert got["hub1.org"][0] > got["hub2.org"][0] > 0
+    # auth1 (fed by both hubs) beats auth2
+    assert got["auth1.org"][1] > got["auth2.org"][1] > 0
+    # pure authorities have zero hub score and vice versa
+    assert got["auth1.org"][0] == 0 and got["hub1.org"][1] == 0
+    # the isolated pair is dominated by the connected core
+    assert got["lone.org"][0] < got["hub2.org"][0]
+
+
+def test_hits_empty_graph(spark):
+    from llm_aided_ocr_spark.operators.linkgraph import hits
+
+    g = spark.createDataFrame(
+        [], "src_host string, dst_host string, n_links long"
+    )
+    assert hits(g, iters=2).count() == 0

@@ -1585,6 +1585,81 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment: every 5th document is also
+    present wrapped in aggregator chrome (banner + footer words), so
+    the original's word-3-gram set is a strict subset of the wrapped
+    copy's — containment exactly 1.0 where Jaccard is well below the
+    near-dup bar. The operator must recover every (original, wrapped)
+    pair; the oracle replays the same construction and the quadratic
+    containment spec over shingle strings."""
+    from llm_aided_ocr_spark.operators.dedup import containment_pairs
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    wrapped = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("aggregator chrome banner "),
+            F.col("text"),
+            F.lit(" subscribe footer widget"),
+        ).alias("text"),
+    )
+    out = containment_pairs(
+        d.unionByName(wrapped), n=3, threshold=0.9, max_shingle_df=1000
+    )
+    return carry_pins(
+        out,
+        out.select(
+            "id_sub",
+            "id_sup",
+            F.round("containment", 6).alias("containment_r"),
+        ),
+    )
+
+
+def _build_containment_sql(
+    n: int = 3, threshold: float = 0.9, max_df: int = 1000
+) -> str:
+    """Quadratic containment spec over shingle strings on the same
+    wrapped-corpus construction (the xxhash64 pair keys are an internal
+    shuffle optimization; survivors are verified on exact arrays, so
+    the value is identical barring 64-bit collisions)."""
+    gram = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         'aggregator chrome banner ' || coalesce(text, '')
+         || ' subscribe footer widget'
+  FROM documents WHERE doc_id % 5 = 0),
+norm AS (
+  SELECT doc_id AS id, {_NORM_TEXT_SQL} AS nt FROM corpus),
+sh AS (
+  SELECT id, unnest(list_distinct(
+    [{gram} for i in range(1, greatest(len(words)-{n - 1}, 0)+1)])) AS shingle
+  FROM (SELECT id, string_split(nt, ' ') AS words FROM norm)),
+e AS MATERIALIZED (
+  SELECT id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING COUNT(*) <= {max_df})),
+sz AS (SELECT id, COUNT(*) AS sz FROM e GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT
+  CASE WHEN sa.sz <= sb.sz THEN id_a ELSE id_b END AS id_sub,
+  CASE WHEN sa.sz <= sb.sz THEN id_b ELSE id_a END AS id_sup,
+  round(inter * 1.0 / least(sa.sz, sb.sz), 6) AS containment_r
+FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+WHERE inter * 1.0 / least(sa.sz, sb.sz) >= {threshold}
+"""
+
+
 def _q_exact_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keep-policy: min-id row survives per content group."""
     from llm_aided_ocr_spark.operators.dedup import exact_dedup
@@ -6888,6 +6963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_divergence": _q_corpus_divergence,
         "related_docs": _q_related_docs,
         "hits_scores": _q_hits_scores,
+        "containment_pairs": _q_containment_pairs,
     }
 
 
@@ -7586,4 +7662,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_divergence": _CORPUS_DIVERGENCE_SQL,
         "related_docs": _RELATED_DOCS_SQL,
         "hits_scores": _build_hits_sql(iters=4, scale=10**9),
+        "containment_pairs": _build_containment_sql(
+            n=3, threshold=0.9, max_df=1000
+        ),
     }

@@ -485,6 +485,128 @@ def ngram_jaccard_pairs(
     return pin(out, per_doc)
 
 
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """All ordered pairs with shingle-set CONTAINMENT
+    ``|A∩B| / |A| >= threshold`` where A is the smaller set (ties by
+    id) — the ASYMMETRIC near-dup relation Jaccard cannot see: a press
+    release quoted whole inside a long article, a doc page embedded in
+    an aggregator, a snippet farm wrapping stolen paragraphs in chrome.
+    J(A,B) ~ |A|/|B| is tiny for a small A inside a huge B, so
+    :func:`ngram_jaccard_pairs` (and MinHash, which estimates J) miss
+    exactly the plagiarism/inclusion cases containment is for (Broder
+    1997 defines both resemblance and containment for this reason).
+
+    Output: ``(id_sub, id_sup, containment)`` — ``id_sub`` the
+    contained (smaller-set) document.
+
+    Shape: the same inverted-index + hashed-pair-count + exact-verify
+    discipline as :func:`ngram_jaccard_pairs`, minus the prefix filter
+    (prefix bounds need a size *ratio*, which containment deliberately
+    does not constrain — a 50-shingle A inside a 50,000-shingle B
+    qualifies, so no size filter is sound either). The candidate stream
+    is the full postings self-join, kept LINEAR by the same
+    ``max_shingle_df`` cap (<= cap x total postings rows); only the
+    16-byte xxhash64 pair keys cross the count Exchange, and a hash
+    collision can only MERGE counts upward — extra candidates survive
+    to verification, no qualifying pair is ever dropped — because the
+    reported containment comes from an exact ``array_intersect`` over
+    the full (capped) shingle arrays of survivors only, exactly the
+    Jaccard operator's collision story. Candidate bound: a true pair
+    needs ``|A∩B| >= ceil(t*min(sz_a, sz_b))`` co-occurrences."""
+    from llm_aided_ocr_spark.operators.util import pin
+
+    t = float(threshold)
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if max_shingle_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_shingle_df)
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("shingle")).alias("arr"))
+        .select(
+            "id",
+            F.xxhash64("id").alias("h"),
+            "arr",
+            F.size("arr").alias("sz"),
+        )
+        .cache()
+    )
+    posts = per_doc.select("id", "h", F.explode("arr").alias("shingle"))
+    cand = (
+        posts.alias("a")
+        .join(posts.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.h").alias("h_a"), F.col("b.h").alias("h_b"))
+        .agg(F.count(F.lit(1)).alias("cpp"))
+    )
+    meta = per_doc.select("h", "id", "sz")
+    cand = (
+        cand.join(
+            meta.select(
+                F.col("h").alias("h_a"),
+                F.col("id").alias("id_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "h_a",
+        )
+        .join(
+            meta.select(
+                F.col("h").alias("h_b"),
+                F.col("id").alias("id_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "h_b",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a true pair co-occurs on >= ceil(t*min) distinct shingles; the
+        # 1e-9 nudge mirrors ngram_jaccard's (looser bound only)
+        .filter(
+            F.col("cpp")
+            >= F.ceil(F.lit(t) * F.least("sz_a", "sz_b") - F.lit(1e-9))
+        )
+        .drop("h_a", "h_b")
+    )
+    arrs = per_doc.select("id", "arr")
+    out = (
+        cand.join(
+            arrs.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b")),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        # orient: sub = smaller set, ties by id (id_a < id_b already)
+        .withColumn(
+            "_a_sub",
+            (F.col("sz_a") < F.col("sz_b"))
+            | (F.col("sz_a") == F.col("sz_b")),
+        )
+        .select(
+            F.when(F.col("_a_sub"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("id_sub"),
+            F.when(F.col("_a_sub"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("id_sup"),
+            (
+                F.col("inter") / F.least("sz_a", "sz_b")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return pin(out, per_doc)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

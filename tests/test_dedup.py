@@ -689,3 +689,72 @@ def test_canonical_url_keepers_deterministic_under_layout(spark):
     b = sorted(map(tuple, canonical_url_keepers(df.repartition(13)).collect()))
     assert a == b
     assert sum(1 for r in a if r[2]) == 5  # fragments strip: one group per host
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A short quote embedded whole inside a long article has
+    containment 1.0 while its Jaccard is far below any near-dup bar —
+    the case the symmetric operators structurally miss."""
+    from llm_aided_ocr_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the central bank raised rates by fifty basis points today"
+    filler = " ".join(f"article word{i} sentence{i % 7} body" for i in range(40))
+    rows = [
+        (0, quote),
+        (1, f"{filler} {quote} {filler} closing remarks and outlook"),
+        (2, "unrelated page about gardening tips and tomato seedlings"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_sub"], r["id_sup"]): r["containment"]
+        for r in containment_pairs(df, n=3, threshold=0.9).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert not any(2 in p for p in got)
+    # and Jaccard indeed cannot see it at any realistic threshold
+    j = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert not any({r["id_a"], r["id_b"]} == {0, 1} for r in j)
+
+
+def test_containment_pairs_orientation_and_threshold(spark):
+    from llm_aided_ocr_spark.operators.dedup import containment_pairs
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (10, a),                         # 6 shingles
+        (3, f"prefix words here {a} suffix words there"),  # superset
+        (4, "alpha beta gamma delta nothing else matches here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_sub"], r["id_sup"]): r["containment"]
+        for r in containment_pairs(df, n=3, threshold=0.9).collect()
+    }
+    # id_sub is the smaller SET even though its id (10) sorts after 3
+    assert list(got) == [(10, 3)] and got[(10, 3)] == 1.0
+    # partial overlap (2 of 6 shingles) stays excluded at t=0.9 but
+    # appears at t=0.3 with the exact ratio
+    low = {
+        (r["id_sub"], r["id_sup"]): r["containment"]
+        for r in containment_pairs(df, n=3, threshold=0.3).collect()
+    }
+    assert low[(10, 4)] == pytest.approx(2 / 6)
+
+
+def test_containment_pairs_df_cap(spark):
+    """A corpus-wide hot shingle is dropped from the shingle space
+    before sizes and intersections, consistently on both sides."""
+    from llm_aided_ocr_spark.operators.dedup import containment_pairs
+
+    hot = "click here to subscribe"
+    rows = [(i, f"{hot} unique{i} page{i} words{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # with the cap at 3, every shingle containing only hot words (df=6)
+    # is dropped; remaining per-doc shingles are unique -> no pairs
+    assert (
+        containment_pairs(df, n=3, threshold=0.5, max_shingle_df=3).count()
+        == 0
+    )

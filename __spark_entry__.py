@@ -6555,6 +6555,80 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining between the even- and odd-id halves of
+    the embeddings table (standing in for two monolingual sides in a
+    shared space). Mutual-best ratio-margin pairs at k=4; every cosine
+    is floor-quantized to a bigint so the neighborhood sums — and hence
+    the margins, rankings, and mutual-best selection — replay exactly
+    in SQL."""
+    from llm_aided_ocr_spark.operators.similarity import mine_bitext
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = mine_bitext(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.02,
+    )
+    return carry_pins(
+        out,
+        out.select("x_id", "y_id", F.round("margin", 6).alias("margin_r")),
+    )
+
+
+_BITEXT_PAIRS_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), qz AS MATERIALIZED (
+  SELECT vec_id,
+    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0 THEN
+      list_transform(v, x ->
+        floor(x / (list_max(list_transform(v, y -> abs(y))) / 127.0) + 0.5))
+    ELSE list_transform(v, x -> 0.0) END AS q
+  FROM e
+), pairs AS MATERIALIZED (
+  -- Spark's exact cosine formula over integer-exact quantized inputs,
+  -- floor-quantized to a 1e12-denominated bigint (exact given
+  -- bit-identical cosine doubles)
+  SELECT a.vec_id AS x_id, b.vec_id AS y_id,
+    CAST(floor((CASE WHEN sqrt(list_dot_product(a.q, a.q))
+                          * sqrt(list_dot_product(b.q, b.q)) > 0
+                     THEN list_dot_product(a.q, b.q)
+                          / (sqrt(list_dot_product(a.q, a.q))
+                             * sqrt(list_dot_product(b.q, b.q)))
+                     ELSE 0.0 END) * 1000000000000.0) AS BIGINT) AS qcos
+  FROM qz a CROSS JOIN qz b
+  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+), sx AS MATERIALIZED (
+  SELECT x_id, SUM(qcos) AS sx FROM (
+    SELECT x_id, qcos, row_number() OVER (
+      PARTITION BY x_id ORDER BY qcos DESC, y_id) AS r FROM pairs)
+  WHERE r <= 4 GROUP BY x_id
+), sy AS MATERIALIZED (
+  SELECT y_id, SUM(qcos) AS sy FROM (
+    SELECT y_id, qcos, row_number() OVER (
+      PARTITION BY y_id ORDER BY qcos DESC, x_id) AS r FROM pairs)
+  WHERE r <= 4 GROUP BY y_id
+), m AS MATERIALIZED (
+  SELECT p.x_id, p.y_id,
+    CAST(8 * p.qcos AS DOUBLE) / CAST(sx.sx + sy.sy AS DOUBLE) AS margin
+  FROM pairs p JOIN sx ON p.x_id = sx.x_id JOIN sy ON p.y_id = sy.y_id
+  WHERE p.qcos > 0 AND sx.sx + sy.sy > 0
+), rk AS (
+  SELECT x_id, y_id, margin,
+    row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rf,
+    row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS rb
+  FROM m
+)
+SELECT x_id, y_id, round(margin, 6) AS margin_r
+FROM rk WHERE rf = 1 AND rb = 1 AND margin >= 1.02
+"""
+
+
 def _capture_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three captures per document: j=0 original, j=1 changed payload on
     odd doc_ids (else identical), j=2 back to the original payload — the
@@ -6964,6 +7038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_docs": _q_related_docs,
         "hits_scores": _q_hits_scores,
         "containment_pairs": _q_containment_pairs,
+        "bitext_pairs": _q_bitext_pairs,
     }
 
 
@@ -7665,4 +7740,5 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _build_containment_sql(
             n=3, threshold=0.9, max_df=1000
         ),
+        "bitext_pairs": _BITEXT_PAIRS_SQL,
     }

@@ -782,3 +782,104 @@ def quantized_topk(
         qv, qq, k=k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
+
+
+def mine_bitext(
+    x: DataFrame,
+    y: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    levels: int = 127,
+    scale: int = 10**12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(x_id, y_id, margin)`` — margin-based bitext mining (Artetxe &
+    Schwenk, ACL 2019; the CCMatrix/CCAligned recipe): mine translation
+    pairs between two monolingual sides embedded in a shared space by
+    scoring every candidate with the RATIO margin
+
+        margin(x, y) = cos(x, y) /
+                       ((avgᵏ cos(x, NNₖ(x,Y)) + avgᵏ cos(y, NNₖ(y,X))) / 2)
+
+    and keeping MUTUAL bests (x's best y is also y's best x) above the
+    threshold — the neighborhood denominator cancels hubness (vectors
+    that are everyone's neighbor score high raw cosine everywhere, but
+    their margin is ~1), which plain cosine thresholds cannot do.
+
+    Determinism: both sides pass through :func:`quantize_embeddings`
+    (pinned half-up int8), so every cosine double is bit-identical
+    cross-engine; each cosine is then FLOOR-QUANTIZED to a ``scale``-
+    denominated bigint and the k-NN neighborhood sums are INTEGER sums
+    — order-free — so ``margin = (2k·qcos) / (sx + sy)`` is one IEEE
+    division of exact integers. Rankings, ties (broken by id), and the
+    mutual-best selection replay exactly in the DuckDB oracle.
+
+    Scale shape: the candidate relation here is the full X×Y cross (the
+    exact spec, sized for per-language-pair shards); at the 10^12-doc
+    tier generate candidates first — IVF cells (:func:`ivf_topk`'s
+    assignment) or hyperplane-LSH buckets (:func:`hyperplane_sketch`)
+    on both sides — and feed each bucket through this scorer; the
+    margin/mutual logic is unchanged, only the pair generator narrows.
+    The k-NN windows partition by vector id (massively parallel, no
+    global sort); everything after quantization is native columnar —
+    zero Python rows."""
+    from llm_aided_ocr_spark.operators.util import pin
+
+    qx = quantize_embeddings(x, vec_col=vec_col, out_col="_q", levels=levels).select(
+        F.col(id_col).alias("x_id"), F.col("_q").cast("array<double>").alias("xv")
+    )
+    qy = quantize_embeddings(y, vec_col=vec_col, out_col="_q", levels=levels).select(
+        F.col(id_col).alias("y_id"), F.col("_q").cast("array<double>").alias("yv")
+    )
+    pairs = (
+        qx.crossJoin(qy)
+        .select(
+            "x_id",
+            "y_id",
+            F.floor(cosine_col(F.col("xv"), F.col("yv")) * F.lit(float(scale)))
+            .cast("bigint")
+            .alias("qcos"),
+        )
+        .cache()
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.desc("qcos"), F.col("y_id"))
+    sx = (
+        pairs.withColumn("r", F.row_number().over(wx))
+        .filter(F.col("r") <= k)
+        .groupBy("x_id")
+        .agg(F.sum("qcos").alias("sx"))
+    )
+    wy = Window.partitionBy("y_id").orderBy(F.desc("qcos"), F.col("x_id"))
+    sy = (
+        pairs.withColumn("r", F.row_number().over(wy))
+        .filter(F.col("r") <= k)
+        .groupBy("y_id")
+        .agg(F.sum("qcos").alias("sy"))
+    )
+    m = (
+        pairs.join(sx, "x_id")
+        .join(sy, "y_id")
+        .filter((F.col("qcos") > 0) & (F.col("sx") + F.col("sy") > 0))
+        .select(
+            "x_id",
+            "y_id",
+            (
+                (F.lit(2 * k) * F.col("qcos")).cast("double")
+                / (F.col("sx") + F.col("sy")).cast("double")
+            ).alias("margin"),
+        )
+    )
+    fwd = Window.partitionBy("x_id").orderBy(F.desc("margin"), F.col("y_id"))
+    bwd = Window.partitionBy("y_id").orderBy(F.desc("margin"), F.col("x_id"))
+    out = (
+        m.withColumn("rf", F.row_number().over(fwd))
+        .withColumn("rb", F.row_number().over(bwd))
+        .filter(
+            (F.col("rf") == 1)
+            & (F.col("rb") == 1)
+            & (F.col("margin") >= threshold)
+        )
+        .select("x_id", "y_id", "margin")
+    )
+    return pin(out, pairs)

@@ -397,3 +397,51 @@ def test_quantized_topk_ranks_like_cosine(spark):
     assert [v for v, _ in got] == [0, 1, 3, 2]
     assert got[0][1] == 1.0 and got[1][1] == 1.0  # integer-exact
     assert got[3][1] == 0.0
+
+
+def test_mine_bitext_mutual_pairs_and_hub_demotion(spark):
+    """True translation pairs (near-identical vectors across sides) are
+    mined; a hub vector that is moderately close to EVERYTHING gets a
+    margin ~1 and is excluded, even though its raw cosines beat some
+    true pairs' — the thing a plain cosine threshold cannot do."""
+    from llm_aided_ocr_spark.operators.similarity import mine_bitext
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(4, 16))
+    rows_x, rows_y = [], []
+    for i, v in enumerate(base):
+        rows_x.append((2 * i, (v + rng.normal(scale=0.01, size=16)).tolist()))
+        rows_y.append((2 * i + 1, (v + rng.normal(scale=0.01, size=16)).tolist()))
+    # hub on the Y side: the normalized mean of everything
+    hub = base.mean(axis=0)
+    rows_y.append((99, hub.tolist()))
+    x = spark.createDataFrame(rows_x, "vec_id bigint, embedding array<double>")
+    y = spark.createDataFrame(rows_y, "vec_id bigint, embedding array<double>")
+    got = {(r["x_id"], r["y_id"]): r["margin"]
+           for r in mine_bitext(x, y, k=3, threshold=1.02).collect()}
+    assert set(got) == {(0, 1), (2, 3), (4, 5), (6, 7)}
+    assert all(m > 1.02 for m in got.values())
+    assert not any(yid == 99 for _, yid in got)
+
+
+def test_mine_bitext_mutuality_required(spark):
+    """A one-directional best (x's best y whose own best is a different
+    x) is not emitted."""
+    from llm_aided_ocr_spark.operators.similarity import mine_bitext
+
+    # y0 is closest to BOTH x0 and x1, but y0's best is x0; x1 has no
+    # mutual partner (y1 is far from everything)
+    x = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    y = spark.createDataFrame(
+        [(1, [1.0, 0.05, 0.0]), (3, [0.0, 0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = [(r["x_id"], r["y_id"])
+           for r in mine_bitext(x, y, k=2, threshold=1.0).collect()]
+    assert (0, 1) in got
+    assert not any(xid == 2 for xid, _ in got)

@@ -6629,6 +6629,74 @@ FROM rk WHERE rf = 1 AND rb = 1 AND margin >= 1.02
 """
 
 
+def _q_capture_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document novelty across a 3-capture history: capture 2
+    appends a breaking-news section (novelty = the appended shingles'
+    share), capture 3 drops that section and gains a fresh intro — so
+    novelty is nonzero both times while a page-level diff would just
+    say 'changed'. The oracle replays the construction and the shingle
+    set algebra over word-3-gram strings."""
+    from llm_aided_ocr_spark.operators.snapshots import capture_novelty
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    i = F.col("doc_id").cast("string")
+    j = F.col("j")
+    caps = d.select(
+        "doc_id", "text",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        F.concat(F.lit("https://n.example/p"), i).alias("url"),
+        j.cast("bigint").alias("ts"),
+        F.when(j == 1, F.col("text"))
+        .when(
+            j == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" breaking update section about event"), i,
+                F.lit(" unfolding now"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("fresh intro line today "), F.col("text"))
+        )
+        .alias("text"),
+    )
+    out = capture_novelty(caps, n=3)
+    return out.select(
+        "url", "ts", "n_shingles", "n_new",
+        F.round("novelty", 6).alias("novelty_r"),
+    )
+
+
+def _build_capture_novelty_sql(n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+    norm = _NORM_TEXT_SQL
+    return f"""
+WITH caps AS (
+  SELECT 'https://n.example/p' || doc_id AS url, CAST(j AS BIGINT) AS ts,
+    CASE j WHEN 1 THEN coalesce(text, '')
+      WHEN 2 THEN coalesce(text, '')
+           || ' breaking update section about event' || doc_id
+           || ' unfolding now'
+      ELSE 'fresh intro line today ' || coalesce(text, '') END AS text
+  FROM documents, (SELECT unnest([1, 2, 3]) AS j)),
+sh AS MATERIALIZED (
+  SELECT url, ts, list_distinct(
+    [{gram} for i in range(1, greatest(len(words)-{n - 1}, 0)+1)]) AS s
+  FROM (SELECT url, ts, string_split({norm}, ' ') AS words FROM caps))
+SELECT a.url, a.ts,
+  CAST(len(a.s) AS BIGINT) AS n_shingles,
+  CAST(len(a.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_new,
+  CASE WHEN len(a.s) > 0 THEN
+    round((len(a.s) - len(list_intersect(a.s, b.s))) * 1.0 / len(a.s), 6)
+  END AS novelty_r
+FROM sh a JOIN sh b ON a.url = b.url AND b.ts = a.ts - 1
+"""
+
+
 def _capture_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three captures per document: j=0 original, j=1 changed payload on
     odd doc_ids (else identical), j=2 back to the original payload — the
@@ -7039,6 +7107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _q_hits_scores,
         "containment_pairs": _q_containment_pairs,
         "bitext_pairs": _q_bitext_pairs,
+        "capture_novelty": _q_capture_novelty,
     }
 
 
@@ -7741,4 +7810,5 @@ def oracle_sql() -> dict[str, str]:
             n=3, threshold=0.9, max_df=1000
         ),
         "bitext_pairs": _BITEXT_PAIRS_SQL,
+        "capture_novelty": _build_capture_novelty_sql(n=3),
     }

@@ -64,3 +64,78 @@ def snapshot_diff_stats(diff: DataFrame) -> DataFrame:
     return diff.groupBy("status").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+def capture_novelty(
+    df: DataFrame,
+    n: int = 3,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(url, ts, n_shingles, n_new, novelty)`` — per capture (from the
+    second onward), the fraction of its word-``n``-gram shingle set NOT
+    present in the SAME url's previous capture:
+    ``novelty = |S_k \\ S_{k-1}| / |S_k|``.
+
+    This is the sub-document complement to page-level
+    :func:`snapshot_diff` / digest ``change_rates``: a news homepage
+    whose digest changes every crawl may still be 95% yesterday's
+    shingles — its novelty rate, not its change rate, is what a
+    recrawl-budget allocator and an incremental dedup (ExactSubstr at
+    crawl cadence) actually want. Captures with an empty shingle set
+    get novelty NULL (0/0).
+
+    Scale shape: texts become per-capture DISTINCT shingle-hash sets
+    document-locally (the :func:`~llm_aided_ocr_spark.operators.dedup.
+    word_shingles` discipline — no corpus-wide distinct); the previous-
+    capture intersection is ONE left-semi self-join of the
+    (url, rank, shingle_hash) relation on ``(url, shingle, rank-1)`` —
+    the TEXT never enters an exchange, only url keys and 8-byte shingle
+    hashes do (url keys stay exact strings: a hashed url key could
+    merge two urls' capture sequences with no verify step to catch it;
+    at the 10^12 tier dictionary-encode urls upstream if the key width
+    matters). The per-url rank window partitions by url (bounded by a
+    url's capture count, no global sort)."""
+    from pyspark.sql import Window
+
+    from llm_aided_ocr_spark.operators.dedup import shingle_array_col
+
+    caps = df.select(
+        F.col(url_col).alias("_url"),
+        F.col(ts_col).alias("_ts"),
+        F.array_distinct(shingle_array_col(text_col, n=n)).alias("_sh"),
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("_url").orderBy(F.col("_ts"))
+        ),
+    )
+    sh = caps.select("_url", "_rk", F.explode("_sh").alias("shingle"))
+    prev = sh.select(
+        "_url", (F.col("_rk") + 1).alias("_rk"), F.col("shingle")
+    )
+    inter = (
+        sh.join(prev, ["_url", "_rk", "shingle"], "left_semi")
+        .groupBy("_url", "_rk")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        caps.filter(F.col("_rk") >= 2)
+        .select("_url", "_ts", "_rk", F.size("_sh").alias("n_shingles"))
+        .join(inter, ["_url", "_rk"], "left")
+        .select(
+            F.col("_url").alias("url"),
+            F.col("_ts").alias("ts"),
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            (
+                F.col("n_shingles") - F.coalesce("_inter", F.lit(0))
+            ).cast("bigint").alias("n_new"),
+            F.when(
+                F.col("n_shingles") > 0,
+                (
+                    F.col("n_shingles") - F.coalesce("_inter", F.lit(0))
+                ).cast("double") / F.col("n_shingles"),
+            ).alias("novelty"),
+        )
+    )

@@ -5,6 +5,8 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+import pytest
+
 
 def test_snapshot_diff_statuses(spark):
     from llm_aided_ocr_spark.operators.snapshots import (
@@ -50,3 +52,33 @@ def test_snapshot_diff_never_shuffles_text(spark):
           and "fp" in ln]
     # every exchange-side output is (id, fp) — no text column leaves a scan
     assert "text" not in plan.split("Exchange")[1][:400]
+
+
+def test_capture_novelty_shingle_algebra(spark):
+    from llm_aided_ocr_spark.operators.snapshots import capture_novelty
+
+    rows = [
+        # u1: capture 2 appends one sentence -> some new shingles;
+        # capture 3 identical to capture 2 -> novelty 0
+        ("u1", 1, "alpha beta gamma delta epsilon zeta"),
+        ("u1", 2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        ("u1", 3, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        # u2: complete rewrite -> novelty 1.0
+        ("u2", 1, "one two three four five"),
+        ("u2", 2, "six seven eight nine ten"),
+        # u3: second capture empty -> 0 shingles, novelty NULL
+        ("u3", 1, "some words here padding more"),
+        ("u3", 2, ""),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts int, text string")
+    got = {
+        (r["url"], r["ts"]): (r["n_shingles"], r["n_new"], r["novelty"])
+        for r in capture_novelty(df, n=3).collect()
+    }
+    # first captures never emit
+    assert not any(ts == 1 for _, ts in got)
+    # u1 cap2: 9 words -> 7 shingles, 4 existed before (6 words -> 4)
+    assert got[("u1", 2)] == (7, 3, pytest.approx(3 / 7))
+    assert got[("u1", 3)] == (7, 0, 0.0)
+    assert got[("u2", 2)] == (3, 3, 1.0)
+    assert got[("u3", 2)] == (0, 0, None)

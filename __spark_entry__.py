@@ -6697,6 +6697,50 @@ FROM sh a JOIN sh b ON a.url = b.url AND b.ts = a.ts - 1
 """
 
 
+def _q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder fetch-budget split across 23 constructed hosts
+    weighted by their total corpus bytes; a prime budget (9973) forces
+    a nonzero leftover so the remainder-ranked +1 distribution is
+    actually exercised. Allocations must sum to exactly the budget; the
+    oracle replays the identical integer arithmetic."""
+    from llm_aided_ocr_spark.operators.refetch import crawl_budget
+
+    hosts = (
+        _docs(spark, sf_dir)
+        .groupBy(
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 23).cast("string")
+            ).alias("host")
+        )
+        .agg(F.sum("n_chars").cast("bigint").alias("weight"))
+    )
+    return crawl_budget(hosts, budget=9973)
+
+
+def _build_crawl_budget_sql(budget: int = 9973) -> str:
+    return f"""
+WITH hosts AS (
+  SELECT 'h' || (doc_id % 23) AS host,
+         CAST(SUM(n_chars) AS BIGINT) AS weight
+  FROM documents GROUP BY doc_id % 23),
+t AS (SELECT SUM(weight) AS w FROM hosts),
+q AS (
+  SELECT host, weight,
+    (weight * {budget}) // (SELECT w FROM t) AS base,
+    (weight * {budget}) % (SELECT w FROM t) AS rem
+  FROM hosts),
+l AS (SELECT {budget} - SUM(base) AS leftover FROM q),
+r AS (
+  SELECT host, weight, base, rem,
+    row_number() OVER (ORDER BY rem DESC, host) - 1 AS rn
+  FROM q)
+SELECT host, weight,
+  CAST(base + CASE WHEN rn < (SELECT leftover FROM l) THEN 1 ELSE 0 END
+       AS BIGINT) AS alloc
+FROM r
+"""
+
+
 def _capture_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three captures per document: j=0 original, j=1 changed payload on
     odd doc_ids (else identical), j=2 back to the original payload — the
@@ -7108,6 +7152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "bitext_pairs": _q_bitext_pairs,
         "capture_novelty": _q_capture_novelty,
+        "crawl_budget": _q_crawl_budget,
     }
 
 
@@ -7811,4 +7856,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bitext_pairs": _BITEXT_PAIRS_SQL,
         "capture_novelty": _build_capture_novelty_sql(n=3),
+        "crawl_budget": _build_crawl_budget_sql(budget=9973),
     }

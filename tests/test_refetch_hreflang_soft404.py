@@ -147,3 +147,33 @@ def test_soft404_flags(spark):
     )
     eg = {r["id"]: r["n_words"] for r in soft404_flags(empty).collect()}
     assert eg == {"e": 0, "n": 0}
+
+
+def test_crawl_budget_largest_remainder(spark):
+    """Hamilton allocation: floors + largest-remainder top-up, exact
+    budget conservation, zero-weight host gets zero."""
+    from llm_aided_ocr_spark.operators.refetch import crawl_budget
+
+    rows = [("a", 5), ("b", 3), ("c", 1), ("d", 1), ("z", 0)]
+    df = spark.createDataFrame(rows, "host string, weight long")
+    got = {r["host"]: r["alloc"]
+           for r in crawl_budget(df, budget=7).collect()}
+    # quotas: a 3.5, b 2.1, c .7, d .7 -> floors 3,2,0,0 leftover 2;
+    # remainders (x10): a 5, b 1, c 7, d 7 -> c and d get the +1s
+    assert got == {"a": 3, "b": 2, "c": 1, "d": 1, "z": 0}
+    assert sum(got.values()) == 7
+
+
+def test_crawl_budget_remainder_tie_and_zero_total(spark):
+    from llm_aided_ocr_spark.operators.refetch import crawl_budget
+
+    # equal remainders -> host-ascending order takes the single +1
+    df = spark.createDataFrame(
+        [("x", 1), ("y", 1)], "host string, weight long"
+    )
+    got = {r["host"]: r["alloc"] for r in crawl_budget(df, budget=3).collect()}
+    assert got == {"x": 2, "y": 1}
+    # all-zero weights -> all-zero allocations (no division by zero)
+    z = spark.createDataFrame([("x", 0), ("y", 0)], "host string, weight long")
+    gz = {r["host"]: r["alloc"] for r in crawl_budget(z, budget=5).collect()}
+    assert gz == {"x": 0, "y": 0}

@@ -3769,6 +3769,51 @@ FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.id
 """
 
 
+def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility under the learned 6-merge table
+    — tokens/word and chars/token per lang, the multilingual-equity
+    report. Oracle extends the merge-learning CTE chain with a
+    (lang, w, n) relation and the same exact-integer-sum ratios."""
+    from llm_aided_ocr_spark.operators.bpe import bpe_fertility, bpe_learn
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
+    docs = _docs(spark, sf_dir)
+    out = bpe_fertility(docs, bpe_learn(docs, num_merges=6))
+    return carry_pins(
+        out,
+        out.select(
+            "lang", "n_words", "n_chars", "n_bpe_tokens",
+            F.round("fertility", 6).alias("fertility_r"),
+            F.round("chars_per_token", 6).alias("chars_per_token_r"),
+        ),
+    )
+
+
+def _build_bpe_fertility_sql(k: int) -> str:
+    return _bpe_cte_prefix(k) + f""",
+lw AS (
+  SELECT coalesce(lang, '') AS lang, w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT lang, unnest(list_filter(string_split_regex(
+          lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY 1, 2)
+SELECT lang,
+  CAST(SUM(lw.n) AS BIGINT) AS n_words,
+  CAST(SUM(lw.n * len(w)) AS BIGINT) AS n_chars,
+  CAST(SUM(lw.n * len(syms)) AS BIGINT) AS n_bpe_tokens,
+  CASE WHEN SUM(lw.n) > 0 THEN
+    round(CAST(SUM(lw.n * len(syms)) AS DOUBLE)
+          / CAST(SUM(lw.n) AS DOUBLE), 6)
+  END AS fertility_r,
+  CASE WHEN SUM(lw.n * len(syms)) > 0 THEN
+    round(CAST(SUM(lw.n * len(w)) AS DOUBLE)
+          / CAST(SUM(lw.n * len(syms)) AS DOUBLE), 6)
+  END AS chars_per_token_r
+FROM lw JOIN v{k} USING (w)
+GROUP BY lang
+"""
+
+
 def _q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-mixture resampling over the 37-domain
     synthetic url map: site0 up-samples at 2.5 (2 copies + a hash-gated
@@ -7153,6 +7198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_pairs": _q_bitext_pairs,
         "capture_novelty": _q_capture_novelty,
         "crawl_budget": _q_crawl_budget,
+        "bpe_fertility": _q_bpe_fertility,
     }
 
 
@@ -7857,4 +7903,5 @@ def oracle_sql() -> dict[str, str]:
         "bitext_pairs": _BITEXT_PAIRS_SQL,
         "capture_novelty": _build_capture_novelty_sql(n=3),
         "crawl_budget": _build_crawl_budget_sql(budget=9973),
+        "bpe_fertility": _build_bpe_fertility_sql(6),
     }

@@ -292,3 +292,31 @@ def test_bpe_auto_falls_back_to_distributed_above_cap(spark):
     assert bpe_learn(df, 5, local_vocab_cap=1) == bpe_learn(
         df, 5, strategy="distributed"
     )
+
+
+def test_bpe_fertility_per_language(spark):
+    """Exact per-language ratios under a known merge table; NULL lang
+    aggregates under the '' sentinel."""
+    from llm_aided_ocr_spark.operators.bpe import bpe_fertility
+
+    rows = [
+        ("en", "aaab aaab ab"),
+        ("de", "aaab"),
+        (None, "xyz"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    # merges: (a,a)->aa, (aa,ab)? no — symbols merge pairwise:
+    # with merges [(a,a),(aa,a)]: 'aaab' -> [aa,a,b] -> [aaa,b] (2 syms)
+    #                            'ab'   -> [a,b]              (2 syms)
+    #                            'xyz'  -> 3 syms
+    merges = [("a", "a"), ("aa", "a")]
+    got = {r["lang"]: r for r in bpe_fertility(df, merges).collect()}
+    en = got["en"]
+    # en: words aaab(x2, 4 chars, 2 toks) + ab(x1, 2 chars, 2 toks)
+    assert (en["n_words"], en["n_chars"], en["n_bpe_tokens"]) == (3, 10, 6)
+    assert en["fertility"] == pytest.approx(2.0)
+    assert en["chars_per_token"] == pytest.approx(10 / 6)
+    de = got["de"]
+    assert (de["n_words"], de["n_bpe_tokens"]) == (1, 2)
+    nu = got[""]
+    assert (nu["n_words"], nu["n_chars"], nu["n_bpe_tokens"]) == (1, 3, 3)

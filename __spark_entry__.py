@@ -6497,6 +6497,82 @@ h{k} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts / clustering over a constructed graph with a
+    4-host clique (link farm: clustering exactly 1), a 7-leaf star
+    (organic hub: clustering 0), and one bridge edge — the shape
+    separation the operator exists for. Multi-edges (every doc re-emits
+    its hosts' edges) must collapse before counting."""
+    from llm_aided_ocr_spark.operators.linkgraph import host_triangles
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    m4 = (F.col("doc_id") % 4).cast("string")
+    m4b = ((F.col("doc_id") + 1) % 4).cast("string")
+    m4c = ((F.col("doc_id") + 2) % 4).cast("string")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    edges = (
+        d.select(
+            F.concat(F.lit("f"), m4).alias("src_host"),
+            F.concat(F.lit("f"), m4b).alias("dst_host"),
+        )
+        .unionByName(
+            d.select(
+                F.concat(F.lit("f"), m4).alias("src_host"),
+                F.concat(F.lit("f"), m4c).alias("dst_host"),
+            )
+        )
+        .unionByName(
+            d.select(
+                F.concat(F.lit("s"), m7).alias("src_host"),
+                F.lit("hub").alias("dst_host"),
+            )
+        )
+        .unionByName(
+            d.limit(1).select(
+                F.lit("s0").alias("src_host"), F.lit("f0").alias("dst_host")
+            )
+        )
+    )
+    return host_triangles(edges.withColumn("n_links", F.lit(1)))
+
+
+_HOST_TRIANGLES_SQL = """
+WITH raw AS (
+  SELECT 'f' || (doc_id % 4) AS a, 'f' || ((doc_id + 1) % 4) AS b
+  FROM documents
+  UNION ALL
+  SELECT 'f' || (doc_id % 4), 'f' || ((doc_id + 2) % 4) FROM documents
+  UNION ALL
+  SELECT 's' || (doc_id % 7), 'hub' FROM documents
+  UNION ALL
+  SELECT 's0', 'f0'
+), e AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b
+), deg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT u AS host FROM e UNION ALL SELECT v FROM e) GROUP BY host
+), tri AS (
+  -- each triangle once as its ordered vertex triple
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), per_host AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS host FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY host
+)
+SELECT deg.host,
+  coalesce(per_host.n_triangles, 0) AS n_triangles,
+  deg.degree,
+  CASE WHEN deg.degree >= 2 THEN
+    (2.0 * coalesce(per_host.n_triangles, 0))
+    / (CAST(deg.degree AS DOUBLE) * CAST(deg.degree - 1 AS DOUBLE))
+  END AS clustering
+FROM deg LEFT JOIN per_host ON deg.host = per_host.host
+"""
+
+
 def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level Zipf least-squares fit over the real documents
     table. The regression sums are integer sums of log-quantized
@@ -7199,6 +7275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_novelty": _q_capture_novelty,
         "crawl_budget": _q_crawl_budget,
         "bpe_fertility": _q_bpe_fertility,
+        "host_triangles": _q_host_triangles,
     }
 
 
@@ -7904,4 +7981,5 @@ def oracle_sql() -> dict[str, str]:
         "capture_novelty": _build_capture_novelty_sql(n=3),
         "crawl_budget": _build_crawl_budget_sql(budget=9973),
         "bpe_fertility": _build_bpe_fertility_sql(6),
+        "host_triangles": _HOST_TRIANGLES_SQL,
     }

@@ -673,3 +673,104 @@ def hits(
         auth = nodes.withColumn("auth", F.lit(0).cast("bigint"))
     out = hub.join(auth, "host").select("host", "hub", "auth")
     return pin(out, hub)
+
+
+def host_triangles(
+    graph: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """``(host, n_triangles, degree, clustering)`` — per-host triangle
+    count and local clustering coefficient over the UNDIRECTED host
+    graph (direction dropped, self-loops and multi-edges collapsed).
+    Link farms and SEO rings are locally DENSE — their hosts sit on many
+    triangles relative to degree (clustering → 1), while organic hub
+    hosts have star-shaped neighborhoods (clustering → 0); the classic
+    Becchetti et al. (KDD 2008) spam feature, and the shape
+    :func:`hits`/:func:`trustrank` scores cannot see (a farm can starve
+    under trustrank yet still needs this to be *identified*).
+
+    Exact counting via the DEGREE-ORDERED node-iterator (Schank &
+    Wagner 2005): every undirected edge is directed from its
+    lower-(degree, host) endpoint to the higher one, making the
+    directed graph acyclic with out-degree bounded by O(sqrt(m)) on any
+    graph — the wedge join ``fwd(a→b) ⋈ fwd(a→c)`` then enumerates each
+    triangle exactly once as its minimum-endpoint wedge, and the
+    closing-edge semi-join confirms it. This is the standard bound that
+    keeps a power-law web graph's wedge count near m^1.5 instead of the
+    naive Σ deg² (a 10^7-degree hub host contributes ZERO wedges as a
+    non-minimum endpoint). Three narrow shuffles total (degree agg,
+    wedge groupBy-join, closing-edge join); host strings only, no text.
+
+    ``clustering = 2*T / (deg*(deg-1))`` (NULL for degree < 2) — left
+    as an exact ratio of integers."""
+    e = (
+        graph.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("host"))
+        .union(e.select(F.col("v").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    # direct each edge low→high by (degree, host)
+    du = deg.select(F.col("host").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("host").alias("v"), F.col("degree").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    fwd = ed.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+        )
+        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+        .alias("x")
+    ).select(F.col("x.s").alias("s"), F.col("x.t").alias("t"))
+    fwd = fwd.localCheckpoint(eager=True)
+    wedges = (
+        fwd.alias("p")
+        .join(fwd.alias("q"), F.col("p.s") == F.col("q.s"))
+        .filter(F.col("p.t") < F.col("q.t"))
+        .select(
+            F.col("p.s").alias("a"),
+            F.col("p.t").alias("b"),
+            F.col("q.t").alias("c"),
+        )
+    )
+    tris = wedges.join(
+        e.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    ).localCheckpoint(eager=True)
+    per_host = (
+        tris.select(F.col("a").alias("host"))
+        .union(tris.select(F.col("b").alias("host")))
+        .union(tris.select(F.col("c").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    out = (
+        deg.join(per_host, "host", "left")
+        .select(
+            "host",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            "degree",
+            F.when(
+                F.col("degree") >= 2,
+                (2.0 * F.coalesce("n_triangles", F.lit(0)))
+                / (
+                    F.col("degree").cast("double")
+                    * (F.col("degree") - 1).cast("double")
+                ),
+            ).alias("clustering"),
+        )
+    )
+    return out

@@ -372,3 +372,28 @@ def test_hits_empty_graph(spark):
         [], "src_host string, dst_host string, n_links long"
     )
     assert hits(g, iters=2).count() == 0
+
+
+def test_host_triangles_clique_star_bridge(spark):
+    """K4 clique hosts sit on 3 triangles each (clustering 1); star
+    leaves/hub sit on none; the bridge host mixes (degree 4, 3
+    triangles -> 0.5); multi-edges and direction must collapse."""
+    from llm_aided_ocr_spark.operators.linkgraph import host_triangles
+
+    edges = []
+    for a, b in [("k0", "k1"), ("k0", "k2"), ("k0", "k3"),
+                 ("k1", "k2"), ("k1", "k3"), ("k2", "k3")]:
+        edges += [(a, b, 1), (b, a, 2)]          # both directions
+    edges += [("s1", "hub", 1), ("s2", "hub", 1), ("s3", "hub", 1)]
+    edges += [("s1", "k0", 1)]
+    g = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links long"
+    )
+    got = {r["host"]: (r["n_triangles"], r["degree"], r["clustering"])
+           for r in host_triangles(g).collect()}
+    for k in ("k1", "k2", "k3"):
+        assert got[k] == (3, 3, 1.0)
+    assert got["k0"] == (3, 4, 0.5)
+    assert got["hub"] == (0, 3, 0.0)
+    assert got["s1"] == (0, 2, 0.0)
+    assert got["s2"] == (0, 1, None)

@@ -6573,6 +6573,61 @@ FROM deg LEFT JOIN per_host ON deg.host = per_host.host
 """
 
 
+def _q_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k by Hamming distance over 1-bit sign codes — the
+    binary-sketch ANN scan (8 bytes per 64-dim vector). Distances are
+    XOR+popcount integer sums, rank ties break by id: everything
+    engine-exact."""
+    from llm_aided_ocr_spark.operators.similarity import hamming_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return hamming_topk(emb, queries_df, dim=64, k=10)
+
+
+def _build_ann_hamming_sql(dim: int = 64, k: int = 10) -> str:
+    """Sign-code packing + XOR/popcount replay: word w of a vector =
+    Σ_{i<32} (v[32w+i] > 0) · 2^i (distinct powers sum without carries
+    == bitwise OR)."""
+    words = []
+    for base in range(0, dim, 32):
+        n = min(32, dim - base)
+        terms = " + ".join(
+            f"CASE WHEN v[{base + i + 1}] > 0 THEN (1::BIGINT << {i}) "
+            "ELSE 0 END"
+            for i in range(n)
+        )
+        words.append(f"({terms})")
+    packed = ", ".join(words)
+    nw = len(words)
+    ham = " + ".join(
+        f"bit_count(xor(c.w[{j + 1}], q.w[{j + 1}]))" for j in range(nw)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), codes AS MATERIALIZED (
+  SELECT vec_id, [{packed}] AS w FROM e
+), q AS (
+  SELECT vec_id AS query_id, w FROM codes WHERE vec_id < 3
+), scored AS (
+  SELECT q.query_id, c.vec_id, CAST({ham} AS BIGINT) AS hamming
+  FROM codes c CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, hamming,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY hamming, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, hamming, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level Zipf least-squares fit over the real documents
     table. The regression sums are integer sums of log-quantized
@@ -7276,6 +7331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": _q_crawl_budget,
         "bpe_fertility": _q_bpe_fertility,
         "host_triangles": _q_host_triangles,
+        "ann_hamming": _q_ann_hamming,
     }
 
 
@@ -7982,4 +8038,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_budget": _build_crawl_budget_sql(budget=9973),
         "bpe_fertility": _build_bpe_fertility_sql(6),
         "host_triangles": _HOST_TRIANGLES_SQL,
+        "ann_hamming": _build_ann_hamming_sql(dim=64, k=10),
     }

@@ -883,3 +883,86 @@ def mine_bitext(
         .select("x_id", "y_id", "margin")
     )
     return pin(out, pairs)
+
+
+def sign_codes_col(vec_col, dim: int):
+    """Native 1-bit sign quantization: the ``dim``-dim vector becomes
+    ``ceil(dim/32)`` bigint WORDS of 32 sign bits each (bit i of word k
+    = ``v[32k+i] > 0``). 32-bit words sidestep int64 sign-bit overflow
+    checks in either engine while keeping the 32x (vs float32) / 64x
+    (vs float64) memory cut — at the 10^12-vector tier the binary index
+    is the one that fits in cluster RAM (Charikar 2002 sign-random-
+    projection codes; here the identity projection, i.e. per-component
+    signs, composes with :func:`hyperplane_sketch` for true SRP codes).
+    Distinct powers of two sum without carries, so the packing is a
+    plain SUM — exact integers, engine-portable."""
+    words = []
+    for k in range(0, dim, 32):
+        n = min(32, dim - k)
+        chunk = F.slice(vec_col, k + 1, n)
+        word = F.aggregate(
+            F.zip_with(
+                chunk,
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                # pow(2, i) is exact in double for i <= 31; shiftleft's
+                # python API wants a literal shift, the lambda index is
+                # a Column
+                lambda x, i: F.when(
+                    x > 0, F.pow(F.lit(2.0), i).cast("bigint")
+                ).otherwise(F.lit(0).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        words.append(word)
+    return F.array(*words)
+
+
+def hamming_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """``(query_id, vec_id, hamming, rank)`` — exact top-k by Hamming
+    distance over 1-bit sign codes (:func:`sign_codes_col`): the
+    binary-sketch serving scan. XOR + popcount per 32-bit word — pure
+    integer ops, so distances AND rank ties (broken by id) are
+    engine-exact; the corpus side never shuffles (queries broadcast,
+    per-query window partitions by query id). For cosine-faithful
+    binary codes feed hyperplane projections instead of raw components;
+    the scan is identical."""
+    codes = vectors.select(
+        F.col(id_col), sign_codes_col(F.col(vec_col), dim).alias("_c")
+    )
+    qc = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            sign_codes_col(F.col(query_vec_col), dim).alias("_qc"),
+        )
+    )
+    scored = codes.crossJoin(qc).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.aggregate(
+            F.zip_with(
+                F.col("_c"),
+                F.col("_qc"),
+                lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("hamming"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("hamming"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "hamming", "rank")
+    )

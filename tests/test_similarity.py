@@ -445,3 +445,36 @@ def test_mine_bitext_mutuality_required(spark):
            for r in mine_bitext(x, y, k=2, threshold=1.0).collect()]
     assert (0, 1) in got
     assert not any(xid == 2 for xid, _ in got)
+
+
+def test_hamming_topk_exact_codes(spark):
+    """Known sign patterns give known packed words and distances; the
+    self-match ranks first at distance 0."""
+    from llm_aided_ocr_spark.operators.similarity import (
+        hamming_topk,
+        sign_codes_col,
+    )
+    from pyspark.sql import functions as F
+
+    # dim 40 -> words of 32 and 8 bits
+    v_pos = [1.0] * 40                  # all bits set
+    v_neg = [-1.0] * 40                 # no bits
+    v_alt = [1.0 if i % 2 == 0 else -1.0 for i in range(40)]  # 20 bits
+    df = spark.createDataFrame(
+        [(0, v_pos), (1, v_neg), (2, v_alt)],
+        "vec_id bigint, embedding array<double>",
+    )
+    codes = {r["vec_id"]: r["c"] for r in df.select(
+        "vec_id", sign_codes_col(F.col("embedding"), 40).alias("c")
+    ).collect()}
+    assert codes[0] == [(1 << 32) - 1, 255]
+    assert codes[1] == [0, 0]
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = {(r["query_id"], r["vec_id"]): (r["hamming"], r["rank"])
+           for r in hamming_topk(df, q, dim=40, k=3).collect()}
+    assert got[(0, 0)] == (0, 1)
+    assert got[(0, 2)] == (20, 2)
+    assert got[(0, 1)] == (40, 3)

@@ -292,6 +292,61 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(edges)
 
 
+def _q_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-best keeper per near-dup cluster (quality = n_chars, the
+    keep-the-longest practice) over the same transitive chain clusters
+    as dedup_clusters — the composition a curation pipeline actually
+    runs. Ties break to the smaller doc_id; the oracle replays the
+    recursive clustering then the identical argmax."""
+    from llm_aided_ocr_spark.operators.dedup import (
+        cluster_keepers,
+        dedup_clusters,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    edges = (
+        d.filter(F.col("doc_id") % 10 < 3)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+        .join(d.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi")
+    )
+    quality = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("n_chars").alias("quality")
+    )
+    return cluster_keepers(dedup_clusters(edges), quality)
+
+
+_CLUSTER_KEEPERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 < 3),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+clusters AS (
+  SELECT CAST(n AS BIGINT) AS id, CAST(MIN(m) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY n),
+scored AS (
+  SELECT c.cluster_id, c.id, d.n_chars AS q,
+    row_number() OVER (PARTITION BY c.cluster_id
+                       ORDER BY d.n_chars DESC, c.id) AS rk
+  FROM clusters c JOIN documents d ON d.doc_id = c.id)
+SELECT s.cluster_id,
+  CAST(MIN(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS keeper_id,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(MAX(q) AS BIGINT) AS best_quality
+FROM scored s GROUP BY s.cluster_id
+"""
+
+
 _DEDUP_CLUSTERS_SQL = """
 WITH RECURSIVE pairs AS (
   SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
@@ -7332,6 +7387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": _q_bpe_fertility,
         "host_triangles": _q_host_triangles,
         "ann_hamming": _q_ann_hamming,
+        "cluster_keepers": _q_cluster_keepers,
     }
 
 
@@ -8039,4 +8095,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility": _build_bpe_fertility_sql(6),
         "host_triangles": _HOST_TRIANGLES_SQL,
         "ann_hamming": _build_ann_hamming_sql(dim=64, k=10),
+        "cluster_keepers": _CLUSTER_KEEPERS_SQL,
     }

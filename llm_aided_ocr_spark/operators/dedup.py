@@ -1712,3 +1712,45 @@ def paragraph_dedup_stats(
         F.length("_pd_clean").alias("clean_len"),
         F.md5(F.col("_pd_clean")).alias("clean_md5"),
     )
+
+
+def cluster_keepers(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """``(cluster_id, keeper_id, n_members, best_quality)`` — pick the
+    QUALITY-BEST representative of every near-dup cluster (ties by min
+    id) instead of the positional min-id default: the FineWeb/RefinedWeb
+    practice of keeping the longest / highest-scoring copy, because
+    near-dup clusters routinely mix a full article with its truncated
+    or boilerplate-wrapped syndications and min-id keeps an arbitrary
+    one.
+
+    ``clusters`` is a :func:`dedup_clusters`-shaped ``(id, cluster_id)``
+    assignment; ``quality`` maps ``id`` to a totally-ordered score
+    (length, classifier score, lm bucket — any orderable column;
+    integer scores replay engine-exactly, float scores are safe too
+    since no arithmetic is done on them, only comparison).
+
+    Shape: ONE equi-join (cluster assignment x score, both narrow) and
+    ONE ``max(struct(quality, -id))`` aggregation — the min-struct
+    keeper discipline (no window, map-side combinable, a mega-cluster
+    is just one hot groupBy key that partial aggregation absorbs)."""
+    j = clusters.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("cluster_id")
+    ).join(
+        quality.select(
+            F.col(id_col).alias("_id"),
+            F.col(quality_col).alias("_q"),
+        ),
+        "_id",
+    )
+    return j.groupBy("cluster_id").agg(
+        (-F.max(F.struct(F.col("_q").alias("q"), (-F.col("_id")).alias("ni")))
+         .getField("ni")).alias("keeper_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max("_q").alias("best_quality"),
+    ).select("cluster_id", "keeper_id", "n_members", "best_quality")

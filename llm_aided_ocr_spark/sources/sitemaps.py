@@ -108,3 +108,83 @@ def sitemap_index_entries(
         )
         .filter(F.col("child_loc").isNotNull())
     )
+
+
+def crawl_coverage(
+    declared: DataFrame,
+    crawled: DataFrame,
+    declared_url_col: str = "loc",
+    crawled_url_col: str = "url",
+) -> DataFrame:
+    """``(host, n_declared, n_crawled_declared, n_undeclared_crawled,
+    coverage)`` — the per-host crawl-coverage audit between what a
+    site's sitemaps DECLARE and what the crawl actually FETCHED:
+    ``coverage`` = fraction of declared urls that were crawled (the
+    sitemap-recall number site owners and crawl engineers both watch),
+    and ``n_undeclared_crawled`` counts fetched urls the sitemap never
+    listed (discovery via links — or crawler traps; feed them to
+    url_trap_flags). Hosts appearing only in the crawl get
+    ``n_declared = 0`` and NULL coverage.
+
+    Both inputs deduplicate on exact url before counting (a url listed
+    in two sitemap files or fetched twice counts once). Host comes from
+    the shared native ``domain_col`` extraction on BOTH sides, so the
+    audit never trusts a sitemap's claimed host over its urls' actual
+    hosts.
+
+    Shape: two document-local projections → two distinct aggregations,
+    one left-semi (declared ∩ crawled) and one left-anti
+    (crawled \\ declared) on exact url strings, then per-host counts
+    full-outer-merged — every relation is (host, url) narrow; at the
+    10^12 tier the url-keyed joins co-partition with the distincts so
+    AQE plans them without extra exchanges."""
+    from llm_aided_ocr_spark.operators.textstats import domain_col
+
+    dec = (
+        declared.select(F.col(declared_url_col).alias("url"))
+        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+        .distinct()
+        .select(domain_col(F.col("url")).alias("host"), "url")
+        .filter(F.col("host") != "")
+    )
+    cra = (
+        crawled.select(F.col(crawled_url_col).alias("url"))
+        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+        .distinct()
+        .select(domain_col(F.col("url")).alias("host"), "url")
+        .filter(F.col("host") != "")
+    )
+    n_dec = dec.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_declared")
+    )
+    n_hit = (
+        dec.join(cra.select("url"), "url", "left_semi")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_crawled_declared"))
+    )
+    n_extra = (
+        cra.join(dec.select("url"), "url", "left_anti")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_undeclared_crawled"))
+    )
+    return (
+        n_dec.join(n_hit, "host", "full_outer")
+        .join(n_extra, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("n_declared", F.lit(0)).cast("bigint").alias(
+                "n_declared"
+            ),
+            F.coalesce("n_crawled_declared", F.lit(0)).cast("bigint").alias(
+                "n_crawled_declared"
+            ),
+            F.coalesce("n_undeclared_crawled", F.lit(0)).cast("bigint").alias(
+                "n_undeclared_crawled"
+            ),
+            F.when(
+                F.coalesce("n_declared", F.lit(0)) > 0,
+                F.coalesce("n_crawled_declared", F.lit(0)).cast("double")
+                / F.coalesce("n_declared", F.lit(0)).cast("double"),
+            ).alias("coverage"),
+        )
+    )

@@ -80,3 +80,29 @@ def test_parse_sitemaps_torn_block_skipped(spark):
     xml = b"<urlset><url><loc>https://h/ok</loc></url><url><loc>https://h/torn"
     df = spark.createDataFrame([("h", xml)], "host string, sitemap_xml binary")
     assert [r["loc"] for r in parse_sitemaps(df).collect()] == ["https://h/ok"]
+
+
+def test_crawl_coverage_audit(spark):
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.sources.sitemaps import crawl_coverage
+
+    declared = spark.createDataFrame(
+        [("https://a.org/1",), ("https://a.org/2",), ("https://a.org/2",),
+         ("https://b.org/x",), ("",), (None,)],
+        "loc string",
+    )
+    crawled = spark.createDataFrame(
+        [("https://a.org/1",), ("https://a.org/extra",),
+         ("https://c.org/only",)],
+        "url string",
+    )
+    got = {r["host"]: (r["n_declared"], r["n_crawled_declared"],
+                       r["n_undeclared_crawled"], r["coverage"])
+           for r in crawl_coverage(declared, crawled).collect()}
+    # a.org: 2 declared (dup collapsed), 1 crawled-declared, 1 extra
+    assert got["a.org"] == (2, 1, 1, 0.5)
+    # b.org: declared but never crawled
+    assert got["b.org"] == (1, 0, 0, 0.0)
+    # c.org: crawled, never declared -> NULL coverage
+    assert got["c.org"] == (0, 0, 1, None)

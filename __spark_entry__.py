@@ -1577,6 +1577,28 @@ def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score_col(F.col("text")).alias("qscore"))
 
 
+def _q_quality_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter yield curve over the composite 0-100 quality score with
+    n_chars as the mass column: 21 thresholds from ONE corpus pass. The
+    oracle recomputes the score (its SQL replay already exists for
+    quality_score) and sweeps the grid declaratively."""
+    from llm_aided_ocr_spark.operators.textstats import (
+        quality_score_col,
+        quality_yield,
+    )
+
+    d = _docs(spark, sf_dir, spread=True).select(
+        quality_score_col(F.col("text")).alias("qscore"),
+        F.col("n_chars").alias("mass"),
+    )
+    out = quality_yield(d, step=5)
+    return out.select(
+        "threshold", "n_docs_kept", "mass_kept",
+        F.round("doc_frac", 6).alias("doc_frac_r"),
+        F.round("mass_frac", 6).alias("mass_frac_r"),
+    )
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embeddings table (exact baseline;
     cosine rounded to 6dp for cross-engine comparison)."""
@@ -7489,6 +7511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hamming": _q_ann_hamming,
         "cluster_keepers": _q_cluster_keepers,
         "crawl_coverage": _q_crawl_coverage,
+        "quality_yield": _q_quality_yield,
     }
 
 
@@ -7660,6 +7683,38 @@ _NORM_TEXT_SQL = (
     "coalesce(array_to_string(list_filter(string_split_regex("
     "lower(coalesce(text,'')), '[^a-z0-9]+'), w -> w <> ''), ' '), '')"
 )
+
+
+def _build_quality_yield_sql(step: int = 5, max_score: int = 100) -> str:
+    return (
+        "WITH " + _quality_score_ctes("documents")
+        + f""",
+b AS MATERIALIZED (
+  SELECT greatest(0, least({max_score}, qs1.qscore)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d.n_chars) AS BIGINT) AS mm
+  FROM qs1 JOIN documents d ON qs1.doc_id = d.doc_id
+  GROUP BY 1),
+grid AS (
+  SELECT CAST(unnest(range(0, {max_score + 1}, {step})) AS BIGINT)
+         AS threshold),
+tot AS (SELECT SUM(n) AS tn, SUM(mm) AS tm FROM b),
+kept AS (
+  SELECT g.threshold,
+    CAST(coalesce(SUM(b.n), 0) AS BIGINT) AS n_docs_kept,
+    CAST(coalesce(SUM(b.mm), 0) AS BIGINT) AS mass_kept
+  FROM grid g LEFT JOIN b ON b.s >= g.threshold
+  GROUP BY g.threshold)
+SELECT threshold, n_docs_kept, mass_kept,
+  CASE WHEN (SELECT tn FROM tot) > 0 THEN
+    round(CAST(n_docs_kept AS DOUBLE)
+          / CAST((SELECT tn FROM tot) AS DOUBLE), 6) END AS doc_frac_r,
+  CASE WHEN (SELECT tm FROM tot) > 0 THEN
+    round(CAST(mass_kept AS DOUBLE)
+          / CAST((SELECT tm FROM tot) AS DOUBLE), 6) END AS mass_frac_r
+FROM kept
+"""
+    )
 
 
 def _build_ngram_jaccard_sql(n: int = 3, threshold: float = 0.8, max_df: int = 1000) -> str:
@@ -8198,4 +8253,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_hamming": _build_ann_hamming_sql(dim=64, k=10),
         "cluster_keepers": _CLUSTER_KEEPERS_SQL,
         "crawl_coverage": _CRAWL_COVERAGE_SQL,
+        "quality_yield": _build_quality_yield_sql(step=5, max_score=100),
     }

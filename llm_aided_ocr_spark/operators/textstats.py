@@ -1961,3 +1961,77 @@ def corpus_divergence(
             / F.lit(2.0) / qd, 6,
         ).alias("jsd_r"),
     )
+
+
+def quality_yield(
+    df: DataFrame,
+    score_col: str = "qscore",
+    mass_col: str = "mass",
+    step: int = 5,
+    max_score: int = 100,
+) -> DataFrame:
+    """``(threshold, n_docs_kept, mass_kept, doc_frac, mass_frac)`` —
+    the YIELD CURVE of a quality filter: for every candidate cutoff on
+    the integer score grid (0..max_score by ``step``), how many
+    documents and how much mass (tokens / bytes / chars — any
+    nonnegative bigint column) survive ``score >= threshold``. This is
+    the table a curation run reads BEFORE picking a cutoff — the
+    retention/quality trade is a curve, not a number, and re-scanning
+    the corpus once per candidate threshold (the naive sweep) is 21
+    corpus passes where this is ONE.
+
+    Shape: a single ``groupBy(score)`` corpus aggregation collapses the
+    input to at most ``max_score+1`` bucket rows (map-side combinable);
+    the threshold grid then theta-joins the bucket relation
+    (21 x 101 rows — driver-trivial, broadcast NL join) and the totals
+    come from the same bucket relation. Fractions are single IEEE
+    divisions of exact integer sums. Scores outside [0, max_score] are
+    clamped into the end buckets (a <0 score can never survive any
+    threshold; a >max score survives all)."""
+    spark = df.sparkSession
+    b = (
+        df.select(
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(int(max_score)), F.col(score_col)),
+            ).cast("int").alias("s"),
+            F.col(mass_col).cast("bigint").alias("m"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("m"), F.lit(0)).cast("bigint").alias("mm"),
+        )
+    )
+    grid = spark.range(0, int(max_score) + 1, int(step)).select(
+        F.col("id").cast("bigint").alias("threshold")
+    )
+    tot = b.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("tn"),
+        F.coalesce(F.sum("mm"), F.lit(0)).alias("tm"),
+    )
+    kept = (
+        grid.join(b, b["s"] >= grid["threshold"], "left")
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias(
+                "n_docs_kept"
+            ),
+            F.coalesce(F.sum("mm"), F.lit(0)).cast("bigint").alias(
+                "mass_kept"
+            ),
+        )
+    )
+    return kept.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        "n_docs_kept",
+        "mass_kept",
+        F.when(
+            F.col("tn") > 0,
+            F.col("n_docs_kept").cast("double") / F.col("tn").cast("double"),
+        ).alias("doc_frac"),
+        F.when(
+            F.col("tm") > 0,
+            F.col("mass_kept").cast("double") / F.col("tm").cast("double"),
+        ).alias("mass_frac"),
+    )

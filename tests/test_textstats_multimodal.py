@@ -804,3 +804,22 @@ def test_host_quality_rollup(spark):
     # never shuffles (the exchange carries (host, ints) partials only)
     plan = host_quality_rollup(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_quality_yield_curve(spark):
+    """Exact cumulative-from-top retention with clamped out-of-range
+    scores and integer mass conservation at threshold 0."""
+    from llm_aided_ocr_spark.operators.textstats import quality_yield
+
+    rows = [(95, 10), (60, 20), (60, 5), (10, 100), (-3, 7), (130, 1)]
+    df = spark.createDataFrame(rows, "qscore int, mass long")
+    got = {r["threshold"]: (r["n_docs_kept"], r["mass_kept"],
+                            r["doc_frac"], r["mass_frac"])
+           for r in quality_yield(df, step=50).collect()}
+    assert set(got) == {0, 50, 100}
+    # everything survives t=0 (the -3 clamps to bucket 0)
+    assert got[0] == (6, 143, 1.0, 1.0)
+    # t=50: 95, both 60s, and the clamped 130
+    assert got[50] == (4, 36, 4 / 6, 36 / 143)
+    # t=100: only the clamped >max doc
+    assert got[100] == (1, 1, 1 / 6, 1 / 143)

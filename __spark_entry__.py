@@ -1577,6 +1577,82 @@ def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score_col(F.col("text")).alias("qscore"))
 
 
+def _q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host serialized fetch timetable: 7 site hosts with frontier
+    priorities doc_id%10, crawl delays declared for site0-3 (k+1 sec)
+    and defaulted (1 s) for the rest; fetch_ts = t0 + rank*delay with
+    rank ordered (priority DESC, url). All integer — exact replay."""
+    from llm_aided_ocr_spark.operators.refetch import politeness_schedule
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    frontier = d.select(
+        F.concat(F.lit("site"), k, F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("https://site"), k, F.lit(".example.org/p"), i,
+            F.lit(".html"),
+        ).alias("url"),
+        (F.col("doc_id") % 10).alias("priority"),
+    )
+    delays = spark.createDataFrame(
+        [(f"site{j}.example.org", j + 1) for j in range(4)],
+        "host string, crawl_delay_sec long",
+    )
+    return politeness_schedule(frontier, delays, t0=1700000000)
+
+
+_POLITENESS_SCHEDULE_SQL = """
+WITH f AS (
+  SELECT 'site' || (doc_id % 7) || '.example.org' AS host,
+         'https://site' || (doc_id % 7) || '.example.org/p' || doc_id
+           || '.html' AS url,
+         doc_id % 10 AS priority,
+         doc_id % 7 AS k
+  FROM documents
+), r AS (
+  SELECT host, url,
+    CAST(row_number() OVER (PARTITION BY host
+                            ORDER BY priority DESC, url) - 1
+         AS BIGINT) AS fetch_rank,
+    CASE WHEN k < 4 THEN k + 1 ELSE 1 END AS d
+  FROM f
+)
+SELECT host, url, fetch_rank,
+  CAST(1700000000 + fetch_rank * d AS BIGINT) AS fetch_ts
+FROM r
+"""
+
+
+def _q_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) routing of every doc to one of 5 shards by the
+    portable md5-52 weight — the grow-the-shard-set-without-reshuffle
+    assignment; the oracle replays the hash and the (weight, shard)
+    argmax."""
+    from llm_aided_ocr_spark.operators.refetch import rendezvous_assign
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return rendezvous_assign(d, [f"s{j}" for j in range(5)]).select(
+        "doc_id", "shard"
+    )
+
+
+_SHARD_ROUTING_SQL = """
+WITH w AS (
+  SELECT doc_id, s,
+    CAST('0x' || substring(
+      md5('hrw:' || doc_id || '|' || s), 1, 13) AS BIGINT) AS wt
+  FROM documents, (SELECT unnest(['s0','s1','s2','s3','s4']) AS s)
+), r AS (
+  SELECT doc_id, s,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY wt DESC, s DESC) AS rn
+  FROM w
+)
+SELECT doc_id, s AS shard FROM r WHERE rn = 1
+"""
+
+
 def _q_quality_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter yield curve over the composite 0-100 quality score with
     n_chars as the mass column: 21 thresholds from ONE corpus pass. The
@@ -7512,6 +7588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keepers": _q_cluster_keepers,
         "crawl_coverage": _q_crawl_coverage,
         "quality_yield": _q_quality_yield,
+        "politeness_schedule": _q_politeness_schedule,
+        "shard_routing": _q_shard_routing,
     }
 
 
@@ -8254,4 +8332,6 @@ def oracle_sql() -> dict[str, str]:
         "cluster_keepers": _CLUSTER_KEEPERS_SQL,
         "crawl_coverage": _CRAWL_COVERAGE_SQL,
         "quality_yield": _build_quality_yield_sql(step=5, max_score=100),
+        "politeness_schedule": _POLITENESS_SCHEDULE_SQL,
+        "shard_routing": _SHARD_ROUTING_SQL,
     }

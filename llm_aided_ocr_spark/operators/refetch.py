@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _MAX_AGE_RE = r"(?i)(?:^|[,\s])max-age\s*=\s*([0-9]+)"
@@ -171,3 +171,104 @@ def crawl_budget(
         ).cast("bigint").alias("alloc"),
     )
     return carry_pins(ranked, out)
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    t0: int = 0,
+    default_delay_sec: int = 1,
+    host_col: str = "host",
+    url_col: str = "url",
+    priority_col: str = "priority",
+    delay_col: str = "crawl_delay_sec",
+) -> DataFrame:
+    """``(host, url, fetch_rank, fetch_ts)`` — serialize each host's
+    frontier into an explicit fetch timetable honoring its crawl delay:
+    within a host, urls fetch in (priority DESC, url) order at
+    ``t0 + rank * delay`` — the politeness invariant (ONE in-flight
+    fetch per host, ``delay`` seconds apart) that robots.txt
+    ``Crawl-delay`` declares and :func:`crawl_budget` budgets for.
+    Hosts missing from ``delays`` (or with NULL delay) use
+    ``default_delay_sec``.
+
+    Scale shape: the rank window partitions BY HOST — embarrassingly
+    parallel across the 10^7-8 hosts of a crawl; a mega-host's schedule
+    is inherently a serial chain, so its single partition is the
+    honest cost of the semantics, not an avoidable global sort (cap
+    per-host frontiers upstream with :func:`crawl_budget` allocations).
+    Delay lookup is one narrow equi-join (broadcast when the delay
+    relation is small). All integer arithmetic — the timetable replays
+    exactly."""
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.col("url")
+    )
+    f = frontier.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.col(priority_col).cast("bigint").alias("priority"),
+    )
+    d = delays.select(
+        F.col(host_col).alias("host"),
+        F.col(delay_col).cast("bigint").alias("_delay"),
+    )
+    return (
+        f.join(d, "host", "left")
+        .withColumn(
+            "_d",
+            F.coalesce(F.col("_delay"), F.lit(int(default_delay_sec))),
+        )
+        .withColumn("fetch_rank", F.row_number().over(w) - F.lit(1))
+        .select(
+            "host",
+            "url",
+            F.col("fetch_rank").cast("bigint").alias("fetch_rank"),
+            (
+                F.lit(int(t0)) + F.col("fetch_rank") * F.col("_d")
+            ).cast("bigint").alias("fetch_ts"),
+        )
+    )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    shards: list,
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Append ``out_col`` — rendezvous (highest-random-weight) routing
+    of every row to one of ``shards``: the shard maximizing the
+    portable 52-bit md5 of ``'hrw:' || id || '|' || shard`` (ties by
+    shard name, which md5 makes measure-zero). HRW's property is the
+    point: adding or removing ONE shard remaps only ~1/n of the keys
+    (only those whose new shard's weight exceeds their previous max) —
+    the routing that lets a 10^12-doc corpus grow its shard set without
+    a full reshuffle, vs mod-N hashing which remaps (n-1)/n of
+    everything.
+
+    ONE native projection (an ``array_max`` over a literal
+    (weight, shard) struct array, no explode, no shuffle, fuses into
+    the scan); ``shards`` is the bounded routing table (hundreds), not
+    data. The md5-52 weight is the repo's portable-hash discipline, so
+    the assignment replays bit-identically in any engine with md5."""
+    if not shards:
+        raise ValueError("rendezvous_assign needs at least one shard")
+    sid = F.col(id_col).cast("string")
+    entries = [
+        F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("hrw:"), sid, F.lit("|" + str(s)))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("bigint").alias("w"),
+            F.lit(str(s)).alias("s"),
+        )
+        for s in shards
+    ]
+    return df.withColumn(
+        out_col, F.array_max(F.array(*entries)).getField("s")
+    )

@@ -177,3 +177,48 @@ def test_crawl_budget_remainder_tie_and_zero_total(spark):
     z = spark.createDataFrame([("x", 0), ("y", 0)], "host string, weight long")
     gz = {r["host"]: r["alloc"] for r in crawl_budget(z, budget=5).collect()}
     assert gz == {"x": 0, "y": 0}
+
+
+def test_politeness_schedule_timetable(spark):
+    from llm_aided_ocr_spark.operators.refetch import politeness_schedule
+
+    frontier = spark.createDataFrame(
+        [("a.org", "https://a.org/low", 1),
+         ("a.org", "https://a.org/hi", 9),
+         ("a.org", "https://a.org/hi2", 9),
+         ("b.org", "https://b.org/x", 5)],
+        "host string, url string, priority long",
+    )
+    delays = spark.createDataFrame(
+        [("a.org", 10)], "host string, crawl_delay_sec long"
+    )
+    got = {r["url"]: (r["fetch_rank"], r["fetch_ts"])
+           for r in politeness_schedule(frontier, delays, t0=100).collect()}
+    # a.org: priority 9 ties break by url asc -> hi before hi2
+    assert got["https://a.org/hi"] == (0, 100)
+    assert got["https://a.org/hi2"] == (1, 110)
+    assert got["https://a.org/low"] == (2, 120)
+    # b.org missing from delays -> default 1s
+    assert got["https://b.org/x"] == (0, 100)
+
+
+def test_rendezvous_assign_stability(spark):
+    """HRW's minimal-movement property: removing one shard only remaps
+    the keys that lived on it; every other assignment is unchanged."""
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.refetch import rendezvous_assign
+
+    d = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    full = {r["doc_id"]: r["shard"]
+            for r in rendezvous_assign(d, ["s0", "s1", "s2", "s3"]).collect()}
+    # roughly balanced (md5 uniformity): each shard gets 400/4 +- 50%
+    from collections import Counter
+    counts = Counter(full.values())
+    assert set(counts) == {"s0", "s1", "s2", "s3"}
+    assert all(50 <= c <= 150 for c in counts.values())
+    smaller = {r["doc_id"]: r["shard"]
+               for r in rendezvous_assign(d, ["s0", "s1", "s2"]).collect()}
+    moved = [k for k in full if full[k] != smaller[k]]
+    assert all(full[k] == "s3" for k in moved)      # only s3's keys move
+    assert all(smaller[k] == full[k] for k in full if full[k] != "s3")

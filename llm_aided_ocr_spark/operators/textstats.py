@@ -1988,6 +1988,8 @@ def quality_yield(
     divisions of exact integer sums. Scores outside [0, max_score] are
     clamped into the end buckets (a <0 score can never survive any
     threshold; a >max score survives all)."""
+    if step <= 0 or max_score < 0:
+        raise ValueError("need step > 0 and max_score >= 0")
     spark = df.sparkSession
     b = (
         df.select(

@@ -96,7 +96,10 @@ def capture_novelty(
     merge two urls' capture sequences with no verify step to catch it;
     at the 10^12 tier dictionary-encode urls upstream if the key width
     matters). The per-url rank window partitions by url (bounded by a
-    url's capture count, no global sort)."""
+    url's capture count, no global sort). Two captures of one url
+    with an IDENTICAL timestamp have no defined order — give captures
+    distinct timestamps (WARC ts14 values are) or the rank is
+    layout-dependent for that tie only."""
     from pyspark.sql import Window
 
     from llm_aided_ocr_spark.operators.dedup import shingle_array_col

@@ -1653,6 +1653,82 @@ SELECT doc_id, s AS shard FROM r WHERE rn = 1
 """
 
 
+def _q_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min word-frequency sketch (depth 3 x width 64 — small
+    enough that collisions actually occur) probed with the 8 Gopher
+    stopwords plus an absent word: estimates must equal the oracle's
+    replay of the same deterministic collisions, and sit >= the exact
+    count (the absent word may overestimate, never underestimate)."""
+    from llm_aided_ocr_spark.operators.bloom import (
+        countmin_build,
+        countmin_estimate,
+    )
+    from llm_aided_ocr_spark.operators.dedup import _words_col
+
+    occ = (
+        _docs(spark, sf_dir, spread=True)
+        .select(F.explode(_words_col("text")).alias("key"))
+        .filter(F.col("key") != "")
+    )
+    sketch = countmin_build(occ, depth=3, width=64, seed=7)
+    probes = spark.createDataFrame(
+        [(w,) for w in
+         ["the", "be", "to", "of", "and", "that", "have", "with",
+          "zzzabsent"]],
+        "key string",
+    )
+    est = countmin_estimate(sketch, probes, depth=3, width=64, seed=7)
+    exact = occ.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    return est.join(exact, "key", "left").select(
+        "key", "estimate",
+        F.coalesce("true_count", F.lit(0)).cast("bigint").alias(
+            "true_count"
+        ),
+    )
+
+
+def _build_countmin_sql(depth: int = 3, width: int = 512, seed: int = 7) -> str:
+    cols = ", ".join(
+        f"CAST('0x' || substring(md5('{seed}:cm{j}:' || w), 1, 13) AS BIGINT)"
+        f" % {width} AS c{j}"
+        for j in range(depth)
+    )
+    cell_union = " UNION ALL ".join(
+        f"SELECT {j} AS row_ix, c{j} AS col_ix, n FROM wf"
+        for j in range(depth)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT {j} AS row_ix, c{j} AS col_ix, key FROM pc"
+        for j in range(depth)
+    )
+    return f"""
+WITH occ AS (
+  SELECT unnest(list_filter(string_split_regex(
+    lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS w
+  FROM documents
+), wf AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n, {cols} FROM occ GROUP BY w
+), sk AS MATERIALIZED (
+  SELECT row_ix, col_ix, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM ({cell_union}) GROUP BY row_ix, col_ix
+), pr AS (
+  SELECT unnest(['the','be','to','of','and','that','have','with',
+                 'zzzabsent']) AS key
+), pc AS (
+  SELECT key, {cols.replace("|| w", "|| key")} FROM pr
+), pe AS ({probe_union})
+SELECT pe.key,
+  CAST(MIN(coalesce(sk.cnt, 0)) AS BIGINT) AS estimate,
+  CAST(coalesce(ANY_VALUE(wf2.n), 0) AS BIGINT) AS true_count
+FROM pe
+LEFT JOIN sk ON pe.row_ix = sk.row_ix AND pe.col_ix = sk.col_ix
+LEFT JOIN wf wf2 ON wf2.w = pe.key
+GROUP BY pe.key
+"""
+
+
 def _q_quality_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter yield curve over the composite 0-100 quality score with
     n_chars as the mass column: 21 thresholds from ONE corpus pass. The
@@ -7590,6 +7666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_yield": _q_quality_yield,
         "politeness_schedule": _q_politeness_schedule,
         "shard_routing": _q_shard_routing,
+        "countmin_words": _q_countmin_words,
     }
 
 
@@ -8334,4 +8411,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_yield": _build_quality_yield_sql(step=5, max_score=100),
         "politeness_schedule": _POLITENESS_SCHEDULE_SQL,
         "shard_routing": _SHARD_ROUTING_SQL,
+        "countmin_words": _build_countmin_sql(depth=3, width=64, seed=7),
     }

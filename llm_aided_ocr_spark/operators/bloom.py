@@ -148,3 +148,96 @@ def bloom_probe(
             )
         ).alias("maybe_present")
     )
+
+
+def countmin_build(
+    df: DataFrame,
+    key_col: str = "key",
+    weight_col: str = None,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 1,
+) -> DataFrame:
+    """``(row_ix, col_ix, cnt)`` — a Count-Min sketch (Cormode &
+    Muthukrishnan 2005) of key frequencies: ``depth`` hash rows of
+    ``width`` counters; every key occurrence adds its weight to one
+    counter per row at ``col = md5_52('seed:cmROW:' || key) % width``.
+    Point estimates (:func:`countmin_estimate`) take the MIN over rows
+    — never an underestimate, overestimates bounded by
+    ``e·N/width`` with prob ``1 − e^-depth``. The fixed-RAM frequency
+    summary a frontier/featureizer keeps when the exact (key → count)
+    relation (10^9+ distinct urls/terms) no longer fits: the sketch is
+    ``depth × width`` counters regardless of corpus size.
+
+    Like the bloom module, the hash is the portable md5-52 — the
+    collisions (hence every counter value and every estimate's exact
+    overestimate) are DETERMINISTIC and replay bit-for-bit in the
+    oracle. Build = one narrow projection (depth structs per
+    occurrence) → explode → ``groupBy(row, col).sum``: map-side partial
+    aggregation bounds each task's output by the sketch size, not its
+    row count. Empty cells are simply absent (semantically 0)."""
+    key = F.col(key_col).cast("string")
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    cells = F.array(*[
+        F.struct(
+            F.lit(j).alias("row_ix"),
+            (
+                _h52(F.concat(F.lit(f"{seed}:cm{j}:"), key)) % width
+            ).cast("int").alias("col_ix"),
+        )
+        for j in range(depth)
+    ])
+    return (
+        df.select(F.explode(cells).alias("c"), w.alias("_w"))
+        .groupBy(
+            F.col("c.row_ix").alias("row_ix"),
+            F.col("c.col_ix").alias("col_ix"),
+        )
+        .agg(F.sum("_w").cast("bigint").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 1,
+) -> DataFrame:
+    """``(key, estimate)`` — Count-Min point queries against a
+    :func:`countmin_build` sketch (same depth/width/seed or the
+    estimates are meaningless). The probe side computes its depth
+    (row, col) coordinates natively, left-joins the sketch's nonzero
+    cells (broadcast — the sketch is bounded by construction), and
+    takes the per-key MIN with absent cells as exact 0."""
+    key = F.col(key_col).cast("string")
+    coords = F.array(*[
+        F.struct(
+            F.lit(j).alias("row_ix"),
+            (
+                _h52(F.concat(F.lit(f"{seed}:cm{j}:"), key)) % width
+            ).cast("int").alias("col_ix"),
+        )
+        for j in range(depth)
+    ])
+    exploded = probes.select(
+        F.col(key_col).alias("key"), F.explode(coords).alias("c")
+    ).select(
+        "key",
+        F.col("c.row_ix").alias("row_ix"),
+        F.col("c.col_ix").alias("col_ix"),
+    )
+    return (
+        exploded.join(F.broadcast(sketch), ["row_ix", "col_ix"], "left")
+        .groupBy("key")
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias(
+                "estimate"
+            )
+        )
+    )

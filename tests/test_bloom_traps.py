@@ -145,3 +145,33 @@ def test_compression_ratio_values(spark):
     assert rows[2]["compression_ratio_r"] < 2   # organic prose
     assert rows[3]["compression_ratio_r"] == 0.0
     assert rows[4]["compression_ratio_r"] == 0.0
+
+
+def test_countmin_never_underestimates(spark):
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.bloom import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    rows = [(w,) for w in
+            ["a"] * 50 + ["b"] * 7 + [f"filler{i}" for i in range(200)]]
+    df = spark.createDataFrame(rows, "key string")
+    sketch = countmin_build(df, depth=3, width=32, seed=5)
+    # sketch is bounded by construction
+    assert sketch.count() <= 3 * 32
+    probes = spark.createDataFrame(
+        [("a",), ("b",), ("nope",)], "key string"
+    )
+    est = {r["key"]: r["estimate"]
+           for r in countmin_estimate(
+               sketch, probes, depth=3, width=32, seed=5).collect()}
+    assert est["a"] >= 50 and est["b"] >= 7 and est["nope"] >= 0
+    # weighted build: weights add instead of unit counts
+    wdf = spark.createDataFrame([("a", 10), ("a", 5)], "key string, w long")
+    wsk = countmin_build(wdf, weight_col="w", depth=2, width=16, seed=9)
+    we = countmin_estimate(
+        wsk, probes.filter(F.col("key") == "a"), depth=2, width=16, seed=9
+    ).collect()
+    assert we[0]["estimate"] >= 15

@@ -3212,6 +3212,86 @@ FROM base, stats
 """
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 top-50 (3-term lexical query)
+    with the int8-quantized cosine top-50 for query vector 0 via
+    integer-quantized Reciprocal Rank Fusion — the calibration-free
+    combiner. Both input rankings and the fused integer sums replay
+    exactly."""
+    from pyspark.sql import Window
+
+    from llm_aided_ocr_spark.operators.search import bm25_scores, rrf_fuse
+    from llm_aided_ocr_spark.operators.similarity import quantized_topk
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
+    bm = bm25_scores(_docs(spark, sf_dir, spread=True), _BM25_TERMS)
+    # bounded-by-construction window: ranks the 50 surviving rows only
+    lex = (
+        bm.orderBy(F.desc("score_r"), F.col("id")).limit(50)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score_r"), F.col("id"))
+            ),
+        )
+        .select("id", F.lit("bm25").alias("source"), "rank")
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    den = quantized_topk(emb, q0, k=50).select(
+        F.col("vec_id").alias("id"), F.lit("cosine").alias("source"), "rank"
+    )
+    out = rrf_fuse(lex.unionByName(den), k=60)
+    return carry_pins(bm, out)
+
+
+def _build_hybrid_rrf_sql(
+    k_fuse: int = 60, topk: int = 50, scale: int = 10**15
+) -> str:
+    return f"""
+WITH bmfull AS ({_build_bm25_sql()}),
+lex AS (
+  SELECT id, 'bm25' AS source, rank FROM (
+    SELECT doc_id AS id,
+      row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank
+    FROM bmfull)
+  WHERE rank <= {topk}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), qz AS MATERIALIZED (
+  SELECT vec_id,
+    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0 THEN
+      list_transform(v, x ->
+        floor(x / (list_max(list_transform(v, y -> abs(y))) / 127.0) + 0.5))
+    ELSE list_transform(v, x -> 0.0) END AS q
+  FROM e
+), qv AS (SELECT q FROM qz WHERE vec_id = 0
+), den AS (
+  SELECT vec_id AS id, 'cosine' AS source, rank FROM (
+    SELECT z.vec_id,
+      row_number() OVER (ORDER BY
+        (CASE WHEN sqrt(list_dot_product(z.q, z.q))
+                   * sqrt(list_dot_product(qv.q, qv.q)) > 0
+              THEN list_dot_product(z.q, qv.q)
+                   / (sqrt(list_dot_product(z.q, z.q))
+                      * sqrt(list_dot_product(qv.q, qv.q)))
+              ELSE 0.0 END) DESC, z.vec_id) AS rank
+    FROM qz z CROSS JOIN qv)
+  WHERE rank <= {topk}
+), u AS (
+  SELECT * FROM lex UNION ALL SELECT * FROM den
+)
+SELECT id,
+  CAST(SUM({scale} // ({k_fuse} + rank)) AS BIGINT) AS rrf_q,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM u GROUP BY id
+"""
+
+
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style reference-LM quality scoring: a bigram model trained
     on the deterministic doc_id%10==0 slice scores EVERY document
@@ -7667,6 +7747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_schedule": _q_politeness_schedule,
         "shard_routing": _q_shard_routing,
         "countmin_words": _q_countmin_words,
+        "hybrid_rrf": _q_hybrid_rrf,
     }
 
 
@@ -8412,4 +8493,5 @@ def oracle_sql() -> dict[str, str]:
         "politeness_schedule": _POLITENESS_SCHEDULE_SQL,
         "shard_routing": _SHARD_ROUTING_SQL,
         "countmin_words": _build_countmin_sql(depth=3, width=64, seed=7),
+        "hybrid_rrf": _build_hybrid_rrf_sql(k_fuse=60, topk=50),
     }

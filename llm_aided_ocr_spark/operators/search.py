@@ -367,3 +367,46 @@ def related_docs(
         )
     )
     return carry_pins(p, out)
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    k: int = 60,
+    scale: int = 10**15,
+    id_col: str = "id",
+    source_col: str = "source",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """``(id, rrf_q, n_sources)`` — Reciprocal Rank Fusion (Cormack,
+    Clarke & Buettcher, SIGIR 2009) over a LONG-FORM ranking relation
+    ``(id, source, rank)`` (rank 1-based within each source): the
+    score-free way to merge a lexical ranking (BM25), a dense ranking
+    (cosine top-k) and any number of others without calibrating their
+    incomparable score scales — the default hybrid-search combiner.
+
+    ``rrf_q = Σ_sources floor(scale / (k + rank))`` — the INTEGER
+    quantization of ``Σ 1/(k+rank)`` (the repo's order-free-sum
+    discipline: a float Σ would be summation-order-dependent across
+    partitionings with 3+ sources). At the default scale the
+    quantization perturbs a tie only when two fused ranks differ beyond
+    the 15th digit — no real ranking decision moves, and the oracle
+    replays the integer sum exactly. Ids absent from a source simply
+    contribute nothing (the SIGIR formulation). ONE groupBy(id) with
+    map-side combine; no windows, no joins."""
+    if k < 0 or scale <= 0:
+        raise ValueError("need k >= 0 and scale > 0")
+    return (
+        rankings.select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("source"),
+            F.expr(f"CAST({scale} AS BIGINT) div ({k} + {rank_col})")
+            .alias("_c"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("_c").cast("bigint").alias("rrf_q"),
+            F.count_distinct(F.col("source")).cast("bigint").alias(
+                "n_sources"
+            ),
+        )
+    )

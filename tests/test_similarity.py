@@ -478,3 +478,19 @@ def test_hamming_topk_exact_codes(spark):
     assert got[(0, 0)] == (0, 1)
     assert got[(0, 2)] == (20, 2)
     assert got[(0, 1)] == (40, 3)
+
+
+def test_rrf_fuse_integer_quantized(spark):
+    from llm_aided_ocr_spark.operators.search import rrf_fuse
+
+    rankings = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 2), (3, "a", 3),
+         (2, "b", 1), (1, "b", 2)],
+        "id bigint, source string, rank long",
+    )
+    got = {r["id"]: (r["rrf_q"], r["n_sources"])
+           for r in rrf_fuse(rankings, k=60, scale=10**6).collect()}
+    # id 1: 1e6//61 + 1e6//62 ; id 2: 1e6//62 + 1e6//61 (tie!) ; id 3: 1e6//63
+    assert got[1] == (10**6 // 61 + 10**6 // 62, 2)
+    assert got[2] == got[1]
+    assert got[3] == (10**6 // 63, 1)

@@ -1729,6 +1729,86 @@ GROUP BY pe.key
 """
 
 
+def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host top-5 URL path templates over a constructed url space:
+    an article template (all docs), a calendar-trap template (every
+    even doc), and a hex-session path that must collapse via the
+    hex-run rule before the digit rule. Oracle replays the regexp
+    chain (with DuckDB's explicit 'g' flag) and the per-host rank."""
+    from llm_aided_ocr_spark.operators.textstats import url_path_templates
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    site = F.concat(F.lit("https://site"), k, F.lit(".example.org"))
+    urls = (
+        d.select(
+            F.concat(
+                site, F.lit("/article/"), i, F.lit("?page="),
+                (F.col("doc_id") % 5).cast("string"),
+            ).alias("url")
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 2 == 0).select(
+                F.concat(
+                    site, F.lit("/cal/2024/"),
+                    (F.col("doc_id") % 12).cast("string"),
+                    F.lit("/"), (F.col("doc_id") % 28).cast("string"),
+                ).alias("url")
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                F.concat(
+                    site, F.lit("/s/deadbeefcafe"), i
+                ).alias("url")
+            )
+        )
+    )
+    return url_path_templates(urls, k=5)
+
+
+_URL_TEMPLATES_SQL = """
+WITH u AS (
+  SELECT DISTINCT url FROM (
+    SELECT 'https://site' || (doc_id % 7) || '.example.org/article/'
+           || doc_id || '?page=' || (doc_id % 5) AS url FROM documents
+    UNION ALL
+    SELECT 'https://site' || (doc_id % 7) || '.example.org/cal/2024/'
+           || (doc_id % 12) || '/' || (doc_id % 28)
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'https://site' || (doc_id % 7) || '.example.org/s/deadbeefcafe'
+           || doc_id FROM documents WHERE doc_id % 3 = 0)
+), t AS (
+  SELECT lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+    CASE WHEN tmpl = '' THEN '/' ELSE tmpl END AS template
+  FROM (
+    SELECT url,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+            '#.*$', ''),
+          '[0-9a-f]{8,}', 'H', 'g'),
+        '[0-9]+', 'N', 'g') AS tmpl
+    FROM u)
+), c AS (
+  SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls
+  FROM t WHERE host <> '' GROUP BY host, template
+), r AS (
+  SELECT host, template, n_urls,
+    CAST(row_number() OVER (PARTITION BY host
+                            ORDER BY n_urls DESC, template) AS INTEGER)
+    AS rank
+  FROM c
+)
+SELECT host, template, n_urls, rank FROM r WHERE rank <= 5
+"""
+
+
 def _q_quality_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter yield curve over the composite 0-100 quality score with
     n_chars as the mass column: 21 thresholds from ONE corpus pass. The
@@ -7748,6 +7828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_routing": _q_shard_routing,
         "countmin_words": _q_countmin_words,
         "hybrid_rrf": _q_hybrid_rrf,
+        "url_templates": _q_url_templates,
     }
 
 
@@ -8494,4 +8575,5 @@ def oracle_sql() -> dict[str, str]:
         "shard_routing": _SHARD_ROUTING_SQL,
         "countmin_words": _build_countmin_sql(depth=3, width=64, seed=7),
         "hybrid_rrf": _build_hybrid_rrf_sql(k_fuse=60, topk=50),
+        "url_templates": _URL_TEMPLATES_SQL,
     }

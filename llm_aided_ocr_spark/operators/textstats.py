@@ -2037,3 +2037,55 @@ def quality_yield(
             F.col("mass_kept").cast("double") / F.col("tm").cast("double"),
         ).alias("mass_frac"),
     )
+
+
+def url_path_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    k: int = 5,
+) -> DataFrame:
+    """``(host, template, n_urls, rank)`` — the ``k`` most common URL
+    PATH TEMPLATES per host, where a template is the path+query with
+    every digit run collapsed to ``N`` and every long (>=8) lowercase
+    hex run to ``H``: ``/article/8437291?page=3`` and
+    ``/article/8437290?page=12`` both become ``/article/N?page=N``.
+    The URL-space complement to host_templates' content templates:
+    a healthy CMS host concentrates into a few templates with sane
+    counts, a crawler trap (calendar pages, session ids, faceted
+    search) shows one template with a pathological count — the
+    IRLbot-style budget signal at the structure level rather than
+    url_trap_flags' per-url heuristics.
+
+    Scale shape: ONE native projection (regexp chain, fuses into the
+    scan) → ONE (host, template) count aggregation (map-side
+    combinable) → per-host top-k window ordered (n DESC, template) —
+    partitioned BY HOST, parallel across hosts; a host's distinct
+    template set is small by construction (that is the point of
+    templating). Exact-url dedup first so refetches don't inflate
+    counts."""
+    from pyspark.sql import Window
+
+    u = F.col("url")
+    path = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_replace(path, r"#.*$", "")
+    tmpl = F.regexp_replace(path, r"[0-9a-f]{8,}", "H")
+    tmpl = F.regexp_replace(tmpl, r"[0-9]+", "N")
+    tmpl = F.when(tmpl == "", F.lit("/")).otherwise(tmpl)
+    base = (
+        df.select(F.col(url_col).alias("url"))
+        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+        .distinct()
+        .select(domain_col(u).alias("host"), tmpl.alias("template"))
+        .filter(F.col("host") != "")
+    )
+    counts = base.groupBy("host", "template").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc("n_urls"), F.col("template")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("host", "template", "n_urls", F.col("rank").cast("int"))
+    )

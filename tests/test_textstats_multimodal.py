@@ -823,3 +823,32 @@ def test_quality_yield_curve(spark):
     assert got[50] == (4, 36, 4 / 6, 36 / 143)
     # t=100: only the clamped >max doc
     assert got[100] == (1, 1, 1 / 6, 1 / 143)
+
+
+def test_url_path_templates(spark):
+    from llm_aided_ocr_spark.operators.textstats import url_path_templates
+
+    urls = [
+        "https://a.org/article/123?page=4",
+        "https://a.org/article/99?page=12",
+        "https://a.org/article/99?page=12",        # refetch -> dedup
+        "https://a.org/s/deadbeefcafe42",           # hex run wins first
+        "https://a.org/",                           # root
+        "https://b.org/x",
+        ("",), None,
+    ]
+    rows = [(u if isinstance(u, str) else (u[0] if u else None),)
+            for u in urls]
+    df = spark.createDataFrame(rows, "url string")
+    got = {(r["host"], r["template"]): (r["n_urls"], r["rank"])
+           for r in url_path_templates(df, k=3).collect()}
+    assert got[("a.org", "/article/N?page=N")] == (2, 1)
+    # count-1 tie between '/' and '/s/H' breaks by template ascending
+    assert got[("a.org", "/")] == (1, 2)
+    # hex-run collapses (incl. trailing digits, hex-eligible) to one H
+    assert got[("a.org", "/s/H")] == (1, 3)
+    assert got[("b.org", "/x")] == (1, 1)
+    # k cap: at k=2 the rank-3 template drops
+    got2 = {(r["host"], r["template"])
+            for r in url_path_templates(df, k=2).collect()}
+    assert ("a.org", "/s/H") not in got2

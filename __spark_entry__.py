@@ -1809,6 +1809,87 @@ SELECT host, template, n_urls, rank FROM r WHERE rank <= 5
 """
 
 
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-url estimate per host (p=8)
+    beside the exact distinct count — every register and the estimate
+    itself (incl. the linear-counting branch) replay bit-for-bit in the
+    oracle, unlike engine-native approx_count_distinct whose sketches
+    are internal. Refetched urls (each doc's url emitted twice) must
+    not move the estimate."""
+    from llm_aided_ocr_spark.operators.bloom import hll_build, hll_estimate
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    urls = d.select(
+        F.concat(F.lit("site"), k, F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("https://site"), k, F.lit(".example.org/p"), i
+        ).alias("url"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("_fetch"),
+    )
+    regs = hll_build(urls, key_col="url", group_cols=["host"], p=8, seed=3)
+    est = hll_estimate(regs, group_cols=["host"], p=8)
+    exact = urls.groupBy("host").agg(
+        F.count_distinct("url").cast("bigint").alias("true_distinct")
+    )
+    return est.join(exact, "host").select(
+        "host",
+        F.round("estimate", 6).alias("estimate_r"),
+        "true_distinct",
+    )
+
+
+def _build_hll_distinct_sql(p: int = 8, seed: int = 3) -> str:
+    w = 52 - p
+    m = 1 << p
+    K = 50
+    alpha_m2_2k = repr((0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << K))
+    rho_cases = "".join(
+        f"\n      WHEN rem < {1 << kk} THEN {w + 1 - kk}"
+        for kk in range(1, w + 1)
+    )
+    return f"""
+WITH u AS (
+  SELECT 'site' || (doc_id % 7) || '.example.org' AS host,
+         'https://site' || (doc_id % 7) || '.example.org/p' || doc_id AS url
+  FROM documents, (SELECT unnest([1, 2]) AS fetch)
+), h AS (
+  SELECT host,
+    CAST('0x' || substring(md5('{seed}:hll:' || url), 1, 13) AS BIGINT) AS hv
+  FROM u
+), rb AS (
+  SELECT host, CAST(hv % {m} AS INTEGER) AS bucket,
+    CASE WHEN rem = 0 THEN {w + 1}{rho_cases} END AS rho
+  FROM (SELECT host, hv, hv // {m} AS rem FROM h)
+), regs AS (
+  SELECT host, bucket, CAST(MAX(rho) AS INTEGER) AS m_rho
+  FROM rb GROUP BY host, bucket
+), agg AS (
+  SELECT host,
+    CAST(SUM(CAST(pow(2.0, {K} - m_rho) AS BIGINT)) AS BIGINT) AS sp,
+    CAST(COUNT(*) AS BIGINT) AS np
+  FROM regs GROUP BY host
+), est AS (
+  SELECT host,
+    (sp + ({m} - np) * CAST({1 << K} AS BIGINT)) AS s,
+    ({m} - np) AS v
+  FROM agg
+), fin AS (
+  SELECT host,
+    CASE WHEN ({alpha_m2_2k} / CAST(s AS DOUBLE)) <= {2.5 * m}
+              AND v > 0
+         THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+         ELSE {alpha_m2_2k} / CAST(s AS DOUBLE) END AS estimate
+  FROM est
+)
+SELECT f.host, round(f.estimate, 6) AS estimate_r,
+  CAST(COUNT(DISTINCT u.url) AS BIGINT) AS true_distinct
+FROM fin f JOIN u ON u.host = f.host
+GROUP BY f.host, f.estimate
+"""
+
+
 def _q_quality_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter yield curve over the composite 0-100 quality score with
     n_chars as the mass column: 21 thresholds from ONE corpus pass. The
@@ -7829,6 +7910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_words": _q_countmin_words,
         "hybrid_rrf": _q_hybrid_rrf,
         "url_templates": _q_url_templates,
+        "hll_distinct": _q_hll_distinct,
     }
 
 
@@ -8576,4 +8658,5 @@ def oracle_sql() -> dict[str, str]:
         "countmin_words": _build_countmin_sql(depth=3, width=64, seed=7),
         "hybrid_rrf": _build_hybrid_rrf_sql(k_fuse=60, topk=50),
         "url_templates": _URL_TEMPLATES_SQL,
+        "hll_distinct": _build_hll_distinct_sql(p=8, seed=3),
     }

@@ -241,3 +241,100 @@ def countmin_estimate(
             )
         )
     )
+
+
+HLL_HASH_BITS = 52  # md5-52 portable hash width
+
+
+def _hll_rho_col(rem, w: int):
+    """Position of the first 1-bit from the left of a ``w``-bit field
+    (1-based); ``w + 1`` for 0. Unrolled exact integer comparisons —
+    floor(log2(double)) is one ULP away from an off-by-one at exact
+    powers of two, so no logs anywhere."""
+    expr = F.when(rem == 0, F.lit(w + 1))
+    for k in range(1, w + 1):
+        expr = expr.when(rem < (1 << k), F.lit(w + 1 - k))
+    return expr.cast("int")
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str = "key",
+    group_cols: list = None,
+    p: int = 8,
+    seed: int = 1,
+) -> DataFrame:
+    """``(group..., bucket, m_rho)`` — HyperLogLog registers (Flajolet
+    et al. 2007) for distinct-``key`` counting, optionally per group:
+    bucket = md5_52 % 2^p, register = max over the bucket's keys of the
+    first-1-bit position of the remaining ``52-p`` hash bits. The
+    fixed-RAM distinct counter (2^p registers per group, ~1.04/√2^p
+    relative error) a crawl keeps per host/day/shard when exact
+    distincts (10^9+ urls) would be a full shuffle of the key space.
+
+    DETERMINISTIC by construction — the register values are a pure
+    function of the md5-52 hashes, so unlike engine-native
+    approx_count_distinct (whose sketches are engine-internal and
+    non-portable) the DuckDB oracle replays every register and every
+    estimate bit-for-bit. Build is one narrow projection → ONE
+    ``groupBy(group, bucket).max`` with map-side combine: each task
+    emits at most 2^p rows per group it saw. Empty buckets are absent
+    (the estimator reconstructs them arithmetically)."""
+    w = HLL_HASH_BITS - p
+    m = 1 << p
+    key = F.col(key_col).cast("string")
+    h = _h52(F.concat(F.lit(f"{seed}:hll:"), key))
+    groups = [F.col(c) for c in (group_cols or [])]
+    rem = (h / F.lit(m)).cast("bigint")  # h // m: h >= 0 so trunc == floor
+    return (
+        df.select(
+            *groups,
+            (h % m).cast("int").alias("bucket"),
+            _hll_rho_col(rem, w).alias("rho"),
+        )
+        .groupBy(*[c for c in (group_cols or [])], "bucket")
+        .agg(F.max("rho").cast("int").alias("m_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list = None,
+    p: int = 8,
+) -> DataFrame:
+    """``(group..., estimate)`` — the HLL cardinality estimate from a
+    :func:`hll_build` register relation, with the standard small-range
+    (linear counting) correction. All register arithmetic is integer:
+    the harmonic-mean denominator is ``Σ 2^(K−M[j])`` at K=50 scaled —
+    exact BIGINTs (M ≤ 45 < K, 2^p terms ≤ 2^58) — so the one IEEE
+    division (and the ln of an exact integer ratio in the
+    linear-counting branch) is bit-identical cross-engine."""
+    w = HLL_HASH_BITS - p
+    m = 1 << p
+    K = 50
+    if w + 1 >= K:
+        raise ValueError("p too small for the fixed K=50 scaling")
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    groups = [F.col(c) for c in (group_cols or [])]
+    agg = registers.groupBy(*groups).agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(K) - F.col("m_rho")).cast("bigint"))
+        .cast("bigint").alias("_s_present"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_present"),
+    )
+    # absent buckets contribute 2^K each; zeros V = absent buckets
+    s = (F.col("_s_present") + (F.lit(m) - F.col("_n_present"))
+         * F.lit(1 << K)).cast("bigint")
+    v = (F.lit(m) - F.col("_n_present")).cast("bigint")
+    e_raw = (
+        F.lit(alpha * m * m)
+        * F.lit(float(1 << K))
+        / s.cast("double")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        *[c for c in (group_cols or [])],
+        est.alias("estimate"),
+    )

@@ -175,3 +175,30 @@ def test_countmin_never_underestimates(spark):
         wsk, probes.filter(F.col("key") == "a"), depth=2, width=16, seed=9
     ).collect()
     assert we[0]["estimate"] >= 15
+
+
+def test_hll_distinct_accuracy_and_dup_insensitivity(spark):
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.bloom import hll_build, hll_estimate
+
+    keys = spark.range(0, 5000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    est = hll_estimate(hll_build(keys, p=8), p=8).collect()[0]["estimate"]
+    assert abs(est - 5000) / 5000 < 0.10   # ~1.04/sqrt(256) = 6.5% expected
+    # registers are max-based: duplicates cannot move the estimate
+    dups = keys.unionByName(keys).unionByName(keys)
+    est2 = hll_estimate(hll_build(dups, p=8), p=8).collect()[0]["estimate"]
+    assert est2 == est
+    # grouped mode + small-range linear counting stays near-exact
+    g = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(30)] + [("b", "only")],
+        "grp string, key string",
+    )
+    got = {r["grp"]: r["estimate"]
+           for r in hll_estimate(
+               hll_build(g, group_cols=["grp"], p=8),
+               group_cols=["grp"], p=8).collect()}
+    assert abs(got["a"] - 30) < 3
+    assert abs(got["b"] - 1) < 0.2

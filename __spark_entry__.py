@@ -1890,6 +1890,84 @@ GROUP BY f.host, f.estimate
 """
 
 
+def _q_url_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-structure bitext candidates: every doc publishes /en/p{i},
+    docs %2 also /fr/p{i}, docs %3 also /de-at/p{i}, and a decoy
+    /docs/p{i} with no marker — so keys pair en-fr, en-de-at, fr-de-at
+    exactly where the constructions intersect, and the decoy never
+    pairs. Duplicate fetches of the en side must not duplicate pairs."""
+    from llm_aided_ocr_spark.operators.hreflang import url_bitext_candidates
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    site = F.concat(F.lit("https://site"), k, F.lit(".example.org"))
+    urls = (
+        d.select(F.concat(site, F.lit("/en/p"), i, F.lit(".html")).alias("url"))
+        .unionByName(
+            d.select(  # refetch dup of the en side
+                F.concat(site, F.lit("/en/p"), i, F.lit(".html")).alias("url")
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 2 == 0).select(
+                F.concat(site, F.lit("/fr/p"), i, F.lit(".html")).alias("url")
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                F.concat(
+                    site, F.lit("/de-at/p"), i, F.lit(".html")
+                ).alias("url")
+            )
+        )
+        .unionByName(
+            d.select(
+                F.concat(site, F.lit("/docs/p"), i, F.lit(".html")).alias("url")
+            )
+        )
+    )
+    return url_bitext_candidates(urls)
+
+
+_URL_BITEXT_SQL = """
+WITH u AS (
+  SELECT DISTINCT url FROM (
+    SELECT 'https://site' || (doc_id % 7) || '.example.org/en/p'
+           || doc_id || '.html' AS url FROM documents
+    UNION ALL
+    SELECT 'https://site' || (doc_id % 7) || '.example.org/en/p'
+           || doc_id || '.html' FROM documents
+    UNION ALL
+    SELECT 'https://site' || (doc_id % 7) || '.example.org/fr/p'
+           || doc_id || '.html' FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'https://site' || (doc_id % 7) || '.example.org/de-at/p'
+           || doc_id || '.html' FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'https://site' || (doc_id % 7) || '.example.org/docs/p'
+           || doc_id || '.html' FROM documents)
+), n AS (
+  SELECT
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+      || regexp_replace(
+           regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+           '(?i)/([a-z]{2}(?:-[a-z]{2})?)/', '/*/', 'g') AS key,
+    lower(regexp_extract(
+      regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+      '(?i)/([a-z]{2}(?:-[a-z]{2})?)/', 1)) AS lang,
+    url
+  FROM u
+), base AS (
+  SELECT key, lang, MIN(url) AS url FROM n
+  WHERE lang <> '' AND key <> '' GROUP BY key, lang
+)
+SELECT a.key, a.lang AS lang_a, a.url AS url_a,
+       b.lang AS lang_b, b.url AS url_b
+FROM base a JOIN base b ON a.key = b.key AND a.lang < b.lang
+"""
+
+
 def _q_quality_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter yield curve over the composite 0-100 quality score with
     n_chars as the mass column: 21 thresholds from ONE corpus pass. The
@@ -7911,6 +7989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "url_templates": _q_url_templates,
         "hll_distinct": _q_hll_distinct,
+        "url_bitext": _q_url_bitext,
     }
 
 
@@ -8659,4 +8738,5 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _build_hybrid_rrf_sql(k_fuse=60, topk=50),
         "url_templates": _URL_TEMPLATES_SQL,
         "hll_distinct": _build_hll_distinct_sql(p=8, seed=3),
+        "url_bitext": _URL_BITEXT_SQL,
     }

@@ -761,6 +761,87 @@ def bench_stress(spark, scale_ratio: int = 10) -> dict:
                     ).alias("digest"),
                 ),
             ),
+            # round-5 session-2 family: asymmetric containment (full
+            # postings self-join under the DF cap), sub-document capture
+            # novelty (3-capture text history; the (url, rank, shingle)
+            # self-join is the load), fixed-point HITS + degree-ordered
+            # triangles on the constructed host graph, and the
+            # fixed-RAM sketches (Count-Min cells, HLL registers per
+            # host) whose exchanges must stay bounded by sketch size,
+            # not corpus size
+            "containment": lambda: __import__(
+                "llm_aided_ocr_spark.operators.dedup", fromlist=["x"]
+            ).containment_pairs(
+                docs, n=3, threshold=0.9, text_col="text", id_col="url"
+            ),
+            "capture_novelty": lambda: __import__(
+                "llm_aided_ocr_spark.operators.snapshots", fromlist=["x"]
+            ).capture_novelty(
+                docs.select(
+                    "url", "text",
+                    F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+                ).select(
+                    "url",
+                    F.col("j").cast("bigint").alias("ts"),
+                    F.when(
+                        F.col("j") == 0, F.col("text")
+                    ).when(
+                        F.col("j") == 1,
+                        F.concat(F.col("text"), F.lit(" breaking update now")),
+                    ).otherwise(
+                        F.concat(F.lit("fresh intro line "), F.col("text"))
+                    ).alias("text"),
+                ),
+                n=3,
+            ),
+            "hits": lambda: __import__(
+                "llm_aided_ocr_spark.operators.linkgraph", fromlist=["x"]
+            ).hits(host_graph(outlinks(_link_pages(docs))), iters=4),
+            "host_triangles": lambda: __import__(
+                "llm_aided_ocr_spark.operators.linkgraph", fromlist=["x"]
+            ).host_triangles(host_graph(outlinks(_link_pages(docs)))),
+            "countmin": lambda: (lambda m: m.countmin_estimate(
+                m.countmin_build(
+                    docs.select(F.explode(
+                        __import__(
+                            "llm_aided_ocr_spark.operators.dedup",
+                            fromlist=["x"],
+                        )._words_col("text")
+                    ).alias("key")).filter(F.col("key") != ""),
+                    depth=4, width=4096, seed=7,
+                ),
+                spark.createDataFrame(
+                    [("the",), ("pension",), ("zzz",)], "key string"
+                ),
+                depth=4, width=4096, seed=7,
+            ))(__import__(
+                "llm_aided_ocr_spark.operators.bloom", fromlist=["x"]
+            )),
+            "hll_distinct": lambda: (lambda m: m.hll_estimate(
+                m.hll_build(
+                    docs.select(
+                        F.regexp_extract("url", r"https://([^/]+)/", 1)
+                        .alias("host"),
+                        F.col("url").alias("key"),
+                    ),
+                    group_cols=["host"], p=12,
+                ),
+                group_cols=["host"], p=12,
+            ))(__import__(
+                "llm_aided_ocr_spark.operators.bloom", fromlist=["x"]
+            )),
+            "url_templates": lambda: __import__(
+                "llm_aided_ocr_spark.operators.textstats", fromlist=["x"]
+            ).url_path_templates(docs.select("url"), k=5),
+            "quality_yield": lambda: (lambda m: m.quality_yield(
+                docs.select(
+                    m.quality_score_col(F.col("text")).alias("qscore"),
+                    F.length("text").alias("mass"),
+                ),
+                step=5,
+            ))(__import__(
+                "llm_aided_ocr_spark.operators.textstats", fromlist=["x"]
+            )),
         }
 
     report = {"scale_ratio": scale_ratio, "ops": {}}

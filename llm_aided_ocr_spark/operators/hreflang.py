@@ -111,3 +111,65 @@ def hreflang_clusters(
             F.size("hrefs").alias("n_variants"),
         )
     )
+
+
+URL_LANG_SEG_RE = r"(?i)/([a-z]{2}(?:-[a-z]{2})?)/"
+
+
+def url_bitext_candidates(
+    df: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """``(key, lang_a, url_a, lang_b, url_b)`` — cross-language page
+    pairs mined from URL STRUCTURE alone (the CCAligned stage-1 recipe,
+    El-Kishky et al. 2020): two urls on the same host whose paths are
+    identical after every language-looking path segment (``/en/``,
+    ``/fr-ca/`` …, slash-delimited — a FINAL ``/en`` with nothing after
+    it is deliberately not a marker) is wildcarded are, overwhelmingly
+    often, translations of each other — the zero-content candidate
+    generator whose output :func:`~llm_aided_ocr_spark.operators.
+    similarity.mine_bitext` then margin-scores. Complements
+    :func:`hreflang_clusters` (which needs the site to DECLARE
+    alternates; most don't). The pattern stays in the Java-regex ∩ RE2
+    subset (no lookaround, no replacement backrefs) so the oracle
+    replays it verbatim.
+
+    Rules: the FIRST marker (in path order) is the page's language
+    label (lowercased); urls with no marker produce no candidates;
+    pairs are emitted per normalized key for every DISTINCT lang pair
+    ``lang_a < lang_b``, one url per (key, lang) side — the
+    lexicographically smallest, so a crawl that fetched ``/en/p`` twice
+    (or via two mirrors) cannot duplicate pairs.
+
+    Scale shape: one scan-fused regex projection, ONE
+    ``(key, lang) → min(url)`` aggregation, ONE self-join on the
+    key (co-partitioned with the aggregation output; per-key fanout is
+    bounded by the language count of that page, ~dozens at worst)."""
+    u = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    path = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    lang = F.lower(F.regexp_extract(path, URL_LANG_SEG_RE, 1))
+    key = F.concat(
+        host,
+        F.regexp_replace(path, URL_LANG_SEG_RE, "/*/"),
+    )
+    base = (
+        df.select(u.alias("url"))
+        .filter(u.isNotNull() & (u != ""))
+        .distinct()
+        .select(key.alias("key"), lang.alias("lang"), F.col("url"))
+        .filter((F.col("lang") != "") & (F.col("key") != ""))
+        .groupBy("key", "lang")
+        .agg(F.min("url").alias("url"))
+    )
+    a = base.select(
+        "key", F.col("lang").alias("lang_a"), F.col("url").alias("url_a")
+    )
+    b = base.select(
+        "key", F.col("lang").alias("lang_b"), F.col("url").alias("url_b")
+    )
+    return a.join(b, "key").filter(F.col("lang_a") < F.col("lang_b")).select(
+        "key", "lang_a", "url_a", "lang_b", "url_b"
+    )

@@ -186,7 +186,7 @@ _R5_FRONT = [
 def test_registration_order_fronts_driver_unchecked_queries(entry_mod):
     keys = list(entry_mod.queries())
     assert keys[: len(_R5_FRONT)] == _R5_FRONT
-    assert len(keys) == 155
-    assert len(set(keys)) == 155
+    assert len(keys) == 156
+    assert len(set(keys)) == 156
     # every never-driver-checked query must sit inside the 50-row window
     assert len(_R5_FRONT) <= 50

@@ -222,3 +222,27 @@ def test_rendezvous_assign_stability(spark):
     moved = [k for k in full if full[k] != smaller[k]]
     assert all(full[k] == "s3" for k in moved)      # only s3's keys move
     assert all(smaller[k] == full[k] for k in full if full[k] != "s3")
+
+
+def test_url_bitext_candidates(spark):
+    from llm_aided_ocr_spark.operators.hreflang import url_bitext_candidates
+
+    urls = [
+        "https://a.org/en/about.html",
+        "https://a.org/en/about.html",        # refetch dup
+        "https://a.org/fr/about.html",
+        "https://a.org/de-at/about.html",
+        "https://a.org/en/only-en.html",      # no partner
+        "https://a.org/docs/about.html",      # no marker -> no candidate
+        "https://b.org/fr/about.html",        # other host, same path
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {(r["lang_a"], r["lang_b"])
+           for r in url_bitext_candidates(df).collect()
+           if r["key"].startswith("a.org/*/about")}
+    assert got == {("en", "fr"), ("de-at", "en"), ("de-at", "fr")}
+    allrows = url_bitext_candidates(df).collect()
+    # hosts never pair across; the dup and the marker-less url add nothing
+    assert len(allrows) == 3
+    assert all("b.org" not in r["url_a"] and "b.org" not in r["url_b"]
+               for r in allrows)

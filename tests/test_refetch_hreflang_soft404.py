@@ -246,3 +246,25 @@ def test_url_bitext_candidates(spark):
     assert len(allrows) == 3
     assert all("b.org" not in r["url_a"] and "b.org" not in r["url_b"]
                for r in allrows)
+
+
+def test_crawl_budget_plan_has_no_single_partition_exchange(spark):
+    """The remainder ranking rides the two-phase distributed rank —
+    never a SinglePartition window exchange (the epoch_order audit
+    shape)."""
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.refetch import crawl_budget
+    from llm_aided_ocr_spark.operators.util import release_pinned
+
+    hosts = spark.range(0, 300).select(
+        F.concat(F.lit("h"), F.col("id")).alias("host"),
+        (F.col("id") % 17 + 1).alias("weight"),
+    )
+    out = crawl_budget(hosts, budget=1000)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "SinglePartition" not in plan
+    assert sum(r["alloc"] for r in out.collect()) == 1000
+    release_pinned(out)

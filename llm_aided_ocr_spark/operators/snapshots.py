@@ -86,19 +86,19 @@ def capture_novelty(
     crawl cadence) actually want. Captures with an empty shingle set
     get novelty NULL (0/0).
 
-    Scale shape: texts become per-capture DISTINCT shingle-hash sets
-    document-locally (the :func:`~llm_aided_ocr_spark.operators.dedup.
-    word_shingles` discipline — no corpus-wide distinct); the previous-
-    capture intersection is ONE left-semi self-join of the
-    (url, rank, shingle_hash) relation on ``(url, shingle, rank-1)`` —
-    the TEXT never enters an exchange, only url keys and 8-byte shingle
-    hashes do (url keys stay exact strings: a hashed url key could
-    merge two urls' capture sequences with no verify step to catch it;
-    at the 10^12 tier dictionary-encode urls upstream if the key width
-    matters). The per-url rank window partitions by url (bounded by a
-    url's capture count, no global sort). Two captures of one url
-    with an IDENTICAL timestamp have no defined order — give captures
-    distinct timestamps (WARC ts14 values are) or the rank is
+    Scale shape: texts collapse to per-capture DISTINCT shingle-HASH
+    arrays document-locally (the ``word_shingles`` discipline), and the
+    set difference runs as a native ``array_except`` after ONE
+    url-keyed self-join of consecutive ranks — the relation that
+    shuffles is (url, rank, hash-array): one row per capture, array
+    size bounded by the document, and the raw text never enters an
+    exchange. (The exploded-postings formulation — one row per
+    (url, rank, shingle) through a semi-join — shuffles ~10^3 more rows
+    for the same answer and measured 113 s vs this form's seconds on
+    the 1.1 GB stress tier.) The per-url rank window partitions by url
+    (bounded by a url's capture count, no global sort). Two captures of
+    one url with an IDENTICAL timestamp have no defined order — give
+    captures distinct timestamps (WARC ts14 values are) or the rank is
     layout-dependent for that tie only."""
     from pyspark.sql import Window
 
@@ -114,31 +114,25 @@ def capture_novelty(
             Window.partitionBy("_url").orderBy(F.col("_ts"))
         ),
     )
-    sh = caps.select("_url", "_rk", F.explode("_sh").alias("shingle"))
-    prev = sh.select(
-        "_url", (F.col("_rk") + 1).alias("_rk"), F.col("shingle")
-    )
-    inter = (
-        sh.join(prev, ["_url", "_rk", "shingle"], "left_semi")
-        .groupBy("_url", "_rk")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    cur = caps.filter(F.col("_rk") >= 2)
+    prev = caps.select(
+        "_url",
+        (F.col("_rk") + 1).alias("_rk"),
+        F.col("_sh").alias("_prev_sh"),
     )
     return (
-        caps.filter(F.col("_rk") >= 2)
-        .select("_url", "_ts", "_rk", F.size("_sh").alias("n_shingles"))
-        .join(inter, ["_url", "_rk"], "left")
+        cur.join(prev, ["_url", "_rk"])
         .select(
             F.col("_url").alias("url"),
             F.col("_ts").alias("ts"),
-            F.col("n_shingles").cast("bigint").alias("n_shingles"),
-            (
-                F.col("n_shingles") - F.coalesce("_inter", F.lit(0))
-            ).cast("bigint").alias("n_new"),
+            F.size("_sh").cast("bigint").alias("n_shingles"),
+            F.size(F.array_except("_sh", "_prev_sh")).cast("bigint").alias(
+                "n_new"
+            ),
             F.when(
-                F.col("n_shingles") > 0,
-                (
-                    F.col("n_shingles") - F.coalesce("_inter", F.lit(0))
-                ).cast("double") / F.col("n_shingles"),
+                F.size("_sh") > 0,
+                F.size(F.array_except("_sh", "_prev_sh")).cast("double")
+                / F.size("_sh"),
             ).alias("novelty"),
         )
     )

@@ -7825,16 +7825,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDER MATTERS: the driver's per-round CORRECTNESS check covers the first
     50 entries in insertion order.  Rounds 1-4 verified the long-standing
-    queries (page_filter .. tpch_q5); the entries registered later (tpch_q14
-    .. blocklist_gate) never got a driver-side row.  So the 29
-    never-driver-checked queries are registered FIRST this round; the 50
-    already-driver-green ones follow.  tests/test_driver_contract.py pins
-    this order so it cannot silently revert.
+    queries (page_filter .. tpch_q5); entries registered later never got a
+    driver-side row.  So 50 never-driver-checked, fully-oracled queries are
+    registered FIRST this round (r03-green tpch_q14/ann_lsh_topk and the
+    two rows-only queries yield their slots); everything else follows and is
+    value-verified locally by tests/test_driver_contract.py's
+    test_queries_match_oracles.  The same module pins this order so it
+    cannot silently revert.
     """
     return {
-        # --- 29 queries with no driver-side CORRECTNESS row yet (r5 front) ---
-        "tpch_q14": _q_tpch_q14,
-        "ann_lsh_topk": _q_ann_lsh_topk,
+        # --- queries with no driver-side CORRECTNESS row yet (r5 front; all
+        # fully oracled — tpch_q14/ann_lsh_topk were driver-green in r03 and
+        # host_pagerank/compression_ratio take only the weaker rows-only
+        # check, so all four yield their window slots to hash-checkable
+        # never-driver-checked queries) ---
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
         "semantic_dedup": _q_semantic_dedup,
@@ -7881,6 +7885,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_blocks": _q_content_blocks,
         "robots_rules": _q_robots_rules,
         "robots_allowed": _q_robots_allowed,
+        "meta_props": _q_meta_props,
+        "heading_outline": _q_heading_outline,
+        "robots_sitemaps": _q_robots_sitemaps,
+        "decode_pages": _q_decode_pages,
+        # --- outside the driver's 50-row window: r03-green, rows-only, or
+        # locally oracle-verified by test_queries_match_oracles ---
+        "tpch_q14": _q_tpch_q14,
+        "ann_lsh_topk": _q_ann_lsh_topk,
         "host_pagerank": _q_host_pagerank,
         "compression_ratio": _q_compression_ratio,
         # --- driver-green in CORRECTNESS_r04 (rows+schema+hash) ---
@@ -7934,10 +7946,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
-        "meta_props": _q_meta_props,
-        "heading_outline": _q_heading_outline,
-        "robots_sitemaps": _q_robots_sitemaps,
-        "decode_pages": _q_decode_pages,
         "host_quality": _q_host_quality,
         "table_cells": _q_table_extract,
         "link_rels": _q_link_rels,

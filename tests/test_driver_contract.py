@@ -164,7 +164,7 @@ def test_sent_count_sql_matches_python_kernel(duck):
 # 50; these 29 were registered later and never got a driver-side row, so
 # round 5 moved them to the front.  This pin prevents a silent revert.
 _R5_FRONT = [
-    "tpch_q14", "ann_lsh_topk", "line_dedup", "decontaminate",
+    "line_dedup", "decontaminate",
     "semantic_dedup", "dsir_weights", "dup_spans", "paragraph_dedup",
     "c4_clean", "pii_redact", "quality_classifier", "bm25_scores",
     "lm_score", "ccnet_buckets", "domain_cap", "mixture_resample",
@@ -179,7 +179,11 @@ _R5_FRONT = [
     "url_trap_flags", "bloom_urls", "wet_roundtrip", "sitemap_urls",
     "host_fetch_stats", "charset_detect", "script_profile", "postings",
     "content_blocks",
-    "robots_rules", "robots_allowed", "host_pagerank", "compression_ratio",
+    "robots_rules", "robots_allowed",
+    # r03-green tpch_q14/ann_lsh_topk and the two rows-only queries
+    # (host_pagerank, compression_ratio) yielded their window slots to
+    # these four fully-oracled never-driver-checked queries:
+    "meta_props", "heading_outline", "robots_sitemaps", "decode_pages",
 ]
 
 

@@ -150,15 +150,26 @@ def lm_score(
     per-document DISTINCT bigrams, which bounds any single key to one
     row per document pair-type, and AQE's skew-join split handles the
     residue; no salting needed."""
+    from pyspark import StorageLevel
+
     from llm_aided_ocr_spark.operators.util import corpus_scaled
 
     if (ref_df is None) == (model is None):
         raise ValueError("pass exactly one of ref_df or model")
+    trained_inline = model is None
     if model is None:
         model = train_bigram_lm(
             ref_df, text_col=text_col, id_col=id_col,
             hash_family=hash_family, hashed=hashed,
         )
+        # The unigram relation feeds THREE consumers (c1, c2, stats);
+        # without a persist each one re-tokenizes and re-aggregates the
+        # reference slice from scratch (verified in the physical plan: 3
+        # identical explode+agg subtrees). ``uni`` is vocabulary-sized —
+        # reference-corpus-scaled, not corpus-scaled — so the cache is
+        # small by construction (guide §2.4); pinned on the result below
+        # for deterministic release.
+        model["uni"] = model["uni"].persist(StorageLevel.MEMORY_AND_DISK)
     occ = _bigram_rel(df, text_col, id_col, hash_family, hashed)
     uni = model["uni"]
     c1 = uni.select(F.col("g").alias("g1"), F.col("c").alias("c1"))
@@ -205,7 +216,7 @@ def lm_score(
         ).alias("lm_score_r"),
     )
     all_ids = df.select(F.col(id_col).alias("id"))
-    return all_ids.join(corpus_scaled(scored), "id", "left").select(
+    out = all_ids.join(corpus_scaled(scored), "id", "left").select(
         "id",
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.coalesce("oov_bigram_frac_r", F.lit(0.0)).alias(
@@ -213,6 +224,11 @@ def lm_score(
         ),
         F.coalesce("lm_score_r", F.lit(0.0)).alias("lm_score_r"),
     )
+    if trained_inline:
+        from llm_aided_ocr_spark.operators.util import pin
+
+        out = pin(out, model["uni"])
+    return out
 
 
 def ccnet_buckets(
@@ -253,12 +269,19 @@ def ccnet_buckets(
     streaming; the tiny cut relation is left to AQE to broadcast. The
     doc relation is cached (it feeds the mass aggregation and the final
     join) and pinned on the result for deterministic release."""
-    from llm_aided_ocr_spark.operators.util import corpus_scaled, pin
+    from llm_aided_ocr_spark.operators.util import (
+        carry_pins,
+        corpus_scaled,
+        pin,
+    )
 
-    scored = lm_score(
+    scored_full = lm_score(
         df, ref_df=ref_df, model=model, lam=lam, text_col=text_col,
         id_col=id_col, hash_family=hash_family, hashed=hashed,
-    ).select("id", "lm_score_r")
+    )
+    scored = carry_pins(
+        scored_full, scored_full.select("id", "lm_score_r")
+    )
     meta = df.select(
         F.col(id_col).alias("id"),
         F.col(lang_col).alias("lang"),
@@ -295,7 +318,7 @@ def ccnet_buckets(
     # mass/cut aggregations, and a null-unsafe join would silently drop
     # those documents from the output
     d, c = doc_rel.alias("d"), cut.alias("c")
-    return pin(
+    return carry_pins(scored, pin(
         d.join(
             c,
             F.col("d.lang").eqNullSafe(F.col("c.lang"))
@@ -308,4 +331,4 @@ def ccnet_buckets(
             F.col("c.bucket").alias("bucket"),
         ),
         doc_rel,
-    )
+    ))

@@ -308,8 +308,21 @@ def related_docs(
     remaining fanout the way ``max_shingle_df`` does for n-gram
     Jaccard. Norms derive from the same weights relation (grouped on
     its own key); the per-doc top-k window partitions on ``doc_id``
-    (parallel across docs). Corpus size is ONE broadcast row."""
-    from llm_aided_ocr_spark.operators.util import carry_pins
+    (parallel across docs). Corpus size is ONE broadcast row.
+
+    The weights relation ``w`` feeds FOUR plan subtrees (both sides of
+    the term self-join and both norm lookups); without a persist each
+    consumer re-runs the df-stats exchange over the cached tf plus its
+    own corpus count (verified in the physical plan: 4 identical
+    df-aggregate exchanges + 4 ``_n_docs`` scans/counts). ``w`` is the
+    same narrow ~30-byte-row shape as the tf relation :func:`postings`
+    already persists, so pinning it trades one more spill-friendly
+    cache for three redundant aggregate exchanges and three corpus
+    counts (guide §2.4: share one exchange between same-keyed
+    consumers)."""
+    from pyspark import StorageLevel
+
+    from llm_aided_ocr_spark.operators.util import carry_pins, pin
 
     p = postings(
         df, text_col=text_col, id_col=id_col,
@@ -330,6 +343,7 @@ def related_docs(
             ).cast("bigint").alias("iw"),
         )
         .filter(F.col("iw") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ss = w.groupBy("id").agg(
         F.sum(F.col("iw") * F.col("iw")).alias("ssq")
@@ -366,7 +380,7 @@ def related_docs(
             "rank",
         )
     )
-    return carry_pins(p, out)
+    return pin(carry_pins(p, out), w)
 
 
 def rrf_fuse(

@@ -1480,10 +1480,23 @@ def dup_span_profile(
     either probe entirely (their stripped stream IS the normalized
     text, and the arrow form gates their token input NULL so they never
     cross into Python)."""
+    _pinned_gh = None
     if impl == "arrow":
+        # The gram relation feeds BOTH the frequency count and the
+        # duplicate-position probe; unpersisted, each side runs its own
+        # full Arrow gram pass over the corpus (two MapInPandas nodes in
+        # the physical plan). Persist the per-doc hash ARRAYS (8
+        # bytes/token, pre-explode — the narrowest form both sides can
+        # derive from) so the corpus crosses the Python boundary once;
+        # MEMORY_AND_DISK, pinned on the result for deterministic
+        # release. The explodes stay JVM-side and cheap (guide §4: pay
+        # the Python boundary once).
+        from pyspark import StorageLevel
+
         gh_rel = gram_hashes_arrow(
             df, n=n, text_col=text_col, id_col=id_col, hash_family=hash_family
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _pinned_gh = gh_rel
         ex = gh_rel.select(
             F.col("id").alias("_ds_id"), F.posexplode("ghs").alias("pos", "gh")
         )
@@ -1598,7 +1611,12 @@ def dup_span_profile(
             .otherwise(let_(merged, _strip))
             .alias("stripped")
         )
-    return out.select(*cols)
+    res = out.select(*cols)
+    if _pinned_gh is not None:
+        from llm_aided_ocr_spark.operators.util import pin
+
+        res = pin(res, _pinned_gh)
+    return res
 
 
 # ---------------------------------------------------------------------------

@@ -340,6 +340,15 @@ def host_degrees(graph: DataFrame) -> DataFrame:
     sums (edge weight mass); spam rings show as out_hosts ≈ in_hosts ≫
     organic, parked domains as in-only. Two narrow aggregations + one
     full-outer join on the agg key; integer-exact, oracle-reproducible."""
+    # Both direction aggs consume the edge relation; persist it so a
+    # graph handed in as an unmaterialized plan (e.g. host_graph over an
+    # outlink extraction) is not extracted twice (guide §2.4). The edge
+    # relation is host-cardinality — narrow by construction.
+    from pyspark import StorageLevel
+
+    from llm_aided_ocr_spark.operators.util import pin
+
+    graph = graph.persist(StorageLevel.MEMORY_AND_DISK)
     out_d = graph.groupBy(F.col("src_host").alias("host")).agg(
         F.count(F.lit(1)).alias("out_hosts"),
         F.sum("n_links").alias("out_links"),
@@ -348,7 +357,7 @@ def host_degrees(graph: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("in_hosts"),
         F.sum("n_links").alias("in_links"),
     )
-    return (
+    return pin(
         out_d.join(in_d, "host", "full_outer")
         .select(
             "host",
@@ -356,7 +365,8 @@ def host_degrees(graph: DataFrame) -> DataFrame:
             F.coalesce("out_links", F.lit(0)).alias("out_links"),
             F.coalesce("in_hosts", F.lit(0)).alias("in_hosts"),
             F.coalesce("in_links", F.lit(0)).alias("in_links"),
-        )
+        ),
+        graph,
     )
 
 
@@ -411,6 +421,16 @@ def anchor_corpus(
     )
     if cross_host_only:
         a = a.filter(F.col("src_host") != F.col("dst_host"))
+    # The anchor relation feeds BOTH aggregations below; without a
+    # persist each one re-runs the regex element walk over every page's
+    # html (verified: two identical Generate subtrees in the physical
+    # plan). ``a`` is the pre-shrunk (dst_host, src_host, anchor)
+    # relation — narrow by construction — so caching it keeps the
+    # html-never-recomputed property at the cost of one spill-friendly
+    # cache (guide §2.4).
+    from pyspark import StorageLevel
+
+    a = a.persist(StorageLevel.MEMORY_AND_DISK)
     stats = a.groupBy("dst_host").agg(
         F.count(F.lit(1)).alias("n_anchors"),
         F.countDistinct("src_host").alias("n_src_hosts"),
@@ -428,7 +448,9 @@ def anchor_corpus(
             ).alias("anchors_cat")
         )
     )
-    return stats.join(texts, "dst_host")
+    from llm_aided_ocr_spark.operators.util import pin
+
+    return pin(stats.join(texts, "dst_host"), a)
 
 
 def trustrank(

@@ -95,33 +95,34 @@ def capture_novelty(
     exchange. (The exploded-postings formulation — one row per
     (url, rank, shingle) through a semi-join — shuffles ~10^3 more rows
     for the same answer and measured 113 s vs this form's seconds on
-    the 1.1 GB stress tier.) The per-url rank window partitions by url
-    (bounded by a url's capture count, no global sort). Two captures of
-    one url with an IDENTICAL timestamp have no defined order — give
-    captures distinct timestamps (WARC ts14 values are) or the rank is
-    layout-dependent for that tie only."""
+    the 1.1 GB stress tier.) The previous capture's set arrives via
+    ``lag`` in the SAME per-url window pass that ranks the captures —
+    rank ``k`` always has exactly one rank ``k-1`` neighbor, so the
+    lag is value-identical to a (url, rank−1) self-join while running
+    the shingle pass, the url exchange and the window sort ONCE instead
+    of twice and joining nothing (guide §2.4). The per-url window
+    partitions by url (bounded by a url's capture count, no global
+    sort). Two captures of one url with an IDENTICAL timestamp have no
+    defined order — give captures distinct timestamps (WARC ts14
+    values are) or the rank is layout-dependent for that tie only."""
     from pyspark.sql import Window
 
     from llm_aided_ocr_spark.operators.dedup import shingle_array_col
 
+    w = Window.partitionBy("_url").orderBy(F.col("_ts"))
     caps = df.select(
         F.col(url_col).alias("_url"),
         F.col(ts_col).alias("_ts"),
         F.array_distinct(shingle_array_col(text_col, n=n)).alias("_sh"),
-    ).withColumn(
-        "_rk",
-        F.row_number().over(
-            Window.partitionBy("_url").orderBy(F.col("_ts"))
-        ),
-    )
-    cur = caps.filter(F.col("_rk") >= 2)
-    prev = caps.select(
+    ).select(
         "_url",
-        (F.col("_rk") + 1).alias("_rk"),
-        F.col("_sh").alias("_prev_sh"),
+        "_ts",
+        "_sh",
+        F.row_number().over(w).alias("_rk"),
+        F.lag("_sh").over(w).alias("_prev_sh"),
     )
     return (
-        cur.join(prev, ["_url", "_rk"])
+        caps.filter(F.col("_rk") >= 2)
         .select(
             F.col("_url").alias("url"),
             F.col("_ts").alias("ts"),

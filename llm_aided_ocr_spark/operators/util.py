@@ -86,6 +86,20 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
         return df
     target = spark.sparkContext.defaultParallelism
     threshold = max(1, int(target * min_factor))
+    if scan_partitions_below(df, threshold):
+        return df.repartition(target)
+    return df
+
+
+def scan_partitions_below(df: DataFrame, threshold: int) -> bool:
+    """True iff ``df`` is a plain local-file-backed plan whose scan would
+    run on FEWER than ``threshold`` partitions — the shared gate behind
+    :func:`ensure_min_parallelism` and the pipeline's scale-adaptive
+    salted spread. Conservative on every uncertainty (shuffle-bearing
+    plan, non-file or remote source, stat failure): returns False, i.e.
+    "leave the partitioning alone" — guessing wrong merely costs
+    parallelism on a toy input, never a shuffle on a big one."""
+    spark = df.sparkSession
     try:
         # If the plan already contains a partitioning-defining operator
         # (an explicit repartition, or a shuffle-inducing window/agg/join/
@@ -103,12 +117,12 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
             "Repartition", "RepartitionByExpression", "RebalancePartitions",
             "Window", "Aggregate", "Join", "Sort", "Deduplicate",
         }:
-            return df
+            return False
         files = df.inputFiles()
     except Exception:
-        return df
+        return False
     if not files:  # in-memory relation: createDataFrame already slices
-        return df
+        return False
     max_split_conf = _parse_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
@@ -124,11 +138,11 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
         elif uri.startswith("/"):
             path = uri
         else:  # remote FS — stat is an RPC per file; assume big input
-            return df
+            return False
         try:
             sizes.append(os.path.getsize(path))
         except OSError:
-            return df
+            return False
     # Replay Spark's actual FilePartition packing (FilePartition.scala):
     # maxSplitBytes = min(maxPartitionBytes, max(openCost, total/parallelism));
     # files split into <= maxSplitBytes chunks, chunks sorted descending,
@@ -137,8 +151,11 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     # over-counts the openCost remainder (one small file would estimate 2
     # vs Spark's actual 1 and the gate would skip the repartition it
     # exists to apply).
+    parallelism = spark.sparkContext.defaultParallelism
     total_cost = sum(sizes) + open_cost * len(sizes)
-    max_split = min(max_split_conf, max(open_cost, -(-total_cost // max(1, target))))
+    max_split = min(
+        max_split_conf, max(open_cost, -(-total_cost // max(1, parallelism)))
+    )
     chunks: list = []
     for size in sizes:
         while size > max_split:
@@ -156,8 +173,8 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
             current = 0
         current += c + open_cost
         if est >= threshold:
-            return df
-    return df.repartition(target)
+            return False
+    return True
 
 
 def corpus_scaled(derived: DataFrame) -> DataFrame:

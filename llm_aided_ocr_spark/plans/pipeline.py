@@ -52,6 +52,40 @@ def salted_repartition(df: DataFrame, cfg: PipelineConfig, *extra_cols) -> DataF
     return df.repartition(int(n), F.xxhash64(*cols))
 
 
+def _spread_documents(
+    df: DataFrame, cfg: PipelineConfig, gate_df: DataFrame | None = None
+) -> DataFrame:
+    """Scale-adaptive document spread (``cfg.salted_spread``): the
+    per-document correction stage is embarrassingly parallel, so the
+    salted repartition buys exactly one thing — parallelism when the
+    input is under-split (a toy table's single row-group would serialize
+    the Python kernel on one core). A splittable corpus scan is already
+    size-uniform at ``maxPartitionBytes`` and mega-documents route to
+    the staged path, so ``auto`` skips the full-corpus shuffle there
+    (guide §2.4: remove shuffles outright; measured ~27% of pipeline
+    wall at the 1.1 GB bench tier, byte-identical output) and applies
+    the salted spread only below the :func:`scan_partitions_below`
+    threshold — the same gate ensure_min_parallelism uses.
+
+    ``gate_df``: the plan to JUDGE when ``df`` itself cannot be (the
+    auto strategy hands branches of a persisted relation, and
+    ``inputFiles()`` on an InMemoryRelation is empty — the gate would
+    conservatively skip the spread a toy input needs); pass the
+    pre-persist source so the file-size estimate still sees the scan."""
+    mode = getattr(cfg, "salted_spread", "always")
+    if mode == "never":
+        return df
+    if mode == "auto":
+        from llm_aided_ocr_spark.operators.util import scan_partitions_below
+
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if not scan_partitions_below(
+            gate_df if gate_df is not None else df, max(1, target // 2)
+        ):
+            return df
+    return salted_repartition(df, cfg)
+
+
 def _fused_correct(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Document rows → result rows in one narrow pass (no shuffle)."""
 
@@ -217,7 +251,9 @@ def run_pipeline(
 
     source_col = "html" if use_html else "text"
 
-    def _prepare(branch: DataFrame) -> DataFrame:
+    def _prepare(
+        branch: DataFrame, gate_df: DataFrame | None = None
+    ) -> DataFrame:
         if extract_fn is not None:
             out = extract_fn(branch)
         else:
@@ -226,7 +262,7 @@ def run_pipeline(
             out = apply_page_filter(
                 out, min_chars=cfg.page_min_chars, min_words=cfg.page_min_words
             )
-        return salted_repartition(out, cfg)
+        return _spread_documents(out, cfg, gate_df=gate_df)
 
     if strategy == "fused":
         result = _fused_correct(_prepare(df), cfg)
@@ -252,8 +288,11 @@ def run_pipeline(
         size = F.length(F.coalesce(F.col(source_col), F.lit("").cast("binary") if use_html else F.lit("")))
         small = routed.filter(size <= cfg.mega_doc_chars)
         big = routed.filter(size > cfg.mega_doc_chars)
-        result = _fused_correct(_prepare(small), cfg).unionByName(
-            _staged_correct(_prepare(big), cfg, store)
+        # the branches filter the PERSISTED routed relation, whose plan
+        # no longer exposes inputFiles(); judge the spread gate on the
+        # pre-persist source plan instead
+        result = _fused_correct(_prepare(small, gate_df=df), cfg).unionByName(
+            _staged_correct(_prepare(big, gate_df=df), cfg, store)
         )
 
     if cfg.apply_hallucination_filter:

@@ -1665,12 +1665,28 @@ def _q_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from llm_aided_ocr_spark.operators.dedup import _words_col
 
+    from pyspark import StorageLevel
+
+    from llm_aided_ocr_spark.operators.util import pin
+
     occ = (
         _docs(spark, sf_dir, spread=True)
         .select(F.explode(_words_col("text")).alias("key"))
         .filter(F.col("key") != "")
     )
-    sketch = countmin_build(occ, depth=3, width=64, seed=7)
+    # ONE corpus tokenize: the per-word counts feed the sketch (as
+    # weights — countmin_build's internal per-key collapse is then a
+    # vocab-sized no-op) AND the exact-count side of the audit join;
+    # unpersisted, each consumer re-exploded every document (two
+    # identical Generate chains in the plan). The cache is vocab-sized.
+    wf = (
+        occ.groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sketch = countmin_build(
+        wf, key_col="key", weight_col="true_count", depth=3, width=64, seed=7
+    )
     probes = spark.createDataFrame(
         [(w,) for w in
          ["the", "be", "to", "of", "and", "that", "have", "with",
@@ -1678,14 +1694,14 @@ def _q_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key string",
     )
     est = countmin_estimate(sketch, probes, depth=3, width=64, seed=7)
-    exact = occ.groupBy("key").agg(
-        F.count(F.lit(1)).cast("bigint").alias("true_count")
-    )
-    return est.join(exact, "key", "left").select(
-        "key", "estimate",
-        F.coalesce("true_count", F.lit(0)).cast("bigint").alias(
-            "true_count"
+    return pin(
+        est.join(wf, "key", "left").select(
+            "key", "estimate",
+            F.coalesce("true_count", F.lit(0)).cast("bigint").alias(
+                "true_count"
+            ),
         ),
+        wf,
     )
 
 
@@ -4080,11 +4096,25 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    idx_sig = minhash_signatures(idx_docs, hash_family="md5_52")
+    from pyspark import StorageLevel
+
+    from llm_aided_ocr_spark.operators.util import pin
+
+    # The operator's contract input is a PERSISTED signature table (a
+    # production increment reads materialized parquet); the adapter
+    # synthesizes it, so persist the synthesized relation — otherwise
+    # every operator-side reference (bucket build + agreement join)
+    # re-runs the signature MapInPandas over the index slice.
+    idx_sig = minhash_signatures(idx_docs, hash_family="md5_52").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     kept = near_dedup_incremental(new_docs, idx_sig, threshold=0.5)
-    return carry_pins(
-        kept,
-        kept.select("doc_id", F.length("text").alias("text_len")),
+    return pin(
+        carry_pins(
+            kept,
+            kept.select("doc_id", F.length("text").alias("text_len")),
+        ),
+        idx_sig,
     )
 
 

@@ -1188,12 +1188,19 @@ def near_dedup_incremental(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # cross_hit feeds THREE consumers (the drop union and both
+    # surviving-endpoint anti-joins); uncached, each reference re-embeds
+    # the whole candidate-join + signature subtree — including a fresh
+    # scan of the index signatures (verified: the uncached plan held
+    # 100+ duplicated Generate/Python subtrees). It is a batch-bounded
+    # id set, the cheapest possible cache here (guide §2.4).
     cross_hit = (
         cross.join(sa, "id_a")
         .join(sb_idx, "id_b")
         .filter(agree / F.lit(num_perm) >= threshold)
         .select(F.col("id_a").alias("id"))
         .distinct()
+        .cache()
     )
 
     within = (
@@ -1221,7 +1228,7 @@ def near_dedup_incremental(
     )
     kept = new_df.join(drops, on=id_col, how="left_anti")
     kept = carry_pins(clusters, kept)
-    return pin(pin(kept, new_sigs), u)
+    return pin(pin(pin(kept, new_sigs), u), cross_hit)
 
 
 def apply_incremental_dedup(

@@ -174,7 +174,13 @@ def cdx_prefix_scan(
     record-side join is on ``block_ix`` with the default strategy (AQE
     broadcasts it when the prefix is narrow, shuffles when someone asks
     for ``com,*``)."""
-    cand = cdx_prefix_blocks(index, prefix)
+    from llm_aided_ocr_spark.operators.util import carry_pins, pin
+
+    # the candidate relation is consumed twice (record-side join +
+    # final projection) and is O(matched / block_size) rows by
+    # construction — cache it so the index range-intersection self-join
+    # runs once (guide §2.4)
+    cand = cdx_prefix_blocks(index, prefix).cache()
     stats = (
         blocked.join(cand.select("block_ix"), "block_ix")
         .groupBy("block_ix")
@@ -185,7 +191,12 @@ def cdx_prefix_scan(
             ).cast("bigint").alias("n_matched"),
         )
     )
-    return cand.select("block_ix", "first_surt_key").join(stats, "block_ix")
+    return pin(
+        carry_pins(
+            index, cand.select("block_ix", "first_surt_key").join(stats, "block_ix")
+        ),
+        cand,
+    )
 
 
 def revisit_records(

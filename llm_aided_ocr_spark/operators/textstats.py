@@ -2042,7 +2042,16 @@ def quality_yield(
     threshold; a >max score survives all)."""
     if step <= 0 or max_score < 0:
         raise ValueError("need step > 0 and max_score >= 0")
+    from pyspark import StorageLevel
+
+    from llm_aided_ocr_spark.operators.util import pin
+
     spark = df.sparkSession
+    # b feeds BOTH the grid theta-join and the totals aggregate; without
+    # a persist each consumer re-runs the full corpus aggregation
+    # (including whatever score projection the caller feeds in). b is at
+    # most ``max_score + 1`` rows — the cheapest cache in the repo
+    # (guide §2.4).
     b = (
         df.select(
             F.greatest(
@@ -2056,6 +2065,7 @@ def quality_yield(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.coalesce(F.sum("m"), F.lit(0)).cast("bigint").alias("mm"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     grid = spark.range(0, int(max_score) + 1, int(step)).select(
         F.col("id").cast("bigint").alias("threshold")
@@ -2076,18 +2086,21 @@ def quality_yield(
             ),
         )
     )
-    return kept.crossJoin(F.broadcast(tot)).select(
-        "threshold",
-        "n_docs_kept",
-        "mass_kept",
-        F.when(
-            F.col("tn") > 0,
-            F.col("n_docs_kept").cast("double") / F.col("tn").cast("double"),
-        ).alias("doc_frac"),
-        F.when(
-            F.col("tm") > 0,
-            F.col("mass_kept").cast("double") / F.col("tm").cast("double"),
-        ).alias("mass_frac"),
+    return pin(
+        kept.crossJoin(F.broadcast(tot)).select(
+            "threshold",
+            "n_docs_kept",
+            "mass_kept",
+            F.when(
+                F.col("tn") > 0,
+                F.col("n_docs_kept").cast("double") / F.col("tn").cast("double"),
+            ).alias("doc_frac"),
+            F.when(
+                F.col("tm") > 0,
+                F.col("mass_kept").cast("double") / F.col("tm").cast("double"),
+            ).alias("mass_frac"),
+        ),
+        b,
     )
 
 

@@ -247,12 +247,19 @@ def release_local_checkpoint(df: DataFrame, blocking: bool = False) -> bool:
         return False
 
 
-def release_pinned(result: DataFrame, blocking: bool = False) -> int:
+def release_pinned(result: DataFrame, blocking: bool = True) -> int:
     """Unpersist every relation pinned on ``result`` (see :func:`pin`) —
     both CacheManager caches and ``localCheckpoint`` relations (whose
     blocks need :func:`release_local_checkpoint`). Safe on any DataFrame
     (no-op when nothing is pinned), idempotent. Returns the number of
-    relations released."""
+    relations released.
+
+    ``blocking`` defaults to True (round 6): an async unpersist lets
+    block eviction run concurrently with whatever the session does next
+    — in a many-query sweep that bleeds one query's cache cleanup into
+    the next query's measured window; waiting costs the CALLER nothing
+    measurable and keeps timings independent. Pass ``blocking=False``
+    for fire-and-forget callers on a latency-sensitive path."""
     pinned = getattr(result, "_ocr_spark_pinned", None) or []
     for df in pinned:
         df.unpersist(blocking=blocking)

@@ -311,7 +311,7 @@ def run_pipeline(
     return result
 
 
-def release_pipeline_cache(result: DataFrame, blocking: bool = False) -> int:
+def release_pipeline_cache(result: DataFrame, blocking: bool = True) -> int:
     """Unpersist every relation :func:`run_pipeline` pinned for ``result``
     (the auto strategy's routed corpus cache). Call AFTER the terminal
     action (write/collect) on ``result`` — the cache exists precisely so the

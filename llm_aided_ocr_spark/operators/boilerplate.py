@@ -99,11 +99,44 @@ def line_dedup(
     minutes where the join form takes seconds). Use it only when the
     frequent set is known to be tiny (hundreds)."""
     out_col = out_col or text_col
-    dup = dup_line_hashes(
-        df, text_col=text_col, min_doc_freq=min_doc_freq,
-        hash_family=hash_family,
-    )
     lines = _lines_col(text_col)
+    blank_hash = _line_hash(F.lit(""), hash_family)
+    _pinned_hashes = None
+    if strategy == "join":
+        # ONE tokenize+hash pass feeds BOTH the frequency count and the
+        # per-position explode: persist the per-doc hash ARRAYS (8
+        # bytes/line — ~an order narrower than the text) instead of
+        # re-splitting and re-hashing every document for each consumer
+        # (guide §2.4/§1.2). Equivalence of the dup side: a line's hash
+        # is of its TRIMMED form, so `hash != hash('')` selects exactly
+        # the trimmed-non-blank lines the filter-then-hash form counted.
+        from pyspark import StorageLevel
+
+        hrel = df.select(
+            F.col(id_col).alias("_ld_id"),
+            F.transform(
+                lines, lambda l: _line_hash(l, hash_family)
+            ).alias("_lh"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _pinned_hashes = hrel
+        dup = (
+            hrel.select(
+                F.explode(
+                    F.array_distinct(
+                        F.filter("_lh", lambda h: h != blank_hash)
+                    )
+                ).alias("line_hash")
+            )
+            .groupBy("line_hash")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") >= F.lit(min_doc_freq))
+            .select("line_hash")
+        )
+    else:
+        dup = dup_line_hashes(
+            df, text_col=text_col, min_doc_freq=min_doc_freq,
+            hash_family=hash_family,
+        )
     if strategy == "broadcast":
         dup_arr = F.broadcast(
             dup.agg(F.sort_array(F.collect_list("line_hash")).alias("_dup_hashes"))
@@ -119,13 +152,10 @@ def line_dedup(
             .drop("_dup_hashes")
         )
     if strategy == "join":
-        ex = df.select(
-            F.col(id_col).alias("_ld_id"),
-            F.posexplode(
-                F.transform(lines, lambda l: _line_hash(l, hash_family))
-            ).alias("pos", "line_hash"),
+        ex = hrel.select(
+            "_ld_id",
+            F.posexplode("_lh").alias("pos", "line_hash"),
         )
-        blank_hash = _line_hash(F.lit(""), hash_family)
         kept_pos = (
             ex.join(
                 dup.withColumn("_dup", F.lit(True)), on="line_hash", how="left"
@@ -152,12 +182,15 @@ def line_dedup(
                 "\n",
             ),
         )
-        return (
+        from llm_aided_ocr_spark.operators.util import pin
+
+        return pin(
             df.join(
                 corpus_scaled(kept_pos), df[id_col] == kept_pos["_ld_id"], "left"
             )
             .withColumn(out_col, rebuilt)
-            .drop("_ld_id", "_kept_pos")
+            .drop("_ld_id", "_kept_pos"),
+            _pinned_hashes,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -174,11 +207,13 @@ def line_dedup_stats(
     :func:`line_dedup`: per-document line counts before/after plus the
     length and md5 of the cleaned text (md5 is engine-portable, so the
     driver oracle verifies the rebuilt BYTES, not just counts)."""
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
     cleaned = line_dedup(
         df, text_col=text_col, id_col=id_col, min_doc_freq=min_doc_freq,
         hash_family=hash_family, out_col="_clean", strategy=strategy,
     )
-    return cleaned.select(
+    return carry_pins(cleaned, cleaned.select(
         F.col(id_col).alias("id"),
         F.size(_lines_col(text_col)).alias("n_lines"),
         F.size(F.split(F.col("_clean"), "\n")).alias("n_kept_raw"),
@@ -188,7 +223,7 @@ def line_dedup_stats(
         # split('') yields [''] — an all-boilerplate doc has 0 kept lines
         "n_kept",
         F.when(F.col("clean_len") == 0, F.lit(0)).otherwise(F.col("n_kept_raw")),
-    ).drop("n_kept_raw")
+    ).drop("n_kept_raw"))
 
 
 # ---------------------------------------------------------------------------

@@ -43,35 +43,37 @@ def _bigram_rel(
     joins move distinct-bigrams-per-doc rows, not per-occurrence rows —
     the same shuffle diet as word_commonness."""
     from llm_aided_ocr_spark.operators.dedup import _word_hash_col, _words_col
-    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism
+    from llm_aided_ocr_spark.operators.util import ensure_min_parallelism, let_
 
     ws = _words_col(text_col)
     key = (
         (lambda c: _word_hash_col(c, hash_family)) if hashed else (lambda c: c)
     )
-    base = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.filter(ws, lambda w: w != "").alias("ws"),
+    empty_t = (
+        "array<struct<g1:bigint,g2:bigint>>"
+        if hashed
+        else "array<struct<g1:string,g2:string>>"
     )
-    pairs = base.select(
-        "id",
-        F.explode(
-            F.when(
-                F.size("ws") >= 2,
-                F.zip_with(
-                    F.slice("ws", 1, F.size("ws") - 1),
-                    F.slice("ws", 2, F.size("ws") - 1),
-                    lambda a, b: F.struct(
-                        key(a).alias("g1"), key(b).alias("g2")
-                    ),
+
+    # let_-bind the token array: a projected alias is inlined per
+    # reference by CollapseProject, so the unbound form re-split the
+    # text for each of the size check and both slices (guide §1.2)
+    def _pairs_col(w):
+        return F.when(
+            F.size(w) >= 2,
+            F.zip_with(
+                F.slice(w, 1, F.size(w) - 1),
+                F.slice(w, 2, F.size(w) - 1),
+                lambda a, b: F.struct(
+                    key(a).alias("g1"), key(b).alias("g2")
                 ),
-            ).otherwise(
-                F.array().cast(
-                    "array<struct<g1:bigint,g2:bigint>>"
-                    if hashed
-                    else "array<struct<g1:string,g2:string>>"
-                )
-            )
+            ),
+        ).otherwise(F.array().cast(empty_t))
+
+    pairs = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            let_(F.filter(ws, lambda w: w != ""), _pairs_col)
         ).alias("p"),
     )
     return pairs.groupBy(

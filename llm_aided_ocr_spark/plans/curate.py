@@ -194,6 +194,11 @@ def curate(
             docs, text_col="corrected_text", id_col="url",
             min_doc_freq=cfg.line_dedup_min_df,
         )
+        # line_dedup pins its per-doc line-hash cache on the result;
+        # move it onto the plan-level pin list before the next stage
+        # replaces the DataFrame object (the pin lives on the object)
+        pins.extend(getattr(docs, "_ocr_spark_pinned", None) or [])
+        docs._ocr_spark_pinned = []
     if cfg.paragraph_dedup:
         from llm_aided_ocr_spark.operators.dedup import paragraph_dedup
 

@@ -409,7 +409,7 @@ def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_aided_ocr_spark.operators.sampling import hash_split
     from llm_aided_ocr_spark.plans.shards import shard_assignments, shard_manifest
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, spread=True).select("doc_id", "text")
     split = hash_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=1)
     asg = shard_assignments(
         split, budget=512, num_shards=4, text_col="text",
@@ -544,7 +544,7 @@ def _q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_aided_ocr_spark.operators.sampling import hash_split
     from llm_aided_ocr_spark.plans.shards import epoch_order, shard_assignments
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, spread=True).select("doc_id", "text")
     split = hash_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=1)
     asg = shard_assignments(
         split, budget=512, num_shards=4, text_col="text",
@@ -3714,7 +3714,7 @@ def _q_html_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_dimensions round-trip-proof pattern)."""
     from llm_aided_ocr_spark.operators.extract import html_page_signals
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, spread=True).select("doc_id", "text")
     did = F.col("doc_id")
     esc = F.coalesce("text", F.lit(""))
     esc = F.replace(esc, F.lit("&"), F.lit("&amp;"))
@@ -3855,6 +3855,10 @@ def _q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     group min id regardless of partitioning."""
     from llm_aided_ocr_spark.operators.normalize import normalized_keepers
 
+    # NOT spread: the normalize chain fuses into the scan and the
+    # operator's own (id, hash) exchange follows immediately — a
+    # round-robin spread here would move the full text through an extra
+    # exchange first (measured slower)
     d = _docs(spark, sf_dir).select("doc_id", "text")
     variant = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -3918,7 +3922,12 @@ def _q_annotate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.concat(F.lit("https://ok.example.org/casino-night/"), i))
         .otherwise(F.concat(F.lit("https://ok.example.org/clean/"), i))
     )
-    d = _docs(spark, sf_dir).select("doc_id", url.alias("url"), "text")
+    # spread=True: the attribute projection is regex-bound per row; on
+    # the one-row-group test table it would otherwise run on one core
+    # (no-op at corpus scale - see _docs)
+    d = _docs(spark, sf_dir, spread=True).select(
+        "doc_id", url.alias("url"), "text"
+    )
     return annotate(
         d,
         text_col="text",
@@ -5135,7 +5144,10 @@ def _q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     host extraction and the rounding contract must all agree."""
     from llm_aided_ocr_spark.operators.textstats import host_quality_rollup
 
-    d = _docs(spark, sf_dir).withColumn(
+    # spread=True: the per-doc qscore+Gopher projection dominates this
+    # query; one row-group would serialize it on one core (no-op at
+    # corpus scale - see _docs)
+    d = _docs(spark, sf_dir, spread=True).withColumn(
         "url",
         F.concat(
             F.lit("https://site"),
@@ -5334,7 +5346,7 @@ def _q_content_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly (the media_dimensions round-trip-proof pattern)."""
     from llm_aided_ocr_spark.operators.extract import content_blocks
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, spread=True).select("doc_id", "text")
     did = F.col("doc_id")
     esc = F.coalesce("text", F.lit(""))
     esc = F.replace(esc, F.lit("&"), F.lit("&amp;"))
@@ -5394,7 +5406,7 @@ def _q_content_blocks_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
     same arithmetic."""
     from llm_aided_ocr_spark.operators.extract import content_blocks_contextual
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, spread=True).select("doc_id", "text")
     did = F.col("doc_id")
     esc = F.coalesce("text", F.lit(""))
     esc = F.replace(esc, F.lit("&"), F.lit("&amp;"))
@@ -5926,7 +5938,7 @@ def _q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     all value-checked."""
     from llm_aided_ocr_spark.operators.evaluation import extraction_eval
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, spread=True).select("doc_id", "text")
     did = F.col("doc_id")
     toks = F.regexp_extract_all(
         F.lower(F.coalesce(F.col("text"), F.lit(""))),
@@ -6612,7 +6624,9 @@ def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     sidestep HALF_UP-vs-banker's ``round`` divergence."""
     from llm_aided_ocr_spark.operators.readability import flesch_scores
 
-    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "text")
+    d = _docs(spark, sf_dir, spread=True).select(
+        F.col("doc_id").alias("id"), "text"
+    )
     return flesch_scores(d).select(
         F.col("id").alias("doc_id"), "n_words", "n_sentences",
         "n_syllables", "flesch_x1e4",
@@ -6651,7 +6665,7 @@ def _q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal alternation, and round the per-kchar rate to 6dp."""
     from llm_aided_ocr_spark.operators.mojibake import mojibake_scores
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, spread=True).select("doc_id", "text")
     t2 = F.concat(
         F.coalesce(F.col("text"), F.lit("")),
         F.expr("repeat('Ã©', CAST(doc_id % 4 AS INT))"),
@@ -6728,7 +6742,7 @@ def _cdx_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     yielding a NULL SURT key, and a deep subdomain) with deterministic
     epoch-derived capture timestamps — the shared input of the three
     CDX contract queries."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, spread=True).select("doc_id", "text")
     did, i = F.col("doc_id"), F.col("doc_id").cast("string")
     m5 = did % 5
     url = (

@@ -826,21 +826,38 @@ def mine_bitext(
     zero Python rows."""
     from llm_aided_ocr_spark.operators.util import pin
 
+    # Norms are per-VECTOR, not per-pair: compute them once per side
+    # (|X| + |Y| aggregates) instead of letting cosine_col re-run both
+    # norm aggregates for every one of the |X|·|Y| candidate pairs
+    # (guide §1.2 per-task work / §2.4 don't recompute). The expression
+    # trees are identical to cosine_col's, so every double — and hence
+    # every floor-quantized qcos — is bit-identical.
     qx = quantize_embeddings(x, vec_col=vec_col, out_col="_q", levels=levels).select(
-        F.col(id_col).alias("x_id"), F.col("_q").cast("array<double>").alias("xv")
-    )
+        F.col(id_col).alias("x_id"),
+        F.col("_q").cast("array<double>").alias("xv"),
+    ).withColumn("xn", _norm(F.col("xv")))
     qy = quantize_embeddings(y, vec_col=vec_col, out_col="_q", levels=levels).select(
-        F.col(id_col).alias("y_id"), F.col("_q").cast("array<double>").alias("yv")
+        F.col(id_col).alias("y_id"),
+        F.col("_q").cast("array<double>").alias("yv"),
+    ).withColumn("yn", _norm(F.col("yv")))
+    denom = F.col("xn") * F.col("yn")
+    cos = F.when(denom > 0, _dot(F.col("xv"), F.col("yv")) / denom).otherwise(
+        F.lit(0.0)
     )
+    # Cache the candidate relation hash-partitioned by x_id: the x-side
+    # k-NN window, the final sx join and the forward-rank window all key
+    # on x_id, so establishing that distribution ONCE at materialization
+    # lets all three reuse it (guide §2.4 — one exchange shared by every
+    # same-keyed consumer; the window's shuffle it replaces was already
+    # a full pass over the pair relation, so no new at-scale cost).
     pairs = (
         qx.crossJoin(qy)
         .select(
             "x_id",
             "y_id",
-            F.floor(cosine_col(F.col("xv"), F.col("yv")) * F.lit(float(scale)))
-            .cast("bigint")
-            .alias("qcos"),
+            F.floor(cos * F.lit(float(scale))).cast("bigint").alias("qcos"),
         )
+        .repartition("x_id")
         .cache()
     )
     wx = Window.partitionBy("x_id").orderBy(F.desc("qcos"), F.col("y_id"))
@@ -857,9 +874,14 @@ def mine_bitext(
         .groupBy("y_id")
         .agg(F.sum("qcos").alias("sy"))
     )
+    # Join sy (y_id) FIRST and sx (x_id) LAST so that m leaves the join
+    # pipeline hash-partitioned by x_id — the forward-rank window below
+    # partitions by x_id and reuses that distribution, which removes one
+    # full exchange of the pair-sized relation (guide §2.4: operations
+    # keyed the same way share one exchange).
     m = (
-        pairs.join(sx, "x_id")
-        .join(sy, "y_id")
+        pairs.join(sy, "y_id")
+        .join(sx, "x_id")
         .filter((F.col("qcos") > 0) & (F.col("sx") + F.col("sy") > 0))
         .select(
             "x_id",

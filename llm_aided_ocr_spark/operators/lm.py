@@ -170,8 +170,13 @@ def lm_score(
         # identical explode+agg subtrees). ``uni`` is vocabulary-sized —
         # reference-corpus-scaled, not corpus-scaled — so the cache is
         # small by construction (guide §2.4); pinned on the result below
-        # for deterministic release.
+        # for deterministic release. ``bi`` is persisted for the same
+        # reason: it is distinct-reference-bigram-sized, and without the
+        # persist every ACTION over the result (and every downstream
+        # consumer, e.g. ccnet_buckets' quantile pass + bucket pass)
+        # re-runs the reference tokenize+explode+aggregate from scratch.
         model["uni"] = model["uni"].persist(StorageLevel.MEMORY_AND_DISK)
+        model["bi"] = model["bi"].persist(StorageLevel.MEMORY_AND_DISK)
     occ = _bigram_rel(df, text_col, id_col, hash_family, hashed)
     uni = model["uni"]
     c1 = uni.select(F.col("g").alias("g1"), F.col("c").alias("c1"))
@@ -229,7 +234,7 @@ def lm_score(
     if trained_inline:
         from llm_aided_ocr_spark.operators.util import pin
 
-        out = pin(out, model["uni"])
+        out = pin(pin(out, model["uni"]), model["bi"])
     return out
 
 

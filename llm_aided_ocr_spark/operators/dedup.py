@@ -1193,15 +1193,21 @@ def near_dedup_incremental(
     # the whole candidate-join + signature subtree — including a fresh
     # scan of the index signatures (verified: the uncached plan held
     # 100+ duplicated Generate/Python subtrees). It is a batch-bounded
-    # id set, the cheapest possible cache here (guide §2.4).
-    cross_hit = (
+    # id set; an EAGER localCheckpoint (not .cache()) both shares the
+    # materialization AND truncates the lineage to a LogicalRDD — with a
+    # plain cache every later action re-analyzed/re-optimized the full
+    # candidate+signature subtree once per reference (a 1000+-node plan:
+    # driver-side planning was a large share of the per-action cost,
+    # guide §3.3 "very large plans ... materialise an intermediate"),
+    # matching the checkpoint discipline dedup_clusters already uses.
+    cross_hit_plan = (
         cross.join(sa, "id_a")
         .join(sb_idx, "id_b")
         .filter(agree / F.lit(num_perm) >= threshold)
         .select(F.col("id_a").alias("id"))
         .distinct()
-        .cache()
     )
+    cross_hit = cross_hit_plan.localCheckpoint(eager=True)
 
     within = (
         un.alias("a")
@@ -1228,7 +1234,14 @@ def near_dedup_incremental(
     )
     kept = new_df.join(drops, on=id_col, how="left_anti")
     kept = carry_pins(clusters, kept)
-    return pin(pin(pin(kept, new_sigs), u), cross_hit)
+    kept = pin(pin(pin(kept, new_sigs), u), cross_hit)
+    # Test probe: the candidate subtree now executes at the eager
+    # checkpoint, so the index-never-shuffled plan property is no longer
+    # visible in the RESULT's (truncated) plan — expose the logical
+    # candidate plan for plan-shape tests (same object-attribute pattern
+    # as pin()).
+    kept._ocr_spark_index_probe = cross_hit_plan  # type: ignore[attr-defined]
+    return kept
 
 
 def apply_incremental_dedup(

@@ -574,9 +574,18 @@ def test_incremental_dedup_index_is_never_shuffled(spark, inc_corpus):
     corpus, new = inc_corpus
     kept = near_dedup_incremental(new, minhash_signatures(corpus), threshold=0.5)
     kept.collect()
-    plan = kept._jdf.queryExecution().executedPlan().toString()
+    # the candidate subtree executes at the operator's eager checkpoint
+    # (lineage truncation, guide §3.3), so the semi-join lives in the
+    # exposed probe plan, not in the truncated result plan
+    probe = kept._ocr_spark_index_probe
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
     release_pinned(kept, blocking=True)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # and the result plan itself must be truncated — the giant candidate
+    # subtree must NOT be re-analyzed per action over the result
+    final_plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in final_plan, final_plan
 
 
 def test_apply_incremental_dedup_corrupt_index_raises(spark, inc_corpus, tmp_path):

@@ -142,9 +142,16 @@ def url_bitext_candidates(
     (or via two mirrors) cannot duplicate pairs.
 
     Scale shape: one scan-fused regex projection, ONE
-    ``(key, lang) → min(url)`` aggregation, ONE self-join on the
-    key (co-partitioned with the aggregation output; per-key fanout is
-    bounded by the language count of that page, ~dozens at worst)."""
+    ``(key, lang) → min(url)`` aggregation (map-side-combinable ``min``
+    makes a url-level ``distinct`` redundant — the min over a multiset
+    equals the min over its set), then the pair generation is ARRAY-
+    LOCAL: one ``key → sorted (lang, url) list`` aggregation (bounded by
+    the page's language count, ~dozens at worst) and a per-row ordered-
+    pair expansion. No self-join — the former join re-ran the whole
+    regex+aggregate subtree on BOTH sides and re-exchanged each by key
+    (guide §2.4); this form moves the same rows through two keyed
+    exchanges total, and ``lang_a < lang_b`` falls out of the sorted
+    order."""
     u = F.col(url_col)
     host = F.lower(
         F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
@@ -158,18 +165,40 @@ def url_bitext_candidates(
     base = (
         df.select(u.alias("url"))
         .filter(u.isNotNull() & (u != ""))
-        .distinct()
         .select(key.alias("key"), lang.alias("lang"), F.col("url"))
         .filter((F.col("lang") != "") & (F.col("key") != ""))
         .groupBy("key", "lang")
         .agg(F.min("url").alias("url"))
     )
-    a = base.select(
-        "key", F.col("lang").alias("lang_a"), F.col("url").alias("url_a")
+    ls = base.groupBy("key").agg(
+        F.sort_array(F.collect_list(F.struct("lang", "url"))).alias("_ls")
     )
-    b = base.select(
-        "key", F.col("lang").alias("lang_b"), F.col("url").alias("url_b")
+    lsc = F.col("_ls")
+    pair_t = (
+        "array<struct<lang_a:string,url_a:string,"
+        "lang_b:string,url_b:string>>"
     )
-    return a.join(b, "key").filter(F.col("lang_a") < F.col("lang_b")).select(
-        "key", "lang_a", "url_a", "lang_b", "url_b"
+    return ls.select(
+        "key",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    lsc,
+                    # one row per (key, lang), sorted by lang: pairing
+                    # element i with every later element enumerates
+                    # exactly the lang_a < lang_b pairs
+                    lambda x, i: F.transform(
+                        F.slice(lsc, i + F.lit(2), F.size(lsc)),
+                        lambda y: F.struct(
+                            x["lang"].alias("lang_a"),
+                            x["url"].alias("url_a"),
+                            y["lang"].alias("lang_b"),
+                            y["url"].alias("url_b"),
+                        ),
+                    ),
+                )
+            ).cast(pair_t)
+        ).alias("_p"),
+    ).select(
+        "key", "_p.lang_a", "_p.url_a", "_p.lang_b", "_p.url_b"
     )

@@ -121,19 +121,23 @@ def capture_novelty(
         F.row_number().over(w).alias("_rk"),
         F.lag("_sh").over(w).alias("_prev_sh"),
     )
-    return (
-        caps.filter(F.col("_rk") >= 2)
-        .select(
-            F.col("_url").alias("url"),
-            F.col("_ts").alias("ts"),
-            F.size("_sh").cast("bigint").alias("n_shingles"),
-            F.size(F.array_except("_sh", "_prev_sh")).cast("bigint").alias(
-                "n_new"
-            ),
-            F.when(
-                F.size("_sh") > 0,
-                F.size(F.array_except("_sh", "_prev_sh")).cast("double")
-                / F.size("_sh"),
-            ).alias("novelty"),
-        )
+    # two-step select: the array_except set difference is the expensive
+    # per-row term and a WHEN branch is outside codegen subexpression
+    # elimination, so naming it in an inner project keeps it at ONE
+    # evaluation per row (CollapseProject does not inline non-cheap
+    # aliases; verified in the optimized plan: 2 array_except -> 1)
+    inner = caps.filter(F.col("_rk") >= 2).select(
+        F.col("_url").alias("url"),
+        F.col("_ts").alias("ts"),
+        F.size("_sh").alias("_s"),
+        F.size(F.array_except("_sh", "_prev_sh")).alias("_e"),
+    )
+    return inner.select(
+        "url",
+        "ts",
+        F.col("_s").cast("bigint").alias("n_shingles"),
+        F.col("_e").cast("bigint").alias("n_new"),
+        F.when(
+            F.col("_s") > 0, F.col("_e").cast("double") / F.col("_s")
+        ).alias("novelty"),
     )

@@ -80,8 +80,16 @@ def resolve_href_col(base_col: Column, href_col: Column) -> Column:
     A base url with no parseable ``scheme://host`` origin yields NULL
     for every relative form (nothing to resolve against).
     """
-    raw = F.trim(F.coalesce(href_col, F.lit("")))
-    raw = F.replace(raw, F.lit("&amp;"), F.lit("&"))
+    scheme, origin, basepath, basedir = _base_parts(base_col)
+    return _resolve_from_parts(scheme, origin, basepath, basedir, href_col)
+
+
+def _base_parts(base_col: Column) -> tuple:
+    """``(scheme, origin, basepath, basedir)`` parsed from the base url —
+    split out so callers that resolve MANY hrefs against one base (the
+    pre-explode transform in :func:`outlinks` / :func:`anchor_texts`)
+    can hoist these four per-ROW expressions into named columns instead
+    of re-deriving them per href."""
     base = F.coalesce(base_col, F.lit(""))
     scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
     origin = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
@@ -89,6 +97,19 @@ def resolve_href_col(base_col: Column, href_col: Column) -> Column:
         base, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
     )
     basedir = F.regexp_replace(basepath, r"[^/]*$", "")
+    return scheme, origin, basepath, basedir
+
+
+def _resolve_from_parts(
+    scheme: Column,
+    origin: Column,
+    basepath: Column,
+    basedir: Column,
+    href_col: Column,
+) -> Column:
+    """:func:`resolve_href_col` body over pre-parsed base parts."""
+    raw = F.trim(F.coalesce(href_col, F.lit("")))
+    raw = F.replace(raw, F.lit("&amp;"), F.lit("&"))
 
     def _joined(r: Column) -> Column:
         no_origin = origin == ""
@@ -157,16 +178,47 @@ def outlinks(
     no origin) are dropped.
 
     The whole operator is scan → project → explode → filter: zero
-    shuffle, zero Python, whole-stage codegen end to end.
+    shuffle, zero Python, whole-stage codegen end to end. Resolution
+    runs INSIDE the pre-explode transform (one ``(href, dst_url)``
+    struct per element, base-url parts hoisted to named per-row
+    columns): computing ``dst_url`` after the explode let the
+    null/scheme filters be pushed below the projection, duplicating
+    the whole multi-regex resolve tree into each Filter — the plan
+    held three copies per row (verified; the same §4.4-style
+    filter-duplication, just with native expressions). Filters cannot
+    cross the Generate, so the tree now evaluates once per href.
     """
     hrefs = F.regexp_extract_all(_decoded(F.col(html_col)), F.lit(HREF_PATTERN), 1)
     if max_links:
         hrefs = F.slice(hrefs, 1, max_links)
-    out = df.select(
+    scheme, origin, basepath, basedir = _base_parts(F.col(url_col))
+    parsed = df.select(
         F.col(id_col).alias("id"),
         F.col(url_col).alias("url"),
-        F.explode(hrefs).alias("href"),
-    ).withColumn("dst_url", resolve_href_col(F.col("url"), F.col("href")))
+        scheme.alias("_bscheme"),
+        origin.alias("_borigin"),
+        basepath.alias("_bpath"),
+        basedir.alias("_bdir"),
+        hrefs.alias("_hrefs"),
+    )
+    pairs = F.transform(
+        F.col("_hrefs"),
+        lambda h: F.struct(
+            h.alias("href"),
+            _resolve_from_parts(
+                F.col("_bscheme"), F.col("_borigin"),
+                F.col("_bpath"), F.col("_bdir"), h,
+            ).alias("dst_url"),
+        ),
+    )
+    out = (
+        parsed.select("id", "url", F.explode(pairs).alias("_l"))
+        .select(
+            "id", "url",
+            F.col("_l.href").alias("href"),
+            F.col("_l.dst_url").alias("dst_url"),
+        )
+    )
     out = out.filter(F.col("dst_url").isNotNull())
     if http_only:
         out = out.filter(F.col("dst_url").rlike(r"^https?://"))
@@ -179,6 +231,7 @@ def anchor_texts(
     url_col: str = "url",
     id_col: str = "doc_id",
     max_links: int = 1000,
+    _resolve_base: bool = False,
 ) -> DataFrame:
     """``(id, url, href, anchor)`` — href plus the anchor's inner text
     (tags stripped, whitespace collapsed), from WELL-FORMED ``<a ...>
@@ -186,36 +239,74 @@ def anchor_texts(
     :func:`outlinks` for recall; this op exists for anchor-text corpora,
     where the text is the point). Same pre-explode cap, same native
     element-walk shape: ``regexp_extract_all`` over the element, then a
-    per-element ``transform`` extracting href and text — no Python."""
+    per-element ``transform`` extracting href and text — no Python.
+
+    ``_resolve_base=True`` (internal, for :func:`anchor_corpus`) adds a
+    ``dst_url`` column resolved per element INSIDE the transform — the
+    same filter-duplication guard as :func:`outlinks`: resolving after
+    the explode lets downstream filters clone the multi-regex resolve
+    tree below the projection."""
     elems = F.regexp_extract_all(
         _decoded(F.col(html_col)), F.lit(ANCHOR_ELEMENT_PATTERN), 0
     )
     if max_links:
         elems = F.slice(elems, 1, max_links)
-    pairs = F.transform(
-        elems,
-        lambda e: F.struct(
-            F.regexp_extract(e, HREF_PATTERN, 1).alias("href"),
-            F.trim(
+
+    def _pair(e: Column) -> Column:
+        anchor = F.trim(
+            F.regexp_replace(
                 F.regexp_replace(
-                    F.regexp_replace(
-                        F.regexp_extract(e, r"(?is)^<a\b[^>]*>(.*)</a>$", 1),
-                        r"<[^>]*>",
-                        " ",
-                    ),
-                    r"\s+",
+                    F.regexp_extract(e, r"(?is)^<a\b[^>]*>(.*)</a>$", 1),
+                    r"<[^>]*>",
                     " ",
-                )
-            ).alias("anchor"),
-        ),
-    )
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(url_col).alias("url"),
-            F.explode(pairs).alias("_a"),
+                ),
+                r"\s+",
+                " ",
+            )
         )
-        .select("id", "url", F.col("_a.href").alias("href"), F.col("_a.anchor").alias("anchor"))
+        if not _resolve_base:
+            return F.struct(
+                F.regexp_extract(e, HREF_PATTERN, 1).alias("href"),
+                anchor.alias("anchor"),
+            )
+        # let_-bind the href so the resolve does not re-run the
+        # element-level extract
+        return let_(
+            F.regexp_extract(e, HREF_PATTERN, 1),
+            lambda h: F.struct(
+                h.alias("href"),
+                anchor.alias("anchor"),
+                _resolve_from_parts(
+                    F.col("_bscheme"), F.col("_borigin"),
+                    F.col("_bpath"), F.col("_bdir"), h,
+                ).alias("dst_url"),
+            ),
+        )
+
+    base_cols = []
+    if _resolve_base:
+        scheme, origin, basepath, basedir = _base_parts(F.col(url_col))
+        base_cols = [
+            scheme.alias("_bscheme"), origin.alias("_borigin"),
+            basepath.alias("_bpath"), basedir.alias("_bdir"),
+        ]
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(url_col).alias("url"),
+        *base_cols,
+        elems.alias("_elems"),
+    )
+    out_cols = ["id", "url",
+                F.col("_a.href").alias("href"),
+                F.col("_a.anchor").alias("anchor")]
+    if _resolve_base:
+        out_cols.append(F.col("_a.dst_url").alias("dst_url"))
+    return (
+        src.select(
+            "id", "url",
+            F.explode(F.transform(F.col("_elems"), _pair)).alias("_a"),
+        )
+        .select(*out_cols)
         .filter(F.col("href") != "")
     )
 
@@ -404,10 +495,11 @@ def anchor_corpus(
     calling. Anchors are emitted pipe-joined (``anchors_cat``) so the
     result hashes identically across engines.
     """
-    a = anchor_texts(df, html_col, url_col, id_col, max_links)
+    a = anchor_texts(
+        df, html_col, url_col, id_col, max_links, _resolve_base=True
+    )
     a = (
-        a.withColumn("dst_url", resolve_href_col(F.col("url"), F.col("href")))
-        .filter(
+        a.filter(
             F.col("dst_url").isNotNull()
             & F.col("dst_url").rlike(r"^https?://")
             & (F.col("anchor") != "")

@@ -115,7 +115,46 @@ def _ops(spark, docs, rows):
             pages,
             CurationConfig(pipeline=PipelineConfig(provider="heuristic")),
         ),
+        # session-2 rewrite (join-free array-local pair generation):
+        # synthesize the adapter's url construction over the stress
+        # corpus — en page for every doc, fr for every 2nd, de-at for
+        # every 3rd, plus an en refetch dup and an unmarked decoy
+        "url_bitext": lambda: _url_bitext_rel(docs),
     }
+
+
+def _url_bitext_rel(docs):
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.hreflang import url_bitext_candidates
+
+    d = docs.select(F.xxhash64("url").alias("h"))
+    i = F.abs(F.col("h")).cast("string")
+    site = F.concat(
+        F.lit("https://site"),
+        F.pmod(F.col("h"), F.lit(4999)).cast("string"),
+        F.lit(".example.org"),
+    )
+    en = d.select(F.concat(site, F.lit("/en/p"), i, F.lit(".html")).alias("url"))
+    urls = (
+        en.unionByName(en)
+        .unionByName(
+            d.filter(F.col("h") % 2 == 0).select(
+                F.concat(site, F.lit("/fr/p"), i, F.lit(".html")).alias("url")
+            )
+        )
+        .unionByName(
+            d.filter(F.col("h") % 3 == 0).select(
+                F.concat(site, F.lit("/de-at/p"), i, F.lit(".html")).alias("url")
+            )
+        )
+        .unionByName(
+            d.select(
+                F.concat(site, F.lit("/docs/p"), i, F.lit(".html")).alias("url")
+            )
+        )
+    )
+    return url_bitext_candidates(urls)
 
 
 def main() -> None:

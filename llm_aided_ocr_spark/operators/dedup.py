@@ -1540,13 +1540,26 @@ def dup_span_profile(
     out = df.join(
         corpus_scaled(dup_pos), df[id_col] == dup_pos["_ds_id"], "left"
     )
-    ps = F.coalesce(F.col("_dup_pos"), F.array().cast("array<int>"))
-    n_grams = F.greatest(
-        F.size(_words_col(text_col)) - F.lit(n - 1), F.lit(0)
+    # Hoist the token array to a NAMED column: the final projection
+    # referenced _words_col (a full text split) up to four times per row
+    # — thrice via n_grams (column, WHEN condition, denominator; CSE
+    # does not cross WHEN branches) and once more in the strip/normalize
+    # branch (_normalize_col IS array_join(_words_col)). CollapseProject
+    # does not inline non-cheap aliases, so one split survives
+    # (guide §1.2; same fix as capture_novelty).
+    out = out.select(
+        F.col(id_col).alias("_dsp_id"),
+        _words_col(text_col).alias("_toks"),
+        F.coalesce(F.col("_dup_pos"), F.array().cast("array<int>")).alias(
+            "_ps"
+        ),
     )
+    tokens = F.col("_toks")
+    ps = F.col("_ps")
+    n_grams = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
     n_dup = F.size(ps)
     cols = [
-        F.col(id_col).alias("id"),
+        F.col("_dsp_id").alias("id"),
         n_grams.cast("int").alias("n_grams"),
         n_dup.cast("int").alias("n_dup"),
         F.when(n_grams > 0, n_dup.cast("double") / n_grams.cast("double"))
@@ -1563,18 +1576,17 @@ def dup_span_profile(
         # (n_dup == 0) never reach Python: the token-array input is
         # gated NULL for them, so the extracted Python projection
         # Arrow-transfers a null, and the outer CASE takes the native
-        # normalized string.
-        tokens = _words_col(text_col)
+        # normalized string (array_join of the hoisted token array —
+        # _normalize_col is DEFINED as exactly that join).
         strip_udf = _strip_covered_udf(n)
         cols.append(
-            F.when(n_dup == 0, _normalize_col(text_col))
+            F.when(n_dup == 0, F.array_join(tokens, " "))
             .otherwise(strip_udf(F.when(n_dup > 0, tokens), ps))
             .alias("stripped")
         )
     elif with_stripped:
         from llm_aided_ocr_spark.operators.util import let_
 
-        tokens = _words_col(text_col)
         # coverage via MERGED intervals: ps is sorted, so folding the
         # [p, p+n-1] spans into their union is one pass, and the
         # per-token probe touches M merged intervals instead of D raw
@@ -1625,9 +1637,9 @@ def dup_span_profile(
 
         # clean documents (the overwhelming majority of a real corpus)
         # skip the probe entirely: their stripped stream IS the
-        # normalized text
+        # normalized text (array_join of the hoisted token array)
         cols.append(
-            F.when(n_dup == 0, _normalize_col(text_col))
+            F.when(n_dup == 0, F.array_join(tokens, " "))
             .otherwise(let_(merged, _strip))
             .alias("stripped")
         )

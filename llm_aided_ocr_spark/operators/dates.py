@@ -72,6 +72,15 @@ def publication_dates(
         _META_TAG_RE,
     )
 
+    # Every stage below hoists its expensive expressions into NAMED
+    # columns of a narrowing select: the ladder references each channel
+    # up to three times (own output column, the pub_date coalesce, the
+    # source CASE) and the meta channel references the tag array once
+    # per priority key — left inline, the single-Project form evaluated
+    # the full-html regexp_extract_all 54 times per row and fell out of
+    # whole-stage codegen (plans/r06/publication_dates_before.txt).
+    # CollapseProject keeps non-cheap aliases, so each survives as one
+    # evaluation (guide §1.2; same fix as capture_novelty/dup_spans).
     h = F.decode(F.coalesce(F.col(html_col), F.lit(b"")), "UTF-8")
     tags = F.regexp_extract_all(h, F.lit(_META_TAG_RE), F.lit(1))
     pairs = F.transform(
@@ -81,50 +90,70 @@ def publication_dates(
             F.regexp_extract(t, _META_CONTENT_RE, 1).alias("content"),
         ),
     )
-
-    def _norm(raw):  # leading ISO date, validity- and range-gated
-        d = F.try_to_date(F.regexp_extract(raw, _ISO_RE, 1), "yyyy-MM-dd")
-        return F.when(
-            (F.year(d) >= min_year) & (F.year(d) <= max_year), d
-        )
+    url = F.coalesce(F.col(url_col), F.lit(""))
+    s1 = pages_df.select(
+        F.col(id_col).alias("_pd_id"),
+        pairs.alias("_pairs"),
+        F.regexp_extract(h, _TIME_TAG_RE, 1).alias("_raw_time"),
+        F.regexp_extract(url, _URL_SLASHED_RE, 1).alias("_u_y"),
+        F.regexp_extract(url, _URL_SLASHED_RE, 2).alias("_u_m"),
+        F.regexp_extract(url, _URL_SLASHED_RE, 3).alias("_u_d"),
+        F.regexp_extract(url, _URL_DASHED_RE, 1).alias("_u_dash"),
+    )
 
     # meta: first PRIORITY key with any declaration (its first tag in
     # document order breaks ties within one key)
     def _first_for_key(key_l: str):
         return F.get(
-            F.filter(pairs, lambda p: p["key"] == F.lit(key_l)), 0
+            F.filter(F.col("_pairs"), lambda p: p["key"] == F.lit(key_l)),
+            0,
         )["content"]
 
     meta_raw = None
     for k in meta_keys:
         hit = _first_for_key(k.lower())
         meta_raw = hit if meta_raw is None else F.coalesce(meta_raw, hit)
-    date_meta = _norm(F.coalesce(meta_raw, F.lit("")))
-
-    date_time_tag = _norm(F.regexp_extract(h, _TIME_TAG_RE, 1))
-
-    url = F.coalesce(F.col(url_col), F.lit(""))
     slashed = F.when(
-        F.regexp_extract(url, _URL_SLASHED_RE, 1) != "",
+        F.col("_u_y") != "",
         F.concat_ws(
             "-",
-            F.regexp_extract(url, _URL_SLASHED_RE, 1),
-            F.lpad(F.regexp_extract(url, _URL_SLASHED_RE, 2), 2, "0"),
-            F.lpad(F.regexp_extract(url, _URL_SLASHED_RE, 3), 2, "0"),
+            F.col("_u_y"),
+            F.lpad(F.col("_u_m"), 2, "0"),
+            F.lpad(F.col("_u_d"), 2, "0"),
         ),
     )
-    date_url = _norm(
-        F.coalesce(slashed, F.regexp_extract(url, _URL_DASHED_RE, 1))
+
+    def _to_date(raw):  # leading ISO date (validity via try_to_date)
+        return F.try_to_date(F.regexp_extract(raw, _ISO_RE, 1), "yyyy-MM-dd")
+
+    s2 = s1.select(
+        "_pd_id",
+        _to_date(F.coalesce(meta_raw, F.lit(""))).alias("_d_meta"),
+        _to_date(F.col("_raw_time")).alias("_d_time"),
+        _to_date(F.coalesce(slashed, F.col("_u_dash"))).alias("_d_url"),
     )
 
+    def _gate(d):  # range gate (NULL outside [min_year, max_year])
+        return F.when((F.year(d) >= min_year) & (F.year(d) <= max_year), d)
+
+    s3 = s2.select(
+        "_pd_id",
+        _gate(F.col("_d_meta")).alias("_date_meta"),
+        _gate(F.col("_d_time")).alias("_date_time_tag"),
+        _gate(F.col("_d_url")).alias("_date_url"),
+    )
+
+    date_meta = F.col("_date_meta")
+    date_time_tag = F.col("_date_time_tag")
+    date_url = F.col("_date_url")
     pub = F.coalesce(date_meta, date_time_tag, date_url)
     source = (
         F.when(date_meta.isNotNull(), F.lit("meta"))
         .when(date_time_tag.isNotNull(), F.lit("time"))
         .when(date_url.isNotNull(), F.lit("url"))
     )
-    return pages_df.select(
-        F.col(id_col).alias("id"),
+    return s3.select(
+        F.col("_pd_id").alias("id"),
         date_meta.alias("date_meta"),
         date_time_tag.alias("date_time_tag"),
         date_url.alias("date_url"),

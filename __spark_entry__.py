@@ -1191,8 +1191,10 @@ def _q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", url.alias("url"), "text"
     )
+    from llm_aided_ocr_spark.operators.util import carry_pins
+
     out = canonical_url_keepers(d)
-    return out.withColumnRenamed("id", "doc_id")
+    return carry_pins(out, out.withColumnRenamed("id", "doc_id"))
 
 
 _CANONICAL_DEDUP_SQL = f"""

@@ -98,13 +98,27 @@ def canonical_url_keepers(
     from llm_aided_ocr_spark.operators.textstats import canonical_url_col
     from llm_aided_ocr_spark.operators.util import corpus_scaled
 
+    from pyspark import StorageLevel
+
+    from llm_aided_ocr_spark.operators.util import pin
+
+    # ``base`` is persisted: it feeds BOTH the keeper aggregation and
+    # the join-back, and without the persist each consumer re-scanned
+    # the input — including the full text column, read only for its
+    # byte length — and re-ran the 15-regex canonicalization (2 scans /
+    # 2 canon evaluations, plans/r06/canonical_url_dedup_before.txt).
+    # The cached rows are (id, canon, sz) — never document text — the
+    # same narrow shape `postings`/`related_docs` already persist;
+    # exchange sharing instead of a cache does not work here because
+    # column pruning drops ``sz`` from the join-back side, making the
+    # two exchange subtrees non-identical for ReuseExchange.
     base = df.select(
         F.col(id_col).alias("id"),
         canonical_url_col(F.col(url_col)).alias("canon_url"),
         F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
         .cast("bigint")
         .alias("sz"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # min over (-sz, id): longest text first, then smallest id — one
     # struct-min aggregate instead of a row_number window (no per-group
     # sort buffer; plain map-side-combinable min)
@@ -116,11 +130,12 @@ def canonical_url_keepers(
         .agg(F.min(keep_key).alias("k"))
         .select("canon_url", F.col("k.id").alias("_keeper_id"))
     )
-    return base.join(corpus_scaled(keepers), "canon_url").select(
+    out = base.join(corpus_scaled(keepers), "canon_url").select(
         "id",
         "canon_url",
         (F.col("id") == F.col("_keeper_id")).alias("keep"),
     )
+    return pin(out, base)
 
 
 def exact_dup_groups(

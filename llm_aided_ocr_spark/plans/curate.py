@@ -149,12 +149,16 @@ def curate(
         from llm_aided_ocr_spark.operators.dedup import canonical_url_keepers
         from llm_aided_ocr_spark.operators.util import corpus_scaled
 
-        keep = (
-            canonical_url_keepers(pages_df, id_col="url")
-            .filter(F.col("keep"))
-            .select(F.col("id").alias("url"))
-        )
+        ck = canonical_url_keepers(pages_df, id_col="url")
+        keep = ck.filter(F.col("keep")).select(F.col("id").alias("url"))
         pages_df = pages_df.join(corpus_scaled(keep), "url", "left_semi")
+        # the operator pins its narrow (id, canon, sz) cache on its
+        # result object; collect it for the plan-level pin list below
+        # (the object itself is replaced by the derivations above)
+        early_pins = list(getattr(ck, "_ocr_spark_pinned", None) or [])
+        ck._ocr_spark_pinned = []
+    else:
+        early_pins = []
 
     corrected = run_pipeline(
         pages_df, cfg.pipeline, store=store,
@@ -169,7 +173,7 @@ def curate(
     # checkpointing store the stage is already parquet-backed and this
     # cache is just locality).
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    pins = [docs]
+    pins = [docs] + early_pins
 
     # Text-REWRITING stages run between correction and the gates, so
     # every downstream gate and every dedup key sees the FINAL bytes.

@@ -345,8 +345,15 @@ def related_docs(
         .filter(F.col("iw") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ss = w.groupBy("id").agg(
-        F.sum(F.col("iw") * F.col("iw")).alias("ssq")
+    # per-doc squared norms feed BOTH sides of the scored join (sa/sb);
+    # without a persist each side re-runs the norm aggregation over the
+    # cached w (two agg exchanges in the plan — static planning does
+    # not reuse them). One (id, bigint) row per doc — the narrowest
+    # relation in the operator.
+    ss = (
+        w.groupBy("id")
+        .agg(F.sum(F.col("iw") * F.col("iw")).alias("ssq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = w.alias("a"), w.alias("b")
     dots = (
@@ -380,7 +387,7 @@ def related_docs(
             "rank",
         )
     )
-    return pin(carry_pins(p, out), w)
+    return pin(pin(carry_pins(p, out), w), ss)
 
 
 def rrf_fuse(

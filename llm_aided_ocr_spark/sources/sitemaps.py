@@ -133,58 +133,54 @@ def crawl_coverage(
     hosts.
 
     Shape: two document-local projections → two distinct aggregations,
-    one left-semi (declared ∩ crawled) and one left-anti
-    (crawled \\ declared) on exact url strings, then per-host counts
-    full-outer-merged — every relation is (host, url) narrow; at the
-    10^12 tier the url-keyed joins co-partition with the distincts so
-    AQE plans them without extra exchanges."""
+    then ONE full-outer join on exact url strings and ONE per-host
+    conditional aggregation. Presence of each side in the joined row
+    classifies the url (declared-and-crawled / declared-only /
+    crawled-only), so the three counts come from one pass — the earlier
+    semi+anti+three-agg form evaluated the declared relation three
+    times and the crawled one twice (each a full distinct exchange over
+    the inputs). Every relation is (host, url) narrow; the url-keyed
+    join co-partitions with the distincts so AQE plans it without extra
+    exchanges."""
     from llm_aided_ocr_spark.operators.textstats import domain_col
 
     dec = (
         declared.select(F.col(declared_url_col).alias("url"))
         .filter(F.col("url").isNotNull() & (F.col("url") != ""))
         .distinct()
-        .select(domain_col(F.col("url")).alias("host"), "url")
-        .filter(F.col("host") != "")
+        .select(domain_col(F.col("url")).alias("_dh"), "url")
+        .filter(F.col("_dh") != "")
     )
     cra = (
         crawled.select(F.col(crawled_url_col).alias("url"))
         .filter(F.col("url").isNotNull() & (F.col("url") != ""))
         .distinct()
-        .select(domain_col(F.col("url")).alias("host"), "url")
-        .filter(F.col("host") != "")
+        .select(domain_col(F.col("url")).alias("_ch"), "url")
+        .filter(F.col("_ch") != "")
     )
-    n_dec = dec.groupBy("host").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_declared")
-    )
-    n_hit = (
-        dec.join(cra.select("url"), "url", "left_semi")
-        .groupBy("host")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_crawled_declared"))
-    )
-    n_extra = (
-        cra.join(dec.select("url"), "url", "left_anti")
-        .groupBy("host")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_undeclared_crawled"))
-    )
+    merged = dec.join(cra, "url", "full_outer")
+    in_dec = F.col("_dh").isNotNull()
+    in_cra = F.col("_ch").isNotNull()
     return (
-        n_dec.join(n_hit, "host", "full_outer")
-        .join(n_extra, "host", "full_outer")
+        merged.groupBy(F.coalesce("_dh", "_ch").alias("host"))
+        .agg(
+            F.sum(in_dec.cast("int")).cast("bigint").alias("n_declared"),
+            F.sum((in_dec & in_cra).cast("int"))
+            .cast("bigint")
+            .alias("n_crawled_declared"),
+            F.sum((in_cra & ~in_dec).cast("int"))
+            .cast("bigint")
+            .alias("n_undeclared_crawled"),
+        )
         .select(
             "host",
-            F.coalesce("n_declared", F.lit(0)).cast("bigint").alias(
-                "n_declared"
-            ),
-            F.coalesce("n_crawled_declared", F.lit(0)).cast("bigint").alias(
-                "n_crawled_declared"
-            ),
-            F.coalesce("n_undeclared_crawled", F.lit(0)).cast("bigint").alias(
-                "n_undeclared_crawled"
-            ),
+            "n_declared",
+            "n_crawled_declared",
+            "n_undeclared_crawled",
             F.when(
-                F.coalesce("n_declared", F.lit(0)) > 0,
-                F.coalesce("n_crawled_declared", F.lit(0)).cast("double")
-                / F.coalesce("n_declared", F.lit(0)).cast("double"),
+                F.col("n_declared") > 0,
+                F.col("n_crawled_declared").cast("double")
+                / F.col("n_declared").cast("double"),
             ).alias("coverage"),
         )
     )

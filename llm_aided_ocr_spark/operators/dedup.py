@@ -1813,10 +1813,20 @@ def cluster_keepers(
     integer scores replay engine-exactly, float scores are safe too
     since no arithmetic is done on them, only comparison).
 
-    Shape: ONE equi-join (cluster assignment x score, both narrow) and
-    ONE ``max(struct(quality, -id))`` aggregation — the min-struct
-    keeper discipline (no window, map-side combinable, a mega-cluster
-    is just one hot groupBy key that partial aggregation absorbs)."""
+    Shape: ONE equi-join (cluster assignment x score, both narrow) and,
+    for numeric ids, ONE ``max(struct(quality, -id))`` aggregation —
+    the min-struct keeper discipline (no window, map-side combinable, a
+    mega-cluster is just one hot groupBy key that partial aggregation
+    absorbs). Non-numeric ids (``dedup_clusters`` explicitly supports
+    string/url ids) cannot be negated for the mixed-direction struct
+    ordering — in non-ANSI mode the cast yields NULL keepers silently —
+    so they take a two-pass form with no arithmetic on the id: max
+    quality + member count per cluster, then a conditional
+    ``min(id | quality == best)`` over a co-partitioned join back
+    (both aggregations map-side combinable; null-safe equality keeps
+    the all-NULL-quality cluster's min-id keeper)."""
+    from pyspark.sql.types import NumericType
+
     j = clusters.select(
         F.col(id_col).alias("_id"), F.col(cluster_col).alias("cluster_id")
     ).join(
@@ -1826,9 +1836,30 @@ def cluster_keepers(
         ),
         "_id",
     )
-    return j.groupBy("cluster_id").agg(
-        (-F.max(F.struct(F.col("_q").alias("q"), (-F.col("_id")).alias("ni")))
-         .getField("ni")).alias("keeper_id"),
-        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    if isinstance(j.schema["_id"].dataType, NumericType):
+        return j.groupBy("cluster_id").agg(
+            (-F.max(
+                F.struct(F.col("_q").alias("q"), (-F.col("_id")).alias("ni"))
+            ).getField("ni")).alias("keeper_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max("_q").alias("best_quality"),
+        ).select("cluster_id", "keeper_id", "n_members", "best_quality")
+    stats = j.groupBy("cluster_id").agg(
         F.max("_q").alias("best_quality"),
-    ).select("cluster_id", "keeper_id", "n_members", "best_quality")
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
+    return (
+        j.join(stats, "cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("_q").eqNullSafe(F.col("best_quality")),
+                    F.col("_id"),
+                )
+            ).alias("keeper_id"),
+            F.max("n_members").alias("n_members"),
+            F.max("best_quality").alias("best_quality"),
+        )
+        .select("cluster_id", "keeper_id", "n_members", "best_quality")
+    )

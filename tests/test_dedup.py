@@ -784,3 +784,45 @@ def test_cluster_keepers_quality_argmax(spark):
     got = {r["cluster_id"]: (r["keeper_id"], r["n_members"], r["best_quality"])
            for r in cluster_keepers(clusters, quality).collect()}
     assert got == {100: (2, 3, 50), 200: (7, 2, 5)}
+
+
+def test_cluster_keepers_string_ids(spark):
+    # dedup_clusters supports string/url ids; the keeper pick must not
+    # negate the id (NULL keepers in non-ANSI, cast error under ANSI)
+    from llm_aided_ocr_spark.operators.dedup import cluster_keepers
+
+    clusters = spark.createDataFrame(
+        [("u/a", "c1"), ("u/b", "c1"), ("u/c", "c1"), ("u/x", "c2"),
+         ("u/y", "c2")],
+        "id string, cluster_id string",
+    )
+    quality = spark.createDataFrame(
+        # c1: u/b wins on quality; c2: tie -> lexicographic min id u/x
+        [("u/a", 10), ("u/b", 50), ("u/c", 49), ("u/x", 5), ("u/y", 5)],
+        "id string, quality bigint",
+    )
+    got = {r["cluster_id"]: (r["keeper_id"], r["n_members"],
+                             r["best_quality"])
+           for r in cluster_keepers(clusters, quality).collect()}
+    assert got == {"c1": ("u/b", 3, 50), "c2": ("u/x", 2, 5)}
+
+
+def test_cluster_keepers_string_ids_all_null_quality(spark):
+    # all-NULL quality keeps the min-id member (null-safe equality),
+    # matching the numeric path's struct ordering for NULL scores
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.dedup import cluster_keepers
+
+    clusters = spark.createDataFrame(
+        [("u/b", "c1"), ("u/a", "c1")], "id string, cluster_id string"
+    )
+    quality = clusters.select(
+        "id", F.lit(None).cast("bigint").alias("quality")
+    )
+    rows = cluster_keepers(clusters, quality).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["keeper_id"], r["n_members"], r["best_quality"]) == (
+        "u/a", 2, None,
+    )

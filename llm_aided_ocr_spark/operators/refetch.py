@@ -190,7 +190,10 @@ def politeness_schedule(
     fetch per host, ``delay`` seconds apart) that robots.txt
     ``Crawl-delay`` declares and :func:`crawl_budget` budgets for.
     Hosts missing from ``delays`` (or with NULL delay) use
-    ``default_delay_sec``.
+    ``default_delay_sec``; a host with SEVERAL delay rows (appended
+    robots snapshots) uses the largest — the conservative politeness
+    choice — via a pre-aggregation that also stops the lookup join
+    fanning every frontier row out into duplicate timetables.
 
     Scale shape: the rank window partitions BY HOST — embarrassingly
     parallel across the 10^7-8 hosts of a crawl; a mega-host's schedule
@@ -208,9 +211,13 @@ def politeness_schedule(
         F.col(url_col).alias("url"),
         F.col(priority_col).cast("bigint").alias("priority"),
     )
-    d = delays.select(
-        F.col(host_col).alias("host"),
-        F.col(delay_col).cast("bigint").alias("_delay"),
+    d = (
+        delays.select(
+            F.col(host_col).alias("host"),
+            F.col(delay_col).cast("bigint").alias("_delay"),
+        )
+        .groupBy("host")
+        .agg(F.max("_delay").alias("_delay"))
     )
     return (
         f.join(d, "host", "left")

@@ -202,6 +202,28 @@ def test_politeness_schedule_timetable(spark):
     assert got["https://b.org/x"] == (0, 100)
 
 
+def test_politeness_schedule_duplicate_delay_rows(spark):
+    # appended robots snapshots leave several delay rows per host; the
+    # lookup must not fan the frontier out into duplicate timetables,
+    # and the LARGEST delay (conservative politeness) wins
+    from llm_aided_ocr_spark.operators.refetch import politeness_schedule
+
+    frontier = spark.createDataFrame(
+        [("a.org", "https://a.org/p1", 2),
+         ("a.org", "https://a.org/p2", 1)],
+        "host string, url string, priority long",
+    )
+    delays = spark.createDataFrame(
+        [("a.org", 5), ("a.org", 30), ("a.org", None)],
+        "host string, crawl_delay_sec long",
+    )
+    rows = politeness_schedule(frontier, delays, t0=0).collect()
+    assert len(rows) == 2  # one timetable row per frontier url
+    got = {r["url"]: (r["fetch_rank"], r["fetch_ts"]) for r in rows}
+    assert got["https://a.org/p1"] == (0, 0)
+    assert got["https://a.org/p2"] == (1, 30)
+
+
 def test_rendezvous_assign_stability(spark):
     """HRW's minimal-movement property: removing one shard only remaps
     the keys that lived on it; every other assignment is unchanged."""

@@ -305,6 +305,20 @@ def hll_build(
     )
 
 
+def _hll_alpha(m: int) -> float:
+    """The HLL bias-correction constant: the published fixed values for
+    the small register counts (Flajolet, Fusy, Gandouet & Meunier 2007
+    define alpha_16 = 0.673, alpha_32 = 0.697, alpha_64 = 0.709) and
+    the asymptotic formula only for m >= 128."""
+    if m <= 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
 def hll_estimate(
     registers: DataFrame,
     group_cols: list = None,
@@ -322,7 +336,7 @@ def hll_estimate(
     K = 50
     if w + 1 >= K:
         raise ValueError("p too small for the fixed K=50 scaling")
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha = _hll_alpha(m)
     groups = [F.col(c) for c in (group_cols or [])]
     agg = registers.groupBy(*groups).agg(
         F.sum(F.pow(F.lit(2.0), F.lit(K) - F.col("m_rho")).cast("bigint"))

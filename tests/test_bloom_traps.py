@@ -202,3 +202,15 @@ def test_hll_distinct_accuracy_and_dup_insensitivity(spark):
                group_cols=["grp"], p=8).collect()}
     assert abs(got["a"] - 30) < 3
     assert abs(got["b"] - 1) < 0.2
+
+
+def test_hll_small_m_alpha_constants():
+    # p=4/5/6 registers use the published fixed alpha constants
+    # (Flajolet et al. 2007: 0.673 / 0.697 / 0.709), not the asymptotic
+    # m>=128 formula; m>=128 keeps the formula
+    from llm_aided_ocr_spark.operators.bloom import _hll_alpha
+
+    assert _hll_alpha(16) == 0.673
+    assert _hll_alpha(32) == 0.697
+    assert _hll_alpha(64) == 0.709
+    assert abs(_hll_alpha(256) - 0.7213 / (1.0 + 1.079 / 256)) < 1e-12

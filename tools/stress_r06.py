@@ -120,7 +120,105 @@ def _ops(spark, docs, rows):
         # corpus — en page for every doc, fr for every 2nd, de-at for
         # every 3rd, plus an en refetch dup and an unmarked decoy
         "url_bitext": lambda: _url_bitext_rel(docs),
+        # session-3 rewrites
+        "publication_dates": lambda: _publication_dates_rel(docs),
+        "canonical_url_dedup": lambda: _canonical_dedup_rel(docs),
+        "crawl_coverage": lambda: _crawl_coverage_rel(docs),
     }
+
+
+def _publication_dates_rel(docs):
+    # staged-projection rewrite: the regexes must scan FULL-page html,
+    # so wrap every document's text in a page with the three channels
+    # present on rotating thirds (meta / time tag / url date)
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.dates import publication_dates
+
+    h = F.xxhash64("url")
+    day = F.lpad((F.pmod(h, F.lit(28)) + 1).cast("string"), 2, "0")
+    m3 = F.pmod(h, F.lit(3))
+    html = F.concat(
+        F.when(m3 == 0, F.concat(
+            F.lit('<meta property="article:published_time" '
+                  'content="2021-03-'), day, F.lit('T01:02:03Z">')))
+        .otherwise(F.lit("")),
+        F.when(m3 == 1, F.lit('<time datetime="2020-12-31T23:59:59Z">t'
+                              "</time>")).otherwise(F.lit("")),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+    )
+    url = F.when(
+        m3 == 2, F.concat(F.lit("https://h.example/2017/6/5/"), F.col("url"))
+    ).otherwise(F.concat(F.lit("https://h.example/"), F.col("url")))
+    pages = docs.select(
+        url.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+    return publication_dates(pages)
+
+
+def _canonical_dedup_rel(docs):
+    # single-scan persist rewrite: ~10 fetch variants per canonical
+    # page, keeper = longest text (the adapter's group shape at scale)
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.operators.dedup import canonical_url_keepers
+
+    h = F.xxhash64("url")
+    b = F.pmod(h, F.lit(320000 // 10)).cast("string")
+    url = (
+        F.when(h % 4 == 0,
+               F.concat(F.lit("http://site"), b, F.lit(".example.org/p")))
+        .when(h % 4 == 1,
+              F.concat(F.lit("HTTP://Site"), b, F.lit(".Example.org:80/p")))
+        .when(h % 4 == 2,
+              F.concat(F.lit("http://site"), b, F.lit(".example.org/p#f")))
+        .otherwise(
+            F.concat(F.lit("http://site"), b, F.lit(".example.org/p?")))
+    )
+    return canonical_url_keepers(
+        docs.select("url", url.alias("_u"), "text"),
+        url_col="_u", id_col="url",
+    )
+
+
+def _crawl_coverage_rel(docs):
+    # one-pass full-outer rewrite: 2 declared urls per doc, the crawl
+    # fetched one of them plus an undeclared tail and an orphan host
+    from pyspark.sql import functions as F
+
+    from llm_aided_ocr_spark.sources.sitemaps import crawl_coverage
+
+    d = docs.select(F.xxhash64("url").alias("h"))
+    i = F.abs(F.col("h")).cast("string")
+    site = F.concat(
+        F.lit("https://site"),
+        F.pmod(F.col("h"), F.lit(4999)).cast("string"),
+        F.lit(".example.org/"),
+    )
+    declared = d.select(
+        F.explode(
+            F.array(
+                F.concat(site, F.lit("p"), i, F.lit(".html")),
+                F.concat(site, F.lit("q"), i, F.lit(".html")),
+            )
+        ).alias("loc")
+    )
+    crawled = (
+        d.select(F.concat(site, F.lit("p"), i, F.lit(".html")).alias("url"))
+        .unionByName(
+            d.filter(F.col("h") % 3 == 0).select(
+                F.concat(site, F.lit("r"), i, F.lit(".html")).alias("url")
+            )
+        )
+        .unionByName(
+            d.filter(F.col("h") % 11 == 0).select(
+                F.concat(F.lit("https://orphan.example.net/o"), i).alias(
+                    "url"
+                )
+            )
+        )
+    )
+    return crawl_coverage(declared, crawled)
 
 
 def _url_bitext_rel(docs):

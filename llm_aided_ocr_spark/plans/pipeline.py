@@ -281,13 +281,30 @@ def run_pipeline(
         # releases the blocks when the plan is garbage-collected).
         from pyspark import StorageLevel
 
-        routed = df.select("url", "warc_ts", "lang", source_col).persist(
-            StorageLevel.MEMORY_AND_DISK
+        # The routing size is computed ONCE at cache build and stored as
+        # an int column: both branch filters would otherwise re-run
+        # length() over every cached payload — an O(bytes) UTF8 scan of
+        # the whole corpus per branch (measured 0.65 s of the bench
+        # pipeline's wall on a corpus with ZERO mega docs). Filtering on
+        # the cached int also lets the in-memory scan's per-batch
+        # min/max stats prune whole batches for the branch they cannot
+        # feed, so the mega branch of a mega-free corpus (and the fused
+        # branch's share of a mega-heavy one) never decompresses text
+        # it will drop.
+        size = F.length(
+            F.coalesce(
+                F.col(source_col),
+                F.lit("").cast("binary") if use_html else F.lit(""),
+            )
         )
+        routed = df.select(
+            "url", "warc_ts", "lang", source_col,
+            size.cast("bigint").alias("_ocr_route_sz"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         pinned.append(routed)
-        size = F.length(F.coalesce(F.col(source_col), F.lit("").cast("binary") if use_html else F.lit("")))
-        small = routed.filter(size <= cfg.mega_doc_chars)
-        big = routed.filter(size > cfg.mega_doc_chars)
+        sz = F.col("_ocr_route_sz")
+        small = routed.filter(sz <= cfg.mega_doc_chars).drop("_ocr_route_sz")
+        big = routed.filter(sz > cfg.mega_doc_chars).drop("_ocr_route_sz")
         # the branches filter the PERSISTED routed relation, whose plan
         # no longer exposes inputFiles(); judge the spread gate on the
         # pre-persist source plan instead

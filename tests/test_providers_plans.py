@@ -469,6 +469,32 @@ def test_auto_strategy_scans_source_once(spark):
     assert plan.count("FileScan parquet") == plan.count("InMemoryRelation"), plan
     spark.catalog.clearCache()
 
+def test_auto_strategy_routes_on_cached_size_column(spark):
+    """The auto strategy's branch filters must compare the routing size
+    PRECOMPUTED at cache build (_ocr_route_sz), never re-run length()
+    over the cached payload — that is an O(bytes) UTF8 scan of the
+    whole corpus per branch (0.56 s of the bench pipeline's wall on a
+    mega-free corpus), and a plain cached int also enables per-batch
+    min/max pruning for the branch a batch cannot feed."""
+    import __spark_entry__ as e
+    from llm_aided_ocr_spark.config import PipelineConfig
+    from llm_aided_ocr_spark.plans.pipeline import run_pipeline
+
+    pages = e._docs_as_pages(spark, "/root/testdata/sf0.001")
+    cfg = PipelineConfig(provider="identity", apply_hallucination_filter=False)
+    plan = _plan(run_pipeline(pages, cfg, strategy="auto"))
+    assert "_ocr_route_sz" in plan, plan
+    import re
+
+    # no branch Filter may apply length() to the payload column; the
+    # only length() allowed in a Filter is inside the cached relation's
+    # own build lineage (none today — the size is projected, not
+    # filtered, at build)
+    for m in re.finditer(r"Filter \(\d+\)\nInput.*\nCondition : (.*)", plan):
+        assert "length(" not in m.group(1), m.group(1)
+    spark.catalog.clearCache()
+
+
 def test_auto_strategy_cache_released_after_action(spark):
     """run_pipeline(auto) pins the routed corpus cache on the result;
     release_pipeline_cache must unpersist it after the terminal action so

@@ -87,29 +87,49 @@ def _spread_documents(
 
 
 def _fused_correct(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Document rows → result rows in one narrow pass (no shuffle)."""
+    """Document rows → result rows in one narrow pass (no shuffle).
 
-    def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Arrow-native (``mapInArrow``): the kernel needs plain Python strings
+    either way, but building the output as a RecordBatch directly skips
+    the pandas block-manager round-trip on BOTH sides of the boundary
+    (guide §4.2) and passes the url column through as the input's own
+    Arrow array, zero-copy. Measured PARITY with the pandas form at the
+    bench tier (best-of-7 3.404 s vs 3.401 s — the pass is
+    DRAM/kernel-bound there); kept because the avoided per-batch
+    object-array materialization grows with batch width and payload
+    size, and output is proven byte-identical (count / corrected-byte /
+    chunk / crc32-of-corrected / crc32-of-raw all equal over 320k
+    docs)."""
+
+    def _process(batches):
+        import pyarrow as pa
+
         fn = get_provider(cfg.provider)
         md = cfg.reformat_as_markdown
         sup = cfg.suppress_headers_and_page_numbers
         for batch in batches:
-            urls, raws, outs, ns = [], [], [], []
-            for url, text in zip(batch["url"], batch["extracted_text"]):
+            texts = batch.column("extracted_text").to_pylist()
+            raws, outs, ns = [], [], []
+            for text in texts:
                 text = text if text is not None else ""
                 chunks = chunk_full_text(
                     text, chunk_size=cfg.chunk_size_chars, overlap_words=cfg.overlap_words
                 )
                 corrected = assemble_chunks([fn(c, md, sup) for c in chunks])
-                urls.append(url)
                 raws.append(text)
                 outs.append(strip_correction_header(corrected))
                 ns.append(len(chunks))
-            yield pd.DataFrame(
-                {"url": urls, "raw_text": raws, "corrected_text": outs, "n_chunks": ns}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("url"),
+                    pa.array(raws, pa.string()),
+                    pa.array(outs, pa.string()),
+                    pa.array(ns, pa.int32()),
+                ],
+                names=["url", "raw_text", "corrected_text", "n_chunks"],
             )
 
-    return df.select("url", "extracted_text").mapInPandas(_process, schema=RESULT_SCHEMA)
+    return df.select("url", "extracted_text").mapInArrow(_process, schema=RESULT_SCHEMA)
 
 
 def _staged_correct(
